@@ -1,0 +1,639 @@
+"""Core relational operator catalog (SURVEY §2.2-§2.8).
+
+Each entry demonstrates one operator family from the reference's
+inventory on the driver testdata, as an idiomatic Catalyst-optimizable
+DataFrame plan plus a DuckDB oracle twin. Reference citations are on
+each query's docstring.
+
+Scale notes baked into the plans:
+- joins against region/nation/customer/supplier use ``F.broadcast``
+  (dimension tables are tiny relative to fact tables at every SF);
+- top-k is ``orderBy().limit(k)`` (Spark's TakeOrderedAndProject —
+  distributed partial top-k, no single-partition window);
+- "pick one row per group" uses row_number with a total order
+  (unique-key tie-break) so results are deterministic at any
+  parallelism;
+- all double aggregations go through DECIMAL (see functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.exact import davg, dec, dsum
+from ..sources.tables import load_tables
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+_ONE = "CAST(1 AS DECIMAL(3,2))"  # SQL literal 1.00 for decimal arithmetic
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4 A2/A4/A8, §2.8 F15)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * ({_ONE} - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * ({_ONE} - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                    * ({_ONE} + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped multi-agg summary (TPC-H Q1 shape). Reference: the daily "
+    "summary GROUP BY city,date with AVG/MIN/MAX/SUM/COUNT at "
+    "airflow/src/load_to_postgres.py:408-437 (SURVEY A2).",
+    tags=("agg",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (one + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@CATALOG.add(
+    "global_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+    doc="Global scalar stats: min/max/avg/count/countDistinct/max-ts. "
+    "Reference: scripts/test_transformations.py:268-271 and the "
+    "validation aggregates at airflow/dags/weather_dag.py:186-236 "
+    "(SURVEY A8/A9).",
+    tags=("agg",),
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@CATALOG.add(
+    "conditional_counts",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           CAST(SUM(CASE WHEN event_type IN ('error', 'purchase') THEN 1 ELSE 0 END) AS DOUBLE)
+               * 100.0 / COUNT(*) AS flagged_pct
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Conditional (pivot-style) counts + derived ratio agg. Reference: "
+    "SUM(CASE WHEN alert_level=... ) x4 and alert_percentage at "
+    "airflow/src/load_to_postgres.py:423-434 (SURVEY A3/A4).",
+    tags=("agg",),
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+
+    def cnt(pred):
+        return F.sum(F.when(pred, 1).otherwise(0))
+
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        cnt(F.col("event_type") == "error").alias("n_error"),
+        cnt(F.col("event_type") == "purchase").alias("n_purchase"),
+        cnt(F.col("event_type") == "click").alias("n_click"),
+        (
+            cnt(F.col("event_type").isin("error", "purchase")).cast("double")
+            * F.lit(100.0)
+            / F.count(F.lit(1))
+        ).alias("flagged_pct"),
+    )
+
+
+@CATALOG.add(
+    "dominant_event_type",
+    """
+    SELECT user_id, event_type AS dominant_type, n
+    FROM (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    WHERE rk = 1
+    """,
+    doc="Deterministic per-group mode (dominant value). Reference: "
+    "MODE() WITHIN GROUP (ORDER BY weather_condition) at "
+    "airflow/src/load_to_postgres.py:420-421 (SURVEY A5); tie-break is "
+    "count DESC, value ASC exactly as SURVEY §7.4-2 prescribes (Spark's "
+    "F.mode tie-break is nondeterministic, so we rank instead).",
+    tags=("agg", "window"),
+)
+def dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("dominant_type"), "n")
+    )
+
+
+@CATALOG.add(
+    "event_type_share",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) * 100.0
+               / SUM(COUNT(*)) OVER () AS pct_of_total
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Frequency distribution with share-of-grand-total via an "
+    "unpartitioned analytic SUM. Reference: COUNT(*)*100.0/SUM(COUNT(*)) "
+    "OVER () at sql/create_tables.sql:244-251 and value_counts()+pct at "
+    "scripts/test_transformations.py:273-289 (SURVEY W1/A7).",
+    tags=("agg", "window"),
+)
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.withColumn(
+        "pct_of_total",
+        F.col("n").cast("double") * F.lit(100.0) / F.sum("n").over(W.partitionBy()),
+    )
+
+
+@CATALOG.add(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical subtotals via ROLLUP. The reference has no grouping "
+    "sets (SURVEY §2.4 notes their absence) — included because the engine "
+    "exposes Spark's full grouping-set surface.",
+    tags=("agg",),
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@CATALOG.add(
+    "pivot_status_qty",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (long->wide) with fixed pivot values. Reference expresses "
+    "this as CASE-sums (airflow/src/load_to_postgres.py:423-434); here via "
+    "Spark's native pivot operator (SURVEY A3).",
+    tags=("agg",),
+)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup / latest-per-group (SURVEY §2.4 A1/A6, §2.5 W2, §2.3 J1)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "dedup_user_event_type",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+        SELECT event_id, ts, user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id ASC) AS rk
+        FROM events
+    )
+    WHERE rk = 1
+    """,
+    doc="Dedup by key subset keeping the first row per key. Reference: "
+    "drop_duplicates(subset=['station_id','timestamp']) at "
+    "airflow/src/load_to_postgres.py:229-236 (SURVEY A1). Spark's "
+    "dropDuplicates keeps an arbitrary row, so the engine's deterministic "
+    "dedup ranks on a unique key instead.",
+    tags=("dedup", "window"),
+)
+def dedup_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("event_id").asc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@CATALOG.add(
+    "latest_event_per_user",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+        SELECT event_id, ts, user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    )
+    WHERE rk = 1
+    """,
+    doc="Latest-row-per-group. Reference: the current_weather_status view — "
+    "CTE of GROUP BY city, MAX(reading_timestamp) joined back at "
+    "sql/create_tables.sql:194-218 (SURVEY J1/A6/W2). The ranking form is "
+    "one shuffle instead of agg+join's two.",
+    tags=("window",),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@CATALOG.add(
+    "top3_events_per_user",
+    """
+    SELECT user_id, event_id, value, rk
+    FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id ASC) AS rk
+        FROM events
+    )
+    WHERE rk <= 3
+    """,
+    doc="Top-k per group via ranking window. Generalization of W2; the "
+    "reference's top-1-by-name (max(csv_files) at "
+    "airflow/src/load_to_postgres.py:198, SURVEY O4) is the k=1 case.",
+    tags=("window",),
+)
+def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "top_revenue_orders",
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * ({_ONE} - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Multi-way equi join + group agg + deterministic top-k (TPC-H Q3 "
+    "shape). Reference's only join is J1 (sql/create_tables.sql:194-218); "
+    "the engine exposes the full join surface per SURVEY §2.3. Customer "
+    "side is broadcast; top-k is TakeOrderedAndProject (no global sort).",
+    tags=("join", "agg", "topk"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    one = F.lit(1).cast("decimal(3,2)")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@CATALOG.add(
+    "regional_revenue",
+    f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * ({_ONE} - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="Star-schema join across 6 tables with broadcast dimensions "
+    "(TPC-H Q5 shape). Exercises Catalyst join reordering + AQE; all "
+    "dimension sides are broadcast so the only shuffle is the final "
+    "group-by. (SURVEY §2.3 scope extension.)",
+    tags=("join", "agg"),
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    nat = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@CATALOG.add(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Left-anti join (NOT EXISTS). This is the engine's idempotent-"
+    "append primitive: the reference's INSERT ... ON CONFLICT DO NOTHING "
+    "(airflow/src/load_to_postgres.py:294-321, SURVEY S11) becomes an "
+    "anti-join against existing keys.",
+    tags=("join",),
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return t["customer"].join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@CATALOG.add(
+    "customers_with_high_value_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    doc="Left-semi join (EXISTS). Part of the full join surface the engine "
+    "exposes (SURVEY §2.3).",
+    tags=("join",),
+)
+def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 200000)
+    return t["customer"].join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Filters / projections / set ops / sorts (SURVEY §2.2, §2.6, §2.7)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "filter_isin_projection",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="Set-membership filter + column-subset projection. Reference: the "
+    "alerts feed filter(col('alert_level').isin(['WARNING','CRITICAL'])) + "
+    "14-of-31-column select at scripts/glue_weather_etl.py:503-523 "
+    "(SURVEY P4/P5). Both filter and projection push to the parquet scan.",
+    tags=("filter",),
+)
+def filter_isin_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@CATALOG.add(
+    "date_range_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Date-range + numeric-range predicates feeding a scalar agg "
+    "(TPC-H Q6 shape). Reference: the 7-day / yesterday date predicates at "
+    "sql/create_tables.sql:184 and load_to_postgres.py:437 (SURVEY P6) and "
+    "range predicates P8. All four predicates push down to parquet.",
+    tags=("filter", "agg"),
+)
+def date_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@CATALOG.add(
+    "range_validity_flags",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity BETWEEN 1 AND 50 AS is_valid_qty,
+           l_discount BETWEEN 0.0 AND 0.08 AS is_valid_discount,
+           l_tax BETWEEN 0.0 AND 0.06 AS is_valid_tax,
+           CAST(CAST(l_quantity BETWEEN 1 AND 50 AS INTEGER)
+                + CAST(l_discount BETWEEN 0.0 AND 0.08 AS INTEGER)
+                + CAST(l_tax BETWEEN 0.0 AND 0.06 AS INTEGER) AS DOUBLE)
+               / 3.0 * 100.0 AS data_quality_score
+    FROM lineitem
+    """,
+    doc="Range-validity boolean columns + quality score. Reference: "
+    "is_valid_temperature/humidity/pressure and data_quality_score "
+    "(valid_count/3*100) at scripts/glue_weather_etl.py:408-430 "
+    "(SURVEY P8/F12). Constraint checks become flags, not aborts, "
+    "exactly as the reference chose.",
+    tags=("filter", "scalar"),
+)
+def range_validity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    vq = F.col("l_quantity").between(1, 50)
+    vd = F.col("l_discount").between(0.0, 0.08)
+    vt = F.col("l_tax").between(0.0, 0.06)
+    score = (
+        (vq.cast("int") + vd.cast("int") + vt.cast("int")).cast("double")
+        / F.lit(3.0)
+        * F.lit(100.0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        vq.alias("is_valid_qty"),
+        vd.alias("is_valid_discount"),
+        vt.alias("is_valid_tax"),
+        score.alias("data_quality_score"),
+    )
+
+
+@CATALOG.add(
+    "union_segments",
+    """
+    SELECT o_orderkey, o_totalprice, 'urgent' AS segment
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'big' AS segment
+    FROM orders WHERE o_totalprice > 250000
+    """,
+    doc="Union-all of homogeneous frames. Reference: pd.concat over "
+    "per-file parquet reads at airflow/src/load_to_postgres.py:141-166 "
+    "(SURVEY U1) — in Spark unionByName, or avoided entirely by "
+    "multi-path reads.",
+    tags=("setop",),
+)
+def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice", F.lit("urgent").alias("segment")
+    )
+    big = orders.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_totalprice", F.lit("big").alias("segment")
+    )
+    return urgent.unionByName(big)
+
+
+@CATALOG.add(
+    "top10_orders_by_price",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Order-by-measure-desc + limit (top-k). Reference: ORDER BY "
+    "count DESC / avg_temp DESC sample queries at "
+    "sql/create_tables.sql:242-262 and head-k caps (SURVEY O1-O4). "
+    "Physical plan is TakeOrderedAndProject: per-partition heaps, no "
+    "global sort.",
+    tags=("topk",),
+)
+def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )

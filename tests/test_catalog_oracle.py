@@ -1,0 +1,43 @@
+"""Every catalog query with an oracle must hash-match DuckDB locally.
+
+This replays the driver's CORRECTNESS gate at small SF; set
+SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 to replay at the driver's SF.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+
+from .oracle import compare
+
+CATALOG = build_catalog()
+WITH_ORACLE = [q for q in CATALOG.queries.values() if q.oracle]
+NO_ORACLE = [q for q in CATALOG.queries.values() if not q.oracle]
+
+
+@pytest.mark.parametrize("q", WITH_ORACLE, ids=[q.name for q in WITH_ORACLE])
+def test_oracle_match(spark, sf_dir, q):
+    n = compare(spark, sf_dir, q.builder, q.oracle, q.name)
+    assert n >= 0
+
+
+@pytest.mark.parametrize("q", NO_ORACLE, ids=[q.name for q in NO_ORACLE] or ["none"])
+def test_rows_only(spark, sf_dir, q):
+    if q is None:
+        pytest.skip("all queries have oracles")
+    df = q.builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 10
