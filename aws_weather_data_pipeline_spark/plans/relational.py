@@ -119,9 +119,9 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
            CAST(SUM(CASE WHEN event_type IN ('error', 'purchase') THEN 1 ELSE 0 END) AS DOUBLE)
                * 100.0 / COUNT(*) AS flagged_pct
     FROM events
@@ -366,7 +366,8 @@ def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multi-way equi join + group agg + deterministic top-k (TPC-H Q3 "
     "shape). Reference's only join is J1 (sql/create_tables.sql:194-218); "
     "the engine exposes the full join surface per SURVEY §2.3. Customer "
-    "side is broadcast; top-k is TakeOrderedAndProject (no global sort).",
+    "scales with SF, so no broadcast hint — AQE picks broadcast at small "
+    "SF and shuffle join at scale; top-k is TakeOrderedAndProject.",
     tags=("join", "agg", "topk"),
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +379,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
@@ -405,10 +406,11 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
-    doc="Star-schema join across 6 tables with broadcast dimensions "
-    "(TPC-H Q5 shape). Exercises Catalyst join reordering + AQE; all "
-    "dimension sides are broadcast so the only shuffle is the final "
-    "group-by. (SURVEY §2.3 scope extension.)",
+    doc="Star-schema join across 6 tables (TPC-H Q5 shape). Only the true "
+    "dimensions (region, nation — fixed 5/25 rows at every SF) carry "
+    "broadcast hints; customer and supplier scale with SF, so their join "
+    "strategy is left to Catalyst+AQE (broadcast at small SF, shuffle "
+    "join at the 100 TB design point). (SURVEY §2.3 scope extension.)",
     tags=("join", "agg"),
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,9 +432,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(sup),
+            sup,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -12,9 +12,9 @@ declare schemas (reference scripts/glue_weather_etl.py:50-57).
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -30,16 +30,51 @@ TABLE_NAMES = (
 )
 
 
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as parquet TIMESTAMP(NANOS) in ``path``.
+
+    Read from the parquet footer (pyarrow), so the repair below is keyed
+    on the file's actual logical type — not on a hardcoded column name.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
 def _read_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Some driver tables carry TIMESTAMP(NANOS) parquet columns, which
-    # Spark only reads as LongType (nanos since epoch) under the
-    # nanosAsLong flag. Convert back to a real timestamp, truncating
-    # ns -> µs exactly as DuckDB/Spark µs semantics do. `div` is integer
-    # division, so the whole conversion stays in codegen — no UDF.
-    for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    # Spark has no TIMESTAMP(NANOS) type; under nanosAsLong it reads such
+    # columns as LongType nanos-since-epoch. Convert to µs timestamps with
+    # FLOOR division (pmod keeps the remainder non-negative, so pre-epoch
+    # values floor like DuckDB rather than truncating toward zero). The
+    # whole conversion stays in codegen — no UDF. The session conf is
+    # scoped: saved and restored so a caller-provided SparkSession is not
+    # permanently mutated.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+        # .read.parquet captures the conf at plan time per-scan; safe to
+        # restore after the DataFrame is constructed.
+        for c in nanos:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000"))
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return df
 
 
@@ -49,9 +84,8 @@ def load_tables(
     """Load the named parquet tables from ``sf_dir`` as DataFrames.
 
     Safe under any caller-provided SparkSession (the driver harness
-    builds its own): the nanos flag is a runtime SQL conf.
+    builds its own): nanos handling is detected from each file's footer.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return {name: _read_one(spark, sf_dir, name) for name in names}
 
 

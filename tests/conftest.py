@@ -2,15 +2,23 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import pytest
+
+# PySpark's collect() renders TimestampType in the host zone regardless
+# of spark.sql.session.timeZone; pin the process to UTC so Spark-vs-
+# DuckDB timestamp comparisons hold on any host (ADVICE r01).
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aws_weather_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# Default to sf0.01 — the driver's correctness gate SF (ADVICE r01).
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -20,7 +20,7 @@ NO_ORACLE = [q for q in CATALOG.queries.values() if not q.oracle]
 @pytest.mark.parametrize("q", WITH_ORACLE, ids=[q.name for q in WITH_ORACLE])
 def test_oracle_match(spark, sf_dir, q):
     n = compare(spark, sf_dir, q.builder, q.oracle, q.name)
-    assert n >= 0
+    assert n > 0, f"{q.name}: oracle comparison is vacuous on zero rows"
 
 
 @pytest.mark.parametrize("q", NO_ORACLE, ids=[q.name for q in NO_ORACLE] or ["none"])
@@ -28,7 +28,7 @@ def test_rows_only(spark, sf_dir, q):
     if q is None:
         pytest.skip("all queries have oracles")
     df = q.builder(spark, sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
 
 
@@ -37,7 +37,7 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # driver requires non-empty smoke output
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 10
