@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the full query catalog and emit one JSON line.
+
+Usage: ``python bench.py`` — runs every catalog query against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE line of JSON to
+stdout::
+
+    {"metric": "catalog_total_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution is forced through the ``noop`` datasource sink — every
+operator in the plan runs on the executors (scan, shuffle, agg, join)
+but nothing is collected to the driver, so timings measure distributed
+execution, not result serialization. All diagnostics go to stderr;
+stdout carries only the JSON line the driver parses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+    from aws_weather_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    catalog = build_catalog()
+
+    def run_once(builder) -> None:
+        df = builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm the JVM/codegen/parquet-footer caches on a cheap query so the
+    # first measured query doesn't absorb one-time session costs.
+    first = next(iter(catalog.queries.values()))
+    try:
+        run_once(first.builder)
+    except Exception as exc:  # pragma: no cover - warmup best-effort
+        print(f"warmup failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, q in catalog.queries.items():
+        t0 = time.perf_counter()
+        try:
+            run_once(q.builder)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            print(f"FAIL {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 1 if any(t < 0 for t in timings.values()) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
