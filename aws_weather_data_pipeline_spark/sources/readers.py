@@ -1,0 +1,103 @@
+"""Batch readers (SURVEY §2.1 S4-S6, §2.2 P1-P3).
+
+The reference's ingest surface:
+- raw nested-JSON batches ``{"readings": [ {16 fields}, ... ]}``
+  (scripts/test_transformations.py:178-209 globs + json.load them;
+  scripts/glue_weather_etl.py:146-178 does from_json → explode →
+  flatten on the stream);
+- partitioned parquet (airflow/src/load_to_postgres.py:89-172 hand-lists
+  S3 keys and pd.concat's — here one ``spark.read.parquet`` with
+  automatic partition pruning);
+- CSV with a declared schema (airflow/src/load_to_postgres.py:177-209).
+
+Every reader declares its schema — inference is a full extra pass over
+100 TB and can mistype sparse columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..schemas import FLAT_COLUMNS, WEATHER_RAW_SCHEMA
+
+
+def flatten_readings(envelopes: DataFrame) -> DataFrame:
+    """P2+P3: explode the ``readings`` array and flatten the struct.
+
+    Input: one row per batch envelope with a ``readings`` array column.
+    Output: one row per reading, 16 flat columns. ``select("reading.*")``
+    replaces the reference's 16 hand-written aliases
+    (glue_weather_etl.py:161-178) — Catalyst expands it at analysis time,
+    so the physical plan is identical.
+    """
+    return envelopes.select(
+        F.explode(F.col("readings")).alias("reading")
+    ).select("reading.*")
+
+
+def parse_and_flatten(raw: DataFrame, payload_col: str = "data") -> DataFrame:
+    """P1-P3 over an in-flight byte/string payload column.
+
+    Mirror of glue_weather_etl.py:146-178: cast → from_json(declared
+    schema) → explode → flatten. Used verbatim by the streaming path
+    (the source hands us a ``data`` column, e.g. a Kinesis record body).
+    """
+    envelopes = raw.withColumn(
+        payload_col, F.from_json(F.col(payload_col).cast("string"), WEATHER_RAW_SCHEMA)
+    ).select(f"{payload_col}.*")
+    return flatten_readings(envelopes)
+
+
+def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
+    """S4: batch-scan raw JSON envelope files → flat readings.
+
+    ``multiLine`` because the reference's raw zone stores pretty-printed
+    batches (scripts/kinesis_to_s3.py:238-246). Schema is declared, so
+    corrupt records become nulls instead of poisoning inference.
+    """
+    envelopes = (
+        spark.read.schema(WEATHER_RAW_SCHEMA)
+        .option("multiLine", True)
+        .option("recursiveFileLookup", True)
+        .json(path)
+    )
+    return flatten_readings(envelopes)
+
+
+#: Declared schema of the processed-CSV round-trip (S6). All 16 flat
+#: columns; the reference re-reads its own CSV output
+#: (airflow/src/load_to_postgres.py:177-209).
+FLAT_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField(name, dtype, True)
+        for name, dtype in zip(
+            FLAT_COLUMNS,
+            [
+                T.StringType(),  # station_id
+                T.StringType(),  # city
+                T.StringType(),  # country
+                T.DoubleType(),  # latitude
+                T.DoubleType(),  # longitude
+                T.StringType(),  # timestamp
+                T.DoubleType(),  # temperature_celsius
+                T.DoubleType(),  # humidity_percent
+                T.DoubleType(),  # pressure_hpa
+                T.DoubleType(),  # wind_speed_kmh
+                T.StringType(),  # wind_direction
+                T.DoubleType(),  # precipitation_mm
+                T.StringType(),  # weather_condition
+                T.DoubleType(),  # visibility_km
+                T.IntegerType(),  # uv_index
+                T.DoubleType(),  # heat_index_celsius
+            ],
+        )
+    ]
+)
+
+
+def read_flat_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S6: CSV scan with declared schema; bad cells null out (P9
+    semantics — Spark casts yield null on failure, matching the
+    reference's pd.to_numeric(errors='coerce'))."""
+    return spark.read.schema(FLAT_CSV_SCHEMA).option("header", True).csv(path)

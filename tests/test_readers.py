@@ -1,0 +1,90 @@
+"""Ingest tests: the raw nested-JSON envelope path (S4 + P1-P3).
+
+Fixture files mirror the reference's raw zone — pretty-printed batches
+``{"readings": [ {16 fields}, ... ]}`` (scripts/kinesis_to_s3.py:238-246,
+sample at local_data/raw/). The declared-schema read must flatten to one
+row per reading with the exact 16-column surface, and the in-flight
+``from_json`` path must agree with the file path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from aws_weather_data_pipeline_spark.schemas import FLAT_COLUMNS
+from aws_weather_data_pipeline_spark.sources.readers import (
+    parse_and_flatten,
+    read_raw_json,
+)
+
+
+def _reading(i: int) -> dict:
+    return {
+        "station_id": f"WS{i:03d}",
+        "city": ["Mumbai", "Delhi", "Chennai"][i % 3],
+        "country": "India",
+        "latitude": 19.0760 + i,
+        "longitude": 72.8777 + i,
+        "timestamp": f"2024-01-15T10:3{i}:00.123456",
+        "temperature_celsius": 30.0 + i,
+        "humidity_percent": 70.0 - i,
+        "pressure_hpa": 1005.0 + i,
+        "wind_speed_kmh": 20.0 + i,
+        "wind_direction": "NW",
+        "precipitation_mm": float(i),
+        "weather_condition": "Clear",
+        "visibility_km": 8.0,
+        "uv_index": 6,
+        "heat_index_celsius": 33.0 + i,
+    }
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    # Two pretty-printed batch files in nested date dirs, like the raw zone.
+    d = tmp_path / "raw" / "year=2024" / "month=01" / "day=15"
+    d.mkdir(parents=True)
+    (d / "batch_001.json").write_text(
+        json.dumps({"readings": [_reading(0), _reading(1)]}, indent=2)
+    )
+    (d / "batch_002.json").write_text(
+        json.dumps({"readings": [_reading(2)]}, indent=2)
+    )
+    return str(tmp_path / "raw")
+
+
+def test_read_raw_json_flattens(spark, raw_dir):
+    df = read_raw_json(spark, raw_dir)
+    assert df.columns == FLAT_COLUMNS
+    rows = {r["station_id"]: r for r in df.collect()}
+    assert set(rows) == {"WS000", "WS001", "WS002"}
+    assert rows["WS001"]["temperature_celsius"] == 31.0
+    assert rows["WS002"]["city"] == "Chennai"
+    assert rows["WS000"]["uv_index"] == 6
+
+
+def test_parse_and_flatten_payload_column(spark, raw_dir):
+    # In-flight form: the envelope arrives as a string payload column
+    # (Kinesis record body). Must agree with the file-scan path.
+    payload = json.dumps({"readings": [_reading(0), _reading(1)]})
+    raw = spark.createDataFrame([Row(data=payload)])
+    df = parse_and_flatten(raw)
+    assert df.columns == FLAT_COLUMNS
+    assert df.count() == 2
+    got = {r["station_id"] for r in df.collect()}
+    assert got == {"WS000", "WS001"}
+
+
+def test_read_raw_json_malformed_nulls_not_crash(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "bad.json").write_text('{"readings": "not-an-array"}')
+    (d / "good.json").write_text(
+        json.dumps({"readings": [_reading(0)]}, indent=2)
+    )
+    df = read_raw_json(spark, str(d))
+    # Declared schema: the malformed envelope nulls out instead of failing.
+    assert df.filter("station_id = 'WS000'").count() == 1
