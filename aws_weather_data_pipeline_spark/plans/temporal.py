@@ -1,0 +1,218 @@
+"""Event-time window catalog queries (SURVEY §2.9 note).
+
+The reference's streaming stage is stateless; its only time-windowing is
+daily batch aggregation (A2, airflow/src/load_to_postgres.py:408-437)
+and a 7-day view predicate (P6, sql/create_tables.sql:184). This module
+supplies the event-time window surface a Spark-native engine owes its
+users — tumbling / sliding / session windows over ``events.ts`` — built
+on ``F.window`` / ``F.session_window`` so the SAME expressions run under
+Structured Streaming with a watermark (streaming/ wires that up).
+
+Scale notes: every query here is one hash-shuffle on (window, key) with
+map-side partial aggregation; window structs are flattened to
+``window_start``/``window_end`` columns at the serving boundary. Spark
+aligns windows to the 1970 epoch and DuckDB's ``time_bucket`` to a 2000
+origin — both are midnight-aligned, so hour/day buckets agree exactly.
+
+Oracle twins: tumbling = ``time_bucket``; sliding = each row fans out to
+window/slide buckets via ``unnest(range)``; session = the classic
+gaps-and-islands (lag + running sum). Value sums route through DECIMAL
+(functions/exact.py) so partial-aggregation order can't shift the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.exact import davg, dsum
+from ..sources.tables import load_tables
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+# --------------------------------------------------------------------------
+# Tumbling window
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "tumbling_hourly_by_type",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1-hour event-time window per event_type — the batch "
+    "form of the streaming windowed agg (F.window aligns to the epoch; "
+    "hour buckets coincide with DuckDB time_bucket). One shuffle on "
+    "(window, event_type), partial agg map-side; at 100 TB the window "
+    "key is unskewed by construction (time advances).",
+    tags=("temporal", "agg", "window"),
+)
+def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "sliding_hourly_activity",
+    """
+    SELECT ws AS window_start,
+           ws + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT e.ts, e.value,
+               time_bucket(INTERVAL '30 minutes', e.ts)
+                   - k.k * INTERVAL '30 minutes' AS ws
+        FROM events e
+        CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Sliding window: 1-hour span, 30-minute slide. Spark's F.window "
+    "assigns each row to window/slide = 2 overlapping windows; the "
+    "oracle reproduces the fan-out by unnesting k∈{0,1} shifted "
+    "30-minute buckets. Spark's generator does the same expansion "
+    "before the hash agg — no shuffle amplification beyond the 2× rows.",
+    tags=("temporal", "agg", "window"),
+)
+def sliding_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Session window
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "user_session_windows",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, value
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Per-user session windows, 10-minute inactivity gap "
+    "(F.session_window — a new session starts when the gap since the "
+    "previous event is >= the timeout; end = last event + gap). The "
+    "oracle is the classic gaps-and-islands: lag → new-session flag → "
+    "running sum → group. Spark's native session window is ONE shuffle "
+    "on user_id with state merged in the agg — the same shape the "
+    "streaming form uses with a watermark.",
+    tags=("temporal", "agg", "window"),
+)
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily rollup (the reference's A2 cadence on the events table)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "daily_value_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(value) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Daily rollup per type — the cadence of the reference's "
+    "daily_weather_summary (A2, load_to_postgres.py:408-437) applied to "
+    "the events stream: to_date bucket + multi-agg. Day buckets align "
+    "in both engines (midnight UTC).",
+    tags=("temporal", "agg"),
+)
+def daily_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.to_date("ts").alias("event_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
