@@ -1,0 +1,346 @@
+"""Text-analysis catalog queries over the ``documents`` table.
+
+The LLM-training-data operators the north star adds beyond the
+reference's own surface (BASELINE.md): token counting, term statistics,
+quality scoring, language ID, and document fingerprinting — all as
+native Column expressions (split/explode/md5/bit ops stay inside
+whole-stage codegen; zero Python UDFs).
+
+Scale shape: every query is scan → per-row expression → (at most) one
+hash-shuffle on a bounded-cardinality key (token vocabulary, doc_id).
+Token explosion multiplies rows by ~doc length before the shuffle, but
+partial aggregation collapses it map-side — the classic word-count
+plan, linear at 100 TB.
+
+Determinism: tokenization is ``split(text, ' ')`` on both engines (the
+corpus is single-spaced; the regex variant is demonstrated alongside);
+ratios are integer-count divisions evaluated in the same order; hashes
+are md5 hex (identical in Spark and DuckDB); SimHash uses exact BIGINT
+bit arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_tables
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+#: English stopword markers present in the corpus vocabulary.
+STOPWORDS = ("the", "a")
+
+_STOP_SQL = "('the', 'a')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col("text"), " "))
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens_re,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace split, regex split (the BPE-ish "
+    "pre-tokenizer shape), unique-token count, and average token length "
+    "computed exactly as (chars - spaces) / tokens. Pure per-row "
+    "expressions — no shuffle at all; at 100 TB this is a single "
+    "embarrassingly-parallel scan.",
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    n = F.size("tokens")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n.alias("n_tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens_re"),
+        F.size(F.array_distinct("tokens")).alias("n_unique_tokens"),
+        ((F.length("text") - (n - 1)).cast("double") / n).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Term statistics
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "term_frequencies",
+    """
+    SELECT token,
+           COUNT(*) AS n_total,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) * 100.0 / SUM(COUNT(*)) OVER ()
+               AS share_pct
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    """,
+    doc="Corpus term statistics: explode tokens → count + document "
+    "frequency + share of all tokens. The analytic share runs over the "
+    "POST-aggregate frame (≤ vocabulary-size rows), so the "
+    "unpartitioned window is O(vocab), not O(corpus) — same design as "
+    "event_type_share. One shuffle on token with map-side combine.",
+    tags=("text", "agg"),
+)
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select("doc_id", F.explode("tokens").alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.select(
+        "token",
+        "n_total",
+        "n_docs",
+        (
+            F.col("n_total").cast("double")
+            * F.lit(100.0)
+            / F.sum("n_total").over(Window.partitionBy())
+        ).alias("share_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "doc_quality_scores",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens)
+               AS unique_ratio,
+           CAST(len(list_filter(tokens, x -> x IN {_STOP_SQL})) AS DOUBLE)
+               / len(tokens) AS stopword_ratio,
+           CAST(length(text) - (len(tokens) - 1) AS DOUBLE) / len(tokens)
+               AS avg_token_len,
+           (len(tokens) BETWEEN 15 AND 90)
+               AND (CAST(length(text) - (len(tokens) - 1) AS DOUBLE)
+                    / len(tokens) BETWEEN 2 AND 8)
+               AND (len(list_filter(tokens, x -> x IN {_STOP_SQL})) > 0)
+               AS passes_quality
+    FROM t
+    """,
+    doc="Gopher-style document quality heuristics: token-count bounds, "
+    "mean-word-length bounds, stopword presence, plus unique-token "
+    "ratio (repetition signal). All per-row native expressions; the "
+    "boolean gate is the filter a 100 TB pretraining pipeline applies "
+    "before tokenization.",
+    tags=("text", "filter"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    n = F.size("tokens")
+    stop_hits = F.size(
+        F.filter("tokens", lambda x: x.isin(*STOPWORDS))
+    )
+    avg_len = (F.length("text") - (n - 1)).cast("double") / n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct("tokens")).cast("double") / n).alias(
+            "unique_ratio"
+        ),
+        (stop_hits.cast("double") / n).alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+        (
+            n.between(15, 90)
+            & avg_len.between(2, 8)
+            & (stop_hits > 0)
+        ).alias("passes_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (stopword-profile heuristic)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "doc_language_id",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(tokens) AS n_tokens,
+               len(list_filter(tokens, x -> x IN {_STOP_SQL})) AS en_hits
+        FROM t
+    )
+    SELECT doc_id, lang AS meta_lang, n_tokens, en_hits,
+           CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens > 0.05
+                THEN 'en' ELSE 'und' END AS predicted_lang,
+           (CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens > 0.05
+                 THEN 'en' ELSE 'und' END) = lang AS agrees_with_meta
+    FROM scored
+    """,
+    doc="Language ID via stopword-profile scoring (the n-gram-heuristic "
+    "family): count hits against a per-language marker lexicon, "
+    "threshold the hit ratio. Only the English profile intersects this "
+    "corpus's vocabulary, so other languages resolve to 'und'; the "
+    "agreement flag against the metadata lang column is the audit a "
+    "real pipeline runs. Per-row only — no shuffle.",
+    tags=("text",),
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    n = F.size("tokens")
+    en_hits = F.size(F.filter("tokens", lambda x: x.isin(*STOPWORDS)))
+    predicted = F.when(
+        en_hits.cast("double") / n > 0.05, "en"
+    ).otherwise("und")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("meta_lang"),
+        n.alias("n_tokens"),
+        en_hits.alias("en_hits"),
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("agrees_with_meta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting: content hash + min-shingle hash (rolling-hash family)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "doc_fingerprints",
+    """
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS h
+        FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+    )
+    SELECT t.doc_id,
+           md5(t.text) AS content_hash,
+           m.min_shingle_hash,
+           m.n_shingles
+    FROM t
+    JOIN (
+        SELECT doc_id, MIN(h) AS min_shingle_hash,
+               COUNT(*) AS n_shingles
+        FROM sh GROUP BY doc_id
+    ) m USING (doc_id)
+    """,
+    doc="Document fingerprinting: md5 content hash (exact-dup key) plus "
+    "the minimum 3-token-shingle hash (the rolling-hash / MinHash-1 "
+    "fingerprint near-dup detectors build on). Shingling is an array "
+    "transform over the token list — per-row, no explosion shuffle; "
+    "the min folds inside the row.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir)).filter(F.size("tokens") >= 3)
+    shingles = F.expr(
+        "transform(sequence(0, size(tokens)-3),"
+        " i -> md5(concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))"
+    )
+    d = d.withColumn("sh", shingles)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.array_min("sh").alias("min_shingle_hash"),
+        F.size("sh").cast("long").alias("n_shingles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit locality-sensitive content signature, exact bit math)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "doc_simhash",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)
+               )::BIGINT AS h
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b.b,
+               SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM tok, unnest(range(0, 60)) AS b(b)
+        GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+    doc="SimHash: each token hashes to 60 bits (md5 prefix as BIGINT — "
+    "identical in both engines); per bit position, occurrences vote "
+    "+1/-1; the sign vector packs into one 64-bit signature whose "
+    "Hamming distance approximates cosine similarity of term vectors. "
+    "All-integer arithmetic, so the signature is bit-exact across "
+    "engines and cluster sizes. The bit fan-out (60× tokens) collapses "
+    "map-side under partial aggregation keyed by doc_id.",
+    tags=("text", "dedup"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select(
+        "doc_id", F.explode("tokens").alias("tok")
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").alias(
+            "h"
+        ),
+    )
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
+    ).groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
