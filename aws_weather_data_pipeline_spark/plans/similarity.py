@@ -1,0 +1,416 @@
+"""Similarity & deduplication catalog queries (documents + embeddings).
+
+The north-star LLM-pipeline operators (BASELINE.md): exact dedup,
+MinHash-LSH near-duplicate detection, and approximate-nearest-neighbor
+search over an embedding column — each built in the shape that survives
+100 TB:
+
+- **No all-pairs comparisons.** Near-dup candidates come from an LSH
+  band join (pairs share a bucket only if a MinHash collides); kNN
+  probes either a broadcast query set or one IVF cell. The quadratic
+  blowup the naive formulation hides is never materialized.
+- **Signatures are computed in-row** (array transforms inside codegen),
+  so the only shuffles are the bucket join and the final rank.
+- **Exact cross-engine floats.** Embedding components are scalar-
+  quantized to integers (floor(x*1000) — floats are exact in double, so
+  the quantization is deterministic); dot products and norms are then
+  exact integer sums valid in ANY summation order, and the final cosine
+  is a single identical-expression double division. This sidesteps the
+  FP-reassociation trap that makes naive float dot products
+  hash-unstable across engines and cluster sizes.
+
+Reference parity: the reference has no similarity surface at all — this
+module is pure north-star extension (SURVEY §7.2 step 9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_tables
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+#: MinHash signature width (8 bands of r=1: candidate iff any minhash
+#: collides — recall for Jaccard J is 1-(1-J)^8, >0.999999 at J≥0.6).
+N_MINHASH = 8
+
+JACCARD_THRESHOLD = 0.6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "dedup_exact_content",
+    """
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact deduplication by content hash: group on md5(text), keep "
+    "the minimum doc_id (deterministic keeper). One shuffle on the "
+    "hash — uniformly distributed by construction, so no skew at any "
+    "scale; the classic first stage of a pretraining dedup cascade.",
+    tags=("similarity", "dedup", "agg"),
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-duplicate pairs
+# --------------------------------------------------------------------------
+
+
+def _with_shingles(d: DataFrame) -> DataFrame:
+    """Distinct 3-token shingle set per doc, computed in-row."""
+    d = d.withColumn("tokens", F.split("text", " ")).filter(
+        F.size("tokens") >= 3
+    )
+    return d.withColumn(
+        "shingles",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(tokens)-3), i -> "
+                "concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))"
+            )
+        ),
+    )
+
+
+def minhash_signature_cols() -> list:
+    """mh_j = min over shingles of md5(j|shingle) — in-row, no shuffle."""
+    return [
+        F.array_min(
+            F.expr(f"transform(shingles, s -> md5(concat('{j}|', s)))")
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+
+
+def _shingle_sql(extra: str = "") -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                   AS shingles
+        FROM t
+    ){extra}
+    """
+
+
+_SIG_SQL = ",\n".join(
+    f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS mh{j}"
+    for j in range(N_MINHASH)
+)
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {j} AS band, mh{j} AS bucket FROM sigs"
+    for j in range(N_MINHASH)
+)
+
+
+@CATALOG.add(
+    "minhash_signatures",
+    _shingle_sql(
+        f""",
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM sets)
+    SELECT * FROM sigs"""
+    ),
+    doc=f"MinHash signatures: {N_MINHASH} permutation-free minima "
+    "(md5 with a per-hash salt) over the distinct 3-shingle set, all "
+    "computed inside a per-row array transform — the signature stage "
+    "of the LSH pipeline costs zero shuffles.",
+    tags=("similarity", "dedup"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_shingles(_docs(spark, sf_dir))
+    return d.select("doc_id", *minhash_signature_cols())
+
+
+@CATALOG.add(
+    "near_dup_pairs_minhash",
+    _shingle_sql(
+        f""",
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM sets),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(sa.shingles,
+                    x -> list_contains(sb.shingles, x))) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_filter(sa.shingles,
+                      x -> list_contains(sb.shingles, x))))
+               AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_filter(sa.shingles,
+                  x -> list_contains(sb.shingles, x))) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_filter(sa.shingles,
+                   x -> list_contains(sb.shingles, x))))
+          >= {JACCARD_THRESHOLD}"""
+    ),
+    doc="Near-duplicate pairs via MinHash-LSH: shingle → signature → "
+    f"band-bucket self-join ({N_MINHASH} bands × r=1) → exact n-gram "
+    f"Jaccard verify ≥ {JACCARD_THRESHOLD}. The join is on (band, "
+    "bucket), so only colliding docs ever meet — no all-pairs stage "
+    "anywhere; at 100 TB the bucket join shuffles O(docs×bands) rows, "
+    "and AQE's skew handling covers hot buckets. The exact verify "
+    "touches only candidate pairs (array_intersect on the two shingle "
+    "sets). The corpus's planted near-dups (one-token edits) surface "
+    "at J≈0.9+; random pairs sit near 0.",
+    tags=("similarity", "dedup", "join"),
+)
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_shingles(_docs(spark, sf_dir))
+    sigs = d.select("doc_id", "shingles", *minhash_signature_cols())
+    sets = sigs.select("doc_id", "shingles")
+
+    bands = None
+    for j in range(N_MINHASH):
+        piece = sigs.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.col(f"mh{j}").alias("bucket"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding kNN — scalar-quantized exact cosine
+# --------------------------------------------------------------------------
+
+#: Queries are the first N_QUERY vec_ids; neighbors are everything else.
+N_QUERY = 5
+TOP_K = 10
+
+_QUANT_SQL = (
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))"
+)
+
+_KNN_BASE_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, {_QUANT_SQL} AS v
+    FROM embeddings WHERE vec_id < {N_QUERY}
+),
+n AS (
+    SELECT vec_id AS neighbor_id, label, {_QUANT_SQL} AS v
+    FROM embeddings WHERE vec_id >= {N_QUERY}
+),
+qn AS (SELECT query_id, v,
+              list_sum(list_transform(v, x -> x * x)) AS nrm FROM q),
+nn AS (SELECT neighbor_id, label, v,
+              list_sum(list_transform(v, x -> x * x)) AS nrm FROM n)
+"""
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len(qn.v) + 1),"
+    " i -> qn.v[i] * nn.v[i]))"
+)
+
+
+@CATALOG.add(
+    "knn_cosine_topk",
+    _KNN_BASE_SQL
+    + f"""
+    SELECT query_id, neighbor_id, rnk, cosine
+    FROM (
+        SELECT qn.query_id, nn.neighbor_id,
+               {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qn.query_id
+                   ORDER BY {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) DESC,
+                            nn.neighbor_id
+               ) AS rnk
+        FROM qn CROSS JOIN nn
+        WHERE qn.nrm > 0 AND nn.nrm > 0
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for {N_QUERY} query vectors — "
+    "the exactness baseline ANN variants are judged against. Embedding "
+    "components are scalar-quantized (floor(x·1000): float→double is "
+    "exact, so both engines quantize identically) making dot products "
+    "and norms EXACT integer sums — order-independent, hence "
+    "hash-stable under any partitioning. The query side is a tiny "
+    "broadcast against a full scan of the corpus: linear in corpus "
+    "size, embarrassingly parallel, no shuffle until the final "
+    "per-query top-k (TakeOrdered over ≤ corpus rows).",
+    tags=("similarity", "embedding", "join"),
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    quant = F.expr("transform(embedding, x -> floor(cast(x as double) * 1000))")
+    sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERY)
+        .select(F.col("vec_id").alias("query_id"), quant.alias("v"))
+        .withColumn("nrm", sq_norm)
+        .withColumnRenamed("v", "qv")
+        .withColumnRenamed("nrm", "q_nrm")
+    )
+    n = (
+        e.filter(F.col("vec_id") >= N_QUERY)
+        .select(F.col("vec_id").alias("neighbor_id"), quant.alias("v"))
+        .withColumn("nrm", sq_norm)
+        .withColumnRenamed("v", "nv")
+        .withColumnRenamed("nrm", "n_nrm")
+    )
+    dot = F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter((F.col("q_nrm") > 0) & (F.col("n_nrm") > 0))
+        .withColumn(
+            "cosine", dot / F.sqrt(F.col("q_nrm") * F.col("n_nrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style probed ANN (cluster = label column)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "ann_ivf_probe_topk",
+    _KNN_BASE_SQL
+    + f""",
+    qlab AS (
+        SELECT qn.query_id, qn.v, qn.nrm, e.label
+        FROM qn JOIN embeddings e ON e.vec_id = qn.query_id
+    )
+    SELECT query_id, neighbor_id, rnk, cosine
+    FROM (
+        SELECT qn.query_id, nn.neighbor_id,
+               {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qn.query_id
+                   ORDER BY {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) DESC,
+                            nn.neighbor_id
+               ) AS rnk
+        FROM qlab qn JOIN nn ON nn.label = qn.label
+        WHERE qn.nrm > 0 AND nn.nrm > 0
+    )
+    WHERE rnk <= 5
+    """,
+    doc="IVF-probed ANN: the corpus is pre-assigned to coarse cells "
+    "(here the label column stands in for the k-means cell id a real "
+    "IVF index stores); a query searches ONLY its own cell — an "
+    "equi-join on the cell id instead of a cross join, cutting scanned "
+    "vectors by the cell count. At 100 TB the corpus is partitioned/"
+    "bucketed by cell id, so the probe is a partition-pruned scan; "
+    "same exact quantized-cosine arithmetic as the brute-force "
+    "baseline, so recall is measurable by direct comparison.",
+    tags=("similarity", "embedding", "join"),
+)
+def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    quant = F.expr("transform(embedding, x -> floor(cast(x as double) * 1000))")
+    sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("cell"),
+            quant.alias("v"),
+        )
+        .withColumn("nrm", sq_norm)
+        .withColumnRenamed("v", "qv")
+        .withColumnRenamed("nrm", "q_nrm")
+    )
+    n = (
+        e.filter(F.col("vec_id") >= N_QUERY)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("cell"),
+            quant.alias("v"),
+        )
+        .withColumn("nrm", sq_norm)
+        .withColumnRenamed("v", "nv")
+        .withColumnRenamed("nrm", "n_nrm")
+    )
+    dot = F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    pairs = (
+        n.join(F.broadcast(q), on="cell")
+        .filter((F.col("q_nrm") > 0) & (F.col("n_nrm") > 0))
+        .withColumn(
+            "cosine", dot / F.sqrt(F.col("q_nrm") * F.col("n_nrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
