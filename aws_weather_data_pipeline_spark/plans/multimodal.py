@@ -1,0 +1,78 @@
+"""Multimodal catalog queries: binary payload plumbing, end to end.
+
+The decode itself is stubbed (functions/multimodal.py — the media libs
+aren't in this container), but everything Spark-side is real: binary
+columns, typed metadata structs, Arrow-batched mapInPandas feature
+extraction with a declared schema, and the downstream relational ops
+over the features. The fake features are deterministic byte statistics,
+so even the Python stage is oracle-checkable — DuckDB recomputes the
+same statistics in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.multimodal import extract_features, with_binary_payload
+from ..sources.tables import load_tables
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+@CATALOG.add(
+    "multimodal_payload_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_items,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes,
+           MIN(octet_length(encode(text))) AS min_bytes
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Typed-metadata aggregation over opaque binary payloads: group "
+    "by source, sum/min/max payload sizes from the metadata struct — "
+    "the storage-accounting query every multimodal lake runs. The "
+    "payload bytes are never deserialized; only the metadata column is "
+    "read, so at 100 TB columnar pruning skips the (dominant) binary "
+    "column entirely.",
+    tags=("multimodal", "agg"),
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("payload_meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("payload_meta.n_bytes")).alias("max_bytes"),
+        F.min(F.col("payload_meta.n_bytes")).alias("min_bytes"),
+    )
+
+
+@CATALOG.add(
+    "multimodal_feature_extract",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte,
+           list_sum(list_transform(range(1, length(text) + 1),
+                    i -> ascii(substr(text, i, 1)))) % 997 AS byte_sum_mod
+    FROM documents
+    """,
+    doc="The mapInPandas feature-extraction pipeline: binary payload → "
+    "Arrow batch → per-item features under a declared schema "
+    "(functions/multimodal.py FEATURE_SCHEMA). The stage is narrow "
+    "(partition-preserving, no shuffle); a real image decoder replaces "
+    "the stubbed per-item function without touching the plumbing. "
+    "Features are deterministic byte stats, so DuckDB re-derives them "
+    "for the oracle (corpus is ASCII, so byte == ascii(char)).",
+    tags=("multimodal", "udf"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return extract_features(d)
