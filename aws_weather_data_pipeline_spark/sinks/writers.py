@@ -1,0 +1,139 @@
+"""Batch sinks (SURVEY §2.1 S7-S12).
+
+The reference's sink surface, re-expressed Spark-first:
+
+- S7  partitioned Parquet, hive layout ``year=/month=/day=/hour=`` —
+  the reference partitions by columns it never derives
+  (scripts/glue_weather_etl.py:483 partitions by year/month/day/hour,
+  but no transform adds them: a latent bug). ``write_partitioned``
+  derives them from the event timestamp before ``partitionBy``.
+- S9  JSON batch sink (scripts/kinesis_to_s3.py:229-252 raw zone).
+- S10 CSV sink (scripts/test_transformations.py:303-322).
+- S11 idempotent append — the reference's ``INSERT ... ON CONFLICT
+  (station_id, reading_timestamp) DO NOTHING``
+  (airflow/src/load_to_postgres.py:294-321) becomes dedup + left-anti
+  join against the existing table, PARTITION-SCOPED: only the target's
+  date partitions are scanned for conflicts, not the whole table
+  (SURVEY §7.4-7 — at 100 TB a full-table anti-join per load is the
+  difference between minutes and hours).
+- S12 aggregate upsert — ``ON CONFLICT DO UPDATE``
+  (airflow/src/load_to_postgres.py:395-445) becomes dynamic partition
+  overwrite: recompute the affected (summary_date) partitions and
+  replace exactly those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def with_time_partitions(df: DataFrame, ts_col: str) -> DataFrame:
+    """Derive hive partition columns year/month/day/hour from ``ts_col``.
+
+    Fixes the reference's S7 latent bug (partitionBy on columns that
+    were never created). Zero-padded strings so lexicographic file
+    listing equals chronological order, like the reference's consumer
+    writes them (scripts/kinesis_to_s3.py:205-206).
+    """
+    ts = F.col(ts_col)
+    return (
+        df.withColumn("year", F.date_format(ts, "yyyy"))
+        .withColumn("month", F.date_format(ts, "MM"))
+        .withColumn("day", F.date_format(ts, "dd"))
+        .withColumn("hour", F.date_format(ts, "HH"))
+    )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, ts_col: str = "timestamp_parsed"
+) -> None:
+    """S7: append Parquet partitioned by derived year/month/day/hour.
+
+    Partition pruning on any downstream time-range predicate is then
+    free; the partition count is bounded (one per hour), so no
+    small-file explosion from over-partitioning by high-cardinality
+    keys.
+    """
+    with_time_partitions(df, ts_col).write.mode("append").partitionBy(
+        "year", "month", "day", "hour"
+    ).parquet(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S9: raw-zone JSON batch sink."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S10: CSV sink with header, like the reference's to_csv."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def idempotent_append(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: list[str],
+    scope_col: str | None = None,
+) -> int:
+    """S11: append only rows whose key is not already present.
+
+    dropDuplicates on the key (the reference's A1 dedup,
+    load_to_postgres.py:229-236) then a LEFT ANTI join against the
+    existing table. When ``scope_col`` is given (a partition column or
+    a low-cardinality date column), the existing side is filtered to
+    the incoming batch's scope values first — the partition-scoped
+    anti-join: conflict detection reads only the partitions the batch
+    can possibly collide with. Returns the number of rows appended.
+
+    The anti-join shuffles on the key — same shape at any scale; the
+    existing side after scoping is one day's partitions, so AQE will
+    typically broadcast it.
+    """
+    deduped = new_rows.dropDuplicates(keys)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    if existing is not None:
+        if scope_col is not None:
+            scopes = [
+                r[0]
+                for r in deduped.select(scope_col).distinct().collect()
+            ]
+            existing = existing.filter(F.col(scope_col).isin(scopes))
+        to_insert = deduped.join(
+            existing.select(*keys), on=keys, how="left_anti"
+        )
+    else:
+        to_insert = deduped
+    n = to_insert.count()
+    if n:
+        to_insert.write.mode("append").parquet(path)
+    return n
+
+
+def upsert_summary_by_partition(
+    summary: DataFrame, path: str, partition_col: str
+) -> None:
+    """S12: overwrite exactly the partitions present in ``summary``.
+
+    Spark's dynamic partition overwrite replaces only the partitions
+    the incoming frame contains — the reference's ``ON CONFLICT DO
+    UPDATE`` per (city, summary_date) becomes "recompute the day,
+    replace the day". Unaffected history is untouched, so the operation
+    is idempotent and safely re-runnable (the Airflow retry semantics,
+    weather_dag.py:376-457, for free).
+    """
+    spark = summary.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        summary.write.mode("overwrite").partitionBy(partition_col).parquet(
+            path
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1,0 +1,121 @@
+"""Structured Streaming pipeline (SURVEY §2.9 T1-T6).
+
+The reference's topology (scripts/glue_weather_etl.py:540-595):
+Kinesis → parse/flatten → 6 transforms → two parquet sinks (all data +
+filtered alerts), each with its own checkpoint. Re-expressed:
+
+- **Source** (T1): file-stream over a landing directory — the stand-in
+  for Kinesis this environment supports; ``startingOffsets=earliest``
+  becomes "process files already present". ``maxFilesPerTrigger``
+  replaces the consumer's 10-records/poll pacing (T5 twin).
+- **Transforms**: the SAME pure DataFrame→DataFrame functions the batch
+  path uses (functions/weather.py) — one code path, so batch results
+  and streaming results provably agree (tested in
+  tests/test_streaming.py).
+- **Two-sink fan-out** (T4): the reference runs two INDEPENDENT
+  checkpointed queries, which can diverge on failure (§7.4-8). Here one
+  ``foreachBatch`` writes both sinks per micro-batch from the same
+  batch DataFrame: a batch is either fully applied to both sinks on
+  replay or reapplied to both — no divergence window.
+- **Checkpointing** (T3): one checkpoint for the single query.
+- **Append mode** (T2): the stage is stateless (no aggregation), every
+  input row is emitted exactly once per sink's semantics.
+- **Partition by key** (T6): alerts repartition on ``station_id``
+  before the write, mirroring the Kinesis partition-key choice
+  (send_to_kinesis.py:183-189) so per-station files cluster.
+
+At scale: the stateless map/filter stages are narrow; the only shuffle
+is the optional T6 repartition; sinks write hive-partitioned parquet
+(sinks/writers.py) so downstream pruning works on the lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.weather import apply_transformations
+from ..schemas import ALERT_COLUMNS, WEATHER_RAW_SCHEMA
+from ..sinks.writers import with_time_partitions
+from ..sources.readers import flatten_readings
+
+
+def read_stream_raw_json(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """T1/T5: streaming scan of raw JSON envelopes in a landing dir.
+
+    Declared schema (never infer on a stream); multiLine for the
+    pretty-printed batches; existing files are processed first (the
+    TRIM_HORIZON analog).
+    """
+    return (
+        spark.readStream.schema(WEATHER_RAW_SCHEMA)
+        .option("multiLine", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+
+def transform_stream(raw: DataFrame) -> DataFrame:
+    """Parse → flatten → the six transform families (shared code path)."""
+    return apply_transformations(flatten_readings(raw))
+
+
+def alerts_view(processed: DataFrame) -> DataFrame:
+    """P4+P5: the filtered alerts projection (glue_weather_etl.py:503-523)."""
+    return processed.filter(
+        F.col("alert_level").isin("WARNING", "CRITICAL")
+    ).select(*ALERT_COLUMNS)
+
+
+def write_both_sinks(
+    batch_df: DataFrame, processed_path: str, alerts_path: str
+) -> None:
+    """T4: one micro-batch → both sinks (atomic per-batch fan-out).
+
+    The batch frame is written twice from one lineage; caching it
+    avoids recomputing the transforms for the second sink.
+    """
+    batch_df.persist()
+    try:
+        with_time_partitions(batch_df, "timestamp_parsed").write.mode(
+            "append"
+        ).partitionBy("year", "month", "day", "hour").parquet(processed_path)
+        alerts = alerts_view(batch_df)
+        # T6: cluster alert files by station like the Kinesis partition key.
+        alerts.repartition(F.col("station_id")).write.mode("append").parquet(
+            alerts_path
+        )
+    finally:
+        batch_df.unpersist()
+
+
+def start_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    processed_path: str,
+    alerts_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Wire the full streaming pipeline and start it.
+
+    ``trigger`` defaults to ``availableNow`` (drain everything present,
+    then stop — the testable batch-equivalent trigger); pass
+    ``{"processingTime": "1 second"}`` for the reference's continuous
+    pacing (kinesis_to_s3.py:34-35).
+    """
+    raw = read_stream_raw_json(spark, landing_dir)
+    processed = transform_stream(raw)
+    writer = (
+        processed.writeStream.outputMode("append")  # T2
+        .option("checkpointLocation", checkpoint_dir)  # T3
+        .foreachBatch(
+            lambda df, _epoch: write_both_sinks(
+                df, processed_path, alerts_path
+            )
+        )
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

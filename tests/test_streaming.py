@@ -1,0 +1,120 @@
+"""Streaming tests (T1-T6): the one-code-path property and checkpointing.
+
+The key invariant (SURVEY §7.1): the streaming pipeline applies the SAME
+transform functions as the batch path, so draining a landing directory
+through the stream must produce byte-equal results to reading the same
+files in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_weather_data_pipeline_spark.functions.weather import (
+    apply_transformations,
+)
+from aws_weather_data_pipeline_spark.sources.readers import read_raw_json
+from aws_weather_data_pipeline_spark.streaming.pipeline import (
+    alerts_view,
+    start_pipeline,
+)
+from tests.weather_fixtures import make_reading, write_batch_file
+
+
+def _sorted_rows(df, cols=("station_id", "timestamp")):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_stream_equals_batch_two_sinks(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_batch_file(
+        landing / "batch_001.json", [make_reading(i) for i in range(10)]
+    )
+    write_batch_file(
+        landing / "batch_002.json",
+        [make_reading(i, hour=11) for i in range(10, 25)],
+    )
+
+    processed_path = str(tmp_path / "processed")
+    alerts_path = str(tmp_path / "alerts")
+    q = start_pipeline(
+        spark,
+        str(landing),
+        processed_path,
+        alerts_path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    batch = apply_transformations(read_raw_json(spark, str(landing)))
+    got_processed = spark.read.parquet(processed_path).drop(
+        "year", "month", "day", "hour"
+    )
+    # Same columns, same rows (order-insensitive).
+    assert set(got_processed.columns) == set(batch.columns)
+    assert _sorted_rows(
+        got_processed.select(*sorted(got_processed.columns))
+    ) == _sorted_rows(batch.select(*sorted(batch.columns)))
+
+    got_alerts = spark.read.parquet(alerts_path)
+    want_alerts = alerts_view(batch)
+    assert want_alerts.count() > 0  # fixture must actually trigger alerts
+    assert _sorted_rows(
+        got_alerts.select(*sorted(got_alerts.columns))
+    ) == _sorted_rows(want_alerts.select(*sorted(want_alerts.columns)))
+
+
+def test_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
+    # T3: restarting against the same checkpoint must process only new
+    # files — no re-emission of already-committed batches.
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_batch_file(
+        landing / "batch_001.json", [make_reading(i) for i in range(5)]
+    )
+    args = (
+        str(landing),
+        str(tmp_path / "processed"),
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt"),
+    )
+    q = start_pipeline(spark, *args)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(args[1]).count()
+    assert n1 == 5
+
+    write_batch_file(
+        landing / "batch_002.json",
+        [make_reading(i, hour=12) for i in range(5, 8)],
+    )
+    q2 = start_pipeline(spark, *args)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(args[1])
+    assert out.count() == 8  # 5 old (not duplicated) + 3 new
+    assert out.select("station_id").distinct().count() == 8
+
+
+def test_partitioned_lake_layout_from_stream(spark, tmp_path):
+    import os
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_batch_file(
+        landing / "b.json",
+        [make_reading(0, hour=9), make_reading(1, hour=10)],
+    )
+    processed = str(tmp_path / "processed")
+    q = start_pipeline(
+        spark,
+        str(landing),
+        processed,
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    base = os.path.join(processed, "year=2024", "month=01", "day=15")
+    assert sorted(os.listdir(base)) == ["hour=09", "hour=10"]
+    # Pruned read touches one partition only.
+    one = spark.read.parquet(processed).filter(F.col("hour") == "09")
+    assert one.count() == 1
