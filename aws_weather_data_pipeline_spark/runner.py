@@ -1,0 +1,183 @@
+"""Daily pipeline runner (SURVEY §2.11 X1-X4).
+
+Thin Spark-native replacement for the reference's Airflow DAG
+(airflow/dags/weather_dag.py:376-457: start → check_prerequisites →
+load → validate → report → cleanup). Each task is a plain function so a
+scheduler (cron, Airflow, anything) can call them individually; ``run``
+chains them with the DAG's fail-fast semantics.
+
+The load stage collapses the reference's three substrates into one
+lineage: raw JSON → flatten → transforms → hive-partitioned lake AND
+idempotent serving append (the Postgres INSERT ON CONFLICT,
+load_to_postgres.py:275-382) AND daily-summary partition upsert
+(:395-445) — all from a single scan.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.summary import daily_weather_summary
+from .functions.weather import apply_transformations
+from .sinks.writers import (
+    idempotent_append,
+    upsert_summary_by_partition,
+    write_partitioned,
+)
+from .sources.readers import read_raw_json
+
+#: P7: rows missing any of these cannot be keyed or located — drop them
+#: (reference dropna subset, load_to_postgres.py:264-266).
+CRITICAL_FIELDS = ("station_id", "city", "timestamp")
+
+#: X3 thresholds (weather_dag.py:186-236).
+MIN_AVG_QUALITY = 90.0
+
+
+@dataclass
+class PipelinePaths:
+    raw_dir: str
+    lake_dir: str
+    serving_dir: str
+    summary_dir: str
+
+
+@dataclass
+class ValidationResult:
+    checks: dict[str, bool] = field(default_factory=dict)
+    stats: dict[str, object] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return all(self.checks.values())
+
+
+def check_prerequisites(spark: SparkSession, paths: PipelinePaths) -> None:
+    """X2: fail fast before any compute (weather_dag.py:68-138)."""
+    if not os.path.isdir(paths.raw_dir):
+        raise FileNotFoundError(f"raw dir missing: {paths.raw_dir}")
+    has_json = any(
+        f.endswith(".json")
+        for _, _, files in os.walk(paths.raw_dir)
+        for f in files
+    )
+    if not has_json:
+        raise FileNotFoundError(f"no raw JSON batches under {paths.raw_dir}")
+    # The SparkSession itself is the "DB reachable" analog.
+    spark.sql("SELECT 1").collect()
+
+
+def load(spark: SparkSession, paths: PipelinePaths) -> DataFrame:
+    """Load task: ingest → clean → transform → three sinks, one scan."""
+    raw = read_raw_json(spark, paths.raw_dir)
+    # P7 null-drop on critical fields; P9 coercion is implicit in the
+    # declared read schema (bad cells are already null, not poison).
+    clean = raw.na.drop(subset=list(CRITICAL_FIELDS))
+    processed = apply_transformations(clean).withColumn(
+        "reading_date", F.to_date("timestamp_parsed")
+    )
+    processed.persist()
+    try:
+        write_partitioned(processed, paths.lake_dir)
+        idempotent_append(
+            spark,
+            processed,
+            paths.serving_dir,
+            keys=["station_id", "timestamp"],
+            scope_col="reading_date",
+        )
+        summary = daily_weather_summary(processed)
+        upsert_summary_by_partition(
+            summary, paths.summary_dir, "summary_date"
+        )
+    finally:
+        processed.unpersist()
+    return processed
+
+
+def validate(spark: SparkSession, paths: PipelinePaths) -> ValidationResult:
+    """X3: post-load assertion queries (weather_dag.py:169-241)."""
+    res = ValidationResult()
+    serving = spark.read.parquet(paths.serving_dir)
+    total = serving.count()
+    res.stats["total_rows"] = total
+    res.checks["has_rows"] = total > 0
+
+    nulls = serving.filter(
+        F.col("station_id").isNull()
+        | F.col("city").isNull()
+        | F.col("timestamp").isNull()
+    ).count()
+    res.stats["null_critical_rows"] = nulls
+    res.checks["no_null_critical"] = nulls == 0
+
+    q = serving.agg(
+        F.avg("data_quality_score").alias("avg_q"),
+        F.min("data_quality_score").alias("min_q"),
+    ).first()
+    res.stats["avg_quality"] = q["avg_q"]
+    res.checks["quality_floor"] = (
+        q["avg_q"] is not None and q["avg_q"] >= MIN_AVG_QUALITY
+    )
+
+    dist = {
+        r["alert_level"]: r["n"]
+        for r in serving.groupBy("alert_level")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    res.stats["alert_distribution"] = dist
+    res.checks["alert_levels_known"] = set(dist) <= {
+        "NORMAL",
+        "WATCH",
+        "WARNING",
+        "CRITICAL",
+    }
+
+    dup = (
+        serving.groupBy("station_id", "timestamp")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    res.stats["duplicate_keys"] = dup
+    res.checks["unique_key"] = dup == 0
+    return res
+
+
+def report(spark: SparkSession, paths: PipelinePaths) -> str:
+    """X4: human-readable report from the summary table
+    (weather_dag.py:243-330)."""
+    rows = (
+        spark.read.parquet(paths.summary_dir)
+        .orderBy(F.col("summary_date").desc(), "city")
+        .limit(50)
+        .collect()
+    )
+    lines = ["DAILY WEATHER SUMMARY", "=" * 60]
+    for r in rows:
+        lines.append(
+            f"{r['summary_date']} {r['city']:>12}: "
+            f"avg {r['avg_temperature']:.2f}C "
+            f"[{r['min_temperature']:.1f}..{r['max_temperature']:.1f}] "
+            f"precip {r['total_precipitation']:.2f}mm "
+            f"alerts {r['alert_percentage']:.2f}% "
+            f"quality {r['avg_quality_score']:.2f} "
+            f"({r['reading_count']} readings, "
+            f"dominant: {r['dominant_condition']})"
+        )
+    return "\n".join(lines)
+
+
+def run(spark: SparkSession, paths: PipelinePaths) -> ValidationResult:
+    """X1: the DAG, linearized with fail-fast semantics."""
+    check_prerequisites(spark, paths)
+    load(spark, paths)
+    result = validate(spark, paths)
+    if not result.ok:
+        failed = [k for k, v in result.checks.items() if not v]
+        raise RuntimeError(f"validation failed: {failed}; {result.stats}")
+    return result

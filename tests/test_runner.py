@@ -1,0 +1,75 @@
+"""End-to-end pipeline runner tests (X1-X4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_weather_data_pipeline_spark.runner import (
+    PipelinePaths,
+    check_prerequisites,
+    report,
+    run,
+)
+from tests.weather_fixtures import make_reading, write_batch_file
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    write_batch_file(
+        raw / "batch_001.json", [make_reading(i) for i in range(20)]
+    )
+    write_batch_file(
+        raw / "batch_002.json",
+        [make_reading(i, hour=14) for i in range(20, 35)],
+    )
+    return PipelinePaths(
+        raw_dir=str(raw),
+        lake_dir=str(tmp_path / "lake"),
+        serving_dir=str(tmp_path / "serving"),
+        summary_dir=str(tmp_path / "summary"),
+    )
+
+
+def test_prerequisites_fail_on_missing_dir(spark, tmp_path):
+    bad = PipelinePaths(
+        raw_dir=str(tmp_path / "nope"),
+        lake_dir="",
+        serving_dir="",
+        summary_dir="",
+    )
+    with pytest.raises(FileNotFoundError):
+        check_prerequisites(spark, bad)
+
+
+def test_prerequisites_fail_on_empty_dir(spark, tmp_path):
+    empty = tmp_path / "raw"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no raw JSON"):
+        check_prerequisites(
+            spark, PipelinePaths(str(empty), "", "", "")
+        )
+
+
+def test_full_pipeline_run(spark, paths):
+    result = run(spark, paths)
+    assert result.ok
+    assert result.stats["total_rows"] == 35
+    assert result.stats["duplicate_keys"] == 0
+    assert result.stats["avg_quality"] >= 90.0
+
+    serving = spark.read.parquet(paths.serving_dir)
+    assert "alert_level" in serving.columns
+    summary = spark.read.parquet(paths.summary_dir)
+    cities = {r["city"] for r in summary.select("city").collect()}
+    assert cities == {"Mumbai", "Delhi", "Chennai", "Kolkata", "Bengaluru"}
+    # Rerunning the whole pipeline is a no-op on serving (idempotent
+    # append) and a clean overwrite on summary (partition upsert).
+    result2 = run(spark, paths)
+    assert result2.stats["total_rows"] == 35
+
+    text = report(spark, paths)
+    assert "DAILY WEATHER SUMMARY" in text
+    assert "Mumbai" in text
+    assert "dominant: Clear" in text
