@@ -639,3 +639,147 @@ def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+@CATALOG.add(
+    "recent_events_feed",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id ASC
+    LIMIT 100
+    """,
+    doc="O1 standalone: ORDER BY ts DESC feed — the reference's "
+    "recent_weather_alerts view ordering (sql/create_tables.sql:185-"
+    "186). Bounded by LIMIT, so the physical plan is "
+    "TakeOrderedAndProject (per-partition top-k heaps merged on the "
+    "driver), not a global sort; event_id tie-break pins the row set.",
+    tags=("sort", "topk"),
+)
+def recent_events_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
+@CATALOG.add(
+    "nations_sorted",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_name ASC
+    """,
+    doc="O2 standalone: full ORDER BY key ASC (the status view's ORDER "
+    "BY city, sql/create_tables.sql:218). A complete global sort — "
+    "range-partitioned sample + per-partition sort at scale. The "
+    "driver hash is order-insensitive, so correctness pins the row "
+    "set; the ordering itself is asserted in tests/test_ordering.py.",
+    tags=("sort",),
+)
+def nations_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")["nation"]
+    return nation.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        F.col("n_name").asc()
+    )
+
+
+@CATALOG.add(
+    "validation_aggregates",
+    """
+    SELECT COUNT(*) AS total_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_orderkeys,
+           CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS quantity_range_violations,
+           CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS discount_range_violations,
+           COUNT(DISTINCT l_returnflag) AS distinct_returnflags,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+    doc="A9: the post-load validation aggregates as one assertion query "
+    "(weather_dag.py:169-241: total count, null criticals, range "
+    "violations, distribution sanity, freshness). One pass, all "
+    "checks partial-aggregated map-side; the runner's validate() "
+    "(runner.py) executes the same shapes against the serving table.",
+    tags=("agg", "validation"),
+)
+def validation_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+
+    def viol(pred) -> F.Column:
+        return F.sum(F.when(pred, 1).otherwise(0))
+
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        viol(F.col("l_orderkey").isNull()).alias("null_orderkeys"),
+        viol(~F.col("l_quantity").between(1, 50)).alias(
+            "quantity_range_violations"
+        ),
+        viol(~F.col("l_discount").between(0.0, 0.1)).alias(
+            "discount_range_violations"
+        ),
+        F.countDistinct("l_returnflag").alias("distinct_returnflags"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+@CATALOG.add(
+    "coercion_null_on_error",
+    """
+    SELECT event_id,
+           TRY_CAST(event_type AS DOUBLE) AS type_as_number,
+           COALESCE(TRY_CAST(event_type AS DOUBLE), 0.0)
+               AS type_as_number_filled,
+           CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+    doc="P9: type coercion with null-on-error — the reference's "
+    "pd.to_numeric(errors='coerce') + fillna "
+    "(load_to_postgres.py:242-262). Spark 4 runs ANSI mode by default "
+    "(CAST throws), so the coercion op is try_cast — identical to "
+    "DuckDB's TRY_CAST; coalesce supplies the fill. Includes a string "
+    "round-trip and a JSON-field coercion.",
+    tags=("scalar", "coercion"),
+)
+def coercion_null_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("double").alias("type_as_number"),
+        F.coalesce(
+            F.col("event_type").try_cast("double"), F.lit(0.0)
+        ).alias("type_as_number_filled"),
+        F.col("event_id")
+        .cast("string")
+        .cast("bigint")
+        .alias("id_roundtrip"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+    )
+
+
+@CATALOG.add(
+    "null_drop_critical",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id IS NOT NULL
+      AND user_id IS NOT NULL
+      AND event_type IS NOT NULL
+    """,
+    doc="P7: null-drop on critical fields (df.na.drop(subset=...), "
+    "reference dropna at load_to_postgres.py:264-266). Expressed as "
+    "IS NOT NULL conjunction so the predicate pushes down to the "
+    "parquet scan (null-count stats skip whole row groups).",
+    tags=("filter",),
+)
+def null_drop_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.na.drop(
+        subset=["event_id", "user_id", "event_type"]
+    ).select("event_id", "user_id", "event_type", "value")
