@@ -12,11 +12,20 @@ Layout
 - ``session``    : SparkSession factory tuned for local[N] + cluster scale.
 - ``schemas``    : declared StructTypes (never infer — reference
                    scripts/glue_weather_etl.py:50-57 makes the same call).
-- ``functions``  : scalar column builders (weather F1-F13, text, vectors).
-- ``sources``    : batch/stream readers and idempotent writers.
-- ``operators``  : dedup / similarity / window patterns / rollups.
-- ``plans``      : the query catalog (queries + DuckDB-oracle SQL twins).
+- ``functions``  : scalar/agg column builders — ``weather`` (F1-F13),
+                   ``exact`` (decimal-exact aggregation), ``summary``
+                   (the daily rollup), ``multimodal`` (binary payloads +
+                   mapInPandas feature extraction).
+- ``sources``    : parquet table loaders (``tables``) and declared-schema
+                   JSON/CSV readers with explode/flatten (``readers``).
+- ``sinks``      : partitioned-lake writer, idempotent append,
+                   partition upsert, JSON/CSV sinks (``writers``).
+- ``plans``      : the query catalog — ``relational``, ``weatherlike``,
+                   ``temporal``, ``text``, ``similarity``, ``multimodal``
+                   modules, each query paired with a DuckDB-oracle twin.
 - ``streaming``  : file-stream ingest → foreachBatch two-sink topology.
+- ``runner``     : the daily pipeline (prereqs → load → validate →
+                   report), replacing the reference's Airflow DAG.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
