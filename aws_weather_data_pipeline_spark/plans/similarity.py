@@ -196,14 +196,17 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = d.select("doc_id", "shingles", *minhash_signature_cols())
     sets = sigs.select("doc_id", "shingles")
 
-    bands = None
-    for j in range(N_MINHASH):
-        piece = sigs.select(
-            "doc_id",
-            F.lit(j).alias("band"),
-            F.col(f"mh{j}").alias("bucket"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # One generator pass, NOT an N_MINHASH-way union: a union would
+    # re-run the whole shingle+signature pipeline once per band (8×
+    # the md5 work — measured 40+ s at sf0.1 vs ~4 s this way).
+    # posexplode(array(mh0..mh7)) computes each signature once and
+    # emits (band, bucket) rows from the same pass.
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)])
+        ).alias("band", "bucket"),
+    )
 
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
