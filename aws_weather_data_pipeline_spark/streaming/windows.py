@@ -1,0 +1,147 @@
+"""Streaming event-time windows + custom stateful operators.
+
+The reference's streaming stage is entirely stateless (SURVEY §2.9:
+no watermarks, no event-time windows, no state). These are the
+Spark-native extensions the north star adds:
+
+- ``windowed_event_counts``: the temporal catalog's tumbling aggregate
+  (plans/temporal.py) under ``readStream`` — same expressions, plus a
+  watermark so late data is bounded and state is evictable. In append
+  mode a window emits exactly once, when the watermark passes its end.
+- ``running_user_stats``: a custom stateful operator via
+  ``applyInPandasWithState`` — per-key state that Spark's built-in
+  operators don't express (a cumulative per-user profile updated every
+  micro-batch). State lives in the state store (checkpointed,
+  partitioned by key — scales horizontally with executors); each batch
+  group arrives as Arrow-backed pandas frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.exact import dsum
+
+#: Declared schema for streamed event files (never infer on a stream).
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def read_stream_events(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 10)
+        .json(landing_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time counts per type, watermarked.
+
+    Identical expressions to the batch tumbling_hourly_by_type —
+    ONE definition serves both engines' modes; the watermark only
+    bounds state/late data and is a no-op in batch.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: per-user running profile
+# --------------------------------------------------------------------------
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("max_value", T.DoubleType(), True),
+        T.StructField("last_event_type", T.StringType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("max_value", T.DoubleType(), True),
+        T.StructField("last_ts", T.TimestampType(), True),
+        T.StructField("last_event_type", T.StringType(), True),
+    ]
+)
+
+
+def _update_user_stats(key, pdf_iter, state: GroupState):
+    """Merge this batch's rows for one user into persistent state.
+
+    Emits the updated profile once per (user, batch). Deterministic:
+    'last' is resolved by (ts, event_id) max, not arrival order.
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    n, mx, last_ts, last_type = (
+        state.get if state.exists else (0, None, None, None)
+    )
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        batch_max = pdf["value"].max()
+        mx = batch_max if mx is None else max(mx, float(batch_max))
+        idx = pdf.sort_values(["ts", "event_id"]).index[-1]
+        row_ts = pdf.loc[idx, "ts"]
+        if last_ts is None or row_ts >= last_ts:
+            last_ts = row_ts
+            last_type = pdf.loc[idx, "event_type"]
+    state.update((n, mx, last_ts, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "max_value": [mx],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Cumulative per-user profile, updated each micro-batch.
+
+    State is partitioned by user_id in the state store — one shuffle
+    per batch on the key, state size O(distinct users), horizontal
+    scale with executors. The reference has no stateful surface at
+    all; this is the applyInPandasWithState escape hatch for operators
+    Spark's built-ins can't express.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
