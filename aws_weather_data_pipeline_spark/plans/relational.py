@@ -783,3 +783,52 @@ def null_drop_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.na.drop(
         subset=["event_id", "user_id", "event_type"]
     ).select("event_id", "user_id", "event_type", "value")
+
+
+@CATALOG.add(
+    "promo_revenue_ratio",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * ({_ONE} - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * ({_ONE} - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promo revenue share): month-sliced "
+    "lineitem⋈part equi-join + conditional decimal-exact revenue "
+    "ratio. The month filter pushes to the lineitem scan (row-group "
+    "skipping on shipdate stats); part scales with SF so the join "
+    "strategy is left to Catalyst+AQE — no broadcast hint (at 100 TB "
+    "this is a shuffle join on partkey; at bench SF, AQE picks "
+    "broadcast from runtime stats).",
+    tags=("join", "agg"),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"], t["part"]
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    joined = month.join(part, month.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            * F.lit(100.0)
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -88,3 +88,34 @@ def test_read_raw_json_malformed_nulls_not_crash(spark, tmp_path):
     df = read_raw_json(spark, str(d))
     # Declared schema: the malformed envelope nulls out instead of failing.
     assert df.filter("station_id = 'WS000'").count() == 1
+
+
+def test_csv_roundtrip_declared_schema(spark, tmp_path):
+    # S6: the reference re-reads its own CSV output
+    # (load_to_postgres.py:177-209); declared schema, bad cells null.
+    from aws_weather_data_pipeline_spark.sources.readers import read_flat_csv
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "flat_csv")
+    df = spark.createDataFrame(
+        [Row(**_reading(0)), Row(**_reading(1))]
+    ).select(*FLAT_COLUMNS)
+    df.write.option("header", True).mode("overwrite").csv(out)
+
+    back = read_flat_csv(spark, out)
+    assert back.columns == FLAT_COLUMNS
+    assert back.count() == 2
+    got = {r["station_id"]: r for r in back.collect()}
+    assert got["WS001"]["temperature_celsius"] == 31.0
+    assert got["WS001"]["uv_index"] == 6
+
+    # P9 semantics: a malformed numeric cell nulls, doesn't poison.
+    (tmp_path / "flat_csv" / "bad.csv").write_text(
+        ",".join(FLAT_COLUMNS)
+        + "\nWS999,Delhi,India,not_a_number,72.9,2024-01-15T10:00:00,"
+        "30.1,70.0,1005.0,20.0,NW,0.0,Clear,8.0,6,33.0\n"
+    )
+    back2 = read_flat_csv(spark, out)
+    bad = back2.filter("station_id = 'WS999'").first()
+    assert bad["latitude"] is None
+    assert bad["longitude"] == 72.9
