@@ -216,3 +216,72 @@ def daily_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (composition — Spark has no native ASOF)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "asof_last_click_before_purchase",
+    """
+    SELECT event_id, user_id, ts, last_click_id, last_click_ts,
+           epoch_us(ts) - epoch_us(last_click_ts) AS gap_micros
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN event_id END IGNORE NULLS)
+                   OVER w AS last_click_id,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS last_click_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+    doc="As-of join: each purchase picks the most recent prior click by "
+    "the same user. Spark has no native ASOF JOIN; the scalable "
+    "composition is a single window pass — union of both event roles "
+    "ordered by (ts, event_id) per user, carrying the last click "
+    "forward with last(..., ignorenulls) — ONE shuffle on user_id, no "
+    "range join, no per-row subquery. The unique event_id tie-break "
+    "makes 'most recent' total, so results are deterministic at any "
+    "parallelism (strictly-before semantics fall out of the unique "
+    "ordering: a click never shares (ts, event_id) with a purchase). "
+    "gap_micros is exact integer µs arithmetic on both engines.",
+    tags=("temporal", "join", "window"),
+)
+def asof_last_click_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_click_id",
+        "last_click_ts",
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias(
+            "gap_micros"
+        ),
+    )
