@@ -1,0 +1,82 @@
+"""S2: REST API poll source (SURVEY §2.1).
+
+The reference's producer polls a Flask endpoint every 2 s and forwards
+each envelope to Kinesis (scripts/send_to_kinesis.py:48-113, poll
+interval at :34). This is inherently a DRIVER-SIDE source — a single
+low-rate HTTP endpoint, not a partitioned stream — so the Spark-native
+shape is: fetch N envelopes on the driver, parallelize ONCE into a
+DataFrame with the declared schema, and hand off to the same
+flatten/transform path as every other source. (SURVEY marks this
+non-core: at scale the landing-dir / Kinesis stream IS the source; the
+poller exists only to feed it.)
+
+stdlib-only (urllib); no external HTTP client dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import WEATHER_RAW_SCHEMA
+from .readers import flatten_readings
+
+
+def fetch_envelope(url: str, timeout: float = 10.0) -> dict:
+    """One GET → one parsed ``{"readings": [...]}`` envelope."""
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def poll_to_dataframe(
+    spark: SparkSession,
+    url: str,
+    n_polls: int = 1,
+    interval_seconds: float = 0.0,
+    fetch=fetch_envelope,
+) -> DataFrame:
+    """Poll ``url`` ``n_polls`` times; return the flattened readings.
+
+    The envelopes are collected driver-side (tiny by construction —
+    the reference's endpoint emits 5 readings/poll) and parallelized
+    once under the declared schema; everything downstream is the
+    normal distributed path. ``fetch`` is injectable for tests.
+    """
+    envelopes = []
+    for i in range(n_polls):
+        if i and interval_seconds:
+            time.sleep(interval_seconds)
+        envelopes.append(fetch(url))
+    raw = spark.createDataFrame(envelopes, schema=WEATHER_RAW_SCHEMA)
+    return flatten_readings(raw)
+
+
+def poll_to_landing_dir(
+    url: str,
+    landing_dir: str,
+    n_polls: int = 1,
+    interval_seconds: float = 0.0,
+    fetch=fetch_envelope,
+) -> list[str]:
+    """The production shape: poller feeds the streaming landing dir.
+
+    Each poll writes one pretty-printed envelope file (the raw-zone
+    format, scripts/kinesis_to_s3.py:238-246); the streaming pipeline
+    (streaming/pipeline.py) picks them up. Returns written paths.
+    """
+    import os
+
+    os.makedirs(landing_dir, exist_ok=True)
+    written = []
+    for i in range(n_polls):
+        if i and interval_seconds:
+            time.sleep(interval_seconds)
+        env = fetch(url)
+        path = os.path.join(landing_dir, f"batch_{i:06d}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(env, f, indent=2)
+        written.append(path)
+    return written
