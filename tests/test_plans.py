@@ -1,0 +1,91 @@
+"""Physical/logical plan assertions (the scale-safety gate).
+
+Round-1 verdict: hardcoded broadcasts of SF-scaling tables (customer,
+supplier) are scale-killers — hints are allowed ONLY on true dimension
+tables (region: 5 rows, nation: 25 rows at every SF) and on
+provably-bounded aggregate sides. These tests pin that property, plus
+pushdown/pruning on the heavy scans, so a regression shows up in CI
+rather than in a 100 TB OOM.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+
+CATALOG = build_catalog()
+
+#: Queries allowed broadcast hints, with the number of hinted subtrees
+#: (region+nation for regional_revenue; the ≤#cities latest-per-group
+#: aggregate for weather_current_status; the ≤N_QUERY query vectors for
+#: the kNN/ANN pair).
+ALLOWED_HINTS = {
+    "regional_revenue": 2,
+    "weather_current_status": 1,
+    "knn_cosine_topk": 1,
+    "ann_ivf_probe_topk": 1,
+}
+
+
+def _analyzed(spark, name, sf_dir):
+    df = CATALOG.queries[name].builder(spark, sf_dir)
+    return df, df._jdf.queryExecution().analyzed().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_broadcast_hints_on_scaling_tables(spark, sf_dir):
+    for name in CATALOG.queries:
+        _, plan = _analyzed(spark, name, sf_dir)
+        n_hints = plan.count("ResolvedHint (strategy=broadcast)")
+        assert n_hints <= ALLOWED_HINTS.get(name, 0), (
+            f"{name}: {n_hints} broadcast hints "
+            f"(allowed {ALLOWED_HINTS.get(name, 0)}) — a hint on an "
+            "SF-scaling table OOMs the driver at the 100 TB design point"
+        )
+
+
+def test_regional_revenue_hints_are_dimension_only(spark, sf_dir):
+    # The two allowed hints must wrap region/nation relations, not
+    # customer/supplier (which scale with SF).
+    _, plan = _analyzed(spark, "regional_revenue", sf_dir)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        subtree = "\n".join(lines[i : i + 6])
+        assert "region" in subtree or "nation" in subtree, subtree
+        assert "customer.parquet" not in subtree
+        assert "supplier.parquet" not in subtree
+
+
+def test_month_filter_pushes_to_lineitem_scan(spark, sf_dir):
+    df = CATALOG.queries["promo_revenue_ratio"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_alert_feed_prunes_event_columns(spark, sf_dir):
+    # Weather columns are synthesized from event_id; the scan must read
+    # only the columns the query actually needs (event_id, ts).
+    df = CATALOG.queries["weather_alert_feed"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    read = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "event_id" in read and "ts" in read
+    assert "props" not in read and "user_id" not in read
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    df = CATALOG.queries["top10_orders_by_price"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    assert "TakeOrderedAndProject" in plan
