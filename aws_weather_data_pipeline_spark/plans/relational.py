@@ -832,3 +832,88 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@CATALOG.add(
+    "cube_type_user_bucket",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), '(all)') AS user_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 10 AS VARCHAR))
+    """,
+    doc="CUBE over (event_type, user bucket): all 4 grouping "
+    "combinations in one pass — Spark expands grouping sets before the "
+    "hash aggregate, so it is still a single shuffle with map-side "
+    "partials (rows multiply by the number of grouping sets, the "
+    "standard cost). NULL grouping placeholders are coalesced to a "
+    "sentinel because the driver hash treats NULL-vs-'(all)' as a "
+    "value difference and DuckDB/Spark agree on the sentinel.",
+    tags=("agg", "rollup"),
+)
+def cube_type_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    bucket = F.col("user_id").__mod__(10).cast("string")
+    return (
+        ev.cube(
+            F.col("event_type").alias("event_type"),
+            bucket.alias("user_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("(all)")).alias("user_bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@CATALOG.add(
+    "intersect_error_purchase_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'error'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="INTERSECT (distinct set semantics): users with both error and "
+    "purchase events. Spark compiles set intersection to a left-semi "
+    "join over distincts — one shuffle per side on the full row as "
+    "key. Completes the set-operation family beyond the reference's "
+    "single union-all (SURVEY §2.7).",
+    tags=("setop",),
+)
+def intersect_error_purchase_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.intersect(pur)
+
+
+@CATALOG.add(
+    "except_users_without_big_events",
+    """
+    SELECT user_id FROM events
+    EXCEPT
+    SELECT user_id FROM events WHERE value > 300
+    """,
+    doc="EXCEPT (distinct set difference): users who never produced a "
+    "high-value event — the set-op twin of the anti-join "
+    "(customers_without_urgent_orders demonstrates the join form). "
+    "Spark compiles to left-anti over distincts.",
+    tags=("setop",),
+)
+def except_users_without_big_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    allu = ev.select("user_id")
+    big = ev.filter(F.col("value") > 300).select("user_id")
+    return allu.subtract(big)
