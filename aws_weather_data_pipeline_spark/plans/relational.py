@@ -917,3 +917,35 @@ def except_users_without_big_events(
     allu = ev.select("user_id")
     big = ev.filter(F.col("value") > 300).select("user_id")
     return allu.subtract(big)
+
+
+@CATALOG.add(
+    "price_percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles per group (percentile ≡ DuckDB quantile_cont "
+    "— both use the same linear-interpolation definition, verified "
+    "bit-identical). Exact percentile buffers each group's values "
+    "(sort-based agg): right for bounded groups like this 3-value "
+    "flag; at 100 TB with huge groups, swap in approx_percentile "
+    "(t-digest sketch, mergeable map-side, bounded memory) and accept "
+    "the documented error bound.",
+    tags=("agg", "percentile"),
+)
+def price_percentiles_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
