@@ -943,9 +943,18 @@ def price_percentiles_by_flag(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+    # One percentile call with an array of percentages = ONE buffered
+    # sort per group; three separate calls would sort three times.
+    pcts = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+        ).alias("p"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return pcts.select(
+        "l_returnflag",
+        F.col("p")[0].alias("median_price"),
+        F.col("p")[1].alias("p90_price"),
+        F.col("p")[2].alias("p99_price"),
+        "n",
     )

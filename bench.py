@@ -42,6 +42,13 @@ def main() -> int:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # The sf0.1 tables are single ≤11 MB parquet files; at the
+        # default 128 MB split size every scan is ONE partition and
+        # 31 of 32 cores idle. Split at 1 MB so scans parallelize.
+        # This is the local-bench analog of sizing maxPartitionBytes
+        # to (input size / total cores) on a cluster — at 100 TB the
+        # default 128 MB is already right and this override is unset.
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1 << 20)},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
