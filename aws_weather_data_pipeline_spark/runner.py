@@ -181,3 +181,33 @@ def run(spark: SparkSession, paths: PipelinePaths) -> ValidationResult:
         failed = [k for k, v in result.checks.items() if not v]
         raise RuntimeError(f"validation failed: {failed}; {result.stats}")
     return result
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: python -m aws_weather_data_pipeline_spark.runner RAW LAKE SERVING SUMMARY"""
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("raw_dir")
+    ap.add_argument("lake_dir")
+    ap.add_argument("serving_dir")
+    ap.add_argument("summary_dir")
+    ap.add_argument("--report", action="store_true", help="print X4 report")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="daily-pipeline")
+    paths = PipelinePaths(
+        args.raw_dir, args.lake_dir, args.serving_dir, args.summary_dir
+    )
+    result = run(spark, paths)
+    print(f"validation: {result.checks}")
+    print(f"stats: {result.stats}")
+    if args.report:
+        print(report(spark, paths))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -138,3 +138,57 @@ def test_running_user_stats_incremental(spark, tmp_path):
     assert got2[1]["max_value"] == 9.0  # prior max survives
     assert got2[1]["last_event_type"] == "purchase"
     assert got2[3]["n_events"] == 1
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    # Late-data handling (absent from the reference entirely): in
+    # append mode a window emits once the watermark passes its end;
+    # an event arriving after that is dropped, not double-counted.
+    landing = tmp_path / "events"
+    landing.mkdir()
+    # Batch 1: events in window [00:00, 00:10) plus one far-future
+    # event that advances the watermark well past that window.
+    _write_jsonl(
+        landing / "a.json",
+        [_event(0, 1), _event(1, 2), _event(2, 59)],
+    )
+    stream = windowed_event_counts(
+        read_stream_events(spark, str(landing)),
+        window="10 minutes",
+        watermark="5 minutes",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _e: df.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # The 00:00 window (2 events) closed; the 00:50 window is still open.
+    assert ("2024-01-01 00:00:00", 2) in first
+
+    # Batch 2: a LATE event for the already-closed 00:00 window.
+    _write_jsonl(landing / "b.json", [_event(3, 3)])
+    drain()
+    after = [
+        r
+        for r in spark.read.parquet(out).collect()
+        if str(r["window_start"]) == "2024-01-01 00:00:00"
+    ]
+    # Still exactly one emission of the closed window, still 2 events —
+    # the late row was dropped by the watermark.
+    assert len(after) == 1
+    assert after[0]["n_events"] == 2
