@@ -45,6 +45,13 @@ def salted_join(
     """
     if salt_from is None:
         raise ValueError("salt_from (a varying probe column) is required")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # Right/full/semi/anti see the REPLICATED build side as data:
+        # an unmatched build row would emit n_salts copies. Reject
+        # rather than silently multiply.
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}"
+        )
     salt_col = (
         F.col(salt_from) if isinstance(salt_from, str) else salt_from
     )

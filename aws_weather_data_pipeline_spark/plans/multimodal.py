@@ -29,7 +29,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_items,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           -- CAST: DuckDB SUM(BIGINT) is HUGEINT (int128), which the
+           -- driver's type-sensitive value hash distinguishes from
+           -- Spark's bigint even when values are equal (the
+           -- conditional_counts r01 failure class).
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes,
            MIN(octet_length(encode(text))) AS min_bytes
     FROM documents
@@ -60,8 +64,9 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length(encode(text)) AS n_bytes,
            ascii(substr(text, 1, 1)) AS first_byte,
            ascii(substr(text, length(text), 1)) AS last_byte,
-           list_sum(list_transform(range(1, length(text) + 1),
-                    i -> ascii(substr(text, i, 1)))) % 997 AS byte_sum_mod
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> ascii(substr(text, i, 1)))) % 997
+                AS BIGINT) AS byte_sum_mod
     FROM documents
     """,
     doc="The mapInPandas feature-extraction pipeline: binary payload → "

@@ -307,7 +307,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the
+           -- driver's value hash distinguishes from Spark's bigint.
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
     """,

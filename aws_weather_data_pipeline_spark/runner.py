@@ -24,8 +24,8 @@ from .functions.summary import daily_weather_summary
 from .functions.weather import apply_transformations
 from .sinks.writers import (
     idempotent_append,
+    overwrite_partitioned,
     upsert_summary_by_partition,
-    write_partitioned,
 )
 from .sources.readers import read_raw_json
 
@@ -81,7 +81,10 @@ def load(spark: SparkSession, paths: PipelinePaths) -> DataFrame:
     )
     processed.persist()
     try:
-        write_partitioned(processed, paths.lake_dir)
+        # Dynamic partition overwrite, not append: a re-run (retry)
+        # rewrites the same hour partitions instead of duplicating them
+        # — every sink in this load is idempotent.
+        overwrite_partitioned(processed, paths.lake_dir)
         idempotent_append(
             spark,
             processed,

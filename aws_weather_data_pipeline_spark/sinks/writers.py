@@ -59,6 +59,32 @@ def write_partitioned(
     ).parquet(path)
 
 
+def overwrite_partitioned(
+    df: DataFrame, path: str, ts_col: str = "timestamp_parsed"
+) -> None:
+    """S7, re-runnable form: dynamic-overwrite the touched partitions.
+
+    Same layout as ``write_partitioned``, but replaces exactly the
+    year/month/day/hour partitions present in ``df`` instead of
+    appending — so replaying a batch load (Airflow retry semantics)
+    rewrites the same partitions rather than duplicating rows.
+    Streaming keeps the append form (micro-batches accumulate within
+    an hour); batch loads that may re-run should use this one.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with_time_partitions(df, ts_col).write.mode("overwrite").partitionBy(
+            "year", "month", "day", "hour"
+        ).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_json(df: DataFrame, path: str) -> None:
     """S9: raw-zone JSON batch sink."""
     df.write.mode("overwrite").json(path)
@@ -90,10 +116,16 @@ def idempotent_append(
     existing side after scoping is one day's partitions, so AQE will
     typically broadcast it.
     """
+    from pyspark.errors import AnalysisException
+
     deduped = new_rows.dropDuplicates(keys)
     try:
         existing = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # PATH_NOT_FOUND: first load, nothing to conflict with. Any
+        # OTHER failure must propagate — treating a transient read
+        # error as "table absent" would skip conflict detection and
+        # append duplicates into a table that very much exists.
         existing = None
     if existing is not None:
         if scope_col is not None:

@@ -17,9 +17,8 @@ Every reader declares its schema — inference is a full extra pass over
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
-from ..schemas import FLAT_COLUMNS, WEATHER_RAW_SCHEMA
+from ..schemas import WEATHER_RAW_SCHEMA, WEATHER_READING_SCHEMA
 
 
 def flatten_readings(envelopes: DataFrame) -> DataFrame:
@@ -65,35 +64,11 @@ def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
     return flatten_readings(envelopes)
 
 
-#: Declared schema of the processed-CSV round-trip (S6). All 16 flat
-#: columns; the reference re-reads its own CSV output
-#: (airflow/src/load_to_postgres.py:177-209).
-FLAT_CSV_SCHEMA = T.StructType(
-    [
-        T.StructField(name, dtype, True)
-        for name, dtype in zip(
-            FLAT_COLUMNS,
-            [
-                T.StringType(),  # station_id
-                T.StringType(),  # city
-                T.StringType(),  # country
-                T.DoubleType(),  # latitude
-                T.DoubleType(),  # longitude
-                T.StringType(),  # timestamp
-                T.DoubleType(),  # temperature_celsius
-                T.DoubleType(),  # humidity_percent
-                T.DoubleType(),  # pressure_hpa
-                T.DoubleType(),  # wind_speed_kmh
-                T.StringType(),  # wind_direction
-                T.DoubleType(),  # precipitation_mm
-                T.StringType(),  # weather_condition
-                T.DoubleType(),  # visibility_km
-                T.IntegerType(),  # uv_index
-                T.DoubleType(),  # heat_index_celsius
-            ],
-        )
-    ]
-)
+#: Declared schema of the processed-CSV round-trip (S6): the flat CSV
+#: columns ARE the reading fields, so reuse the one schema definition
+#: (a hand-copied twin would silently drift — under P9 cast-to-null
+#: semantics a mistyped column nulls out instead of erroring).
+FLAT_CSV_SCHEMA = WEATHER_READING_SCHEMA
 
 
 def read_flat_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -70,12 +70,26 @@ def poll_to_landing_dir(
     import os
 
     os.makedirs(landing_dir, exist_ok=True)
+    # Continue numbering from whatever is already in the landing dir:
+    # Spark's file-stream source tracks seen files by PATH and treats
+    # files as immutable, so re-using a name across poller invocations
+    # would silently drop every envelope after the first run.
+    existing = [
+        f
+        for f in os.listdir(landing_dir)
+        if f.startswith("batch_") and f.endswith(".json")
+    ]
+    seq = (
+        max(int(f[len("batch_"):-len(".json")]) for f in existing) + 1
+        if existing
+        else 0
+    )
     written = []
     for i in range(n_polls):
         if i and interval_seconds:
             time.sleep(interval_seconds)
         env = fetch(url)
-        path = os.path.join(landing_dir, f"batch_{i:06d}.json")
+        path = os.path.join(landing_dir, f"batch_{seq + i:06d}.json")
         with open(path, "w", encoding="utf-8") as f:
             json.dump(env, f, indent=2)
         written.append(path)

@@ -70,24 +70,48 @@ def alerts_view(processed: DataFrame) -> DataFrame:
 
 
 def write_both_sinks(
-    batch_df: DataFrame, processed_path: str, alerts_path: str
+    batch_df: DataFrame,
+    processed_path: str,
+    alerts_path: str,
+    epoch_id: int = 0,
 ) -> None:
-    """T4: one micro-batch → both sinks (atomic per-batch fan-out).
+    """T4: one micro-batch → both sinks, idempotent under replay.
+
+    After a crash between the two writes, the checkpoint replays the
+    whole micro-batch. Plain parquet append would then duplicate rows
+    in whichever sink already committed, so each sink partitions by
+    ``epoch_id`` and uses DYNAMIC partition overwrite: a replay
+    rewrites exactly its own epoch partitions, converging both sinks
+    to one copy of the batch. (This also removes the cross-sink
+    divergence the reference's two independent queries have — both
+    writes share one batch and one checkpoint.)
 
     The batch frame is written twice from one lineage; caching it
     avoids recomputing the transforms for the second sink.
     """
+    spark = batch_df.sparkSession
+    batch_df = batch_df.withColumn("epoch_id", F.lit(epoch_id))
     batch_df.persist()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         with_time_partitions(batch_df, "timestamp_parsed").write.mode(
-            "append"
-        ).partitionBy("year", "month", "day", "hour").parquet(processed_path)
-        alerts = alerts_view(batch_df)
-        # T6: cluster alert files by station like the Kinesis partition key.
-        alerts.repartition(F.col("station_id")).write.mode("append").parquet(
-            alerts_path
+            "overwrite"
+        ).partitionBy("year", "month", "day", "hour", "epoch_id").parquet(
+            processed_path
         )
+        alerts = alerts_view(batch_df.drop("epoch_id")).withColumn(
+            "epoch_id", F.lit(epoch_id)
+        )
+        # T6: cluster alert files by station like the Kinesis partition key.
+        alerts.repartition(F.col("station_id")).write.mode(
+            "overwrite"
+        ).partitionBy("epoch_id").parquet(alerts_path)
     finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         batch_df.unpersist()
 
 
@@ -112,8 +136,8 @@ def start_pipeline(
         processed.writeStream.outputMode("append")  # T2
         .option("checkpointLocation", checkpoint_dir)  # T3
         .foreachBatch(
-            lambda df, _epoch: write_both_sinks(
-                df, processed_path, alerts_path
+            lambda df, epoch: write_both_sinks(
+                df, processed_path, alerts_path, epoch_id=epoch
             )
         )
     )

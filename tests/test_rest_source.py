@@ -41,3 +41,18 @@ def test_poll_to_landing_dir_feeds_batch_reader(spark, tmp_path):
     assert len(paths) == 3
     df = read_raw_json(spark, landing)
     assert df.count() == 9
+
+
+def test_poll_to_landing_dir_never_reuses_filenames(tmp_path):
+    # The file-stream source tracks seen files by path; a reused name
+    # would be silently skipped. Successive poller invocations must
+    # continue the sequence.
+    landing = str(tmp_path / "landing")
+    first = poll_to_landing_dir(
+        "http://unused", landing, n_polls=2, fetch=_fake_fetch_factory()
+    )
+    second = poll_to_landing_dir(
+        "http://unused", landing, n_polls=2, fetch=_fake_fetch_factory()
+    )
+    assert len(set(first) & set(second)) == 0
+    assert len(set(first) | set(second)) == 4

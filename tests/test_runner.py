@@ -64,10 +64,15 @@ def test_full_pipeline_run(spark, paths):
     summary = spark.read.parquet(paths.summary_dir)
     cities = {r["city"] for r in summary.select("city").collect()}
     assert cities == {"Mumbai", "Delhi", "Chennai", "Kolkata", "Bengaluru"}
-    # Rerunning the whole pipeline is a no-op on serving (idempotent
-    # append) and a clean overwrite on summary (partition upsert).
+    # Rerunning the whole pipeline is idempotent on EVERY sink:
+    # serving via the anti-join, the lake via dynamic partition
+    # overwrite (append would double it), summary via partition upsert.
+    lake_before = spark.read.parquet(paths.lake_dir).count()
+    summary_before = summary.count()  # count now; the rerun replaces files
     result2 = run(spark, paths)
     assert result2.stats["total_rows"] == 35
+    assert spark.read.parquet(paths.lake_dir).count() == lake_before
+    assert spark.read.parquet(paths.summary_dir).count() == summary_before
 
     text = report(spark, paths)
     assert "DAILY WEATHER SUMMARY" in text

@@ -49,7 +49,7 @@ def test_stream_equals_batch_two_sinks(spark, tmp_path):
 
     batch = apply_transformations(read_raw_json(spark, str(landing)))
     got_processed = spark.read.parquet(processed_path).drop(
-        "year", "month", "day", "hour"
+        "year", "month", "day", "hour", "epoch_id"
     )
     # Same columns, same rows (order-insensitive).
     assert set(got_processed.columns) == set(batch.columns)
@@ -57,7 +57,7 @@ def test_stream_equals_batch_two_sinks(spark, tmp_path):
         got_processed.select(*sorted(got_processed.columns))
     ) == _sorted_rows(batch.select(*sorted(batch.columns)))
 
-    got_alerts = spark.read.parquet(alerts_path)
+    got_alerts = spark.read.parquet(alerts_path).drop("epoch_id")
     want_alerts = alerts_view(batch)
     assert want_alerts.count() > 0  # fixture must actually trigger alerts
     assert _sorted_rows(
@@ -118,3 +118,35 @@ def test_partitioned_lake_layout_from_stream(spark, tmp_path):
     # Pruned read touches one partition only.
     one = spark.read.parquet(processed).filter(F.col("hour") == "09")
     assert one.count() == 1
+
+
+def test_write_both_sinks_replay_is_idempotent(spark, tmp_path):
+    # Crash-replay semantics: foreachBatch re-runs a micro-batch with
+    # the SAME epoch id; both sinks must converge to one copy.
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        write_both_sinks,
+    )
+
+    batch = apply_transformations(
+        read_raw_json_fixture(spark, tmp_path)
+    )
+    processed, alerts = str(tmp_path / "p"), str(tmp_path / "a")
+    write_both_sinks(batch, processed, alerts, epoch_id=7)
+    n1 = spark.read.parquet(processed).count()
+    a1 = spark.read.parquet(alerts).count()
+    # Replay of the same epoch (e.g. crash between the two writes).
+    write_both_sinks(batch, processed, alerts, epoch_id=7)
+    assert spark.read.parquet(processed).count() == n1
+    assert spark.read.parquet(alerts).count() == a1
+    # A genuinely new epoch appends.
+    write_both_sinks(batch, processed, alerts, epoch_id=8)
+    assert spark.read.parquet(processed).count() == 2 * n1
+
+
+def read_raw_json_fixture(spark, tmp_path):
+    landing = tmp_path / "fixture_raw"
+    landing.mkdir()
+    write_batch_file(
+        landing / "b.json", [make_reading(i) for i in range(8)]
+    )
+    return read_raw_json(spark, str(landing))
