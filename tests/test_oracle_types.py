@@ -1,0 +1,102 @@
+"""Oracle/Spark result-type audit for every catalog query.
+
+The driver's value hash is TYPE-sensitive across engines: DuckDB
+HUGEINT (int128) hashes differently from Spark bigint even when values
+are equal (the conditional_counts r01 failure; three more instances
+caught in review r02). This test closes the class: for every oracle,
+DESCRIBE the SQL in DuckDB (no execution) and compare each column's
+type CLASS against the Spark DataFrame schema (also plan-only).
+
+Width differences within a class are fine (int32 vs int64 passed the
+real driver in r01 via top3_events_per_user's rank column); HUGEINT is
+forbidden outright.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+from aws_weather_data_pipeline_spark.sources.tables import TABLE_NAMES
+
+CATALOG = build_catalog()
+
+_DUCK_CLASS = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "HUGEINT": "FORBIDDEN-int128",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "str",
+    "TIMESTAMP": "ts",
+    "DATE": "date",
+    "BOOLEAN": "bool",
+}
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    # NTZ and LTZ both hash as "ts" in the driver (r01 precedent:
+    # global_stats/top10/top_revenue emit NTZ and passed).
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return f"other:{dt.simpleString()}"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in CATALOG.queries.items() if q.oracle)
+)
+def test_oracle_types_match_spark(name, duck, spark):
+    q = CATALOG.queries[name]
+    desc = duck.sql(f"DESCRIBE {q.oracle}").fetchall()
+    duck_types = {row[0]: row[1] for row in desc}
+
+    sdf = q.builder(spark, "/root/testdata/sf0.001")
+    spark_types = {f.name: _spark_class(f.dataType) for f in sdf.schema}
+
+    assert set(duck_types) == set(spark_types), (
+        f"{name}: column names differ: "
+        f"duck={sorted(duck_types)} spark={sorted(spark_types)}"
+    )
+    for col, dtype in duck_types.items():
+        base = dtype.split("(")[0]
+        dclass = _DUCK_CLASS.get(base, f"other:{dtype}")
+        assert dclass != "FORBIDDEN-int128", (
+            f"{name}.{col}: DuckDB types this {dtype} — HUGEINT hash-"
+            "diverges from Spark bigint in the driver; CAST AS BIGINT "
+            "in the oracle"
+        )
+        sclass = spark_types[col]
+        if base.startswith("DECIMAL"):
+            dclass = "decimal"
+        assert dclass == sclass, (
+            f"{name}.{col}: type class mismatch duck={dtype} "
+            f"spark={sclass}"
+        )
