@@ -145,3 +145,28 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionized_user_activity(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user under streaming (or batch — same code).
+
+    F.session_window merges events whose gap is under the timeout;
+    state is kept per user until the watermark closes the session.
+    Identical expressions to the batch user_session_windows catalog
+    query, minus the decimal discipline it needs for oracle hashing.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

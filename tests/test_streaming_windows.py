@@ -192,3 +192,49 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # the late row was dropped by the watermark.
     assert len(after) == 1
     assert after[0]["n_events"] == 2
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    from aws_weather_data_pipeline_spark.streaming.windows import (
+        sessionized_user_activity,
+    )
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    # User 1: two sessions (gap > 10m between minute 2 and minute 30);
+    # user 2: one session.
+    _write_jsonl(
+        landing / "a.json",
+        [
+            _event(0, 1, user=1),
+            _event(1, 2, user=1),
+            _event(2, 30, user=1),
+            _event(3, 5, user=2),
+        ],
+    )
+    stream = sessionized_user_activity(
+        read_stream_events(spark, str(landing))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    batch = sessionized_user_activity(
+        spark.read.schema(EVENT_STREAM_SCHEMA).json(str(landing))
+    )
+    want = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want
+    assert got[(1, "2024-01-01 00:01:00")] == 2  # first session merged
+    assert got[(1, "2024-01-01 00:30:00")] == 1  # second session split
+    assert len(got) == 3
