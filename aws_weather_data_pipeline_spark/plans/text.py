@@ -35,7 +35,11 @@ _STOP_SQL = "('the', 'a')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
+    # CPU-bound per-row work over a small-on-disk table: spread it
+    # across cores instead of inheriting the single parquet split
+    # (see similarity._docs for the same reasoning).
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _tokens(df: DataFrame) -> DataFrame:

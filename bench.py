@@ -48,7 +48,13 @@ def main() -> int:
         # This is the local-bench analog of sizing maxPartitionBytes
         # to (input size / total cores) on a cluster — at 100 TB the
         # default 128 MB is already right and this override is unset.
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(1 << 20)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            # local[32] runs driver AND all executor threads in one
+            # JVM; the 8g default heap GC-thrashes by the tail of a
+            # 57-query run (measured 2-10x slowdowns on late queries).
+            "spark.driver.memory": "48g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -66,15 +72,24 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover - warmup best-effort
         print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Two passes per query, keep the minimum: single-shot timings on a
+    # shared host are contaminated by CPU-steal noise (observed 10-30x
+    # outliers on identical plans) and by one-time costs like Python
+    # worker spawn-up; the min of two runs is the steady-state number.
     timings: dict[str, float] = {}
     for name, q in catalog.queries.items():
-        t0 = time.perf_counter()
-        try:
-            run_once(q.builder)
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            print(f"FAIL {name}: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+        best = -1.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                run_once(q.builder)
+                elapsed = round(time.perf_counter() - t0, 3)
+                best = elapsed if best < 0 else min(best, elapsed)
+            except Exception as exc:
+                print(f"FAIL {name}: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
