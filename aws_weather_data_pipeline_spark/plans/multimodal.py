@@ -14,17 +14,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.multimodal import extract_features, with_binary_payload
-from ..sources.tables import load_tables
+from ..sources.tables import load_spread
 from .registry import QueryCatalog
 
 CATALOG = QueryCatalog()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The mapInPandas feature stage runs one Python worker per
-    # partition; a single-split scan would serialize it. Spread first.
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    # mapInPandas runs one Python worker per partition: spread
+    # under-split scans (no-op at scale — sources.tables.load_spread).
+    return load_spread(spark, sf_dir, "documents")
 
 
 @CATALOG.add(

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources.tables import load_tables
+from ..sources.tables import load_spread, load_tables
 from .registry import QueryCatalog
 
 CATALOG = QueryCatalog()
@@ -40,17 +40,15 @@ JACCARD_THRESHOLD = 0.6
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Text similarity is CPU-bound (shingling, hashing), not IO-bound,
-    # and the documents table is small on disk — a single parquet split
-    # would serialize all that CPU onto one core. Spread rows across
-    # the cluster before the heavy per-row work; every downstream op
-    # either is per-row or re-shuffles on its own key anyway.
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound per-row work: spread under-split scans across cores
+    # (no-op at scale — see sources.tables.load_spread).
+    return load_spread(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # Dot products are CPU-bound: spread under-split scans (no-op at
+    # scale — sources.tables.load_spread).
+    return load_spread(spark, sf_dir, "embeddings")
 
 
 # --------------------------------------------------------------------------
@@ -86,16 +84,21 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-#: Universal-hash mixing constants (odd multipliers + offsets, mod a
-#: Mersenne prime < 2^31). Each shingle is md5'd ONCE to a 60-bit int;
-#: the N_MINHASH permutations are then cheap exact int64 arithmetic —
-#: (h % M) * A < 2^62, no overflow in either engine — instead of
-#: N_MINHASH separate md5 calls per shingle (measured ~3× faster).
-_MH_MOD = 2147483647  # 2^31 - 1
+#: MinHash permutation constants. Each shingle is md5'd ONCE to a
+#: 60-bit int h; permutation j is the linear mix
+#:     (h >> 30) * A_j + (h & (2^30-1)) * B_j
+#: — exact int64 arithmetic in both engines (each product < 2^61, the
+#: sum < 2^62) and a ~62-bit bucket space, so spurious LSH bucket
+#: collisions stay ~2^-62 even at billions of documents (a 31-bit
+#: modular variant was rejected in review: at 1e9 docs its bucket
+#: collisions alone would generate ~1e9 spurious candidate pairs).
+#: Cheaper than the original 8 md5 calls per shingle by ~3×.
+_MH_LO_MASK = (1 << 30) - 1
 _MH_A = (15485863, 32452843, 49979687, 67867967,
          86028121, 104395301, 122949823, 141650939)
 _MH_B = (12582917, 25165843, 50331653, 100663319,
          201326611, 402653189, 805306457, 1610612741)
+assert len(_MH_A) >= N_MINHASH and len(_MH_B) >= N_MINHASH
 
 
 def _with_shingles(d: DataFrame) -> DataFrame:
@@ -122,13 +125,13 @@ def _with_shingles(d: DataFrame) -> DataFrame:
 
 
 def minhash_signature_cols() -> list:
-    """mh_j = min over shingle hashes of ((h%M)*A_j + B_j) % M."""
+    """mh_j = min over shingle hashes of the 62-bit hi/lo linear mix."""
     return [
         F.array_min(
             F.expr(
                 f"transform(sh_hashes, h ->"
-                f" ((h % {_MH_MOD}) * {_MH_A[j]} + {_MH_B[j]})"
-                f" % {_MH_MOD})"
+                f" (h >> 30) * {_MH_A[j]}"
+                f" + (h & {_MH_LO_MASK}) * {_MH_B[j]})"
             )
         ).alias(f"mh{j}")
         for j in range(N_MINHASH)
@@ -160,7 +163,8 @@ def _shingle_sql(extra: str = "") -> str:
 
 _SIG_SQL = ",\n".join(
     f"list_min(list_transform(sh_hashes,"
-    f" h -> ((h % {_MH_MOD}) * {_MH_A[j]} + {_MH_B[j]}) % {_MH_MOD}))"
+    f" h -> (h >> 30) * {_MH_A[j]}"
+    f" + (h & {_MH_LO_MASK}) * {_MH_B[j]}))"
     f" AS mh{j}"
     for j in range(N_MINHASH)
 )
@@ -178,10 +182,11 @@ _BANDS_SQL = "\nUNION ALL\n".join(
     sigs AS (SELECT doc_id, {_SIG_SQL} FROM sets)
     SELECT * FROM sigs"""
     ),
-    doc=f"MinHash signatures: {N_MINHASH} permutation-free minima "
-    "(md5 with a per-hash salt) over the distinct 3-shingle set, all "
-    "computed inside a per-row array transform — the signature stage "
-    "of the LSH pipeline costs zero shuffles.",
+    doc=f"MinHash signatures: each distinct 3-shingle is md5'd once "
+    f"to a 60-bit int, then {N_MINHASH} permutations derive from "
+    "exact 62-bit linear mixes (hi*A_j + lo*B_j), all inside per-row "
+    "array transforms. The only exchange is the under-split-scan "
+    "spread (a no-op at scale); no per-band plan duplication.",
     tags=("similarity", "dedup"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

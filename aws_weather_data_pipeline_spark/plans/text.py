@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.tables import load_tables
+from ..sources.tables import load_spread
 from .registry import QueryCatalog
 
 CATALOG = QueryCatalog()
@@ -35,11 +35,9 @@ _STOP_SQL = "('the', 'a')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CPU-bound per-row work over a small-on-disk table: spread it
-    # across cores instead of inheriting the single parquet split
-    # (see similarity._docs for the same reasoning).
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound per-row work: spread under-split scans across cores
+    # (no-op at scale — see sources.tables.load_spread).
+    return load_spread(spark, sf_dir, "documents")
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -66,8 +64,8 @@ def _tokens(df: DataFrame) -> DataFrame:
     doc="Token counting: whitespace split, regex split (the BPE-ish "
     "pre-tokenizer shape), unique-token count, and average token length "
     "computed exactly as (chars - spaces) / tokens. Pure per-row "
-    "expressions — no shuffle at all; at 100 TB this is a single "
-    "embarrassingly-parallel scan.",
+    "expressions; at 100 TB this is a single embarrassingly-parallel "
+    "scan (locally the under-split scan is spread across cores first).",
     tags=("text",),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,3 +97,22 @@ def register_views(
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Load one table, spread across cores if the scan under-splits.
+
+    CPU-bound per-row pipelines (shingling, hashing, mapInPandas) over
+    tables that are small ON DISK inherit the scan's partition count —
+    a sub-split-size parquet file yields ONE partition and serializes
+    all that CPU onto one core. Repartition only when the scan has
+    fewer partitions than the cluster has cores; at scale the scan
+    already has plenty of splits and this is a no-op (no shuffle).
+    """
+    df = load_tables(spark, sf_dir, (name,))[name]
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df

@@ -19,6 +19,7 @@ import pytest
 
 from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
 from aws_weather_data_pipeline_spark.sources.tables import TABLE_NAMES
+from tests.conftest import SF_SMOKE
 
 CATALOG = build_catalog()
 
@@ -62,7 +63,7 @@ def _spark_class(dt) -> str:
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     for t in TABLE_NAMES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
@@ -78,7 +79,7 @@ def test_oracle_types_match_spark(name, duck, spark):
     desc = duck.sql(f"DESCRIBE {q.oracle}").fetchall()
     duck_types = {row[0]: row[1] for row in desc}
 
-    sdf = q.builder(spark, "/root/testdata/sf0.001")
+    sdf = q.builder(spark, SF_SMOKE)
     spark_types = {f.name: _spark_class(f.dataType) for f in sdf.schema}
 
     assert set(duck_types) == set(spark_types), (
