@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_spread, load_tables
 from .registry import QueryCatalog
+from .text import SIMHASH_CTE_SQL
 
 CATALOG = QueryCatalog()
 
@@ -283,16 +284,260 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash near-duplicate pairs (banded bucket join, pigeonhole-exact)
+# --------------------------------------------------------------------------
+
+#: 5 bands × 12 bits cover the 60-bit SimHash. Pigeonhole: a pair at
+#: Hamming distance ≤ 4 differs in at most 4 of the 5 bands, so at
+#: least one band matches exactly — the banded join has FULL recall at
+#: the verify threshold (Manku et al.'s simhash-dedup block scheme).
+SIMHASH_BANDS = 5
+SIMHASH_BAND_BITS = 12
+HAMMING_THRESHOLD = 4
+
+_SIMHASH_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {j} AS band,"
+    f" (simhash >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+    f" AS bucket FROM simhashes"
+    for j in range(SIMHASH_BANDS)
+)
+
+
+@CATALOG.add(
+    "near_dup_pairs_simhash",
+    # SIMHASH_CTE_SQL is the same signature pipeline doc_simhash runs.
+    SIMHASH_CTE_SQL
+    + f""",
+    bands AS ({_SIMHASH_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sig_a, b.simhash AS sig_b
+        FROM bands a JOIN bands b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_THRESHOLD}
+    """,
+    doc="SimHash near-duplicate pairs: 60-bit signature → "
+    f"{SIMHASH_BANDS} bands × {SIMHASH_BAND_BITS} bits → bucket "
+    f"self-join → Hamming verify ≤ {HAMMING_THRESHOLD} via "
+    "bit_count(xor). Pigeonhole guarantees full recall: ≤ 4 differing "
+    "bits cannot touch all 5 bands, so every qualifying pair shares a "
+    "band bucket — exact result, no all-pairs stage. At 100 TB the "
+    "bucket join shuffles docs×5 rows on (band, bucket); verify is "
+    "one integer xor per candidate. Complements MinHash-LSH: SimHash "
+    "catches token-multiset edits (Hamming ≈ angular distance of term "
+    "vectors), MinHash catches shingle-set edits.",
+    tags=("similarity", "dedup", "join"),
+)
+def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import simhash_frame
+
+    sigs = simhash_frame(spark, sf_dir)
+    # One generator pass over the signatures (posexplode), not a
+    # 5-way union — same lesson as the MinHash bands.
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(simhash >> {j * SIMHASH_BAND_BITS})"
+                        f" & {(1 << SIMHASH_BAND_BITS) - 1}"
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "bucket",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard join (prefix filtering — no all-pairs, no LSH loss)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "near_dup_pairs_ngram",
+    _shingle_sql(
+        f""",
+    srt AS (SELECT doc_id, list_sort(sh_hashes) AS sh FROM sets),
+    pre AS (
+        -- prefix length |S| - ceil(t·|S|) + 1 under the global hash
+        -- order; (3n+4)//5 == ceil(0.6n) in exact integer arithmetic
+        SELECT doc_id,
+               unnest(sh[1 : len(sh) - (3 * len(sh) + 4) // 5 + 1]) AS h
+        FROM srt
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+    FROM cand
+    JOIN srt sa ON sa.doc_id = doc_a
+    JOIN srt sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= {JACCARD_THRESHOLD}"""
+    ),
+    doc="EXACT n-gram Jaccard similarity join via prefix filtering "
+    "(Bayardo et al., 'Scaling Up All Pairs'): sort each doc's shingle "
+    "hashes under a global order, index only the first "
+    "|S| − ⌈t·|S|⌉ + 1 of them; any pair with J ≥ t MUST share a "
+    "prefix hash, so the equi-join on prefix hashes has full recall — "
+    "exact results (unlike MinHash-LSH) without an all-pairs stage. "
+    "Verified identical to the all-pairs answer on this corpus. At "
+    "100 TB: explode ≈ 0.4·|shingles| rows, one hash-shuffle on the "
+    "shingle hash (uniform by construction), verify only candidates.",
+    tags=("similarity", "dedup", "join"),
+)
+def near_dup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_shingles(_docs(spark, sf_dir))
+    srt = d.select("doc_id", F.array_sort("sh_hashes").alias("sh"))
+    pre = srt.select(
+        "doc_id",
+        F.explode(
+            F.expr("slice(sh, 1, size(sh) - (3 * size(sh) + 4) div 5 + 1)")
+        ).alias("h"),
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), "h")
+    b = pre.select(F.col("doc_id").alias("doc_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = srt.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = srt.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (cell-bucketed)
+# --------------------------------------------------------------------------
+
+COSINE_NEAR_DUP_THRESHOLD = 0.3
+
+_QUANT_SQL = (
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))"
+)
+
+
+@CATALOG.add(
+    "near_dup_pairs_embedding",
+    f"""
+    WITH n AS (
+        SELECT vec_id, label AS cell, {_QUANT_SQL} AS v,
+               list_sum(list_transform({_QUANT_SQL}, x -> x * x)) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+           list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> a.v[i] * b.v[i]))
+             / sqrt(a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE a.nrm > 0 AND b.nrm > 0
+      AND list_sum(list_transform(range(1, len(a.v) + 1),
+                   i -> a.v[i] * b.v[i]))
+            / sqrt(a.nrm * b.nrm) >= {COSINE_NEAR_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-duplicate pairs, cell-bucketed: "
+    "candidates are pairs sharing a coarse cell (the label column — "
+    "the IVF cell id a k-means pass assigns at scale), verified by the "
+    "exact scalar-quantized cosine ≥ "
+    f"{COSINE_NEAR_DUP_THRESHOLD}. The equi-join on the cell id keeps "
+    "pair generation at Σ|cell|² instead of n² — with the corpus "
+    "bucketed by cell at 100 TB the join is shuffle-free and each "
+    "cell's block fits one task (cap cell size via k). For the "
+    "near-identical regime (cos ≥ 0.95) the same verify drops behind "
+    "a hyperplane-LSH bucketer (the banding shape demoed by the "
+    "SimHash and MinHash queries). Same exact integer dot-product "
+    "arithmetic as knn_cosine_topk, so results hash bit-identically.",
+    tags=("similarity", "dedup", "embedding", "join"),
+)
+def near_dup_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000))"
+    )
+    sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
+    base = e.select(
+        "vec_id", F.col("label").alias("cell"), quant.alias("v")
+    ).withColumn("nrm", sq_norm)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        "cell",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        "cell",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter((F.col("nrm_a") > 0) & (F.col("nrm_b") > 0))
+        .withColumn("cosine", dot / F.sqrt(F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cosine") >= COSINE_NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cell", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding kNN — scalar-quantized exact cosine
 # --------------------------------------------------------------------------
 
 #: Queries are the first N_QUERY vec_ids; neighbors are everything else.
 N_QUERY = 5
 TOP_K = 10
-
-_QUANT_SQL = (
-    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))"
-)
 
 _KNN_BASE_SQL = f"""
 WITH q AS (

@@ -293,9 +293,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@CATALOG.add(
-    "doc_simhash",
-    """
+#: DuckDB CTE yielding (doc_id, simhash) — shared by doc_simhash here
+#: and the SimHash near-dup pair query in plans/similarity.py.
+SIMHASH_CTE_SQL = """
     WITH tok AS (
         SELECT doc_id,
                ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)
@@ -307,25 +307,21 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
         FROM tok, unnest(range(0, 60)) AS b(b)
         GROUP BY doc_id, b.b
+    ),
+    simhashes AS (
+        SELECT doc_id,
+               -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the
+               -- driver's value hash distinguishes from Spark's bigint.
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the
-           -- driver's value hash distinguishes from Spark's bigint.
-           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM bits
-    GROUP BY doc_id
-    """,
-    doc="SimHash: each token hashes to 60 bits (md5 prefix as BIGINT — "
-    "identical in both engines); per bit position, occurrences vote "
-    "+1/-1; the sign vector packs into one 64-bit signature whose "
-    "Hamming distance approximates cosine similarity of term vectors. "
-    "All-integer arithmetic, so the signature is bit-exact across "
-    "engines and cluster sizes. The bit fan-out (60× tokens) collapses "
-    "map-side under partial aggregation keyed by doc_id.",
-    tags=("text", "dedup"),
-)
-def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash per document, exact bit math."""
     d = _tokens(_docs(spark, sf_dir))
     tok = d.select(
         "doc_id", F.explode("tokens").alias("tok")
@@ -349,3 +345,19 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+@CATALOG.add(
+    "doc_simhash",
+    SIMHASH_CTE_SQL + "SELECT doc_id, simhash FROM simhashes",
+    doc="SimHash: each token hashes to 60 bits (md5 prefix as BIGINT — "
+    "identical in both engines); per bit position, occurrences vote "
+    "+1/-1; the sign vector packs into one 64-bit signature whose "
+    "Hamming distance approximates cosine similarity of term vectors. "
+    "All-integer arithmetic, so the signature is bit-exact across "
+    "engines and cluster sizes. The bit fan-out (60× tokens) collapses "
+    "map-side under partial aggregation keyed by doc_id.",
+    tags=("text", "dedup"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_frame(spark, sf_dir)
