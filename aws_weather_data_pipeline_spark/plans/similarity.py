@@ -25,6 +25,8 @@ module is pure north-star extension (SURVEY §7.2 step 9).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_spread, load_tables
@@ -621,6 +623,116 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hyperplane-LSH bucketed ANN (random-projection sign bits)
+# --------------------------------------------------------------------------
+
+#: Random ±1 hyperplanes, FIXED at module definition (seeded PRNG, so
+#: both the Spark expression and the DuckDB oracle embed the identical
+#: literal weight arrays — sign bits are exact integer comparisons).
+#: 4 planes → 16 buckets: sized so local-SF buckets stay populated; at
+#: 100 TB the plane count grows with log2(corpus/target-bucket-size).
+N_PLANES = 4
+_EMB_DIM = 64
+_rng = random.Random(20260813)
+HYPERPLANES = [
+    [_rng.choice((-1, 1)) for _ in range(_EMB_DIM)] for _ in range(N_PLANES)
+]
+
+
+def _bucket_sql() -> str:
+    bits = []
+    for k, w in enumerate(HYPERPLANES):
+        lit = "[" + ",".join(str(x) for x in w) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM} + 1),"
+            f" i -> v[i] * ({lit})[i])) >= 0 THEN 1 ELSE 0 END) * {1 << k}"
+        )
+    return " + ".join(bits)
+
+
+def _bucket_col() -> F.Column:
+    bits = []
+    for k, w in enumerate(HYPERPLANES):
+        lit = ",".join(str(x) for x in w)
+        bits.append(
+            f"(CASE WHEN aggregate(zip_with(v, array({lit}),"
+            f" (x, y) -> x * y), 0L, (acc, x) -> acc + x) >= 0"
+            f" THEN 1 ELSE 0 END) * {1 << k}"
+        )
+    return F.expr(" + ".join(bits))
+
+
+@CATALOG.add(
+    "ann_hyperplane_lsh_topk",
+    _KNN_BASE_SQL
+    + f""",
+    qb AS (SELECT query_id, v, nrm, {_bucket_sql()} AS bucket FROM qn),
+    nb AS (SELECT neighbor_id, v, nrm, {_bucket_sql()} AS bucket FROM nn)
+    SELECT query_id, neighbor_id, rnk, cosine
+    FROM (
+        SELECT qn.query_id, nn.neighbor_id,
+               {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qn.query_id
+                   ORDER BY {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) DESC,
+                            nn.neighbor_id
+               ) AS rnk
+        FROM qb qn JOIN nb nn ON nn.bucket = qn.bucket
+        WHERE qn.nrm > 0 AND nn.nrm > 0
+    )
+    WHERE rnk <= 5
+    """,
+    doc=f"Hyperplane-LSH bucketed ANN: {N_PLANES} fixed random ±1 "
+    "hyperplanes (literal weight arrays, identical in both engines) "
+    "give each vector a sign-bit signature; a query probes only its "
+    "own bucket — the random-projection analog of the IVF cell probe, "
+    "needing no clustering pass. Sign bits are exact integer "
+    "comparisons on the quantized components, so bucketing is "
+    "deterministic; ranking reuses the exact quantized cosine. At "
+    "100 TB the corpus is bucketed/partitioned by signature "
+    "(multiprobe = also visiting 1-bit-flip neighbors, recall knob), "
+    "and the plane count scales with log2 of corpus/bucket-size.",
+    tags=("similarity", "embedding", "join"),
+)
+def ann_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000))"
+    )
+    sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
+    base = e.select("vec_id", quant.alias("v")).withColumn("nrm", sq_norm)
+    base = base.withColumn("bucket", _bucket_col())
+    q = base.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        "bucket",
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    n = base.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        n.join(F.broadcast(q), on="bucket")
+        .filter((F.col("q_nrm") > 0) & (F.col("n_nrm") > 0))
+        .withColumn("cosine", dot / F.sqrt(F.col("q_nrm") * F.col("n_nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
 

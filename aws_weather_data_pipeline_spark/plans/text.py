@@ -361,3 +361,70 @@ def simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_frame(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top terms per document (rational-IDF variant)
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_N = 3
+
+
+@CATALOG.add(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           tf * (CAST(n_docs AS DOUBLE) / df) AS tf_idf, rnk
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                            tf.term
+               ) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    WHERE rnk <= {TFIDF_TOP_N}
+    """,
+    doc=f"TF-IDF top-{TFIDF_TOP_N} terms per document. IDF is the "
+    "rational variant n_docs/df (same per-term ranking as ln(n/df), "
+    "being a monotone transform) — a deliberate determinism choice: "
+    "ln() is implemented by different libm's across engines and its "
+    "last-ulp drift would break hash-exact comparison, while a single "
+    "integer division is IEEE-exact everywhere. Plan shape: two "
+    "hash-aggs (doc×term, then term), a broadcast-sized df/count join "
+    "(vocabulary ≪ corpus), and a per-doc window — the per-doc rank "
+    "shuffle is on doc_id, uniform by construction. Ties break on "
+    "term for a deterministic top list.",
+    tags=("text", "agg", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select("doc_id", F.explode("tokens").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n))
+    tf_idf = F.col("tf") * (
+        F.col("n_docs").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(tf_idf.desc(), F.col("term"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", tf_idf.alias("tf_idf"), "rnk")
+    )
