@@ -14,7 +14,14 @@ from .registry import QueryCatalog
 # here but absent on disk is skipped (feature not built yet); a module
 # that EXISTS but fails to import raises — a typo inside an operator
 # module must never silently shrink driver coverage.
-OPERATOR_MODULES = ("weatherlike", "temporal", "text", "similarity", "multimodal")
+OPERATOR_MODULES = (
+    "weatherlike",
+    "temporal",
+    "text",
+    "similarity",
+    "multimodal",
+    "sampling",
+)
 
 
 def build_catalog() -> QueryCatalog:

@@ -1,0 +1,181 @@
+"""Corpus sampling, split assignment, and chunking catalog queries.
+
+The dataset-engineering operators a large-scale training-data pipeline
+runs between dedup and training — each expressed so the decision for a
+row depends ONLY on that row (embarrassingly parallel, no shuffle, no
+driver round-trip, reproducible across engines and cluster sizes):
+
+- **Deterministic sampling** replaces ``df.sample()`` for corpus
+  subsetting: Bernoulli on a content-derived hash instead of a seeded
+  PRNG, because PRNG streams depend on partitioning (a repartition
+  changes which rows a seed selects) while a hash of the row's own key
+  never does. The same predicate selects the same rows on 1 executor
+  or 1000.
+- **Split assignment** is the same hash mapped through fixed bucket
+  boundaries — a row can never migrate between train/val/test when the
+  corpus is re-partitioned, re-ordered, or incrementally re-built
+  (the leakage-safety property seeded ``randomSplit`` lacks).
+- **Chunking** explodes each document into fixed-size token windows
+  (the pre-tokenization step of sequence packing). Generator
+  expansion, not a join: rows multiply by ceil(len/CHUNK), the
+  explode collapses into the scan stage, and downstream shuffles see
+  only (doc_id, chunk_id) keys.
+
+Reference parity: the reference has no sampling surface — this module
+is pure north-star extension (BASELINE.md's training-data operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_spread
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+#: Sampling rate: keep rows whose 60-bit content hash lands in the
+#: lowest SAMPLE_PCT buckets of 100.
+SAMPLE_PCT = 10
+
+#: Split boundaries over hash mod 100: [0,80) train, [80,90) val,
+#: [90,100) test.
+TRAIN_HI = 80
+VAL_HI = 90
+
+#: Tokens per training chunk.
+CHUNK_TOKENS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_spread(spark, sf_dir, "documents")
+
+
+#: 60-bit integer hash of the doc id — md5 so both engines agree
+#: bit-for-bit (Spark's xxhash64 seed differs from DuckDB's hash).
+_KEYHASH_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+_KEYHASH_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+)
+
+
+@CATALOG.add(
+    "deterministic_doc_sample",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_KEYHASH_SQL} % 100 < {SAMPLE_PCT}
+    """,
+    doc=f"Deterministic {SAMPLE_PCT}% Bernoulli sample keyed on "
+    "md5(doc_id): the keep/drop decision is a pure function of the "
+    "row, so the sample is identical under any partitioning, executor "
+    "count, or re-run — unlike seeded df.sample(), whose PRNG stream "
+    "follows partition boundaries. Predicate evaluates inside the "
+    "scan (no shuffle, no sort); at 100 TB this is the only sampling "
+    "shape that is both single-pass and exactly reproducible. "
+    "Changing the percentage keeps subset monotonicity: the 10% "
+    "sample is a superset of the 5% one (hash < threshold nests).",
+    tags=("sampling", "filter"),
+)
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        F.expr(f"{_KEYHASH_SPARK} % 100") < SAMPLE_PCT
+    ).select("doc_id", "lang", "n_chars")
+
+
+@CATALOG.add(
+    "dataset_split_assignment",
+    f"""
+    WITH h AS (
+        SELECT doc_id, {_KEYHASH_SQL} % 100 AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < {TRAIN_HI} THEN 'train'
+                WHEN bucket < {VAL_HI} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM h
+    GROUP BY 1
+    """,
+    doc="Train/val/test split assignment (80/10/10) via fixed bucket "
+    "boundaries over the content-key hash. Hash-based assignment is "
+    "the leakage-safe form: a document's split is immutable under "
+    "re-partitioning, incremental corpus rebuilds, and engine "
+    "changes, where seeded randomSplit re-deals every row each run. "
+    "The audit aggregation here is one hash-shuffle on a 3-value key; "
+    "the assignment itself is a per-row expression usable as a "
+    "partition column at write time (so training reads prune to "
+    "their split's files).",
+    tags=("sampling", "agg"),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.expr(f"{_KEYHASH_SPARK} % 100")
+    split = (
+        F.when(bucket < TRAIN_HI, "train")
+        .when(bucket < VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@CATALOG.add(
+    "doc_chunk_tokens",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    )
+    SELECT doc_id, c.chunk_id,
+           CAST(len(tk[c.chunk_id * {CHUNK_TOKENS} + 1
+                     : (c.chunk_id + 1) * {CHUNK_TOKENS}]) AS INTEGER)
+               AS n_tokens,
+           array_to_string(tk[c.chunk_id * {CHUNK_TOKENS} + 1
+                              : (c.chunk_id + 1) * {CHUNK_TOKENS}],
+                           ' ') AS chunk_text
+    FROM t, unnest(range(0, CAST(ceil(len(tk) / {CHUNK_TOKENS}.0) AS BIGINT)))
+            AS c(chunk_id)
+    """,
+    doc=f"Fixed-size chunking: each document explodes into "
+    f"⌈len/{CHUNK_TOKENS}⌉ windows of {CHUNK_TOKENS} tokens (final "
+    "chunk ragged) — the sequence-packing preparation step before "
+    "tokenizer-aware packing. Generator expansion inside the scan "
+    "stage: no join, no shuffle; output rows carry (doc_id, chunk_id) "
+    "so downstream packing/shuffling keys are explicit. At 100 TB "
+    "chunking is I/O-bound and embarrassingly parallel; the slice is "
+    "an in-row array op on the already-split token array (split runs "
+    "once per doc, not per chunk).",
+    tags=("sampling", "text"),
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn(
+        "tk", F.split(F.col("text"), " ")
+    )
+    n_chunks = F.expr(
+        f"cast(ceil(size(tk) / cast({CHUNK_TOKENS} as double)) as bigint)"
+    )
+    d = d.withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+    )
+    chunk = F.expr(
+        f"slice(tk, cast(chunk_id * {CHUNK_TOKENS} + 1 as int),"
+        f" {CHUNK_TOKENS})"
+    )
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
