@@ -418,7 +418,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
-    joined = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n))
+    # No broadcast hint on df: vocabulary grows with corpus size
+    # (Heaps' law — unbounded with web-scale text), so AQE decides.
+    # The one-row count IS provably bounded and safe to hint.
+    joined = tf.join(df, "term").crossJoin(F.broadcast(n))
     tf_idf = F.col("tf") * (
         F.col("n_docs").cast("double") / F.col("df")
     )

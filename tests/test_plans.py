@@ -26,6 +26,10 @@ ALLOWED_HINTS = {
     "weather_current_status": 1,
     "knn_cosine_topk": 1,
     "ann_ivf_probe_topk": 1,
+    # ≤N_QUERY query vectors — provably bounded.
+    "ann_hyperplane_lsh_topk": 1,
+    # the one-row corpus count (vocabulary df side is NOT hinted).
+    "tfidf_top_terms": 1,
 }
 
 
@@ -89,3 +93,39 @@ def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     df = CATALOG.queries["top10_orders_by_price"].builder(spark, sf_dir)
     plan = _formatted(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_near_dup_queries_have_no_cartesian_product(spark, sf_dir):
+    # Every near-dup variant generates candidates via an equi-join
+    # (band bucket / prefix hash / cell id) — a CartesianProduct or
+    # BroadcastNestedLoopJoin anywhere means the all-pairs quadratic
+    # trap snuck back in.
+    for name in (
+        "near_dup_pairs_minhash",
+        "near_dup_pairs_simhash",
+        "near_dup_pairs_ngram",
+        "near_dup_pairs_embedding",
+    ):
+        df = CATALOG.queries[name].builder(spark, sf_dir)
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sample_filter_stays_in_scan_stage(spark, sf_dir):
+    # The deterministic sample is a pure per-row predicate: the plan
+    # must be scan → filter → project with no Exchange beyond the
+    # local-SF spread repartition and no join/aggregate/sort.
+    df = CATALOG.queries["deterministic_doc_sample"].builder(
+        spark, sf_dir
+    )
+    plan = _formatted(df)
+    for op in ("Join", "HashAggregate", "Sort"):
+        assert op not in plan, f"sample plan contains {op}:\n{plan}"
+
+
+def test_chunking_is_generator_expansion_not_join(spark, sf_dir):
+    df = CATALOG.queries["doc_chunk_tokens"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    assert "Generate" in plan  # explode runs as a generator...
+    assert "Join" not in plan  # ...not as a join against an index table
