@@ -21,8 +21,10 @@ Layout
 - ``sinks``      : partitioned-lake writer, idempotent append,
                    partition upsert, JSON/CSV sinks (``writers``).
 - ``plans``      : the query catalog — ``relational``, ``weatherlike``,
-                   ``temporal``, ``text``, ``similarity``, ``multimodal``
-                   modules, each query paired with a DuckDB-oracle twin.
+                   ``temporal``, ``text``, ``similarity``, ``multimodal``,
+                   ``sampling`` modules, each query paired with a
+                   DuckDB-oracle twin; ``views`` exposes all of them as
+                   ``spark.sql`` temp views.
 - ``streaming``  : file-stream ingest → foreachBatch two-sink topology.
 - ``runner``     : the daily pipeline (prereqs → load → validate →
                    report), replacing the reference's Airflow DAG.

@@ -147,6 +147,30 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def deduplicated_events(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup by event_id, state bounded by watermark.
+
+    The streaming head of the dedup cascade (the batch stages are the
+    similarity catalog's five variants): an at-least-once source
+    (replayed Kinesis shards, re-delivered files) emits duplicates
+    across micro-batches, and ``dropDuplicatesWithinWatermark`` filters
+    them with per-key state that the watermark EVICTS — plain
+    ``dropDuplicates`` on a stream holds every key forever and OOMs at
+    100 TB/day. The key is the natural event id, so the operator is one
+    shuffle per batch on a uniform key; duplicates arriving within the
+    watermark horizon are dropped exactly, later ones are the
+    idempotent sink's job (sinks/writers.idempotent_append), giving
+    dedup-within-horizon + idempotence-at-rest — the standard two-layer
+    exactly-once story.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def sessionized_user_activity(
     events: DataFrame,
     gap: str = "10 minutes",

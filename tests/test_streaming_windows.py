@@ -238,3 +238,44 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
     assert got[(1, "2024-01-01 00:01:00")] == 2  # first session merged
     assert got[(1, "2024-01-01 00:30:00")] == 1  # second session split
     assert len(got) == 3
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    from aws_weather_data_pipeline_spark.streaming.windows import (
+        deduplicated_events,
+    )
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    # Batch 1: events 0,1 plus an in-batch duplicate of 0.
+    _write_jsonl(
+        landing / "a.json",
+        [_event(0, 1), _event(1, 2), _event(0, 1)],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        dedup = deduplicated_events(
+            read_stream_events(spark, str(landing))
+        )
+        q = (
+            dedup.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _e: df.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r["event_id"] for r in spark.read.parquet(out).collect()
+        )
+
+    assert drain() == [0, 1]
+
+    # Batch 2: replays event 1 (cross-batch duplicate — the case plain
+    # batch dropDuplicates inside foreachBatch CANNOT catch) + new 2.
+    _write_jsonl(landing / "b.json", [_event(1, 2), _event(2, 3)])
+    assert drain() == [0, 1, 2]
