@@ -342,6 +342,76 @@ def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@CATALOG.add(
+    "event_gaps_lag",
+    """
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_id) OVER w AS first_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Window offset functions (lag/lead/first_value): per-user "
+    "inter-event gap in exact integer microseconds, the next event's "
+    "type, and the session-opening event. One shuffle on user_id, one "
+    "in-partition sort — identical cost profile to the ranking "
+    "windows; offsets add no extra pass. Ordering ties break on "
+    "event_id so both engines pick identical neighbors.",
+    tags=("window",),
+)
+def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event_id"),
+    )
+
+
+@CATALOG.add(
+    "user_running_totals",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Running-frame aggregates (ROWS UNBOUNDED PRECEDING → CURRENT "
+    "ROW): cumulative event count and value total per user in event "
+    "order. The sum routes through DECIMAL so every prefix total is "
+    "exact — a double running sum would accumulate engine-order "
+    "rounding. Same single-shuffle window shape; Spark evaluates "
+    "running frames incrementally (O(n) per partition, not O(n²)).",
+    tags=("window",),
+)
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(dec("value")).over(w).cast("double").alias("running_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Joins (SURVEY §2.3)
 # --------------------------------------------------------------------------
