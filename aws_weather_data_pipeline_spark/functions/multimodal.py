@@ -103,3 +103,105 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         fake_byte_features, schema=FEATURE_SCHEMA
     )
+
+
+#: Frame-sampling stage output — one row per SAMPLED frame.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("n_frame_bytes", T.IntegerType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sampling stage: every ``stride``-th fixed-size frame.
+
+    The video-pipeline shape: payload → frames → keep a deterministic
+    subset (here every stride-th ``frame_bytes`` window stands in for
+    ffmpeg keyframe extraction — the container has no codecs). Row
+    EXPANSION inside ``mapInPandas``: one input row yields
+    ⌈n_bytes/frame_bytes⌉/stride output rows, which Arrow batches
+    back without a shuffle — the stage stays narrow, and downstream
+    per-frame ops key on (doc_id, frame_idx).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frame_bytes": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx in range(0, -(-len(b) // frame_bytes), stride):
+                    frame = b[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(
+                        hashlib.md5(frame).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, schema=FRAME_SCHEMA
+    )
+
+
+def resize_payload(df: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Resize stage: downsample each payload to ≤ ``target_bytes``.
+
+    Deterministic stand-in for an image resize (no codecs in this
+    container): keep every ⌈n/target⌉-th byte — a real implementation
+    decodes, resizes, re-encodes inside the same ``mapInPandas`` body
+    (see ``decode_media``). The payload column is REPLACED and the
+    metadata struct updated, so downstream stages are oblivious to
+    whether they got originals or thumbnails — the property that makes
+    resize composable with the feature/frame stages.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("orig_bytes", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            rows = {"doc_id": [], "payload": [], "orig_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, -(-len(b) // target_bytes))
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(b[::step])
+                rows["orig_bytes"].append(len(b))
+            yield pd.DataFrame(rows)
+
+    resized = df.select("doc_id", "payload").mapInPandas(
+        gen, schema=out_schema
+    )
+    return resized.withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit("application/x-thumb").alias("content_type"),
+        ),
+    )

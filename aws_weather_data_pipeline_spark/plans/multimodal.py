@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.multimodal import extract_features, with_binary_payload
+from ..functions.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    extract_features,
+    sample_frames,
+    with_binary_payload,
+)
 from ..sources.tables import load_spread
 from .registry import QueryCatalog
 
@@ -83,3 +89,36 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(_docs(spark, sf_dir))
     return extract_features(d)
+
+
+@CATALOG.add(
+    "multimodal_frame_sample",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           c.f AS frame_idx,
+           CAST(length(substring(text, c.f * {FRAME_BYTES} + 1,
+                                 {FRAME_BYTES})) AS INTEGER)
+               AS n_frame_bytes,
+           md5(substring(text, c.f * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+               AS frame_md5
+    FROM t, unnest(range(0, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT),
+                         {FRAME_STRIDE})) AS c(f)
+    """,
+    doc=f"Frame sampling over binary payloads: mapInPandas slices each "
+    f"payload into {FRAME_BYTES}-byte frames and keeps every "
+    f"{FRAME_STRIDE}th (the ffmpeg-keyframe stand-in), emitting "
+    "(doc_id, frame_idx, md5) — row EXPANSION through the Arrow "
+    "boundary with a declared schema, the shape a video pipeline "
+    "needs. Narrow stage: no shuffle; per-frame work keys on "
+    "(doc_id, frame_idx) downstream. Oracle re-derives frames via "
+    "SQL substring (corpus is ASCII so char windows == byte windows) "
+    "and md5s them — the Python stage is fully SQL-checkable.",
+    tags=("multimodal", "udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return sample_frames(d)
