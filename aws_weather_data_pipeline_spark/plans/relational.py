@@ -412,6 +412,54 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@CATALOG.add(
+    "small_quantity_order_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(l_quantity)) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa USING (l_partkey)
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+    """,
+    doc="Correlated scalar-aggregate subquery (TPC-H Q17 shape): "
+    "lineitems under 20% of their part's average quantity. The "
+    "correlation decorrelates into a per-part aggregate joined back — "
+    "the rewrite Catalyst applies to IN/EXISTS subqueries and which "
+    "this plan does explicitly for the aggregate case: two shuffles "
+    "on l_partkey (partial agg map-side), no per-row subquery "
+    "re-execution. Part scales with SF, so no broadcast hint — AQE "
+    "picks the strategy. Threshold arithmetic is the identical "
+    "0.2 × (decimal-sum / count) expression tree on both engines.",
+    tags=("join", "agg", "subquery"),
+)
+def small_quantity_order_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"], t["part"]
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("l_quantity") < F.col("qty_threshold"))
+        )
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Joins (SURVEY §2.3)
 # --------------------------------------------------------------------------

@@ -286,6 +286,87 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Edit-distance near-duplicate pairs (MinHash candidates, capped verify)
+# --------------------------------------------------------------------------
+
+#: Verify on a fixed prefix so per-pair cost is bounded: levenshtein is
+#: O(len²) and unbounded doc length would make one hot pair a straggler
+#: task. 256² cells per pair is constant work.
+EDIT_PREFIX = 256
+EDIT_THRESHOLD = 16
+
+
+@CATALOG.add(
+    "near_dup_pairs_editdist",
+    _shingle_sql(
+        f""",
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM sets),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
+                            substr(db.text, 1, {EDIT_PREFIX}))
+                AS INTEGER) AS edit_distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
+                      substr(db.text, 1, {EDIT_PREFIX}))
+          <= {EDIT_THRESHOLD}"""
+    ),
+    doc="Edit-distance near-duplicate pairs: MinHash-LSH candidate "
+    f"generation (no all-pairs), verified by levenshtein ≤ "
+    f"{EDIT_THRESHOLD} on a fixed {EDIT_PREFIX}-char prefix. The "
+    "prefix cap bounds per-pair verify cost at O(prefix²) regardless "
+    "of document length — without it one pair of long docs becomes a "
+    "straggler task (levenshtein is quadratic). Character-level "
+    "distance catches the intra-token edits shingle/token methods "
+    "blur; the same candidate set feeds all verifiers, so cascading "
+    "metrics costs one extra projection, not a new join.",
+    tags=("similarity", "dedup", "join"),
+)
+def near_dup_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_shingles(_docs(spark, sf_dir))
+    sigs = d.select("doc_id", *minhash_signature_cols())
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)])
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, EDIT_PREFIX).alias("txt_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, EDIT_PREFIX).alias("txt_b"),
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "edit_distance", F.levenshtein("txt_a", "txt_b").cast("int")
+        )
+        .filter(F.col("edit_distance") <= EDIT_THRESHOLD)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash near-duplicate pairs (banded bucket join, pigeonhole-exact)
 # --------------------------------------------------------------------------
 
