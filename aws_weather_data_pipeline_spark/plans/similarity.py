@@ -538,6 +538,107 @@ def near_dup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Near-dup clusters: connected components + keeper assignment
+# --------------------------------------------------------------------------
+
+#: Hard iteration cap for label propagation — rounds needed equal the
+#: largest component's diameter, and dedup components are shallow
+#: (chains of pairwise-similar docs); the cap only guards a pathological
+#: corpus where one near-dup chain threads thousands of docs.
+CC_MAX_ITERS = 20
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS ({{pairs}}),
+e AS (
+    SELECT doc_a AS u, doc_b AS v FROM p
+    UNION
+    SELECT doc_b, doc_a FROM p
+),
+reach(u, v) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_component,
+       u = MIN(v) AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
+@CATALOG.add(
+    "near_dup_clusters",
+    None,  # oracle attached at module bottom (needs the pairs SQL)
+    doc="Dedup-cascade completion: near-dup PAIRS group into connected "
+    "COMPONENTS and each component elects min(doc_id) as keeper — the "
+    "step that turns pairwise similarity into delete decisions "
+    "(A~B, B~C must drop two docs, not arbitrary pair halves). "
+    "Spark side is iterative min-label propagation (the Pregel/GraphX "
+    "pattern in plain DataFrame ops): labels start as doc_id, each "
+    "round takes min over neighbors, stop when a round changes "
+    "nothing. Rounds = component diameter (shallow for dedup graphs); "
+    "state per round is the label frame (O(participating docs), tiny "
+    "vs corpus) with edges persisted once. The DuckDB oracle computes "
+    "the same fixpoint as a recursive-CTE transitive closure — "
+    "a deliberately different algorithm, so agreement checks the "
+    "iteration's convergence, not just its arithmetic. Closure is "
+    "O(component²) and fine for an oracle; the iterative form is the "
+    "one that scales.",
+    tags=("similarity", "dedup", "iterative"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = near_dup_pairs_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()  # materialize edges+labels once before iterating
+    for _ in range(CC_MAX_ITERS):
+        prop = edges.join(
+            labels, edges.dst == labels.doc_id, "inner"
+        ).select(F.col("src").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.select("doc_id", "cluster_id")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_component")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_component",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (cell-bucketed)
 # --------------------------------------------------------------------------
 
@@ -897,3 +998,10 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+# The clusters oracle embeds the near-dup pairs oracle as its edge set —
+# attached post-registration so the two can never drift apart.
+CATALOG.queries["near_dup_clusters"].oracle = _CLUSTERS_SQL.format(
+    pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle
+)
