@@ -413,6 +413,81 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CATALOG.add(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram of events.value (25-unit buckets): the "
+    "data-profiling aggregation behind range validation and skew "
+    "diagnosis. The bucket id is floor(value/25) — one IEEE division "
+    "+ floor, identical in both engines — so binning happens map-side "
+    "and the shuffle carries only ~20 bucket keys. The same shape "
+    "profiles any column at 100 TB: cost is one scan, output is "
+    "O(buckets).",
+    tags=("agg",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("value") / 25.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+    )
+
+
+@CATALOG.add(
+    "order_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_3_months,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    doc="Date arithmetic family (F14/F16 depth): to_date truncation, "
+    "month truncation, interval addition, last-day-of-month, and "
+    "day-difference from a fixed anchor — the derived-date toolkit "
+    "the reference's load_to_postgres date handling implies "
+    "(airflow/src/load_to_postgres.py:198-266). All per-row scalar "
+    "expressions inside codegen; the only cross-engine trap is return "
+    "TYPES (Spark add_months: DATE, DuckDB +INTERVAL: TIMESTAMP), "
+    "pinned by explicit casts on both sides.",
+    tags=("scalar",),
+)
+def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    d = F.to_date("o_orderdate")
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.trunc(d, "month").alias("month_start"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@CATALOG.add(
     "small_quantity_order_revenue",
     """
     WITH pa AS (
