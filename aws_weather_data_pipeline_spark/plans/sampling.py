@@ -131,6 +131,86 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source keep rates (percent of 100): a high-quality bucket, a
+#: mid bucket, and a default — the mixture-weighting pattern.
+MIXTURE_RATES = (
+    ("('src0', 'src1', 'src2', 'src3')", 80),
+    ("('src4', 'src5', 'src6', 'src7')", 40),
+)
+MIXTURE_DEFAULT = 10
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source IN {srcs} THEN {rate}"
+        for srcs, rate in MIXTURE_RATES
+    )
+    return f"CASE {whens} ELSE {MIXTURE_DEFAULT} END"
+
+
+@CATALOG.add(
+    "corpus_mixture_sample",
+    f"""
+    SELECT doc_id, source, rate
+    FROM (
+        SELECT doc_id, source, {_rate_case_sql()} AS rate
+        FROM documents
+    )
+    WHERE {_KEYHASH_SQL} % 100 < rate
+    """,
+    doc="Mixture-weighted corpus sampling: each source bucket keeps a "
+    "different deterministic fraction (80/40/10%) — the reweighting "
+    "step that turns raw source proportions into a training mixture. "
+    "Same hash-Bernoulli core as deterministic_doc_sample, so the "
+    "kept set is stable under re-partitioning and incremental "
+    "rebuilds, and raising a source's rate strictly grows its subset "
+    "(threshold nesting) — reproducible mixture ablations. Pure "
+    "per-row predicate: no shuffle, evaluates in the scan stage.",
+    tags=("sampling", "filter"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rate = F.expr(_rate_case_sql())
+    return (
+        d.select("doc_id", "source", rate.alias("rate"))
+        .filter(F.expr(f"{_KEYHASH_SPARK} % 100") < F.col("rate"))
+    )
+
+
+@CATALOG.add(
+    "doc_stopword_filtered",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_filter(string_split(text, ' '),
+               t -> t NOT IN ('the', 'a')), ' ')) AS norm_hash,
+           len(string_split(text, ' ')) AS n_tokens_before,
+           len(list_filter(string_split(text, ' '),
+               t -> t NOT IN ('the', 'a'))) AS n_tokens_after
+    FROM documents
+    """,
+    doc="Stopword-removal normalization: drop function words, emit the "
+    "md5 of the normalized text plus before/after token counts (the "
+    "hash stands in for writing the normalized column — same bytes, "
+    "driver-comparable size). All in-row array ops inside the scan "
+    "stage: filter a token list, re-join, hash — no shuffle, no UDF. "
+    "The normalize-then-hash shape is also the exact-dedup key "
+    "builder for normalization-invariant dedup (dedup after "
+    "normalization catches dups that differ only in stopwords).",
+    tags=("sampling", "text"),
+)
+def doc_stopword_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    filtered = F.expr(
+        "filter(split(text, ' '), t -> t NOT IN ('the', 'a'))"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(filtered, " ")).alias("norm_hash"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens_before"),
+        F.size(filtered).alias("n_tokens_after"),
+    )
+
+
 @CATALOG.add(
     "doc_chunk_tokens",
     f"""
