@@ -169,10 +169,11 @@ def resize_payload(df: DataFrame, target_bytes: int = 128) -> DataFrame:
     Deterministic stand-in for an image resize (no codecs in this
     container): keep every ⌈n/target⌉-th byte — a real implementation
     decodes, resizes, re-encodes inside the same ``mapInPandas`` body
-    (see ``decode_media``). The payload column is REPLACED and the
-    metadata struct updated, so downstream stages are oblivious to
-    whether they got originals or thumbnails — the property that makes
-    resize composable with the feature/frame stages.
+    (see ``decode_media``). Output is the resized frame's contract
+    columns only — (doc_id, payload, payload_meta, orig_bytes) — so
+    stages that consume exactly the payload+metadata contract (the
+    feature and frame stages) compose on top unchanged; other source
+    columns must be re-joined on doc_id if needed.
     """
     import pandas as pd
 

@@ -127,6 +127,33 @@ def _with_shingles(d: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidates from the LSH band join.
+
+    One generator pass, NOT an N_MINHASH-way union: a union would
+    re-run the whole shingle+signature pipeline once per band (8× the
+    md5 work — measured 40+ s at sf0.1 vs ~4 s this way).
+    posexplode(array(mh0..mh7)) computes each signature once and emits
+    (band, bucket) rows from the same pass. Shared by every verifier
+    (Jaccard, edit-distance, clustering) so candidate-generation fixes
+    apply to all of them at once.
+    """
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)])
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_signature_cols() -> list:
     """mh_j = min over shingle hashes of the 62-bit hi/lo linear mix."""
     return [
@@ -240,31 +267,7 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_shingles(_docs(spark, sf_dir))
     sigs = d.select("doc_id", "shingles", *minhash_signature_cols())
     sets = sigs.select("doc_id", "shingles")
-
-    # One generator pass, NOT an N_MINHASH-way union: a union would
-    # re-run the whole shingle+signature pipeline once per band (8×
-    # the md5 work — measured 40+ s at sf0.1 vs ~4 s this way).
-    # posexplode(array(mh0..mh7)) computes each signature once and
-    # emits (band, bucket) rows from the same pass.
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)])
-        ).alias("band", "bucket"),
-    )
-
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "bucket"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "bucket"
-    )
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _minhash_candidates(sigs)
 
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -332,20 +335,7 @@ EDIT_THRESHOLD = 16
 def near_dup_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_shingles(_docs(spark, sf_dir))
     sigs = d.select("doc_id", *minhash_signature_cols())
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)])
-        ).alias("band", "bucket"),
-    )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _minhash_candidates(sigs)
     docs = _docs(spark, sf_dir)
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
@@ -587,7 +577,14 @@ FROM reach GROUP BY u
     tags=("similarity", "dedup", "iterative"),
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = near_dup_pairs_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Persist the pairs BEFORE the two-orientation union — otherwise
+    # each union branch recomputes the whole MinHash pipeline (the
+    # union-recompute trap documented on near_dup_pairs_minhash).
+    pairs = (
+        near_dup_pairs_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
     edges = (
         pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -605,7 +602,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    labels.count()  # materialize edges+labels once before iterating
+    labels.count()  # materialize pairs+edges+labels before iterating
+    converged = False
     for _ in range(CC_MAX_ITERS):
         prop = edges.join(
             labels, edges.dst == labels.doc_id, "inner"
@@ -626,7 +624,22 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Fail LOUDLY: exiting here would report one component as
+        # several clusters with several keepers — a dedup pass would
+        # silently keep duplicates, and the closure oracle would
+        # mismatch only on long-chain corpora.
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} "
+            "rounds — a near-dup chain is longer than the iteration "
+            "cap; raise CC_MAX_ITERS"
+        )
+    # Release the working caches; the (tiny) final label frame stays
+    # persisted because the returned DataFrame is built on it.
+    pairs.unpersist(False)
+    edges.unpersist(False)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_component")
     )

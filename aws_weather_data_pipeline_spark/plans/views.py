@@ -28,13 +28,21 @@ def register_catalog_views(
     """Register base tables + catalog queries as temp views.
 
     ``names`` restricts which catalog entries to register (default:
-    all). Returns the registered view names.
+    every non-iterative query). Returns the registered view names.
+
+    Queries tagged ``iterative`` (connected components) are EXCLUDED
+    by default: their builders run Spark actions to convergence, which
+    would break this function's registration-is-free contract. Pass
+    them explicitly via ``names`` to opt in.
     """
     register_views(spark, sf_dir)
     catalog = build_catalog()
     registered = []
     for name, q in catalog.queries.items():
-        if names is not None and name not in names:
+        if names is None:
+            if "iterative" in q.tags:
+                continue
+        elif name not in names:
             continue
         q.builder(spark, sf_dir).createOrReplaceTempView(name)
         registered.append(name)

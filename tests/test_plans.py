@@ -100,11 +100,16 @@ def test_near_dup_queries_have_no_cartesian_product(spark, sf_dir):
     # (band bucket / prefix hash / cell id) — a CartesianProduct or
     # BroadcastNestedLoopJoin anywhere means the all-pairs quadratic
     # trap snuck back in.
+    # near_dup_clusters is excluded: its builder executes the
+    # propagation loop (actions) rather than returning a lazy plan —
+    # its join shapes are those of near_dup_pairs_minhash below, and
+    # correctness is covered by the oracle test.
     for name in (
         "near_dup_pairs_minhash",
         "near_dup_pairs_simhash",
         "near_dup_pairs_ngram",
         "near_dup_pairs_embedding",
+        "near_dup_pairs_editdist",
     ):
         df = CATALOG.queries[name].builder(spark, sf_dir)
         plan = _formatted(df)
