@@ -147,6 +147,57 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def attributed_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to prior clicks.
+
+    The hardest Structured Streaming shape the engine claims: BOTH
+    sides are unbounded, so Spark buffers each side's rows in state
+    until the other side can no longer match. Two things bound that
+    state, and both are expressed here: a watermark on each side, and
+    a time-RANGE join condition (purchase within ``horizon`` after the
+    click) that tells the engine exactly when a buffered click is dead.
+    Without the range condition, click state would grow forever.
+    State partitions by the equi-key (user_id), so it scales
+    horizontally like every other keyed operator. The same function
+    runs in batch (watermarks are no-ops) — the batch-equals-stream
+    test pins the join semantics.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + interval {horizon}
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def deduplicated_events(
     events: DataFrame,
     watermark: str = "30 minutes",

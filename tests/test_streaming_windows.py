@@ -279,3 +279,63 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     # batch dropDuplicates inside foreachBatch CANNOT catch) + new 2.
     _write_jsonl(landing / "b.json", [_event(1, 2), _event(2, 3)])
     assert drain() == [0, 1, 2]
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    from aws_weather_data_pipeline_spark.streaming.windows import (
+        attributed_purchases,
+    )
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    # user 1: click@1 → purchases @10 (in horizon) and @45 (outside);
+    # user 2: purchase@5 with no prior click; click@50 → purchase@55.
+    _write_jsonl(
+        landing / "a.json",
+        [
+            _event(0, 1, user=1, etype="click"),
+            _event(1, 10, user=1, etype="purchase", value=9.0),
+            _event(2, 45, user=1, etype="purchase", value=3.0),
+            _event(3, 5, user=2, etype="purchase", value=4.0),
+        ],
+    )
+    _write_jsonl(
+        landing / "b.json",
+        [
+            _event(4, 50, user=2, etype="click"),
+            _event(5, 55, user=2, etype="purchase", value=7.0),
+        ],
+    )
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    stream = attributed_purchases(
+        *split(read_stream_events(spark, str(landing)))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"]): r["purchase_value"]
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+
+    batch = attributed_purchases(
+        *split(spark.read.schema(EVENT_STREAM_SCHEMA).json(str(landing)))
+    )
+    want = {
+        (r["click_id"], r["purchase_id"]): r["purchase_value"]
+        for r in batch.collect()
+    }
+    assert got == want
+    # exactly the in-horizon attributions, across micro-batch boundary
+    assert got == {(0, 1): 9.0, (4, 5): 7.0}
