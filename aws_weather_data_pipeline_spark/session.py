@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Pure MIN/MAX/COUNT aggregations answer from parquet footers
+        # instead of scanning data pages — at 100 TB a validation
+        # count becomes a metadata read. (Bloom-filter runtime join
+        # pruning is already on by default in Spark 4.)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
