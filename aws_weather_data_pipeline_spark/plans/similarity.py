@@ -531,12 +531,6 @@ def near_dup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup clusters: connected components + keeper assignment
 # --------------------------------------------------------------------------
 
-#: Hard iteration cap for label propagation — rounds needed equal the
-#: largest component's diameter, and dedup components are shallow
-#: (chains of pairwise-similar docs); the cap only guards a pathological
-#: corpus where one near-dup chain threads thousands of docs.
-CC_MAX_ITERS = 20
-
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE p AS ({{pairs}}),
 e AS (
@@ -563,11 +557,11 @@ FROM reach GROUP BY u
     "COMPONENTS and each component elects min(doc_id) as keeper — the "
     "step that turns pairwise similarity into delete decisions "
     "(A~B, B~C must drop two docs, not arbitrary pair halves). "
-    "Spark side is iterative min-label propagation (the Pregel/GraphX "
-    "pattern in plain DataFrame ops): labels start as doc_id, each "
-    "round takes min over neighbors, stop when a round changes "
-    "nothing. Rounds = component diameter (shallow for dedup graphs); "
-    "state per round is the label frame (O(participating docs), tiny "
+    "Spark side is operators/graph.connected_components: min-label "
+    "propagation with POINTER JUMPING (label ← label's label each "
+    "round), so rounds are O(log n) instead of O(component diameter) "
+    "— a 10k-doc near-dup chain converges in ~14 shuffles, not 10k. "
+    "State per round is the label frame (O(participating docs), tiny "
     "vs corpus) with edges persisted once. The DuckDB oracle computes "
     "the same fixpoint as a recursive-CTE transitive closure — "
     "a deliberately different algorithm, so agreement checks the "
@@ -577,77 +571,33 @@ FROM reach GROUP BY u
     tags=("similarity", "dedup", "iterative"),
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the pairs BEFORE the two-orientation union — otherwise
-    # each union branch recomputes the whole MinHash pipeline (the
-    # union-recompute trap documented on near_dup_pairs_minhash).
+    from ..operators.graph import connected_components
+
+    # Persist the pairs BEFORE the operator symmetrizes them into both
+    # orientations — otherwise each union branch recomputes the whole
+    # MinHash pipeline (the union-recompute trap documented on
+    # near_dup_pairs_minhash).
     pairs = (
         near_dup_pairs_minhash(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
-    edges = (
-        pairs.select(
+        .select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        .union(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
-    )
-    labels.count()  # materialize pairs+edges+labels before iterating
-    converged = False
-    for _ in range(CC_MAX_ITERS):
-        prop = edges.join(
-            labels, edges.dst == labels.doc_id, "inner"
-        ).select(F.col("src").alias("doc_id"), "cluster_id")
-        new_labels = (
-            labels.select("doc_id", "cluster_id")
-            .union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # Fail LOUDLY: exiting here would report one component as
-        # several clusters with several keepers — a dedup pass would
-        # silently keep duplicates, and the closure oracle would
-        # mismatch only on long-chain corpora.
-        raise RuntimeError(
-            f"connected components did not converge in {CC_MAX_ITERS} "
-            "rounds — a near-dup chain is longer than the iteration "
-            "cap; raise CC_MAX_ITERS"
-        )
-    # Release the working caches; the (tiny) final label frame stays
-    # persisted because the returned DataFrame is built on it.
+    labels = connected_components(pairs)
     pairs.unpersist(False)
-    edges.unpersist(False)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_component")
     )
-    return labels.join(sizes, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "n_component",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    return (
+        labels.withColumnRenamed("node", "doc_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_component",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
     )
 
 
