@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -161,6 +162,29 @@ def sample_frames(
     return df.select("doc_id", "payload").mapInPandas(
         gen, schema=FRAME_SCHEMA
     )
+
+
+def distinct_byte_count_col():
+    """Vectorized scalar ``pandas_udf``: distinct byte values per payload.
+
+    The third Python-boundary shape alongside ``mapInPandas`` (row
+    expansion) and ``applyInPandasWithState`` (keyed state): a scalar
+    column function that Spark calls with Arrow-batched Series — the
+    drop-in slot for per-item model scoring (quality classifiers,
+    perplexity filters) where the computation is a black box but the
+    signature is column-in, column-out. Row-at-a-time ``F.udf`` would
+    pay per-row (de)serialization; the pandas form amortizes it per
+    batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _distinct_bytes(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: len(set(bytes(b))) if b is not None else None
+        ).astype("Int32")
+
+    return _distinct_bytes
 
 
 def resize_payload(df: DataFrame, target_bytes: int = 128) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.multimodal import (
     FRAME_BYTES,
     FRAME_STRIDE,
+    distinct_byte_count_col,
     extract_features,
     sample_frames,
     with_binary_payload,
@@ -122,3 +123,28 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(_docs(spark, sf_dir))
     return sample_frames(d)
+
+
+@CATALOG.add(
+    "multimodal_distinct_bytes",
+    """
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split_regex(text, '')))
+                AS INTEGER) AS n_distinct_bytes
+    FROM documents
+    """,
+    doc="Vectorized scalar pandas_udf over binary payloads: distinct "
+    "byte values per item — the Arrow-batched column-in/column-out "
+    "shape a per-item model scorer (quality classifier, perplexity "
+    "filter) plugs into, demonstrated alongside mapInPandas (row "
+    "expansion) and applyInPandasWithState (keyed state). Narrow "
+    "stage, no shuffle; per-batch Arrow transfer instead of "
+    "row-at-a-time pickling. Oracle re-derives the statistic as "
+    "distinct characters (ASCII corpus: bytes == chars).",
+    tags=("multimodal", "udf"),
+)
+def multimodal_distinct_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id", distinct_byte_count_col()(F.col("payload")).alias("n_distinct_bytes")
+    )
