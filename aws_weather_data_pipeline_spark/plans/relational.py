@@ -413,6 +413,47 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CATALOG.add(
+    "grouping_sets_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping_id: the general form "
+    "rollup/cube specialize (rollup_returnflag_status and "
+    "cube_type_user_bucket cover those), emitting exactly the three "
+    "chosen granularities in ONE pass — Spark plans a single Expand + "
+    "hash aggregate, not one scan per set, so adding a granularity "
+    "costs a row-multiplier, not a rescan of 100 TB. grouping_id "
+    "disambiguates real NULLs from subtotal rows, the standard "
+    "reporting-table contract.",
+    tags=("agg",),
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty"
+        )
+    )
+
+
+@CATALOG.add(
     "value_histogram",
     """
     SELECT CAST(floor(value / 25.0) AS INTEGER) AS bucket,
