@@ -413,6 +413,110 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CATALOG.add(
+    "event_rank_functions",
+    """
+    SELECT user_id, event_id, value,
+           CAST(RANK() OVER wt AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER wt AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER wt AS pct_rank,
+           CUME_DIST() OVER wt AS cume,
+           CAST(NTILE(4) OVER wu AS BIGINT) AS quartile
+    FROM events
+    WINDOW wt AS (PARTITION BY user_id
+                  ORDER BY CAST(floor(value / 100.0) AS BIGINT) DESC),
+           wu AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    doc="The full ranking-function family with correct tie semantics: "
+    "rank/dense_rank/percent_rank/cume_dist rank over a COARSE key "
+    "(floor(value/100) — peers abound, so gap-vs-dense behavior and "
+    "the (rank-1)/(n-1), rows≤current/n rational definitions are "
+    "actually exercised), while ntile uses a UNIQUE ordering because "
+    "tile assignment of peer rows is position-dependent and would be "
+    "nondeterministic under ties. Both windows share one partition "
+    "key, so Spark computes them in a single shuffle + sort pass.",
+    tags=("window",),
+)
+def event_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    wt = W.partitionBy("user_id").orderBy(
+        F.expr("cast(floor(value / 100.0) as bigint)").desc()
+    )
+    wu = W.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.rank().over(wt).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wt).cast("bigint").alias("drnk"),
+        F.percent_rank().over(wt).alias("pct_rank"),
+        F.cume_dist().over(wt).alias("cume"),
+        F.ntile(4).over(wu).cast("bigint").alias("quartile"),
+    )
+
+
+@CATALOG.add(
+    "gap_based_sessions",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM g
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization as a window COMPOSITION: lag marks "
+    "session openers (gap > 10 min in exact integer microseconds), a "
+    "running sum turns the marks into session sequence numbers, and a "
+    "group-by collapses to one row per session — the classic "
+    "formulation that predates F.session_window and still wins when "
+    "the session rule is not a plain timeout (user_session_windows "
+    "covers the built-in). Both window passes and the aggregate "
+    "shuffle on user_id, so the whole plan is ONE exchange.",
+    tags=("window", "agg"),
+)
+def gap_based_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 600_000_000), 1
+    ).otherwise(0)
+    g = ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = g.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_new").over(wrun).cast("bigint").alias("session_seq"),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@CATALOG.add(
     "grouping_sets_pricing",
     """
     SELECT l_returnflag, l_linestatus,
