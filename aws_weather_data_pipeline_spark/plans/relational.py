@@ -930,6 +930,95 @@ def range_validity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CATALOG.add(
+    "user_activity_coverage",
+    """
+    WITH p AS (
+        SELECT user_id, COUNT(*) AS n_purchases
+        FROM events
+        WHERE event_type = 'purchase' AND value > 150
+        GROUP BY user_id
+    ),
+    e AS (
+        SELECT user_id, COUNT(*) AS n_errors
+        FROM events
+        WHERE event_type = 'error' AND value > 150
+        GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           p.n_purchases, e.n_errors,
+           CASE WHEN p.user_id IS NULL THEN 'error_only'
+                WHEN e.user_id IS NULL THEN 'purchase_only'
+                ELSE 'both' END AS coverage
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+    doc="FULL OUTER join of two sparse aggregates (high-value "
+    "purchases vs high-value errors per user, value > 150 ≈ the p85) — the join surface's "
+    "null-producing member, with COALESCE key recovery and "
+    "CASE-on-null coverage tagging (the null-semantics family in its "
+    "natural habitat). The rarity filter guarantees genuinely "
+    "unmatched rows on BOTH sides. Full outer cannot broadcast "
+    "(either side may survive alone), so the plan is a shuffle join "
+    "on user_id — correct at any scale.",
+    tags=("join", "agg"),
+)
+def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    p = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        ev.filter(
+            (F.col("event_type") == "error") & (F.col("value") > 150)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    pa, ea = p.alias("p"), e.alias("e")
+    joined = pa.join(
+        ea, F.col("p.user_id") == F.col("e.user_id"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("p.user_id"), F.col("e.user_id")).alias(
+            "user_id"
+        ),
+        "n_purchases",
+        "n_errors",
+        F.when(F.col("p.user_id").isNull(), "error_only")
+        .when(F.col("e.user_id").isNull(), "purchase_only")
+        .otherwise("both")
+        .alias("coverage"),
+    )
+
+
+@CATALOG.add(
+    "union_distinct_active_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="UNION with DISTINCT semantics (vs union_segments' UNION ALL): "
+    "Spark expresses it as union + distinct — one hash-aggregate on "
+    "the output columns after the concatenation; with intersect and "
+    "except this completes the set-operation family. Partial "
+    "aggregation dedups map-side, so the shuffle carries unique ids "
+    "per partition, not raw rows.",
+    tags=("setop",),
+)
+def union_distinct_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    return p.union(e).distinct()
+
+
+@CATALOG.add(
     "union_segments",
     """
     SELECT o_orderkey, o_totalprice, 'urgent' AS segment
