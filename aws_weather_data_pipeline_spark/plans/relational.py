@@ -930,6 +930,69 @@ def range_validity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CATALOG.add(
+    "lineitem_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey <= 200
+    ) UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+    """,
+    doc="Unpivot (wide→long reshape), the inverse of "
+    "pivot_status_qty: three measure columns melt into (metric, val) "
+    "rows keyed by the line id — the shape that feeds generic "
+    "per-metric pipelines (validation rules, histograms, drift "
+    "checks) without one branch per column. Spark plans unpivot as "
+    "Expand — a per-row generator, no shuffle, ×3 rows in the scan "
+    "stage; at 100 TB melting costs row volume, never a join.",
+    tags=("setop",),
+)
+def lineitem_unpivot_measures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_orderkey") <= 200).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@CATALOG.add(
+    "fixed_size_doc_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 25
+    """,
+    doc="Exact-size deterministic sample: order by a content-keyed "
+    "hash and take k — the distributed replacement for reservoir "
+    "sampling when the sample must be EXACTLY k rows (the rate-based "
+    "Bernoulli form has binomial size jitter). Spark executes it as "
+    "TakeOrderedAndProject: per-partition top-k heaps merged at the "
+    "driver, O(k) memory, no global sort — the same plan shape as "
+    "top10_orders_by_price, pointed at a hash instead of a metric. "
+    "Stable under re-partitioning; ties impossible (hash of unique "
+    "key, plus doc_id tie-break).",
+    tags=("sampling", "sort"),
+)
+def fixed_size_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(25)
+        .select("doc_id", "lang")
+    )
+
+
+@CATALOG.add(
     "user_activity_coverage",
     """
     WITH p AS (
