@@ -75,8 +75,6 @@ def fake_byte_features(pdf_iter: Iterator) -> Iterator:
     vectorized-ish (the loop is per payload, as a real decoder's would
     be — decoding is inherently per-item; batching amortizes transfer).
     """
-    import pandas as pd
-
     for pdf in pdf_iter:
         out = {
             "doc_id": pdf["doc_id"],
@@ -136,8 +134,6 @@ def sample_frames(
     per-frame ops key on (doc_id, frame_idx).
     """
     import hashlib
-
-    import pandas as pd
 
     def gen(pdf_iter: Iterator) -> Iterator:
         for pdf in pdf_iter:
@@ -199,8 +195,6 @@ def resize_payload(df: DataFrame, target_bytes: int = 128) -> DataFrame:
     feature and frame stages) compose on top unchanged; other source
     columns must be re-joined on doc_id if needed.
     """
-    import pandas as pd
-
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),

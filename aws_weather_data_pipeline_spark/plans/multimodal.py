@@ -129,8 +129,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_distinct_bytes",
     """
     SELECT doc_id,
-           CAST(len(list_distinct(string_split_regex(text, '')))
-                AS INTEGER) AS n_distinct_bytes
+           -- empty-string guard: string_split_regex('', '') is ['']
+           -- (1 element) in DuckDB, but an empty payload has 0
+           -- distinct bytes — align with the UDF's len(set(b'')).
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE len(list_distinct(string_split_regex(text, '')))
+                END AS INTEGER) AS n_distinct_bytes
     FROM documents
     """,
     doc="Vectorized scalar pandas_udf over binary payloads: distinct "

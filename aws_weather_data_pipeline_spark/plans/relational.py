@@ -936,7 +936,8 @@ def range_validity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
         FROM lineitem WHERE l_orderkey <= 200
-    ) UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+    ) UNPIVOT INCLUDE NULLS (val FOR metric IN
+                             (l_quantity, l_discount, l_tax))
     """,
     doc="Unpivot (wide→long reshape), the inverse of "
     "pivot_status_qty: three measure columns melt into (metric, val) "

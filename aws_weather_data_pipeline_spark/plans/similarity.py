@@ -584,6 +584,11 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Materialize BEFORE the operator's first action: its symmetrizing
+    # union runs both branches in one stage, and concurrent tasks race
+    # on an unfilled cache — each branch would recompute the MinHash
+    # pipeline for the partitions it loses.
+    pairs.count()
     labels = connected_components(pairs)
     pairs.unpersist(False)
     sizes = labels.groupBy("cluster_id").agg(
