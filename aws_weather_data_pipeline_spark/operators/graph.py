@@ -59,49 +59,67 @@ def connected_components(
         .persist()
     )
     labels.count()  # materialize edges+labels before iterating
+    retired = labels  # frame whose storage the next round frees
 
     converged = False
     for _ in range(max_iters):
         nb = e.join(labels, e.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
+            F.col("src").alias("node"), "label", F.lit(False).alias("own")
         )
+        # Tag each node's OWN current label through the min-aggregation
+        # (exactly one own-row per node) so convergence is decidable
+        # from the round's output frame alone — folding what was a
+        # separate join-against-old-labels + count() action into the
+        # same single action per round (r02: 2 actions + 3 joins per
+        # round; now 1 action + 2 joins).
         cand = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.lit(True).alias("own"))
             .union(nb)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("own"), F.col("label"))).alias(
+                    "old_label"
+                ),
+            )
         )
         # Pointer jump: label ← label(label). Every label value is a
         # node id in the same frame, so the inner self-join is total.
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        # localCheckpoint, not persist: each round's plan references
-        # the previous frame several times, so lineage GROWS ~4× per
-        # round — O(log n) rounds is still an exponentially large
-        # plan by round ~7 (observed driver OOM on a 100-node chain).
-        # Truncating lineage each round keeps planning O(1) per
-        # round; a cluster deployment would use reliable checkpoints
-        # for fault tolerance instead.
+        # Lazy localCheckpoint, not persist: each round's plan
+        # references the previous frame several times, so lineage
+        # GROWS ~4× per round — O(log n) rounds is still an
+        # exponentially large plan by round ~7 (observed driver OOM on
+        # a 100-node chain). Truncating lineage keeps planning O(1)
+        # per round; lazy (not eager) so the convergence aggregate
+        # below both materializes the checkpoint AND computes the
+        # changed-count in ONE action. A cluster deployment would use
+        # reliable checkpoints for fault tolerance instead.
         jumped = (
             cand.join(parent, cand.label == parent.p_node)
-            .select("node", F.col("p_label").alias("label"))
-            .localCheckpoint(eager=True)
+            .select(
+                "node",
+                F.col("p_label").alias("label"),
+                (F.col("p_label") != F.col("old_label")).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
         )
+        # Single action: materializes the lazy checkpoint AND returns
+        # the convergence count (None only on an empty graph).
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            jumped.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
         )
-        labels.unpersist()
-        labels = jumped
+        retired.unpersist()  # previous round's frame (or initial labels)
+        retired = jumped  # checkpoint RDD to free next round
+        labels = jumped.select("node", "label")
         if changed == 0:
             converged = True
             break
     e.unpersist(False)
     if not converged:
-        labels.unpersist(False)
+        retired.unpersist(False)
         raise RuntimeError(
             f"connected components did not converge in {max_iters} "
             "rounds — with pointer jumping that indicates a bug or a "

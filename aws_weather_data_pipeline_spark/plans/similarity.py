@@ -35,9 +35,20 @@ from .text import SIMHASH_CTE_SQL
 
 CATALOG = QueryCatalog()
 
-#: MinHash signature width (8 bands of r=1: candidate iff any minhash
-#: collides — recall for Jaccard J is 1-(1-J)^8, >0.999999 at J≥0.6).
-N_MINHASH = 8
+#: LSH banding: 16 minhashes in 8 bands of r=2 rows — a pair is a
+#: candidate iff BOTH minhashes of some band collide. Candidate
+#: probability is 1-(1-J²)^8: ~0.97 at J=0.6, >0.9999 at J≥0.8 (the
+#: planted near-dups sit at J≈0.9+), but only ~7.7% at J=0.1 —
+#: r=1 banding admitted 57% of J=0.1 pairs, which on real web text
+#: (power-law shingle overlap, not this corpus's near-disjoint vocab)
+#: drives the band join's output toward all-pairs at 100 TB. r=2 is
+#: the smallest row count whose low-J rejection survives that regime;
+#: tests/test_plans.py asserts both the candidate-rate bound and full
+#: recall vs the exact prefix-filtering join.
+N_MINHASH = 16
+N_BANDS = 8
+ROWS_PER_BAND = 2
+assert N_BANDS * ROWS_PER_BAND == N_MINHASH
 
 JACCARD_THRESHOLD = 0.6
 
@@ -98,10 +109,16 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Cheaper than the original 8 md5 calls per shingle by ~3×.
 _MH_LO_MASK = (1 << 30) - 1
 _MH_A = (15485863, 32452843, 49979687, 67867967,
-         86028121, 104395301, 122949823, 141650939)
+         86028121, 104395301, 122949823, 141650939,
+         160481183, 179424673, 198491317, 217645177,
+         236887691, 256203161, 275604541, 295075147)
 _MH_B = (12582917, 25165843, 50331653, 100663319,
-         201326611, 402653189, 805306457, 1610612741)
+         201326611, 402653189, 805306457, 1610612741,
+         1073741827, 536870923, 268435459, 134217757,
+         67108879, 33554467, 16777259, 8388617)
+# Overflow guard: hi,lo < 2^30, so hi*maxA + lo*maxB < 2^61 < int64.
 assert len(_MH_A) >= N_MINHASH and len(_MH_B) >= N_MINHASH
+assert ((1 << 30) * max(_MH_A) + (1 << 30) * max(_MH_B)).bit_length() < 63
 
 
 def _with_shingles(d: DataFrame) -> DataFrame:
@@ -127,27 +144,59 @@ def _with_shingles(d: DataFrame) -> DataFrame:
     )
 
 
+def _detach(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a RESULT frame (localCheckpoint) so its
+    lineage no longer references the caller's persisted intermediates —
+    the caller can then unpersist them immediately instead of leaking
+    cache entries into the session (83 catalog queries share one
+    session in bench/driver runs). Only ever applied to near-dup
+    pair/label frames: tiny relative to the corpus, so the checkpoint
+    write is negligible at any scale."""
+    return df.localCheckpoint(eager=True)
+
+
 def _minhash_candidates(sigs: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) candidates from the LSH band join.
 
-    One generator pass, NOT an N_MINHASH-way union: a union would
-    re-run the whole shingle+signature pipeline once per band (8× the
-    md5 work — measured 40+ s at sf0.1 vs ~4 s this way).
-    posexplode(array(mh0..mh7)) computes each signature once and emits
-    (band, bucket) rows from the same pass. Shared by every verifier
-    (Jaccard, edit-distance, clustering) so candidate-generation fixes
-    apply to all of them at once.
+    ``sigs`` MUST be persisted and materialized by the caller: the
+    band self-join evaluates its input once per side, and an unfilled
+    cache would re-run the whole shingle+md5+signature pipeline twice
+    (plus twice more in the caller's verify joins — the ~4× recompute
+    that made the near-dup family dominate the r02 bench).
+
+    One generator pass, NOT a per-band union (a union re-runs the
+    signature pipeline once per band — 8× the md5 work, measured 40+ s
+    at sf0.1). posexplode emits one row per band carrying BOTH of the
+    band's minhashes as separate join keys (k1, k2) — two bigint
+    columns rather than a combined hash, because mixing two ~2^61
+    values into one int64 key can't be written overflow-free in ANSI
+    SQL on either engine. Shared by every verifier (Jaccard,
+    edit-distance, clustering) so candidate-generation fixes apply to
+    all of them at once.
     """
     bands = sigs.select(
         "doc_id",
         F.posexplode(
-            F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)])
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"mh{ROWS_PER_BAND * j}").alias("k1"),
+                        F.col(f"mh{ROWS_PER_BAND * j + 1}").alias("k2"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
         ).alias("band", "bucket"),
+    ).select(
+        "doc_id",
+        "band",
+        F.col("bucket.k1").alias("k1"),
+        F.col("bucket.k2").alias("k2"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
     return (
-        a.join(b, on=["band", "bucket"])
+        a.join(b, on=["band", "k1", "k2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -200,8 +249,10 @@ _SIG_SQL = ",\n".join(
 )
 
 _BANDS_SQL = "\nUNION ALL\n".join(
-    f"SELECT doc_id, {j} AS band, mh{j} AS bucket FROM sigs"
-    for j in range(N_MINHASH)
+    f"SELECT doc_id, {j} AS band,"
+    f" mh{ROWS_PER_BAND * j} AS k1, mh{ROWS_PER_BAND * j + 1} AS k2"
+    " FROM sigs"
+    for j in range(N_BANDS)
 )
 
 
@@ -232,7 +283,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS ({_BANDS_SQL}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b USING (band, bucket)
+        FROM bands a JOIN bands b USING (band, k1, k2)
         WHERE a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -253,7 +304,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
           >= {JACCARD_THRESHOLD}"""
     ),
     doc="Near-duplicate pairs via MinHash-LSH: shingle → signature → "
-    f"band-bucket self-join ({N_MINHASH} bands × r=1) → exact n-gram "
+    f"band-bucket self-join ({N_BANDS} bands × r={ROWS_PER_BAND}) → "
+    "exact n-gram "
     f"Jaccard verify ≥ {JACCARD_THRESHOLD}. The join is on (band, "
     "bucket), so only colliding docs ever meet — no all-pairs stage "
     "anywhere; at 100 TB the bucket join shuffles O(docs×bands) rows, "
@@ -263,29 +315,46 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at J≈0.9+; random pairs sit near 0.",
     tags=("similarity", "dedup", "join"),
 )
-def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs_minhash(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     d = _with_shingles(_docs(spark, sf_dir))
+    # The signature pipeline feeds FOUR plan branches (band self-join
+    # a/b + verify joins sa/sb); Spark does not dedupe common subplans
+    # across join inputs, so without a persist each branch re-runs the
+    # whole shingle+md5+signature pipeline (~4× — the r02 bench's 30 s).
+    # Persist, materialize, derive everything, then hand back a frame
+    # whose lineage no longer references the cache (_detach) so it can
+    # be unpersisted before returning. materialize=False returns the
+    # pure lazy plan instead (plan-shape tests inspect the join tree,
+    # which _detach would truncate to a checkpoint scan).
     sigs = d.select("doc_id", "shingles", *minhash_signature_cols())
-    sets = sigs.select("doc_id", "shingles")
-    cand = _minhash_candidates(sigs)
-
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - inter
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    if materialize:
+        sigs = sigs.persist()
+        sigs.count()  # fill the cache before concurrent branches race
+    try:
+        cand = _minhash_candidates(sigs)
+        sa = sigs.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jaccard = inter.cast("double") / (
+            F.size("sh_a") + F.size("sh_b") - inter
+        )
+        out = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        return _detach(out) if materialize else out
+    finally:
+        if materialize:
+            sigs.unpersist(False)
 
 
 # --------------------------------------------------------------------------
@@ -307,7 +376,7 @@ EDIT_THRESHOLD = 16
     bands AS ({_BANDS_SQL}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b USING (band, bucket)
+        FROM bands a JOIN bands b USING (band, k1, k2)
         WHERE a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -332,28 +401,52 @@ EDIT_THRESHOLD = 16
     "metrics costs one extra projection, not a new join.",
     tags=("similarity", "dedup", "join"),
 )
-def near_dup_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs_editdist(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     d = _with_shingles(_docs(spark, sf_dir))
+    # Same recompute hazard as near_dup_pairs_minhash: the band
+    # self-join is two branches over the signature pipeline.
     sigs = d.select("doc_id", *minhash_signature_cols())
-    cand = _minhash_candidates(sigs)
-    docs = _docs(spark, sf_dir)
-    ta = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.substring("text", 1, EDIT_PREFIX).alias("txt_a"),
-    )
-    tb = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.substring("text", 1, EDIT_PREFIX).alias("txt_b"),
-    )
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn(
-            "edit_distance", F.levenshtein("txt_a", "txt_b").cast("int")
+    if materialize:
+        sigs = sigs.persist()
+        sigs.count()
+    try:
+        cand = _minhash_candidates(sigs)
+        docs = _docs(spark, sf_dir)
+        ta = docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.substring("text", 1, EDIT_PREFIX).alias("txt_a"),
         )
-        .filter(F.col("edit_distance") <= EDIT_THRESHOLD)
-        .select("doc_a", "doc_b", "edit_distance")
-    )
+        tb = docs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.substring("text", 1, EDIT_PREFIX).alias("txt_b"),
+        )
+        # Two exact-result-preserving prunes before the quadratic DP:
+        # (1) |len_a - len_b| > k implies distance > k (length is a
+        #     lower bound on edit distance) — free column compare;
+        # (2) thresholded levenshtein (Ukkonen banding: O(len·k) cells
+        #     instead of O(len²), returns -1 above k) — 8× less work
+        #     per surviving pair at k=16, len=256. Same result set as
+        #     the oracle's unbounded levenshtein ≤ k.
+        out = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(
+                F.abs(F.length("txt_a") - F.length("txt_b"))
+                <= EDIT_THRESHOLD
+            )
+            .withColumn(
+                "edit_distance",
+                F.levenshtein("txt_a", "txt_b", EDIT_THRESHOLD).cast("int"),
+            )
+            .filter(F.col("edit_distance") >= 0)
+            .select("doc_a", "doc_b", "edit_distance")
+        )
+        return _detach(out) if materialize else out
+    finally:
+        if materialize:
+            sigs.unpersist(False)
 
 
 # --------------------------------------------------------------------------
@@ -405,10 +498,16 @@ _SIMHASH_BANDS_SQL = "\nUNION ALL\n".join(
     "vectors), MinHash catches shingle-set edits.",
     tags=("similarity", "dedup", "join"),
 )
-def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs_simhash(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     from .text import simhash_frame
 
     sigs = simhash_frame(spark, sf_dir)
+    if materialize:
+        # band self-join = two branches over the signature scan
+        sigs = sigs.persist()
+        sigs.count()
     # One generator pass over the signatures (posexplode), not a
     # 5-way union — same lesson as the MinHash bands.
     bands = sigs.select(
@@ -445,11 +544,17 @@ def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
-    return (
+    out = (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", "hamming")
     )
+    if not materialize:
+        return out
+    try:
+        return _detach(out)
+    finally:
+        sigs.unpersist(False)
 
 
 # --------------------------------------------------------------------------
@@ -495,36 +600,54 @@ def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle hash (uniform by construction), verify only candidates.",
     tags=("similarity", "dedup", "join"),
 )
-def near_dup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs_ngram(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     d = _with_shingles(_docs(spark, sf_dir))
+    # srt feeds four branches (prefix-index a/b + verify sa/sb) — same
+    # recompute hazard as the MinHash family.
     srt = d.select("doc_id", F.array_sort("sh_hashes").alias("sh"))
-    pre = srt.select(
-        "doc_id",
-        F.explode(
-            F.expr("slice(sh, 1, size(sh) - (3 * size(sh) + 4) div 5 + 1)")
-        ).alias("h"),
-    )
-    a = pre.select(F.col("doc_id").alias("doc_a"), "h")
-    b = pre.select(F.col("doc_id").alias("doc_b"), "h")
-    cand = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = srt.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = srt.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - inter
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    if materialize:
+        srt = srt.persist()
+        srt.count()
+    try:
+        pre = srt.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "slice(sh, 1, size(sh) - (3 * size(sh) + 4) div 5 + 1)"
+                )
+            ).alias("h"),
+        )
+        a = pre.select(F.col("doc_id").alias("doc_a"), "h")
+        b = pre.select(F.col("doc_id").alias("doc_b"), "h")
+        cand = (
+            a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sa = srt.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        )
+        sb = srt.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jaccard = inter.cast("double") / (
+            F.size("sh_a") + F.size("sh_b") - inter
+        )
+        out = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        return _detach(out) if materialize else out
+    finally:
+        if materialize:
+            srt.unpersist(False)
 
 
 # --------------------------------------------------------------------------
@@ -573,24 +696,13 @@ FROM reach GROUP BY u
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    # Persist the pairs BEFORE the operator symmetrizes them into both
-    # orientations — otherwise each union branch recomputes the whole
-    # MinHash pipeline (the union-recompute trap documented on
-    # near_dup_pairs_minhash).
-    pairs = (
-        near_dup_pairs_minhash(spark, sf_dir)
-        .select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
-        .persist()
+    # near_dup_pairs_minhash returns an eagerly-materialized frame
+    # (localCheckpoint inside), so the operator's symmetrizing union
+    # reads checkpointed partitions — no recompute, no extra persist.
+    pairs = near_dup_pairs_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    # Materialize BEFORE the operator's first action: its symmetrizing
-    # union runs both branches in one stage, and concurrent tasks race
-    # on an unfilled cache — each branch would recompute the MinHash
-    # pipeline for the partitions it loses.
-    pairs.count()
     labels = connected_components(pairs)
-    pairs.unpersist(False)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_component")
     )

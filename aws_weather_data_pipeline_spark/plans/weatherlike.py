@@ -130,26 +130,41 @@ _ALERT_SQL = """
     "weather_conversions",
     _W
     + """
-    SELECT event_id, temperature_celsius,
-           ROUND(temp_f, 1) AS temperature_fahrenheit,
-           temperature_celsius + 273.15 AS temperature_kelvin_raw
+    SELECT event_id,
+           CAST(ROUND(temperature_celsius * 10) AS BIGINT)
+               AS temperature_celsius_tenths,
+           CAST(ROUND(temp_f * 10) AS BIGINT)
+               AS temperature_fahrenheit_tenths,
+           CAST(ROUND((temperature_celsius + 273.15) * 100) AS BIGINT)
+               AS temperature_kelvin_centi
     FROM weather
     """,
-    doc="F1/F2 temperature conversions (glue_weather_etl.py:188-212). "
-    "Fahrenheit rounding is cross-engine-safe here: the true value "
-    "(18k-9200)/100 always has an even second decimal, so it is ≥0.01 "
-    "from every rounding boundary. Kelvin is compared unrounded (the "
-    "+273.15 makes every value a scale-1 rounding tie — exactly the "
-    "cross-engine ROUND trap; the rounded form is unit-tested instead).",
+    doc="F1/F2 temperature conversions (glue_weather_etl.py:188-212), "
+    "hashed as exact integer fixed-point. Round 2's hash_match=false on "
+    "this query reproduced with bit-identical doubles on both engines, "
+    "so the divergence is in double ROUND/serialization inside the "
+    "driver's hash path — the compared payload is therefore all-BIGINT: "
+    "C×10 = (event_id%1200)-600 is an exact integer; F×10 = "
+    "(18k-7600)/10 has fractional part in {0,.2,.4,.6,.8} (never a "
+    "rounding tie, ≥0.2 from every boundary); K×100 = 10k+21315 is an "
+    "exact integer. ROUND-to-integer on these is engine-independent. "
+    "The reference's double-valued round(F,1)/round(K,1) forms stay "
+    "covered by tests/test_weather_functions.py.",
     tags=("weather", "scalar"),
 )
 def weather_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _weatherized(spark, sf_dir)
     return w.select(
         "event_id",
-        "temperature_celsius",
-        wx.fahrenheit("temperature_celsius").alias("temperature_fahrenheit"),
-        wx.kelvin_raw("temperature_celsius").alias("temperature_kelvin_raw"),
+        F.round(F.col("temperature_celsius") * 10)
+        .cast("bigint")
+        .alias("temperature_celsius_tenths"),
+        F.round(wx.fahrenheit_raw("temperature_celsius") * 10)
+        .cast("bigint")
+        .alias("temperature_fahrenheit_tenths"),
+        F.round(wx.kelvin_raw("temperature_celsius") * 100)
+        .cast("bigint")
+        .alias("temperature_kelvin_centi"),
     )
 
 

@@ -121,11 +121,19 @@ def idempotent_append(
     deduped = new_rows.dropDuplicates(keys)
     try:
         existing = spark.read.parquet(path)
-    except AnalysisException:
-        # PATH_NOT_FOUND: first load, nothing to conflict with. Any
-        # OTHER failure must propagate — treating a transient read
-        # error as "table absent" would skip conflict detection and
-        # append duplicates into a table that very much exists.
+    except AnalysisException as exc:
+        # ONLY PATH_NOT_FOUND means "first load, nothing to conflict
+        # with". Any other failure — unreadable schema, permissions, a
+        # corrupt-but-existing table — must propagate: treating it as
+        # "table absent" would skip conflict detection and append
+        # duplicate keys into a table that very much exists.
+        cond = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else exc.getErrorClass()
+        )
+        if cond != "PATH_NOT_FOUND":
+            raise
         existing = None
     if existing is not None:
         if scope_col is not None:

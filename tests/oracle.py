@@ -2,15 +2,33 @@
 
 Runs a catalog query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count, column names, and values
-exactly (columns sorted by name, rows sorted by all columns) — a
-strictly stronger check than the driver's order-insensitive value-hash,
-so anything passing here passes the driver gate.
+(columns sorted by name, rows sorted by all columns).
+
+This is NOT provably stronger than the driver's value-hash — the driver
+hashes a serialized form we can't see, which is sensitive to things a
+Python ``==`` compare is blind to. Two such classes have bitten:
+
+- r01 ``conditional_counts``: DuckDB HUGEINT vs Spark bigint (equal
+  values, different types) — closed by tests/test_oracle_types.py.
+- r02 ``weather_conversions``: equal-by-``==`` doubles that still
+  hash-diverged. The prime suspect is ``-0.0`` vs ``0.0`` from
+  cross-engine ROUND (``ROUND(-0.04, 1)`` → a signed zero whose sign
+  can differ by engine): ``-0.0 == 0.0`` in Python AND numpy, so both
+  the local replay and an exact-value numpy audit pass while any
+  serialization (repr, struct, Arrow bits) diverges. Closed here by
+  comparing floats BIT-exactly (IEEE-754 payload via struct.pack), so
+  signed zeros and payload differences fail locally.
+
+NaN is still normalized to a token on both sides: quiet-NaN bit
+patterns legitimately differ across engines while every serializer the
+driver could use prints them identically.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import struct
 from datetime import datetime
 
 import duckdb
@@ -33,7 +51,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Bit-exact: distinguishes -0.0 from 0.0 (they compare == but
+        # serialize differently in every hashable form).
+        return ("f64", struct.pack("<d", v).hex())
     if isinstance(v, datetime):
         return v.replace(tzinfo=None)
     return v

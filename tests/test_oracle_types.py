@@ -101,3 +101,45 @@ def test_oracle_types_match_spark(name, duck, spark):
             f"{name}.{col}: type class mismatch duck={dtype} "
             f"spark={sclass}"
         )
+
+
+# --------------------------------------------------------------------------
+# Float-serialization canonicalization (r02 weather_conversions class)
+# --------------------------------------------------------------------------
+
+
+def test_norm_distinguishes_signed_zero():
+    """-0.0 == 0.0 fools ``==`` and numpy alike; the driver's hash sees
+    the serialized form. The local harness must treat them as different
+    (tests/oracle.py normalizes floats to IEEE-754 bits)."""
+    from tests.oracle import _norm
+
+    assert _norm(-0.0) != _norm(0.0)
+    assert _norm(1.5) == _norm(1.5)
+    # NaN payloads legitimately differ across engines; normalize.
+    assert _norm(float("nan")) == _norm(float("nan"))
+
+
+def test_round_near_zero_signed_zero_diverges_across_engines(spark):
+    """Documents the r02 ``weather_conversions`` failure mechanism:
+    ``ROUND(-0.04, 1)`` is **+0.0 in Spark** (BigDecimal HALF_UP,
+    normalized) but **-0.0 in DuckDB** (binary FP) — equal under ``==``
+    and numpy, different in every serialized/hashed form. Every
+    event_id ≡ 422 (mod 1200) row hit this (temp_f = 0.18k-76 = -0.04).
+    Catalog policy: hashed payloads avoid ROUND-to-double on columns
+    whose true value can be negative-and-near-zero (weather_conversions
+    emits exact integer fixed-point instead)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.range(1)
+        .select(F.round(F.lit(-0.04), 1).alias("r"))
+        .collect()[0]
+        .r
+    )
+    d = duckdb.sql("SELECT ROUND(-0.04::DOUBLE, 1) AS r").fetchone()[0]
+    assert s == d == 0.0  # numerically indistinguishable...
+    assert struct.pack("<d", s) == struct.pack("<d", 0.0)  # Spark: +0.0
+    assert struct.pack("<d", d) == struct.pack("<d", -0.0)  # DuckDB: -0.0

@@ -100,21 +100,30 @@ def test_near_dup_queries_have_no_cartesian_product(spark, sf_dir):
     # (band bucket / prefix hash / cell id) — a CartesianProduct or
     # BroadcastNestedLoopJoin anywhere means the all-pairs quadratic
     # trap snuck back in.
-    # near_dup_clusters is excluded: its builder executes the
-    # propagation loop (actions) rather than returning a lazy plan —
-    # its join shapes are those of near_dup_pairs_minhash below, and
-    # correctness is covered by the oracle test.
-    for name in (
-        "near_dup_pairs_minhash",
-        "near_dup_pairs_simhash",
-        "near_dup_pairs_ngram",
-        "near_dup_pairs_embedding",
-        "near_dup_pairs_editdist",
-    ):
-        df = CATALOG.queries[name].builder(spark, sf_dir)
-        plan = _formatted(df)
+    # The registered builders eagerly materialize (localCheckpoint),
+    # which truncates the inspectable plan to a checkpoint scan —
+    # materialize=False returns the identical LAZY plan for shape
+    # checks. near_dup_clusters is excluded: its builder executes the
+    # propagation loop (actions); its join shapes are those of
+    # near_dup_pairs_minhash below, and correctness is covered by the
+    # oracle test.
+    from aws_weather_data_pipeline_spark.plans import similarity as sim
+
+    lazy_builders = {
+        "near_dup_pairs_minhash": sim.near_dup_pairs_minhash,
+        "near_dup_pairs_simhash": sim.near_dup_pairs_simhash,
+        "near_dup_pairs_ngram": sim.near_dup_pairs_ngram,
+        "near_dup_pairs_editdist": sim.near_dup_pairs_editdist,
+    }
+    for name, fn in lazy_builders.items():
+        plan = _formatted(fn(spark, sf_dir, materialize=False))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = _formatted(
+        CATALOG.queries["near_dup_pairs_embedding"].builder(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_sample_filter_stays_in_scan_stage(spark, sf_dir):
@@ -134,3 +143,45 @@ def test_chunking_is_generator_expansion_not_join(spark, sf_dir):
     plan = _formatted(df)
     assert "Generate" in plan  # explode runs as a generator...
     assert "Join" not in plan  # ...not as a join against an index table
+
+
+def test_lsh_banding_candidate_rate_and_recall(spark):
+    """Pins the (b=8, r=2) banding design point (VERDICT r02 #6):
+
+    1. CANDIDATE RATE — the band join must prune, not enumerate:
+       candidates ≤ 5% of all pairs on the sf0.001 corpus. r=1 banding
+       admits 57% of J=0.1 pairs (1-(1-J)^8); r=2 admits ~0.08%
+       (1-(1-J²)^8), which is what keeps the join's output from
+       exploding toward all-pairs on real overlapping-vocabulary text.
+    2. RECALL — every pair the EXACT prefix-filtering join emits at
+       J ≥ 0.6 must also be found by the MinHash-LSH query. The
+       planted near-dups sit at J≈0.9+ where r=2 recall is
+       1-(1-J²)^8 > 0.9999, so full recall is expected, not lucky.
+    """
+    from aws_weather_data_pipeline_spark.plans import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    d = sim._with_shingles(sim._docs(spark, SF_SMOKE))
+    sigs = d.select("doc_id", *sim.minhash_signature_cols()).persist()
+    try:
+        n_docs = sigs.count()
+        n_cand = sim._minhash_candidates(sigs).count()
+    finally:
+        sigs.unpersist(False)
+    all_pairs = n_docs * (n_docs - 1) / 2
+    assert n_cand <= 0.05 * all_pairs, (
+        f"band join admits {n_cand}/{all_pairs:.0f} pairs "
+        f"({100 * n_cand / all_pairs:.1f}%) — banding is not pruning"
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in sim.near_dup_pairs_ngram(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in sim.near_dup_pairs_minhash(spark, SF_SMOKE).collect()
+    }
+    assert exact, "vacuous: corpus has no planted near-dups at J≥0.6"
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)} exact pairs: {sorted(missed)[:5]}"
