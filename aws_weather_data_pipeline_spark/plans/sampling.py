@@ -27,7 +27,7 @@ is pure north-star extension (BASELINE.md's training-data operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_spread
 from .registry import QueryCatalog
@@ -258,4 +258,127 @@ def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id",
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified exact-k sampling (per-group quota)
+# --------------------------------------------------------------------------
+
+#: Exact docs kept per language stratum.
+STRATUM_K = 40
+
+
+@CATALOG.add(
+    "stratified_sample_per_lang",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_KEYHASH_SQL}, doc_id
+               ) AS stratum_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank
+    FROM ranked WHERE stratum_rank <= {STRATUM_K}
+    """,
+    doc=f"Stratified sampling: EXACTLY {STRATUM_K} documents per "
+    "language, chosen by rank under the content-keyed hash order — the "
+    "language-balancing step of corpus construction (cap the head "
+    "languages, keep the tail whole). Deterministic and partitioning-"
+    "invariant like every sampler here: the hash order is a property "
+    "of the rows, not of the execution. One shuffle on lang; rank "
+    "window state is O(1) per group. Skew note: at 100 TB the top "
+    "language is a hot partition — production would pre-aggregate a "
+    "per-lang hash-threshold (rank≈k quantile) and turn the window "
+    "into a per-row filter; at catalog scale the window is the "
+    "clearer, exactly-k form.",
+    tags=("sampling", "window"),
+)
+def stratified_sample_per_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(_KEYHASH_SPARK), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("stratum_rank"),
+        )
+        .filter(F.col("stratum_rank") <= STRATUM_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (document concatenation into fixed token budgets)
+# --------------------------------------------------------------------------
+
+#: Token budget per pack (a training context window).
+PACK_BUDGET = 256
+#: Independent packing shards; parallelism unit for the running sum.
+N_PACK_SHARDS = 32
+
+
+@CATALOG.add(
+    "sequence_pack_assignment",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard * 1000000
+                + (cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT)
+               AS pack_id
+    FROM c
+    """,
+    doc=f"Sequence packing: documents concatenate in doc_id order "
+    f"within a shard and split into {PACK_BUDGET}-token packs; each "
+    "doc is assigned the pack its first token falls in (GPT-style "
+    "concat-then-split pretraining batches — docs may straddle pack "
+    "boundaries, the loader masks across them). The running sum is "
+    f"windowed PER SHARD (doc_id % {N_PACK_SHARDS}), never globally: "
+    "a global ORDER BY window is a single-task serialization at any "
+    "scale, while shards pack independently — at 100 TB raise the "
+    "shard count with the cluster and packs stay deterministic "
+    "because shard and order are row properties. pack_id embeds the "
+    "shard (shard·10⁶ + index) so ids are globally unique without "
+    "cross-shard coordination.",
+    tags=("sampling", "window"),
+)
+def sequence_pack_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        (F.col("shard") * 1000000 + F.floor(start / PACK_BUDGET))
+        .cast("bigint")
+        .alias("pack_id"),
     )

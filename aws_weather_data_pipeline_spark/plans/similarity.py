@@ -1085,3 +1085,111 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG.queries["near_dup_clusters"].oracle = _CLUSTERS_SQL.format(
     pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle
 )
+
+
+# --------------------------------------------------------------------------
+# Label centroids (the IVF/k-means training step)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "label_centroids",
+    f"""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS v
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {{'dim': i - 1, 'val': v[i]}})) AS s
+        FROM q
+    )
+    SELECT label, CAST(s.dim AS INTEGER) AS dim,
+           CAST(SUM(s.val) AS BIGINT) AS sum_q,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s.val) AS DOUBLE) / COUNT(*) AS centroid_milli
+    FROM e GROUP BY label, s.dim
+    """,
+    doc="Per-label centroid of the embedding column — the training "
+    "step behind ann_ivf_probe_topk's cell index (one k-means "
+    "iteration = assign + THIS). posexplode to (label, dim, value), "
+    "then SUM/COUNT per (label, dim): the sums are exact int64 over "
+    "scalar-quantized components, so partial aggregation may combine "
+    "in any order on any cluster size and the result is bit-stable "
+    "(float centroids would drift with reduction order). One shuffle "
+    "on the (label, dim) key — cardinality #labels × #dims, tiny and "
+    "uniform; the explode multiplies rows ×64 but stays inside the "
+    "scan stage. The final division to a double centroid is one "
+    "exact-int division, identical on both engines.",
+    tags=("similarity", "embedding", "agg"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    quant = F.expr(
+        "transform(embedding,"
+        " x -> cast(floor(cast(x as double) * 1000) as bigint))"
+    )
+    ex = e.select("label", F.posexplode(quant).alias("dim", "val"))
+    return ex.groupBy("label", "dim").agg(
+        F.sum("val").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias(
+            "centroid_milli"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+#: Deterministic batch split: every 10th doc is "today's ingest".
+BATCH_MOD = 10
+BATCH_REMAINDER = 9
+
+
+@CATALOG.add(
+    "dedup_incremental_batch",
+    f"""
+    WITH batch AS (
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+        WHERE doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
+    ),
+    corpus AS (
+        SELECT DISTINCT md5(text) AS content_hash FROM documents
+        WHERE doc_id % {BATCH_MOD} <> {BATCH_REMAINDER}
+    )
+    SELECT b.doc_id, b.content_hash
+    FROM batch b LEFT JOIN corpus c USING (content_hash)
+    WHERE c.content_hash IS NULL
+    """,
+    doc="Incremental ingest dedup: a new batch (every 10th doc, the "
+    "deterministic stand-in for today's crawl) anti-joins on content "
+    "hash against the existing corpus, keeping only genuinely new "
+    "documents — the daily-operation form of dedup_exact_content "
+    "(which rebuilds from scratch). LEFT ANTI on md5: one "
+    "uniform-key shuffle of batch + corpus hashes; at 100 TB the "
+    "corpus side reads a persisted hash index (hash, not text — 32 "
+    "bytes/doc), and if the corpus is bucketed by content_hash the "
+    "batch-side shuffle is the only exchange. The corpus hash set "
+    "never needs the documents' bodies, so incremental dedup cost is "
+    "O(batch + index), not O(corpus).",
+    tags=("similarity", "dedup", "join"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % BATCH_MOD != BATCH_REMAINDER)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    return batch.join(corpus, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )

@@ -431,3 +431,101 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tf", "df", tf_idf.alias("tf_idf"), "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection & redaction
+# --------------------------------------------------------------------------
+
+#: Patterns kept to the regex subset with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: The corpus is synthetic word salad with no PII, so the query PLANTS
+#: deterministic PII first (emails on doc_id%7==0, IPv4 on %11==0) —
+#: redaction is then verifiably non-vacuous on both engines.
+_PII_SEED_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+
+@CATALOG.add(
+    "pii_redaction",
+    f"""
+    WITH seeded AS ({_PII_SEED_SQL})
+    SELECT doc_id,
+           md5(regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g')) AS redacted_hash,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT)
+               AS n_ips
+    FROM seeded
+    """,
+    doc="PII redaction: replace emails and IPv4 addresses with typed "
+    "placeholders and count detections per document — the compliance "
+    "scrub every pretraining corpus runs before anything else sees the "
+    "text. Pure per-row regexp inside the scan stage (no shuffle, no "
+    "UDF — Spark's regexp_replace/regexp_extract_all are codegen "
+    "native); patterns are restricted to the Java∩RE2 regex subset so "
+    "the oracle computes the identical redaction. Emits md5(redacted) "
+    "rather than the redacted text (same bytes compared, "
+    "driver-friendly size). At 100 TB this is I/O-bound and "
+    "embarrassingly parallel; extending the pattern set (phones, SSNs, "
+    "keys) is a CASE-free column edit.",
+    tags=("text", "filter"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    email = F.lit(EMAIL_RE)
+    ipv4 = F.lit(IPV4_RE)
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") / 256).cast("bigint") % 256).cast(
+                    "string"
+                ),
+            ),
+        ).otherwise(""),
+    )
+    d = d.select("doc_id", seeded.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, F.lit("<EMAIL>")),
+        ipv4,
+        F.lit("<IP>"),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_hash"),
+        F.size(F.regexp_extract_all("text", email, F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", ipv4, F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+    )
