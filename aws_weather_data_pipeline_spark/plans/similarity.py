@@ -1088,6 +1088,90 @@ CATALOG.queries["near_dup_clusters"].oracle = _CLUSTERS_SQL.format(
 
 
 # --------------------------------------------------------------------------
+# Full dedup cascade: exact + near-dup → one keep decision per document
+# --------------------------------------------------------------------------
+
+_CASCADE_SQL = """
+WITH RECURSIVE p AS ({pairs}),
+e AS (
+    SELECT doc_a AS u, doc_b AS v FROM p
+    UNION
+    SELECT doc_b, doc_a FROM p
+),
+reach(u, v) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+ek AS (SELECT ch, MIN(doc_id) AS exact_keeper FROM h GROUP BY ch),
+r AS (
+    SELECT d.doc_id,
+           CASE WHEN ek.exact_keeper <> d.doc_id THEN 'exact_dup'
+                WHEN cl.cluster_id IS NOT NULL
+                     AND cl.cluster_id <> d.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS reason
+    FROM h d
+    JOIN ek USING (ch)
+    LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, reason, reason = 'kept' AS keep FROM r
+"""
+
+
+@CATALOG.add(
+    "dedup_cascade_keep_list",
+    None,  # oracle attached below (embeds the pairs SQL, like clusters)
+    doc="The production dedup artifact: ONE row per document with its "
+    "keep/drop decision and reason. Stage 1 drops exact duplicates "
+    "(md5 group, min-doc_id keeper); stage 2 drops near-duplicate "
+    "cluster members that are not their cluster's keeper. The rules "
+    "compose consistently by construction: an exact duplicate's "
+    "J=1.0 twin shares its near-dup cluster, so a cluster's minimum "
+    "member can never itself be an exact duplicate — every dropped "
+    "document's keeper is kept, no cascade re-run needed. Cost shape "
+    "= exact dedup (one uniform hash shuffle) + the near-dup "
+    "pipeline it composes; the keep list is what downstream sampling "
+    "and packing read, so it pays for itself on the first reuse.",
+    tags=("similarity", "dedup", "iterative"),
+)
+def dedup_cascade_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = _docs(spark, sf_dir)
+    hashed = d.select("doc_id", F.md5("text").alias("ch"))
+    ek = hashed.groupBy("ch").agg(F.min("doc_id").alias("exact_keeper"))
+    exact = hashed.join(ek, "ch").select("doc_id", "exact_keeper")
+    pairs = near_dup_pairs_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    out = exact.join(labels, "doc_id", "left")
+    reason = (
+        F.when(F.col("exact_keeper") != F.col("doc_id"), "exact_dup")
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id")),
+            "near_dup",
+        )
+        .otherwise("kept")
+    )
+    return out.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == F.lit("kept")).alias("keep"),
+    )
+
+
+CATALOG.queries["dedup_cascade_keep_list"].oracle = _CASCADE_SQL.format(
+    pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle
+)
+
+
+# --------------------------------------------------------------------------
 # Label centroids (the IVF/k-means training step)
 # --------------------------------------------------------------------------
 
