@@ -1,0 +1,118 @@
+"""Lake maintenance: small-file compaction and pruning-friendly layout.
+
+Two operators every long-running lake needs that no query surface
+shows:
+
+- **Compaction.** Streaming sinks and idempotent appends accrete files
+  (one per micro-batch × partition); at 100 TB a day's partition can
+  hold 10⁴+ tiny files, and scan cost becomes file-open dominated
+  (driver-side listing + one footer read each) long before byte count
+  matters. ``compact_path`` rewrites a partition directory into
+  size-targeted files via a staging directory + atomic swap, so
+  readers never observe a half-compacted partition.
+- **Sorted layout.** Parquet row-group min/max statistics only prune
+  when values are clustered; ``write_sorted`` sorts WITHIN partitions
+  by the hot filter key before writing (``sortWithinPartitions`` — a
+  local sort, no exchange beyond the explicit repartition), so a
+  point/range predicate on that key skips most row groups. This is
+  the poor-man's Z-ORDER: one clustering key, zero extra
+  infrastructure.
+
+Both take a target size, not a file count: the right file count is a
+function of data volume, which the caller doesn't know at 100 TB.
+Reference parity: the reference's lake (S3 JSON/parquet zones) has no
+maintenance story at all — files accumulate forever; this module is
+the operational completion of its S7-S12 sink surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Compaction default: aim for files this size on disk.
+TARGET_FILE_BYTES = 128 << 20
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return total
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> tuple[int, int]:
+    """Rewrite the parquet files under ``path`` into ≈target-size files.
+
+    Returns (files_before, files_after). The rewrite goes to a staging
+    sibling first and swaps in atomically (rename), so a concurrent
+    reader sees either the old file set or the new one — never a
+    partial mix. File count = ceil(bytes/target), with compressed size
+    as the estimator (both sides of the ratio are parquet, so the
+    on-disk estimate is the right one, unlike the common
+    rows-per-file guess).
+
+    Scope it to ONE partition directory (a day, an hour) and run it
+    partition-parallel from the orchestrator — compacting a whole
+    100 TB table as one job would shuffle the world; compacting the
+    partitions the last load touched is O(new data).
+    """
+    before = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    n_files = max(1, -(-_dir_bytes(path) // target_file_bytes))
+    staging = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: compaction must not shuffle — it only
+    # concatenates existing partitions into fewer write tasks.
+    spark.read.parquet(path).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    return len(before), len(after)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int | None = None,
+) -> None:
+    """Write parquet clustered by ``cluster_col`` for row-group pruning.
+
+    ``repartition(cluster_col)`` ranges co-locate equal keys, then
+    ``sortWithinPartitions`` orders them locally (no extra exchange),
+    so each row group's min/max stats cover a narrow key range and a
+    reader's key predicate skips the rest. The sort is the cheap,
+    per-task kind — at 100 TB the win is read-side: every downstream
+    query with a ``cluster_col`` predicate scans a fraction of the
+    row groups forever after.
+    """
+    out = (
+        df.repartition(n_files, cluster_col)
+        if n_files
+        else df.repartition(F.col(cluster_col))
+    )
+    out.sortWithinPartitions(cluster_col).write.mode(
+        "overwrite"
+    ).parquet(path)
