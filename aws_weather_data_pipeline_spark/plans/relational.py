@@ -1524,3 +1524,55 @@ def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_nulls, n_distinct, min_numeric, max_numeric)"
     )
+
+
+@CATALOG.add(
+    "referential_integrity_audit",
+    """
+    SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->part' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey IS NULL
+    """,
+    doc="Referential-integrity audit: orphan counts for the three "
+    "fact→dimension foreign keys, the cross-table extension of "
+    "runner.py's X3 single-table validation (a lake has no FK "
+    "constraints — this query IS the constraint). Each check is a "
+    "LEFT ANTI-shaped join reduced to one count: shuffle on the key, "
+    "zero rows survive when integrity holds, so the post-join "
+    "aggregate is near-free. On a bucketed lake the joins are "
+    "exchange-free; the audit is the cheap gate a load pipeline runs "
+    "before publishing a partition.",
+    tags=("join", "profiling"),
+)
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer", "lineitem", "part")
+
+    def orphans(fact, fk, dim, pk, label):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(t["orders"], "o_custkey", t["customer"], "c_custkey",
+                "orders->customer")
+        .unionAll(
+            orphans(t["lineitem"], "l_orderkey", t["orders"],
+                    "o_orderkey", "lineitem->orders")
+        )
+        .unionAll(
+            orphans(t["lineitem"], "l_partkey", t["part"], "p_partkey",
+                    "lineitem->part")
+        )
+    )

@@ -185,3 +185,35 @@ def test_lsh_banding_candidate_rate_and_recall(spark):
     assert exact, "vacuous: corpus has no planted near-dups at J≥0.6"
     missed = exact - lsh
     assert not missed, f"LSH missed {len(missed)} exact pairs: {sorted(missed)[:5]}"
+
+
+def test_pii_redaction_stays_in_scan_stage(spark, sf_dir):
+    # Regex redaction is per-row work: scan → project, no shuffle, no
+    # UDF (BatchEvalPython/ArrowEvalPython would mean the regexps left
+    # codegen).
+    df = CATALOG.queries["pii_redaction"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    for op in ("Join", "HashAggregate", "Sort", "EvalPython"):
+        assert op not in plan, f"pii plan contains {op}:\n{plan}"
+
+
+def test_table_profile_is_single_scan(spark, sf_dir):
+    # The whole profile (6 columns × 4 stats) must read the files once;
+    # a per-column loop would scan 6×.
+    import re
+
+    df = CATALOG.queries["events_table_profile"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    # Count scan NODES ("(n) Scan parquet" detail headers) — the bare
+    # string also appears once per node in the plan tree rendering.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_sequence_packing_windows_per_shard_not_globally(spark, sf_dir):
+    # A global-order running sum would serialize on one task; the
+    # window must partition by shard.
+    df = CATALOG.queries["sequence_pack_assignment"].builder(
+        spark, sf_dir
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition(shard" in plan, plan
