@@ -18,6 +18,8 @@ OPERATOR_MODULES = (
     "weatherlike",
     "temporal",
     "text",
+    "corpus",
+    "sketch",
     "similarity",
     "multimodal",
     "sampling",
@@ -41,8 +43,6 @@ DRIVER_WINDOW = (
     "pivot_status_qty",
     "dedup_user_event_type",
     "latest_event_per_user",
-    "event_gaps_lag",
-    "gap_based_sessions",
     "order_date_arithmetic",
     "top_revenue_orders",
     "regional_revenue",
@@ -58,7 +58,6 @@ DRIVER_WINDOW = (
     "coercion_null_on_error",
     "null_drop_critical",
     "promo_revenue_ratio",
-    "value_histogram",
     # Weather domain (F1-F16)
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -75,9 +74,14 @@ DRIVER_WINDOW = (
     "tumbling_hourly_by_type",
     "user_session_windows",
     "asof_last_click_before_purchase",
-    # Text analysis
+    # Text analysis + corpus curation (repetition gates stay past the
+    # window: the text family is already represented twice here)
     "tfidf_top_terms",
     "doc_language_id",
+    "decontaminate_ngram_overlap",
+    "bm25_topk",
+    # Mergeable sketches
+    "hll_distinct_sketch",
     # Dedup / near-dup / clustering
     "dedup_exact_content",
     "near_dup_pairs_minhash",

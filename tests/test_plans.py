@@ -30,6 +30,10 @@ ALLOWED_HINTS = {
     "ann_hyperplane_lsh_topk": 1,
     # the one-row corpus count (vocabulary df side is NOT hinted).
     "tfidf_top_terms": 1,
+    # the benchmark/eval n-gram set — fixed small suite vs 100 TB corpus.
+    "decontaminate_ngram_overlap": 1,
+    # the one-row global BM25 statistics frame.
+    "bm25_topk": 1,
 }
 
 
@@ -207,6 +211,38 @@ def test_table_profile_is_single_scan(spark, sf_dir):
     # Count scan NODES ("(n) Scan parquet" detail headers) — the bare
     # string also appears once per node in the plan tree rendering.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_repetition_metrics_is_shuffle_free(spark, sf_dir):
+    # Gopher repetition gates are in-row lambda folds: scan → project.
+    # load_spread's round-robin repartition (local-mode core spreading)
+    # is the only Exchange allowed — a hash-partitioned Exchange or any
+    # blocking operator means the n-gram counting left the row.
+    df = CATALOG.queries["doc_repetition_metrics"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    assert "hashpartitioning" not in plan, plan
+    for op in ("Join", "HashAggregate", "Sort", "EvalPython"):
+        assert op not in plan, f"repetition plan contains {op}:\n{plan}"
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    # The eval-suite n-gram set must be the broadcast side; a
+    # sort-merge join here would shuffle the whole training corpus.
+    df = CATALOG.queries["decontaminate_ngram_overlap"].builder(
+        spark, sf_dir
+    )
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_topk_avoids_global_sort(spark, sf_dir):
+    # Top-k must be per-partition heaps (TakeOrderedAndProject), and
+    # the global-stats side a broadcast, not a shuffled join.
+    df = CATALOG.queries["bm25_topk"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_sequence_packing_windows_per_shard_not_globally(spark, sf_dir):

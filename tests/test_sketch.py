@@ -1,0 +1,74 @@
+"""HyperLogLog sketch: mergeability and estimate accuracy.
+
+The catalog query's register table is hash-checked against DuckDB in
+test_catalog_oracle; these tests cover the two properties the oracle
+can't express — that register tables merge associatively (the whole
+point of a sketch at 100 TB) and that the derived estimate tracks the
+exact distinct count within HLL's theoretical error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_weather_data_pipeline_spark.plans.sketch import (
+    HLL_M,
+    _hll_registers,
+    hll_estimate,
+)
+from aws_weather_data_pipeline_spark.sources.tables import load_tables
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+def test_register_tables_merge_by_elementwise_max(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    whole = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in _hll_registers(ev, "event_type", "user_id").collect()
+    }
+    # Split on an arbitrary row predicate — partitions of the data.
+    lo = _hll_registers(
+        ev.filter(F.col("event_id") % 2 == 0), "event_type", "user_id"
+    ).collect()
+    hi = _hll_registers(
+        ev.filter(F.col("event_id") % 2 == 1), "event_type", "user_id"
+    ).collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        k = (r["event_type"], r["bucket"])
+        merged[k] = max(merged.get(k, 0), r["max_rho"])
+    assert merged == whole
+
+
+def test_estimate_within_hll_error_of_exact(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    regs: dict = {}
+    for r in _hll_registers(ev, "event_type", "user_id").collect():
+        regs.setdefault(r["event_type"], []).append(
+            (r["bucket"], r["max_rho"])
+        )
+    assert set(regs) == set(exact)
+    for etype, pairs in regs.items():
+        est = hll_estimate(pairs)
+        # σ = 1.04/sqrt(64) ≈ 13%; allow 3σ.
+        rel = abs(est - exact[etype]) / exact[etype]
+        assert rel < 0.40, (etype, est, exact[etype])
+
+
+def test_register_values_are_plausible(spark, sf_dir):
+    rows = _hll_registers(
+        _events(spark, sf_dir), "event_type", "user_id"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket"] < HLL_M
+        assert 1 <= r["max_rho"] <= 55
