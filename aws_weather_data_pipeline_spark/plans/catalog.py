@@ -20,6 +20,7 @@ OPERATOR_MODULES = (
     "text",
     "corpus",
     "sketch",
+    "clustering",
     "similarity",
     "multimodal",
     "sampling",

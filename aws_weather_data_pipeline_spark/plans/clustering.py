@@ -1,0 +1,213 @@
+"""Deterministic k-means (Lloyd) over the embedding table.
+
+The training loop behind an IVF index (``ann_ivf_probe_topk`` probes
+cells; ``label_centroids`` is the update step): seed k centroids, then
+alternate assign (nearest centroid) and update (mean of assigned
+vectors). Two full iterations run here, unrolled identically in the
+DuckDB oracle, with every step engine-exact:
+
+- components scalar-quantized to integers (floor(x·1000) — float→double
+  is exact, the module-wide convention from plans/similarity.py);
+- distances are exact int64 sums of squared differences (|q| ≤ ~1000 ⇒
+  per-dim ≤ 4e6, ×64 dims ≪ 2^63);
+- argmin breaks ties on cluster id (lexicographic (dist, cluster) min);
+- centroid update is *floored* integer division of exact sums — written
+  as (s - pmod(s, n)) div n on both engines because Spark's ``div``
+  truncates toward zero while DuckDB's ``//`` floors, and quantized
+  sums go negative;
+- seeding picks the k vectors with smallest md5(vec_id) (deterministic,
+  uniformly spread, no RNG).
+
+Scale shape per iteration: one crossJoin of the corpus against the
+broadcast k-row centroid table (k is a config constant — always
+broadcastable), an argmin aggregate keyed by vec_id (uniform), and an
+update aggregate keyed by (cluster, dim) (cardinality k×dims). No
+driver-side collect anywhere; iterations chain as narrow DataFrame
+plans, which is exactly how MLlib's KMeans structures a round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_spread
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+KMEANS_K = 8
+KMEANS_ITERATIONS = 2
+
+_QUANT = (
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000)"
+    " as bigint))"
+)
+
+_QUANT_SQL = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+#: DuckDB: squared-L2 between two quantized list columns a and b.
+def _dist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _assign_cte(vecs: str, cents: str, out: str) -> str:
+    """DuckDB CTE pair assigning each vec to its nearest centroid."""
+    return f"""
+    {out}_d AS (
+        SELECT v.vec_id, c.cluster,
+               {_dist_sql("v.v", "c.v")} AS dist
+        FROM {vecs} v CROSS JOIN {cents} c
+    ),
+    {out} AS (
+        SELECT vec_id, cluster, dist
+        FROM (
+            SELECT vec_id, cluster, dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cluster
+                   ) AS rn
+            FROM {out}_d
+        )
+        WHERE rn = 1
+    )"""
+
+
+def _update_cte(assign: str, out: str) -> str:
+    """DuckDB CTE pair recomputing centroids from an assignment."""
+    return f"""
+    {out}_s AS (
+        SELECT a.cluster, s.dim,
+               SUM(s.val) AS sv, COUNT(*) AS n
+        FROM {assign} a
+        JOIN q ON a.vec_id = q.vec_id,
+             unnest(list_transform(range(1, len(q.v) + 1),
+                    i -> {{'dim': i - 1, 'val': q.v[i]}})) AS u(s)
+        GROUP BY a.cluster, s.dim
+    ),
+    {out} AS (
+        SELECT cluster,
+               list(CAST((sv - ((sv % n + n) % n)) // n AS BIGINT)
+                    ORDER BY dim) AS v
+        FROM {out}_s
+        GROUP BY cluster
+    )"""
+
+
+@CATALOG.add(
+    "kmeans_lloyd_assignments",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS INTEGER) AS cluster,
+               v
+        FROM q
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {KMEANS_K}
+    ),
+    {_assign_cte("q", "seeds", "a1")},
+    {_update_cte("a1", "c1")},
+    {_assign_cte("q", "c1", "a2")}
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           CAST(dist AS BIGINT) AS dist_q
+    FROM a2
+    """,
+    doc=f"k-means (k = {KMEANS_K}), {KMEANS_ITERATIONS} Lloyd "
+    "iterations unrolled: md5-seeded centroids → assign → exact-int "
+    "centroid update → assign; returns each vector's final cluster "
+    "and quantized squared-L2 distance. Every iteration is corpus × "
+    "broadcast(k centroids) with an argmin keyed by vec_id and an "
+    "update keyed by (cluster, dim) — the centroid table is bounded "
+    "by config k, so the broadcast is always safe, and no step "
+    "collects to the driver. Ties (equal distance) break on cluster "
+    "id; centroid division floors identically on both engines "
+    "(pmod-adjusted div; Spark div truncates, DuckDB // floors). The "
+    "same loop body iterated to convergence IS MLlib-shape k-means; "
+    "2 rounds keep the oracle CTE chain finite.",
+    tags=("similarity", "embedding", "iterative"),
+)
+def kmeans_lloyd_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_spread(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", F.expr(_QUANT).alias("v"))
+
+    from pyspark.sql import Window
+
+    order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    seeds = (
+        q.orderBy(*order)
+        .limit(KMEANS_K)
+        # Post-limit window over k rows — single tiny partition by
+        # construction, not a scale concern.
+        .select(
+            (F.row_number().over(Window.orderBy(*order)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            "v",
+        )
+    )
+
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = q.crossJoin(
+            F.broadcast(
+                cents.select("cluster", F.col("v").alias("cv"))
+            )
+        ).select("vec_id", "cluster", dist.alias("dist"))
+        return (
+            j.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        ex = (
+            assigned.join(q, "vec_id")
+            .select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum("val").alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "dim",
+                F.expr("(sv - pmod(sv, n)) div n").alias("cq"),
+            )
+        )
+        return ex.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+                lambda s: s["cq"],
+            ).alias("v")
+        )
+
+    cents = seeds
+    assigned = None
+    for i in range(KMEANS_ITERATIONS):
+        assigned = assign(cents)
+        if i < KMEANS_ITERATIONS - 1:
+            cents = update(assigned)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist").cast("long").alias("dist_q"),
+    )

@@ -1,4 +1,4 @@
-"""Mergeable-sketch catalog queries: deterministic HyperLogLog registers.
+"""Mergeable-sketch catalog queries: HLL, Count-Min, and Bloom filters.
 
 ``COUNT(DISTINCT x)`` at 100 TB forces a full shuffle of every distinct
 value. The scalable alternative is a mergeable sketch: each partition
@@ -26,6 +26,17 @@ estimate (α·m²/Σ2^-ρ, with the small-range linear-counting correction)
 is derived in ``hll_estimate`` below and accuracy-tested in pytest
 against exact distinct counts; it stays out of the oracle-hashed
 payload because Σ2^-ρ is an order-sensitive double sum.
+
+The same pattern covers the other two workhorse sketches of a 100 TB
+pipeline, both fully integer and therefore hash-exact end to end:
+
+- **Count-Min** (``cms_user_activity_sketch``): a depth×width grid of
+  exact counters, mergeable by element-wise ``+`` (SUM is associative);
+  point estimates = min over depth rows, accuracy-tested in pytest.
+- **Bloom filter** (``bloom_dedup_probe``): bit-packed membership words
+  built by ``bit_or`` (associative), probed map-side to pre-screen an
+  incremental dedup batch, with the exact verification join auditing
+  the false-positive rate in the same result.
 """
 
 from __future__ import annotations
@@ -137,3 +148,231 @@ def hll_estimate(registers: list[tuple[int, int]]) -> float:
     if raw <= 2.5 * HLL_M and zeros:
         return HLL_M * math.log(HLL_M / zeros)
     return raw
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter frequency estimation, exact counters)
+# --------------------------------------------------------------------------
+
+#: Independent hash rows; estimate = min over rows (overcount-only bias).
+CMS_DEPTH = 3
+#: Counters per row; expected overcount ≤ e/width · total weight.
+CMS_WIDTH = 64
+
+
+@CATALOG.add(
+    "cms_user_activity_sketch",
+    f"""
+    WITH h AS (
+        SELECT d.j AS depth,
+               (('0x' || substr(md5('cms' || CAST(d.j AS VARCHAR) || ':'
+                                    || CAST(user_id AS VARCHAR)), 1, 15)
+                )::BIGINT) % {CMS_WIDTH} AS col
+        FROM events, unnest(range(0, {CMS_DEPTH})) AS d(j)
+    )
+    SELECT CAST(depth AS INTEGER) AS depth,
+           CAST(col AS BIGINT) AS col,
+           COUNT(*) AS n
+    FROM h
+    GROUP BY depth, col
+    """,
+    doc=f"Count-Min sketch ({CMS_DEPTH}×{CMS_WIDTH}) of per-user event "
+    "counts — the streaming/heavy-hitter answer to 'how often does key "
+    "x occur' when the key space is too large to count exactly. Each "
+    "row hashes into one counter per depth via independent md5-salted "
+    "hashes; counters are exact integer SUMs, so the grid is "
+    "associative-mergeable (map-side combine collapses the corpus; "
+    f"the shuffle carries ≤ {CMS_DEPTH * CMS_WIDTH} rows regardless "
+    "of data volume) and bit-exact across engines. Point estimates "
+    "(min over depth rows, always ≥ truth, ≤ truth + e/width·N w.h.p.) "
+    "are derived in cms_estimate and accuracy-tested in pytest.",
+    tags=("sketch", "agg"),
+)
+def cms_user_activity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_spread(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias(
+                "depth"
+            ),
+            "user_id",
+        )
+        .select(
+            F.col("depth").cast("int").alias("depth"),
+            F.expr(
+                "cast(conv(substr(md5(concat('cms', cast(depth as string),"
+                " ':', cast(user_id as string))), 1, 15), 16, 10)"
+                f" as bigint) % {CMS_WIDTH}"
+            ).alias("col"),
+        )
+        .groupBy("depth", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    grid: dict[tuple[int, int], int], hashes: list[int]
+) -> int:
+    """Count-Min point estimate: min over depth rows at the key's cells.
+
+    ``grid`` maps (depth, col) → count; ``hashes`` lists the key's
+    column per depth (compute with :func:`cms_columns`). Driver-side
+    arithmetic on the tiny merged grid; used by accuracy tests.
+    """
+    return min(grid.get((d, c), 0) for d, c in enumerate(hashes))
+
+
+def cms_columns(key: str) -> list[int]:
+    """The key's counter column per depth — mirrors the SQL hashing."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"cms{d}:{key}".encode()).hexdigest()[:15], 16
+        )
+        % CMS_WIDTH
+        for d in range(CMS_DEPTH)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (bit-packed membership pre-screen for incremental dedup)
+# --------------------------------------------------------------------------
+
+#: Bit-packed words; 62 usable bits each keeps 1<<bit inside positive
+#: int64 range on both engines (bit 63 would flip the sign).
+BLOOM_WORDS = 128
+BLOOM_BITS_PER_WORD = 62
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+#: Hash functions per key.
+BLOOM_K = 3
+#: Deterministic batch membership: doc_id % mod == rem is the incoming
+#: batch, the rest is the already-ingested corpus.
+BLOOM_MOD = 13
+BLOOM_REM = 5
+
+
+def _bloom_pos_sql(key_expr: str, j_expr: str) -> str:
+    """DuckDB bit position of hash j for a content-hash expression."""
+    return (
+        f"(('0x' || substr(md5('bloom' || CAST({j_expr} AS VARCHAR) || ':'"
+        f" || {key_expr}), 1, 15))::BIGINT) % {BLOOM_M}"
+    )
+
+
+@CATALOG.add(
+    "bloom_dedup_probe",
+    f"""
+    WITH base AS (
+        SELECT doc_id, md5(text) AS ch,
+               doc_id % {BLOOM_MOD} = {BLOOM_REM} AS is_batch
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT ch FROM base WHERE NOT is_batch),
+    corpus_bits AS (
+        SELECT pos // {BLOOM_BITS_PER_WORD} AS word,
+               bit_or(1::BIGINT << (pos % {BLOOM_BITS_PER_WORD})) AS bits
+        FROM (
+            SELECT {_bloom_pos_sql("ch", "t.j")} AS pos
+            FROM corpus, unnest(range(0, {BLOOM_K})) AS t(j)
+        )
+        GROUP BY pos // {BLOOM_BITS_PER_WORD}
+    ),
+    probe AS (
+        SELECT doc_id, ch, {_bloom_pos_sql("ch", "t.j")} AS pos
+        FROM base, unnest(range(0, {BLOOM_K})) AS t(j)
+        WHERE is_batch
+    ),
+    hits AS (
+        SELECT p.doc_id, p.ch,
+               bool_and((COALESCE(b.bits, 0)
+                         & (1::BIGINT << (p.pos % {BLOOM_BITS_PER_WORD})))
+                        <> 0) AS bloom_candidate
+        FROM probe p
+        LEFT JOIN corpus_bits b ON p.pos // {BLOOM_BITS_PER_WORD} = b.word
+        GROUP BY p.doc_id, p.ch
+    )
+    SELECT h.doc_id, h.bloom_candidate,
+           c.ch IS NOT NULL AS actual_dup,
+           h.bloom_candidate AND c.ch IS NULL AS is_false_positive
+    FROM hits h LEFT JOIN corpus c ON h.ch = c.ch
+    """,
+    doc=f"Bloom-filter pre-screen for incremental dedup: the corpus "
+    f"side's content hashes set {BLOOM_K} md5-salted bits each in a "
+    f"{BLOOM_M}-bit filter packed into {BLOOM_WORDS} int64 words "
+    "(bit_or — associative, so the filter builds map-side and merges "
+    "across partitions/days like any sketch). The incoming batch "
+    "probes the broadcast word table; only bloom candidates would "
+    "need the exact verification join at scale — here the exact join "
+    "runs on ALL batch docs so the result itself audits the "
+    "false-positive rate (no false negatives by construction, "
+    "tested). Filter size is fixed for cross-engine determinism; "
+    "production sizes m per corpus cardinality (or chains scalable "
+    "blooms) — the plan shape is unchanged.",
+    tags=("sketch", "dedup", "join"),
+)
+def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.md5("text").alias("ch"),
+        (F.col("doc_id") % BLOOM_MOD == BLOOM_REM).alias("is_batch"),
+    )
+    corpus = base.filter(~F.col("is_batch")).select("ch").distinct()
+
+    def pos_col() -> F.Column:
+        return F.expr(
+            "cast(conv(substr(md5(concat('bloom', cast(j as string),"
+            f" ':', ch)), 1, 15), 16, 10) as bigint) % {BLOOM_M}"
+        )
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    corpus_bits = (
+        corpus.select("ch", ks)
+        .select(pos_col().alias("pos"))
+        .groupBy(
+            F.expr(f"pos div {BLOOM_BITS_PER_WORD}").alias("word")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, cast(pos % {BLOOM_BITS_PER_WORD}"
+                       " as int))")
+            ).alias("bits")
+        )
+    )
+    probe = (
+        base.filter("is_batch")
+        .select("doc_id", "ch", ks)
+        .select("doc_id", "ch", pos_col().alias("pos"))
+    )
+    hits = (
+        probe.join(
+            F.broadcast(corpus_bits),
+            F.expr(f"pos div {BLOOM_BITS_PER_WORD}") == F.col("word"),
+            "left",
+        )
+        .groupBy("doc_id", "ch")
+        .agg(
+            F.bool_and(
+                (
+                    F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+                    .bitwiseAND(
+                        F.expr(
+                            f"shiftleft(1L, cast(pos % "
+                            f"{BLOOM_BITS_PER_WORD} as int))"
+                        )
+                    )
+                )
+                != 0
+            ).alias("bloom_candidate")
+        )
+    )
+    marker = corpus.withColumn("in_corpus", F.lit(1))
+    return hits.join(marker, "ch", "left").select(
+        "doc_id",
+        "bloom_candidate",
+        F.col("in_corpus").isNotNull().alias("actual_dup"),
+        (F.col("bloom_candidate") & F.col("in_corpus").isNull()).alias(
+            "is_false_positive"
+        ),
+    )

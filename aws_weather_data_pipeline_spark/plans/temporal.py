@@ -285,3 +285,117 @@ def asof_last_click_before_purchase(
             "gap_micros"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval / range join (bucketized — no nested-loop join at scale)
+# --------------------------------------------------------------------------
+
+#: Daily maintenance window: [day 02:00, day 03:30) — 90 minutes,
+#: deliberately not hour-aligned so the join is a genuine range
+#: predicate, not an equi-join in disguise.
+RANGE_WIN_START_MIN = 120
+RANGE_WIN_LEN_MIN = 90
+
+
+@CATALOG.add(
+    "interval_range_join_counts",
+    f"""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS window_date FROM events
+    ),
+    wins AS (
+        SELECT window_date,
+               CAST(window_date AS TIMESTAMP)
+                   + INTERVAL '{RANGE_WIN_START_MIN} minutes' AS w_start,
+               CAST(window_date AS TIMESTAMP)
+                   + INTERVAL
+                     '{RANGE_WIN_START_MIN + RANGE_WIN_LEN_MIN} minutes'
+                   AS w_end
+        FROM days
+    )
+    SELECT w.window_date,
+           COUNT(e.event_id) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+    FROM wins w
+    LEFT JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_date
+    """,
+    doc="Interval/range join: count and sum events inside each daily "
+    "maintenance window [02:00, 03:30) — a pure range predicate "
+    "(windows are NOT hour-aligned). Naively this is a "
+    "BroadcastNestedLoopJoin — O(|events|·|windows|) comparisons, the "
+    "classic Spark range-join trap. The engine bucketizes instead: "
+    "each window explodes into the hour buckets it overlaps, events "
+    "map to their own hour bucket, and the join becomes an equi-join "
+    "on bucket with the range as a residual filter — hash join "
+    "mechanics, linear scans, verified NestedLoop-free by plan test. "
+    "The window table is calendar-sized (grows with time, not data "
+    "volume) and broadcast; LEFT join keeps empty windows. Same "
+    "rewrite Databricks' range-join hints automate, expressed "
+    "explicitly.",
+    tags=("temporal", "join"),
+)
+def interval_range_join_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    days = ev.select(F.to_date("ts").alias("window_date")).distinct()
+    wins = days.select(
+        "window_date",
+        (
+            F.col("window_date").cast("timestamp")
+            + F.expr(f"INTERVAL {RANGE_WIN_START_MIN} MINUTES")
+        ).alias("w_start"),
+        (
+            F.col("window_date").cast("timestamp")
+            + F.expr(
+                f"INTERVAL {RANGE_WIN_START_MIN + RANGE_WIN_LEN_MIN}"
+                " MINUTES"
+            )
+        ).alias("w_end"),
+    )
+    # Bucketize: a window row per overlapped hour bucket; an event joins
+    # only its own hour bucket, so each event meets ≤1 row per window.
+    win_buckets = wins.select(
+        "window_date",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                # end is exclusive; subtract 1µs so an exactly
+                # hour-aligned w_end doesn't add a dead bucket.
+                F.date_trunc(
+                    "hour", F.expr("w_end - INTERVAL 1 MICROSECOND")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    evb = ev.select(
+        "event_id", "ts", "value", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    # Inner bucket-join + per-window agg; empty windows are restored by
+    # a final left join against the (tiny) window list — a left outer
+    # join can't broadcast its preserved side, and this keeps the big
+    # scan on the probe side of a BroadcastHashJoin.
+    joined = evb.join(
+        F.broadcast(win_buckets),
+        (evb["bucket"] == win_buckets["bucket"])
+        & (evb["ts"] >= win_buckets["w_start"])
+        & (evb["ts"] < win_buckets["w_end"]),
+        "inner",
+    )
+    counts = joined.groupBy("window_date").agg(
+        F.count("event_id").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    return wins.select("window_date").join(
+        counts, "window_date", "left"
+    ).select(
+        "window_date",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "sum_value",
+    )

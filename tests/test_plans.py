@@ -34,6 +34,12 @@ ALLOWED_HINTS = {
     "decontaminate_ngram_overlap": 1,
     # the one-row global BM25 statistics frame.
     "bm25_topk": 1,
+    # the ≤BLOOM_WORDS-row bit-packed filter table.
+    "bloom_dedup_probe": 1,
+    # the calendar-sized bucketized window table.
+    "interval_range_join_counts": 1,
+    # the k-row centroid table, once per unrolled Lloyd assign.
+    "kmeans_lloyd_assignments": 2,
 }
 
 
@@ -243,6 +249,18 @@ def test_bm25_topk_avoids_global_sort(spark, sf_dir):
     plan = _formatted(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_range_join_is_bucketized_not_nested_loop(spark, sf_dir):
+    # The whole point of the bucketize rewrite: a raw ts-range join
+    # compiles to BroadcastNestedLoopJoin (O(rows × windows) compares);
+    # the bucketized form must be a hash join on the bucket key.
+    df = CATALOG.queries["interval_range_join_counts"].builder(
+        spark, sf_dir
+    )
+    plan = _formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_sequence_packing_windows_per_shard_not_globally(spark, sf_dir):

@@ -72,3 +72,52 @@ def test_register_values_are_plausible(spark, sf_dir):
     for r in rows:
         assert 0 <= r["bucket"] < HLL_M
         assert 1 <= r["max_rho"] <= 55
+
+
+def test_cms_estimate_bounds(spark, sf_dir):
+    from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+    from aws_weather_data_pipeline_spark.plans.sketch import (
+        CMS_WIDTH,
+        cms_columns,
+        cms_estimate,
+    )
+
+    cat = build_catalog()
+    grid = {
+        (r["depth"], r["col"]): r["n"]
+        for r in cat.queries["cms_user_activity_sketch"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    ev = _events(spark, sf_dir)
+    total = ev.count()
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(5)
+        .collect()
+    }
+    for uid, n in truth.items():
+        est = cms_estimate(grid, cms_columns(str(uid)))
+        assert est >= n, (uid, est, n)  # CMS never undercounts
+        # e/width overcount bound (single-row bound; min over
+        # CMS_DEPTH rows is far tighter w.h.p.).
+        assert est <= n + (2.718 / CMS_WIDTH) * total * 3, (uid, est, n)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+
+    cat = build_catalog()
+    rows = (
+        cat.queries["bloom_dedup_probe"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        if r["actual_dup"]:
+            assert r["bloom_candidate"], r  # impossible by construction
+        assert r["is_false_positive"] == (
+            r["bloom_candidate"] and not r["actual_dup"]
+        )
