@@ -54,18 +54,140 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload_bytes: bytes, content_type: str):  # pragma: no cover
-    """STUB: decode an image/audio/video payload.
+def decode_media(payload_bytes: bytes, content_type: str) -> dict:
+    """Decode an image payload to ``{width, height, maxval, pixels}``.
 
-    The media libraries (PIL/opencv/ffmpeg/torchaudio) are not available
-    in this environment. A deployment installs one and replaces this
-    body; the surrounding mapInPandas plumbing is unchanged.
+    Implemented pure-Python for binary PPM (P6) — a real decode of a
+    real format with zero library dependencies, exercising the
+    mapInPandas slot end-to-end. Every other content type still raises
+    ``NotImplementedError``: those codecs (JPEG/PNG/audio/video) need
+    libraries not present in this container; a deployment installs
+    PIL/ffmpeg and adds branches here — the surrounding plumbing
+    (``decode_ppm_features``) is format-agnostic and unchanged.
     """
-    raise NotImplementedError(
-        "media decoding requires an image/audio library not present in "
-        "this environment; see fake_byte_features for the deterministic "
-        "test stand-in"
+    if content_type != "image/x-portable-pixmap":
+        raise NotImplementedError(
+            f"no decoder for {content_type!r} in this environment; "
+            "binary PPM (image/x-portable-pixmap) is the built-in "
+            "reference decoder"
+        )
+    return _decode_ppm(payload_bytes)
+
+
+def _decode_ppm(b: bytes) -> dict:
+    """Parse a binary PPM (P6): header tokens (with ``#`` comments and
+    arbitrary whitespace, per the netpbm spec), then the raw RGB plane.
+    """
+    if b[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic={b[:2]!r}")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported maxval {maxval} (1-byte samples only)")
+    n = width * height * 3
+    pixels = b[pos : pos + n]
+    if len(pixels) != n:
+        raise ValueError(f"raster truncated: {len(pixels)} of {n} bytes")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixels": pixels,
+    }
+
+
+def with_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a synthetic binary-PPM payload derived from ``text_col``.
+
+    Dimensions come from doc_id (width 1-8, height 1-5) and the raster
+    is the document text truncated/right-padded to exactly w*h*3 bytes
+    — all built with NATIVE column functions (concat/encode/rpad), so
+    the payload construction itself is codegen-side and a SQL oracle
+    can re-derive every decoded statistic integer-exactly. The corpus
+    is ASCII, so char windows == byte windows on both engines.
+    """
+    w = F.lit(1) + F.pmod("doc_id", F.lit(8))
+    h = F.lit(1) + F.pmod("doc_id", F.lit(5))
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "),
+        h.cast("string"), F.lit("\n255\n"),
     )
+    # rpad TRUNCATES past the target length, so the raster is exactly
+    # w*h*3 bytes whether the text is long or short (max 8*5*3 = 120).
+    raster = F.expr(
+        f"rpad(substring({text_col}, 1, 120), "
+        "(1 + pmod(doc_id, 8)) * (1 + pmod(doc_id, 5)) * 3, 'x')"
+    )
+    return df.withColumn(
+        "payload",
+        F.concat(F.encode(header, "utf-8"), F.encode(raster, "utf-8")),
+    ).withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit("image/x-portable-pixmap").alias("content_type"),
+        ),
+    )
+
+
+#: Decode-stage output schema: integer-exact image statistics.
+PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("maxval", T.IntegerType(), True),
+        T.StructField("n_pixel_bytes", T.LongType(), True),
+        T.StructField("pixel_byte_sum", T.LongType(), True),
+        T.StructField("mean_pixel_value", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_ppm_features(df: DataFrame) -> DataFrame:
+    """Decode stage: PPM payloads → image statistics via ``decode_media``.
+
+    Same Arrow-batched ``mapInPandas`` shape as ``extract_features``,
+    but the per-item body is the REAL decoder — the slot a JPEG/PNG
+    decoder drops into. Narrow stage: partition-preserving, no shuffle;
+    only (doc_id, payload, content_type) crosses the Arrow boundary.
+    """
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            out = {k.name: [] for k in PPM_SCHEMA.fields}
+            for doc_id, payload, ctype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_type"]
+            ):
+                img = decode_media(bytes(payload), ctype)
+                n = len(img["pixels"])
+                s = sum(img["pixels"])
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["maxval"].append(img["maxval"])
+                out["n_pixel_bytes"].append(n)
+                out["pixel_byte_sum"].append(s)
+                # one exact int division — bit-identical on any engine
+                out["mean_pixel_value"].append(s / n if n else None)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload",
+        F.col("payload_meta.content_type").alias("content_type"),
+    ).mapInPandas(gen, schema=PPM_SCHEMA)
 
 
 def fake_byte_features(pdf_iter: Iterator) -> Iterator:

@@ -27,74 +27,67 @@ OPERATOR_MODULES = (
 )
 
 # The driver's correctness harness checks only the FIRST 50 catalog
-# entries, so ordering is coverage policy, not cosmetics. This window
-# pins one driver-checked query for every SURVEY §2 operator plus a
-# flagship per LLM-pipeline family (temporal windows, text analysis,
-# dedup/near-dup, ANN, multimodal, sampling). Queries past the window
-# are redundant variants of an operator already covered here — they
-# stay fully oracle-checked by tests/test_catalog_oracle.py.
+# entries, so ordering is coverage policy, not cosmetics. Rotation
+# plan (VERDICT r03 #2/#8): round 4's window = the 33 queries that have
+# never had a driver row (32 catalog residents + the new PPM decode)
+# plus the 17 whose only driver row was round 2 (window/rank/set-op
+# family and friends — evidence going stale). The 50 queries checked
+# green in round 3 rotate out; every catalog query then has a driver
+# row from round 2, 3, or 4. All 100 stay continuously oracle-checked
+# by tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
-    # Relational core (A/W/O/U/P/J operators)
-    "pricing_summary",
-    "global_stats",
-    "conditional_counts",
-    "dominant_event_type",
-    "event_type_share",
-    "rollup_returnflag_status",
-    "pivot_status_qty",
-    "dedup_user_event_type",
-    "latest_event_per_user",
-    "order_date_arithmetic",
-    "top_revenue_orders",
-    "regional_revenue",
-    "customers_without_urgent_orders",
-    "filter_isin_projection",
-    "range_validity_flags",
-    "user_activity_coverage",
-    "union_segments",
-    "top10_orders_by_price",
-    "recent_events_feed",
-    "nations_sorted",
-    "validation_aggregates",
-    "coercion_null_on_error",
-    "null_drop_critical",
-    "promo_revenue_ratio",
-    # Weather domain (F1-F16)
-    "weather_conversions",
-    "weather_comfort_heat_index",
-    "weather_severity_class",
-    "weather_alert_feed",
-    "weather_time_features",
-    "weather_quality_flags",
-    "weather_daily_summary",
-    "weather_current_status",
-    # Nested ingest (P1-P3)
-    "parse_props_json",
-    "pack_explode_flatten",
-    # Temporal windows + as-of join
-    "tumbling_hourly_by_type",
-    "user_session_windows",
-    "asof_last_click_before_purchase",
-    # Text analysis + corpus curation (repetition gates stay past the
-    # window: the text family is already represented twice here)
-    "tfidf_top_terms",
-    "doc_language_id",
-    "decontaminate_ngram_overlap",
-    "bm25_topk",
-    # Mergeable sketches
-    "hll_distinct_sketch",
-    # Dedup / near-dup / clustering
-    "dedup_exact_content",
-    "near_dup_pairs_minhash",
-    "near_dup_clusters",
-    # Similarity search
-    "knn_cosine_topk",
-    "ann_ivf_probe_topk",
-    # Multimodal
-    "multimodal_feature_extract",
-    # Sampling / splits
-    "deterministic_doc_sample",
-    "dataset_split_assignment",
+    # --- never driver-checked (rounds 1-3) ---
+    "events_table_profile",
+    "referential_integrity_audit",
+    "sliding_hourly_activity",
+    "daily_value_rollup",
+    "interval_range_join_counts",
+    "doc_token_stats",
+    "term_frequencies",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "doc_simhash",
+    "pii_redaction",
+    "doc_repetition_metrics",
+    "cms_user_activity_sketch",
+    "bloom_dedup_probe",
+    "kmeans_lloyd_assignments",
+    "minhash_signatures",
+    "near_dup_pairs_editdist",
+    "near_dup_pairs_simhash",
+    "near_dup_pairs_ngram",
+    "near_dup_pairs_embedding",
+    "ann_hyperplane_lsh_topk",
+    "dedup_cascade_keep_list",
+    "label_centroids",
+    "dedup_incremental_batch",
+    "multimodal_payload_stats",
+    "multimodal_frame_sample",
+    "multimodal_distinct_bytes",
+    "multimodal_decode_ppm",
+    "corpus_mixture_sample",
+    "doc_stopword_filtered",
+    "doc_chunk_tokens",
+    "stratified_sample_per_lang",
+    "sequence_pack_assignment",
+    # --- r02-only driver rows: window/rank/set-op family cycling back ---
+    "top3_events_per_user",
+    "event_gaps_lag",
+    "user_running_totals",
+    "event_rank_functions",
+    "gap_based_sessions",
+    "union_distinct_active_users",
+    "intersect_error_purchase_users",
+    "except_users_without_big_events",
+    "date_range_revenue",
+    "cube_type_user_bucket",
+    "grouping_sets_pricing",
+    "customers_with_high_value_orders",
+    "lineitem_unpivot_measures",
+    "price_percentiles_by_flag",
+    "small_quantity_order_revenue",
+    "fixed_size_doc_sample",
+    "value_histogram",
 )
 
 

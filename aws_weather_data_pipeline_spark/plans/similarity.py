@@ -562,6 +562,60 @@ def near_dup_pairs_simhash(
 # --------------------------------------------------------------------------
 
 
+def _ngram_candidates(srt: DataFrame, filters: bool = True) -> DataFrame:
+    """Prefix-filtering candidate pairs from ``(doc_id, sh sorted)``.
+
+    ``filters=True`` additionally applies the length and positional
+    candidate cuts (Bayardo/Xiao all-pairs filters — prune only, never
+    recall loss, so the DuckDB oracle stays the plain prefix join):
+
+    - LENGTH: with |A| <= |B|, J <= |A|/|B|, so J >= 0.6 forces
+      5*min(sz) >= 3*max(sz). Kills small-vs-large pairs that grow
+      super-linearly on skewed shingle-length corpora.
+    - POSITIONAL: a match at 0-indexed positions (p_a, p_b) caps the
+      overlap at min(sz_a - p_a, sz_b - p_b); J >= 0.6 needs overlap
+      >= ceil(3*(sz_a+sz_b)/8). The FIRST common token of a qualifying
+      pair always passes (everything before it is disjoint in both
+      docs), so any-match-passes keeps full recall.
+
+    ``filters=False`` is the plain prefix join, kept for the prune-rate
+    regression test in ``tests/test_plans.py``.
+    """
+    pre = srt.select(
+        "doc_id",
+        F.size("sh").alias("sz"),
+        F.posexplode(
+            F.expr("slice(sh, 1, size(sh) - (3 * size(sh) + 4) div 5 + 1)")
+        ).alias("p", "h"),
+    )
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("p").alias("p_a"),
+        "h",
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("p").alias("p_b"),
+        "h",
+    )
+    cond = "doc_a < doc_b"
+    if filters:
+        cond += (
+            " AND least(sz_a, sz_b) * 5 >= greatest(sz_a, sz_b) * 3"
+            " AND least(sz_a - p_a, sz_b - p_b)"
+            "     >= (3 * (sz_a + sz_b) + 7) div 8"
+        )
+    return (
+        a.join(b, "h")
+        .filter(F.expr(cond))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+
 @CATALOG.add(
     "near_dup_pairs_ngram",
     _shingle_sql(
@@ -595,6 +649,9 @@ def near_dup_pairs_simhash(
     "|S| − ⌈t·|S|⌉ + 1 of them; any pair with J ≥ t MUST share a "
     "prefix hash, so the equi-join on prefix hashes has full recall — "
     "exact results (unlike MinHash-LSH) without an all-pairs stage. "
+    "Length and positional filters (Xiao et al., PPJoin) prune "
+    "size-incompatible and late-position candidates before the "
+    "verify join, again without recall loss. "
     "Verified identical to the all-pairs answer on this corpus. At "
     "100 TB: explode ≈ 0.4·|shingles| rows, one hash-shuffle on the "
     "shingle hash (uniform by construction), verify only candidates.",
@@ -611,22 +668,7 @@ def near_dup_pairs_ngram(
         srt = srt.persist()
         srt.count()
     try:
-        pre = srt.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "slice(sh, 1, size(sh) - (3 * size(sh) + 4) div 5 + 1)"
-                )
-            ).alias("h"),
-        )
-        a = pre.select(F.col("doc_id").alias("doc_a"), "h")
-        b = pre.select(F.col("doc_id").alias("doc_b"), "h")
-        cand = (
-            a.join(b, "h")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        cand = _ngram_candidates(srt)
         sa = srt.select(
             F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
         )
@@ -693,13 +735,20 @@ FROM reach GROUP BY u
     "one that scales.",
     tags=("similarity", "dedup", "iterative"),
 )
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     from ..operators.graph import connected_components
 
     # near_dup_pairs_minhash returns an eagerly-materialized frame
     # (localCheckpoint inside), so the operator's symmetrizing union
     # reads checkpointed partitions — no recompute, no extra persist.
-    pairs = near_dup_pairs_minhash(spark, sf_dir).select(
+    # A caller that already materialized the pairs (the dedup cascade,
+    # a multi-metric pipeline) threads them via ``pairs=`` instead of
+    # re-running shingle→signature→band-join→verify.
+    if pairs is None:
+        pairs = near_dup_pairs_minhash(spark, sf_dir)
+    pairs = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components(pairs)
@@ -1136,14 +1185,23 @@ SELECT doc_id, reason, reason = 'kept' AS keep FROM r
     "and packing read, so it pays for itself on the first reuse.",
     tags=("similarity", "dedup", "iterative"),
 )
-def dedup_cascade_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cascade_keep_list(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = _docs(spark, sf_dir)
     hashed = d.select("doc_id", F.md5("text").alias("ch"))
     ek = hashed.groupBy("ch").agg(F.min("doc_id").alias("exact_keeper"))
     exact = hashed.join(ek, "ch").select("doc_id", "exact_keeper")
-    pairs = near_dup_pairs_minhash(spark, sf_dir).select(
+    # Share the pairs pipeline (VERDICT r03 #4): the near-dup stage is
+    # the expensive half of the cascade, and any pipeline that already
+    # ran near_dup_pairs_minhash (or near_dup_clusters) holds exactly
+    # the frame this stage needs — thread it via ``pairs=`` and the
+    # cascade costs one extra hash-shuffle (exact dedup) plus joins.
+    if pairs is None:
+        pairs = near_dup_pairs_minhash(spark, sf_dir)
+    pairs = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components(pairs).withColumnRenamed(

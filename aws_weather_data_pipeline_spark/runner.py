@@ -36,6 +36,10 @@ CRITICAL_FIELDS = ("station_id", "city", "timestamp")
 #: X3 thresholds (weather_dag.py:186-236).
 MIN_AVG_QUALITY = 90.0
 
+#: Freshness bound (reference README.md:750-755: "age < 1 day" on
+#: ``NOW() - MAX(reading_timestamp)``), in seconds.
+MAX_STALENESS_SECONDS = 24 * 3600
+
 
 @dataclass
 class PipelinePaths:
@@ -101,8 +105,23 @@ def load(spark: SparkSession, paths: PipelinePaths) -> DataFrame:
     return processed
 
 
-def validate(spark: SparkSession, paths: PipelinePaths) -> ValidationResult:
-    """X3: post-load assertion queries (weather_dag.py:169-241)."""
+def validate(
+    spark: SparkSession,
+    paths: PipelinePaths,
+    now: "datetime.datetime | None" = None,
+) -> ValidationResult:
+    """X3: post-load assertion queries (weather_dag.py:169-241).
+
+    ``now`` anchors the freshness check (reference README.md:750-755);
+    callers pass a fixed instant for deterministic replay, ``None``
+    means wall-clock UTC.
+    """
+    import datetime
+
+    if now is None:
+        now = datetime.datetime.now(datetime.timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=datetime.timezone.utc)
     res = ValidationResult()
     serving = spark.read.parquet(paths.serving_dir)
     total = serving.count()
@@ -148,6 +167,23 @@ def validate(spark: SparkSession, paths: PipelinePaths) -> ValidationResult:
     )
     res.stats["duplicate_keys"] = dup
     res.checks["unique_key"] = dup == 0
+
+    # Freshness (reference README.md:750-755: NOW() - MAX(ts) < 1 day).
+    # One MAX aggregate — no extra scan cost beyond the agg above at
+    # scale, and the comparison happens driver-side on a single value.
+    latest = serving.agg(
+        F.max("timestamp_parsed").alias("latest")
+    ).first()["latest"]
+    if latest is not None and latest.tzinfo is None:
+        latest = latest.replace(tzinfo=datetime.timezone.utc)
+    age = (
+        (now - latest).total_seconds() if latest is not None else None
+    )
+    res.stats["latest_timestamp"] = latest
+    res.stats["staleness_seconds"] = age
+    res.checks["fresh"] = (
+        age is not None and 0 <= age < MAX_STALENESS_SECONDS
+    )
     return res
 
 
@@ -175,11 +211,15 @@ def report(spark: SparkSession, paths: PipelinePaths) -> str:
     return "\n".join(lines)
 
 
-def run(spark: SparkSession, paths: PipelinePaths) -> ValidationResult:
+def run(
+    spark: SparkSession,
+    paths: PipelinePaths,
+    now: "datetime.datetime | None" = None,
+) -> ValidationResult:
     """X1: the DAG, linearized with fail-fast semantics."""
     check_prerequisites(spark, paths)
     load(spark, paths)
-    result = validate(spark, paths)
+    result = validate(spark, paths, now=now)
     if not result.ok:
         failed = [k for k, v in result.checks.items() if not v]
         raise RuntimeError(f"validation failed: {failed}; {result.stats}")

@@ -95,6 +95,12 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
+#: Upper bound on the number of distinct scope values collected to the
+#: driver by ``idempotent_append`` — a date-grained scope is O(days per
+#: batch); anything past this is a mis-chosen scope column.
+MAX_SCOPE_VALUES = 10_000
+
+
 def idempotent_append(
     spark: SparkSession,
     new_rows: DataFrame,
@@ -137,10 +143,27 @@ def idempotent_append(
         existing = None
     if existing is not None:
         if scope_col is not None:
-            scopes = [
-                r[0]
-                for r in deduped.select(scope_col).distinct().collect()
-            ]
+            # The scope list is collected to the driver to become an
+            # isin() partition-pruning predicate — correct only for
+            # low-cardinality scopes (dates, hours). Cap it so a caller
+            # passing a high-cardinality column (an id, a timestamp)
+            # fails with a clear message instead of OOMing the driver
+            # at scale; such callers should use the plain (scope-less)
+            # anti-join, which never leaves the executors.
+            scope_rows = (
+                deduped.select(scope_col)
+                .distinct()
+                .limit(MAX_SCOPE_VALUES + 1)
+                .collect()
+            )
+            if len(scope_rows) > MAX_SCOPE_VALUES:
+                raise ValueError(
+                    f"idempotent_append scope_col={scope_col!r} has more "
+                    f"than {MAX_SCOPE_VALUES} distinct values in the "
+                    "incoming batch; use a coarser scope column (e.g. a "
+                    "date) or scope_col=None"
+                )
+            scopes = [r[0] for r in scope_rows]
             existing = existing.filter(F.col(scope_col).isin(scopes))
         to_insert = deduped.join(
             existing.select(*keys), on=keys, how="left_anti"

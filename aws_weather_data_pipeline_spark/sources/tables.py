@@ -31,28 +31,44 @@ TABLE_NAMES = (
 
 
 @lru_cache(maxsize=256)
-def _nanos_columns(path: str) -> tuple[str, ...]:
-    """Column names stored as parquet TIMESTAMP(NANOS) in ``path``.
+def _timestamp_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """``(nanos_cols, ntz_cols)`` for the parquet file at ``path``.
 
-    Read from the parquet footer (pyarrow), so the repair below is keyed
-    on the file's actual logical type — not on a hardcoded column name.
+    Read from the parquet footer (pyarrow), so the repairs below are
+    keyed on each file's actual logical type — not on hardcoded column
+    names. ``nanos_cols`` are TIMESTAMP(NANOS) (Spark has no native
+    type); ``ntz_cols`` are µs/ms timestamps with isAdjustedToUTC=false,
+    which Spark reads as TIMESTAMP_NTZ.
     """
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
     schema = pq.read_schema(path)
-    return tuple(
-        f.name
-        for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ts = [f for f in schema if pat.is_timestamp(f.type)]
+    return (
+        tuple(f.name for f in ts if f.type.unit == "ns"),
+        tuple(
+            f.name
+            for f in ts
+            if f.type.unit != "ns" and f.type.tz is None
+        ),
     )
 
 
 def _read_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos = _nanos_columns(path)
+    nanos, ntz = _timestamp_columns(path)
     if not nanos:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        # Timestamps written without isAdjustedToUTC arrive as
+        # TIMESTAMP_NTZ; the engine's invariant is session-TZ TIMESTAMP
+        # (everything downstream — unix_micros, window arithmetic, the
+        # UTC-pinned oracles — assumes it). The cast reinterprets the
+        # wall-clock in the session zone (UTC everywhere here): same
+        # instants, codegen-only, no UDF.
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
     # Spark has no TIMESTAMP(NANOS) type; under nanosAsLong it reads such
     # columns as LongType nanos-since-epoch. Convert to µs timestamps with
     # FLOOR division (pmod keeps the remainder non-negative, so pre-epoch
@@ -70,6 +86,8 @@ def _read_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000"))
             )
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -75,24 +75,54 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover - warmup best-effort
         print(f"warmup failed: {exc}", file=sys.stderr)
 
-    # Two passes per query, keep the minimum: single-shot timings on a
-    # shared host are contaminated by CPU-steal noise (observed 10-30x
-    # outliers on identical plans) and by one-time costs like Python
-    # worker spawn-up; the min of two runs is the steady-state number.
-    timings: dict[str, float] = {}
-    for name, q in catalog.queries.items():
-        best = -1.0
-        for _ in range(2):
+    # Three INTERLEAVED passes over the whole catalog (A,B,C,A,B,C...,
+    # not A,A,A,B,B,B), keeping the per-query minimum. Interleaving
+    # decorrelates each query's samples from transient host noise: a
+    # CPU-steal burst that inflates pass 1 of query Q lands minutes away
+    # from passes 2-3 of the same query, so the min survives. Back-to-back
+    # repeats share the same noise window and can all be inflated
+    # together (observed 2-12x on 5 queries in a prior shared-host run).
+    passes: dict[str, list[float]] = {name: [] for name in catalog.queries}
+    failed: set[str] = set()
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    for pass_i in range(n_passes):
+        for name, q in catalog.queries.items():
+            if name in failed:
+                continue
             t0 = time.perf_counter()
             try:
                 run_once(q.builder)
-                elapsed = round(time.perf_counter() - t0, 3)
-                best = elapsed if best < 0 else min(best, elapsed)
+                passes[name].append(round(time.perf_counter() - t0, 3))
             except Exception as exc:
                 print(f"FAIL {name}: {exc}", file=sys.stderr)
-                best = -1.0
-                break
-        timings[name] = best
+                failed.add(name)
+
+    timings: dict[str, float] = {
+        name: (min(ts) if ts and name not in failed else -1.0)
+        for name, ts in passes.items()
+    }
+
+    # Outlier retry: if even the min of 3 interleaved passes is >3x the
+    # catalog median, either the query is genuinely expensive (retry
+    # confirms, min unchanged) or all 3 samples were unlucky (retry
+    # produces the true steady-state number). Up to 2 extra runs each.
+    ok_times = sorted(t for t in timings.values() if t >= 0)
+    if ok_times:
+        median = ok_times[len(ok_times) // 2]
+        threshold = max(3.0 * median, 0.5)
+        for name, q in catalog.queries.items():
+            if name in failed or timings[name] <= threshold:
+                continue
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    run_once(q.builder)
+                    elapsed = round(time.perf_counter() - t0, 3)
+                    passes[name].append(elapsed)
+                    timings[name] = min(timings[name], elapsed)
+                except Exception as exc:
+                    print(f"FAIL {name} (retry): {exc}", file=sys.stderr)
+                    break
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     detail = {
@@ -100,6 +130,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
         "sf": sf,
     }
     # Per-query timings are too long for the driver's 2,000-char stdout

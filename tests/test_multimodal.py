@@ -13,9 +13,51 @@ from aws_weather_data_pipeline_spark.functions.multimodal import (
 )
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError, match="media decoding"):
+def test_decode_media_unknown_type_still_raises():
+    # Non-PPM codecs remain unimplemented in this container — the
+    # extension contract (raise, don't guess) is unchanged.
+    with pytest.raises(NotImplementedError, match="no decoder"):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_media_parses_binary_ppm():
+    # Spec-compliant header: comments and arbitrary whitespace between
+    # tokens; 2x2 RGB raster of known bytes.
+    raster = bytes(range(12))
+    ppm = b"P6\n# a comment\n2 2\n# another\n255\n" + raster
+    img = decode_media(ppm, "image/x-portable-pixmap")
+    assert (img["width"], img["height"], img["maxval"]) == (2, 2, 255)
+    assert img["pixels"] == raster
+
+
+def test_decode_media_rejects_malformed_ppm():
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_media(b"P3\n1 1\n255\n000", "image/x-portable-pixmap")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6\n2 2\n255\nxx", "image/x-portable-pixmap")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_media(b"P6\n1 1\n65535\n" + b"\0" * 6,
+                     "image/x-portable-pixmap")
+
+
+def test_ppm_payload_decodes_end_to_end(spark):
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        PPM_SCHEMA,
+        decode_ppm_features,
+        with_ppm_payload,
+    )
+
+    # doc_id=9: width 1+9%8=2, height 1+9%5=5 → raster 30 bytes; text
+    # is 4 chars so rpad fills 26 'x' bytes.
+    df = spark.createDataFrame([Row(doc_id=9, text="abcd")])
+    feats = decode_ppm_features(with_ppm_payload(df))
+    assert feats.schema == PPM_SCHEMA
+    r = feats.first()
+    assert (r["width"], r["height"], r["maxval"]) == (2, 5, 255)
+    assert r["n_pixel_bytes"] == 30
+    expected = sum(b"abcd" + b"x" * 26)
+    assert r["pixel_byte_sum"] == expected
+    assert r["mean_pixel_value"] == expected / 30
 
 
 def test_payload_and_features_roundtrip(spark):

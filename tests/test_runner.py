@@ -2,15 +2,25 @@
 
 from __future__ import annotations
 
+import datetime
+
 import pytest
 
 from aws_weather_data_pipeline_spark.runner import (
+    MAX_STALENESS_SECONDS,
     PipelinePaths,
     check_prerequisites,
     report,
     run,
+    validate,
 )
 from tests.weather_fixtures import make_reading, write_batch_file
+
+#: Fixture readings are stamped 2024-01-15; this "now" is the same
+#: evening, so the freshness check sees data a few hours old.
+FIXTURE_NOW = datetime.datetime(
+    2024, 1, 15, 20, 0, 0, tzinfo=datetime.timezone.utc
+)
 
 
 @pytest.fixture()
@@ -53,11 +63,13 @@ def test_prerequisites_fail_on_empty_dir(spark, tmp_path):
 
 
 def test_full_pipeline_run(spark, paths):
-    result = run(spark, paths)
+    result = run(spark, paths, now=FIXTURE_NOW)
     assert result.ok
     assert result.stats["total_rows"] == 35
     assert result.stats["duplicate_keys"] == 0
     assert result.stats["avg_quality"] >= 90.0
+    assert result.checks["fresh"]
+    assert 0 < result.stats["staleness_seconds"] < MAX_STALENESS_SECONDS
 
     serving = spark.read.parquet(paths.serving_dir)
     assert "alert_level" in serving.columns
@@ -69,7 +81,7 @@ def test_full_pipeline_run(spark, paths):
     # overwrite (append would double it), summary via partition upsert.
     lake_before = spark.read.parquet(paths.lake_dir).count()
     summary_before = summary.count()  # count now; the rerun replaces files
-    result2 = run(spark, paths)
+    result2 = run(spark, paths, now=FIXTURE_NOW)
     assert result2.stats["total_rows"] == 35
     assert spark.read.parquet(paths.lake_dir).count() == lake_before
     assert spark.read.parquet(paths.summary_dir).count() == summary_before
@@ -78,3 +90,26 @@ def test_full_pipeline_run(spark, paths):
     assert "DAILY WEATHER SUMMARY" in text
     assert "Mumbai" in text
     assert "dominant: Clear" in text
+
+
+def test_validate_freshness_stale_and_fresh(spark, paths):
+    """X3 freshness (reference README.md:750-755, age < 1 day): the
+    same serving table passes with a now inside the window and fails
+    with a now a week later — and run() surfaces the stale case as a
+    pipeline failure.
+    """
+    run(spark, paths, now=FIXTURE_NOW)
+
+    fresh = validate(spark, paths, now=FIXTURE_NOW)
+    assert fresh.checks["fresh"]
+
+    week_later = FIXTURE_NOW + datetime.timedelta(days=7)
+    stale = validate(spark, paths, now=week_later)
+    assert not stale.checks["fresh"]
+    assert stale.stats["staleness_seconds"] > MAX_STALENESS_SECONDS
+    # every non-freshness check still passes — the failure is isolated
+    others = {k: v for k, v in stale.checks.items() if k != "fresh"}
+    assert all(others.values())
+
+    with pytest.raises(RuntimeError, match="fresh"):
+        run(spark, paths, now=week_later)

@@ -89,6 +89,24 @@ def test_idempotent_append_partition_scoped(spark, tmp_path):
     assert spark.read.parquet(out).count() == 13
 
 
+def test_idempotent_append_rejects_high_cardinality_scope(
+    spark, tmp_path, monkeypatch
+):
+    # The scope list is collected to the driver; a caller passing an
+    # id-like column must fail loudly, not OOM the driver at scale.
+    # Shrink the cap so the test doesn't need 10k+1 distinct values.
+    import aws_weather_data_pipeline_spark.sinks.writers as w
+    import pytest
+
+    monkeypatch.setattr(w, "MAX_SCOPE_VALUES", 4)
+    out = str(tmp_path / "serving")
+    keys = ["station_id", "timestamp_parsed"]
+    df = _frame(spark)  # station_id has 6 distinct values > cap of 4
+    idempotent_append(spark, df, out, keys)  # table must exist first
+    with pytest.raises(ValueError, match="station_id.*distinct"):
+        idempotent_append(spark, df, out, keys, scope_col="station_id")
+
+
 def test_idempotent_append_dedups_within_batch(spark, tmp_path):
     out = str(tmp_path / "serving")
     df = _frame(spark)
