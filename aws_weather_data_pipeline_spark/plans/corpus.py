@@ -209,21 +209,36 @@ def decontaminate_ngram_overlap(
 ) -> DataFrame:
     n = DECONTAM_N
     d = _tokens(_docs(spark, sf_dir)).filter(F.size("tokens") >= n)
+    # n-grams are HASHED to int64 (multi-arg xxhash64 over the n tokens
+    # — no concat, no string allocation, no token-boundary aliasing)
+    # instead of materialized as strings: the output is per-doc COUNTS,
+    # so only gram identity matters, and 64-bit collisions are
+    # negligible at any corpus size (p ~ n_cand*n_bench/2^64). The
+    # broadcast set becomes 8 bytes/gram instead of ~40. The string
+    # oracle in DuckDB is unchanged — counts agree by construction.
     grams = F.expr(
         f"array_distinct(transform(sequence(0, size(tokens)-{n}), i -> "
-        "concat_ws(' ', "
+        "xxhash64("
         + ", ".join(f"tokens[i+{j}]" for j in range(n))
         + ")))"
     )
     d = d.select("doc_id", grams.alias("g5"))
+    # explode_outer, NOT explode: plain explode generates an implicit
+    # `size(g5) > 0` predicate that Catalyst pushes below the spread
+    # repartition with the g5 alias INLINED — the whole n-gram
+    # construction then runs twice per row, inside the (row-group-bound,
+    # possibly single-task) scan stage. g5 is never empty here
+    # (size(tokens) >= n guarantees >= 1 gram), so outer == inner
+    # semantically, and the expensive projection stays after the
+    # repartition, computed once, on all cores.
     bench = (
         d.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
-        .select(F.explode("g5").alias("gram"))
+        .select(F.explode_outer("g5").alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     cand = d.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0).select(
-        "doc_id", F.explode("g5").alias("gram")
+        "doc_id", F.explode_outer("g5").alias("gram")
     )
     joined = cand.join(F.broadcast(bench), "gram", "left")
     return joined.groupBy("doc_id").agg(
@@ -368,4 +383,226 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model fluency score (quality filtering)
+# --------------------------------------------------------------------------
+
+#: Trusted-slice membership for LM training: doc_id % this == 0 (~14%).
+LM_TRAIN_MOD = 7
+#: Transition probabilities are carried as exact per-mille integers.
+LM_SCALE = 1000
+
+
+@CATALOG.add(
+    "doc_bigram_lm_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS b
+        FROM t
+    ),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM flat
+        WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY w1
+    ),
+    model AS (
+        SELECT w1, w2, (c12 * {LM_SCALE}) // c1 AS term
+        FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(term) AS BIGINT) AS n_known,
+           CAST(COALESCE(SUM(term), 0) AS BIGINT) AS score_sum,
+           CAST(COALESCE(SUM(term), 0) AS DOUBLE) / COUNT(*)
+               AS avg_transition_milli
+    FROM flat LEFT JOIN model USING (w1, w2)
+    WHERE doc_id % {LM_TRAIN_MOD} <> 0
+    GROUP BY doc_id
+    """,
+    doc="Language-model fluency scoring (the KenLM-style quality gate "
+    "of CCNet/Gopher pipelines, in exact arithmetic): train a bigram "
+    f"model on the trusted slice (doc_id % {LM_TRAIN_MOD} = 0, standing "
+    "in for Wikipedia/books), then score every other document by its "
+    "average transition probability. Determinism: log-probs are "
+    "libm-dependent, so each transition is the exact integer "
+    f"floor((c12 * {LM_SCALE}) / c1) — per-mille P(w2|w1) — and the "
+    "per-doc aggregate is an exact int SUM plus ONE final division. "
+    "Unseen bigrams contribute 0 (n_known tracks coverage). Plan: the "
+    "model is two hash-aggregates over the trusted slice joined once; "
+    "the scoring join is left-equi on (w1, w2) with AQE free to "
+    "broadcast (sf0.1) or shuffle (a 100 TB trusted slice's bigram "
+    "table outgrows broadcast; an equi-shuffle join on uniformly "
+    "hash-distributed token pairs is the right fallback shape). "
+    "explode_outer throughout — see SCALE.md on the explode-pushdown "
+    "trap.",
+    tags=("text", "corpus", "join"),
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir)).filter(F.size("tokens") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(0, size(tokens)-2),"
+        " i -> struct(tokens[i] as w1, tokens[i+1] as w2))"
+    )
+    flat = d.select(
+        "doc_id", F.explode_outer(bigrams).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    train = flat.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    # ONE pass over the trusted slice builds the bigram table; it is
+    # eagerly materialized (localCheckpoint — distributed, sized by the
+    # trusted slice's bigram vocabulary, not the corpus) because c1,
+    # and then the model join, would otherwise each re-run the
+    # tokenize→bigram→aggregate subtree: Spark does not share common
+    # subplans across join branches. c1 folds FROM c12 (sum over w2),
+    # never rescanning the corpus.
+    c12 = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr(f"(c12 * {LM_SCALE}) div c1").alias("term")
+    )
+    cand = flat.filter(F.col("doc_id") % LM_TRAIN_MOD != 0)
+    joined = cand.join(model, ["w1", "w2"], "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("term").alias("n_known"),
+        F.sum(F.coalesce(F.col("term"), F.lit(0))).alias("score_sum"),
+        (
+            F.sum(F.coalesce(F.col("term"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_transition_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (domain-targeted data selection)
+# --------------------------------------------------------------------------
+
+#: Feature-hash buckets for the unigram importance model. 256 keeps the
+#: model O(1)-broadcastable at ANY corpus size — that is the point of
+#: hashed features (DSIR, Xie et al. 2023): model size is fixed by the
+#: bucket count, not the vocabulary.
+DSIR_BUCKETS = 256
+#: Per-bucket rates are exact parts-per-million integers.
+DSIR_PPM = 1_000_000
+
+
+@CATALOG.add(
+    "doc_importance_weights",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))
+                   ::BIGINT % {DSIR_BUCKETS} AS bucket
+        FROM documents
+    ),
+    tgt AS (
+        SELECT bucket, COUNT(*) AS c FROM tok
+        WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY bucket
+    ),
+    raw AS (
+        SELECT bucket, COUNT(*) AS c FROM tok
+        WHERE doc_id % {LM_TRAIN_MOD} <> 0 GROUP BY bucket
+    ),
+    totals AS (
+        SELECT (SELECT SUM(c) FROM tgt) AS tt, (SELECT SUM(c) FROM raw) AS rt
+    ),
+    model AS (
+        SELECT bucket,
+               ((tgt.c * {DSIR_PPM} // tt) * {LM_SCALE})
+                   // ((raw.c * {DSIR_PPM} // rt) + 1) AS term
+        FROM tgt JOIN raw USING (bucket) CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(term), 0) AS BIGINT) AS weight_sum,
+           CAST(COALESCE(SUM(term), 0) AS DOUBLE) / COUNT(*)
+               AS mean_ratio_milli
+    FROM tok LEFT JOIN model USING (bucket)
+    WHERE doc_id % {LM_TRAIN_MOD} <> 0
+    GROUP BY doc_id
+    """,
+    doc="Importance weighting for domain-targeted data selection (DSIR, "
+    "Xie et al. 2023 — hashed n-gram features): unigrams hash into "
+    f"{DSIR_BUCKETS} buckets (md5-prefix, engine-portable), the trusted "
+    f"slice (doc_id % {LM_TRAIN_MOD} = 0) defines the target bucket "
+    "distribution, the rest defines the raw distribution, and each "
+    "document scores the sum over its tokens of the target/raw rate "
+    "ratio for the token's bucket. Determinism & overflow: rates are "
+    "exact ppm integers floor((c * 1e6) / total) — bounded by 1e6 "
+    "regardless of corpus size, so the ratio arithmetic never "
+    "overflows int64 at ANY scale — and the per-doc aggregate is an "
+    "exact int SUM plus one final division (no logs: same rationale "
+    "as the BM25 rational IDF). Plan: the model is "
+    f"{DSIR_BUCKETS} rows — explicitly broadcast, O(1) forever (the "
+    "fixed bucket count is the DSIR trick); scoring is a map-side "
+    "probe plus one per-doc hash-aggregate, linear at 100 TB.",
+    tags=("text", "corpus", "join"),
+)
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select(
+        "doc_id", F.explode_outer("tokens").alias("token")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"
+            f" % {DSIR_BUCKETS}"
+        ).alias("bucket"),
+    )
+    # ONE corpus pass builds BOTH bucket distributions (conditional
+    # counts in a single aggregate); the 256-row result materializes
+    # eagerly so totals / model derive from it without re-scanning —
+    # four lazy branches over `tok` would tokenize the corpus 4x.
+    counts = (
+        tok.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") % LM_TRAIN_MOD == 0, 1).otherwise(0)
+            ).alias("tc"),
+            F.sum(
+                F.when(F.col("doc_id") % LM_TRAIN_MOD != 0, 1).otherwise(0)
+            ).alias("rc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    model = (
+        counts.filter((F.col("tc") > 0) & (F.col("rc") > 0))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"((tc * {DSIR_PPM} div tt) * {LM_SCALE})"
+                f" div ((rc * {DSIR_PPM} div rt) + 1)"
+            ).alias("term"),
+        )
+    )
+    cand = tok.filter(F.col("doc_id") % LM_TRAIN_MOD != 0)
+    joined = cand.join(F.broadcast(model), "bucket", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("term"), F.lit(0))).alias("weight_sum"),
+        (
+            F.sum(F.coalesce(F.col("term"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_ratio_milli"),
     )

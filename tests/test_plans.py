@@ -40,6 +40,10 @@ ALLOWED_HINTS = {
     "interval_range_join_counts": 1,
     # the k-row centroid table, once per unrolled Lloyd assign.
     "kmeans_lloyd_assignments": 2,
+    # the one-row totals frame + the fixed DSIR_BUCKETS-row hashed
+    # model — bounded by the bucket constant at ANY corpus size (that
+    # fixed size is the DSIR design point).
+    "doc_importance_weights": 2,
 }
 
 
