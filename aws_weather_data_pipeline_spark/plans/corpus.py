@@ -606,3 +606,83 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_ratio_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-span detection (substring-level dedup signal)
+# --------------------------------------------------------------------------
+
+#: Token-window length for span duplication (Lee et al. 2022 use 50-BPE
+#: suffix-array matches; 20 whitespace tokens suits this corpus's
+#: 10-99-token documents).
+SPAN_TOKENS = 20
+
+
+@CATALOG.add(
+    "doc_duplicated_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_TOKENS}
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(tk) - {SPAN_TOKENS} + 2),
+                   i -> array_to_string(tk[i:i + {SPAN_TOKENS} - 1], ' ')))
+                   AS gram
+        FROM t
+    ),
+    c AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd
+        FROM w GROUP BY gram
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_windows,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS shared_fraction
+    FROM w JOIN c USING (gram)
+    GROUP BY w.doc_id
+    """,
+    doc="Substring-level duplication signal (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better' — the "
+    f"ExactSubstr criterion approximated with fixed {SPAN_TOKENS}-token "
+    "windows instead of suffix arrays, which do not distribute): every "
+    "token position opens a window, windows are hashed (xxhash64 over "
+    "the token-array slice — no string materialization; the DuckDB "
+    "oracle builds the strings and compares COUNTS only), and a window "
+    "whose hash occurs in ≥2 distinct documents marks a cross-document "
+    "duplicated span. Output per doc: window count, shared-window "
+    "count, shared fraction (one exact division). Plan: explode ≈ "
+    "tokens-per-doc rows, ONE hash-shuffle on the window hash (uniform "
+    "by construction) for the distinct-doc count, then an equi-join "
+    "back — both sides partitioned by the same key from the same "
+    "shuffle, and AQE handles any hot boilerplate span. Linear at "
+    "100 TB; the window length is the recall/precision knob.",
+    tags=("text", "dedup", "join"),
+)
+def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = SPAN_TOKENS
+    d = _tokens(_docs(spark, sf_dir)).filter(F.size("tokens") >= n)
+    windows = F.expr(
+        f"transform(sequence(0, size(tokens)-{n}),"
+        f" i -> xxhash64(slice(tokens, i + 1, {n})))"
+    )
+    w = d.select(
+        "doc_id", F.explode_outer(windows).alias("whash")
+    )
+    c = w.groupBy("whash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    joined = w.join(c, "whash")
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        shared.alias("n_shared_windows"),
+        (shared.cast("double") / F.count(F.lit(1))).alias(
+            "shared_fraction"
+        ),
+    )
