@@ -40,6 +40,52 @@ def test_decode_media_rejects_malformed_ppm():
                      "image/x-portable-pixmap")
 
 
+def test_decode_ppm_roundtrip_property():
+    """Property: any spec-compliant P6 file (arbitrary dims, maxval,
+    comment/whitespace layout, raster bytes) decodes back to exactly
+    the fields it was built from. No Spark — pure decoder fuzz.
+    """
+    from hypothesis import given, settings, strategies as st
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        decode_media,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        maxval=st.integers(1, 255),
+        data=st.data(),
+        comment=st.booleans(),
+        ws=st.sampled_from([b" ", b"\n", b"\t", b"\r\n"]),
+    )
+    def check(w, h, maxval, data, comment, ws):
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        header = b"P6" + ws
+        if comment:
+            header += b"# fuzz comment\n"
+        header += (
+            str(w).encode() + ws + str(h).encode() + ws
+            + str(maxval).encode() + b"\n"
+        )
+        img = decode_media(header + raster, "image/x-portable-pixmap")
+        assert (img["width"], img["height"], img["maxval"]) == (
+            w, h, maxval,
+        )
+        assert img["pixels"] == raster
+
+    check()
+
+
 def test_ppm_payload_decodes_end_to_end(spark):
     from aws_weather_data_pipeline_spark.functions.multimodal import (
         PPM_SCHEMA,

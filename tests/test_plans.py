@@ -236,6 +236,50 @@ def test_ngram_length_positional_filters_prune_without_recall_loss(spark):
     assert not missed, f"filters dropped true pairs: {sorted(missed)[:5]}"
 
 
+def test_ppjoin_filter_bounds_are_lossless_property():
+    """Pure-math fuzz of the PPJoin candidate cuts (no Spark): for ANY
+    pair of hash sets with J >= 0.6, (a) the length filter holds, and
+    (b) some common element inside BOTH prefixes satisfies the
+    positional bound — i.e. the exact integer predicates used in
+    _ngram_candidates can never drop a qualifying pair. Pairs are
+    built as base-set edits so high-J cases are actually exercised.
+    """
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        base=st.sets(st.integers(0, 10_000), min_size=5, max_size=60),
+        drop=st.integers(0, 5),
+        add=st.sets(st.integers(10_001, 10_100), max_size=5),
+    )
+    def check(base, drop, add):
+        a = sorted(base)
+        b = sorted((base - set(a[:drop])) | add)
+        if not b:
+            return
+        inter = len(set(a) & set(b))
+        union = len(a) + len(b) - inter
+        if inter / union < 0.6:
+            return  # only qualifying pairs carry the guarantee
+        sz_a, sz_b = len(a), len(b)
+        # length filter: J <= min/max, so J >= 3/5 forces 5*min >= 3*max
+        assert 5 * min(sz_a, sz_b) >= 3 * max(sz_a, sz_b)
+        # positional filter: prefix lengths |S| - ceil(0.6|S|) + 1
+        pre_a = sz_a - (3 * sz_a + 4) // 5 + 1
+        pre_b = sz_b - (3 * sz_b + 4) // 5 + 1
+        alpha = (3 * (sz_a + sz_b) + 7) // 8  # ceil(3(sza+szb)/8)
+        pos_a = {h: i for i, h in enumerate(a)}
+        pos_b = {h: i for i, h in enumerate(b)}
+        assert any(
+            pos_a[h] < pre_a
+            and pos_b[h] < pre_b
+            and min(sz_a - pos_a[h], sz_b - pos_b[h]) >= alpha
+            for h in set(a) & set(b)
+        ), f"qualifying pair escaped the filters: {a} vs {b}"
+
+    check()
+
+
 def test_cascade_threads_precomputed_pairs(spark):
     """The ``pairs=`` parameter (VERDICT r03 #4) must be a pure reuse:
     threading the materialized MinHash pairs into the cascade yields
