@@ -155,6 +155,29 @@ def _detach(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """``(doc_id, band, k1, k2)`` — one row per doc per LSH band."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"mh{ROWS_PER_BAND * j}").alias("k1"),
+                        F.col(f"mh{ROWS_PER_BAND * j + 1}").alias("k2"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    ).select(
+        "doc_id",
+        "band",
+        F.col("bucket.k1").alias("k1"),
+        F.col("bucket.k2").alias("k2"),
+    )
+
+
 def _minhash_candidates(sigs: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) candidates from the LSH band join.
 
@@ -174,25 +197,7 @@ def _minhash_candidates(sigs: DataFrame) -> DataFrame:
     edit-distance, clustering) so candidate-generation fixes apply to
     all of them at once.
     """
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"mh{ROWS_PER_BAND * j}").alias("k1"),
-                        F.col(f"mh{ROWS_PER_BAND * j + 1}").alias("k2"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    ).select(
-        "doc_id",
-        "band",
-        F.col("bucket.k1").alias("k1"),
-        F.col("bucket.k2").alias("k2"),
-    )
+    bands = _minhash_bands(sigs)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
     return (
@@ -1335,3 +1340,108 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "content_hash", "left_anti").select(
         "doc_id", "content_hash"
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup dedup: new batch vs existing corpus (asymmetric LSH)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "dedup_incremental_near",
+    _shingle_sql(
+        f""",
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM sets),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+        FROM bands b JOIN bands c USING (band, k1, k2)
+        WHERE b.doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
+          AND c.doc_id % {BATCH_MOD} <> {BATCH_REMAINDER}
+    ),
+    ver AS (
+        SELECT cand.doc_id, cand.dup_of
+        FROM cand
+        JOIN sets sa ON sa.doc_id = cand.doc_id
+        JOIN sets sb ON sb.doc_id = cand.dup_of
+        WHERE CAST(len(list_filter(sa.shingles,
+                      x -> list_contains(sb.shingles, x))) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_filter(sa.shingles,
+                       x -> list_contains(sb.shingles, x))))
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(v.dup_of) AS BIGINT) AS n_near_dups,
+           MIN(v.dup_of) AS first_dup_of,
+           COUNT(v.dup_of) = 0 AS is_new
+    FROM sets s LEFT JOIN ver v USING (doc_id)
+    WHERE s.doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
+    GROUP BY s.doc_id"""
+    ),
+    doc="Incremental ingest NEAR-dup dedup — the daily-operation form "
+    "of near_dup_pairs_minhash, as dedup_incremental_batch is of "
+    "dedup_exact_content: today's batch (doc_id % "
+    f"{BATCH_MOD} = {BATCH_REMAINDER}) probes the existing corpus via "
+    "an ASYMMETRIC band join (batch bands × corpus bands — never "
+    "corpus × corpus), exact-Jaccard-verifies only the colliding "
+    "pairs, and emits one row per batch doc: match count, first "
+    "(minimum) corpus duplicate, and an is_new keep flag. At 100 TB "
+    "the corpus side is a persisted SIGNATURE INDEX (16 bigints + "
+    "shingle hashes per doc, no text), so daily cost is O(batch + "
+    "probed buckets), not O(corpus) — and if the index is bucketed "
+    "by (band, k1, k2) the batch-side shuffle is the only exchange. "
+    "Cites the same banding design point as near_dup_pairs_minhash "
+    "(recall/candidate-rate pinned in tests/test_plans.py).",
+    tags=("similarity", "dedup", "join"),
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_shingles(_docs(spark, sf_dir))
+    # Same recompute hazard as the rest of the MinHash family: bands +
+    # two verify joins + the batch keep-list all branch off sigs.
+    sigs = d.select("doc_id", "shingles", *minhash_signature_cols())
+    sigs = sigs.persist()
+    sigs.count()
+    try:
+        bands = _minhash_bands(sigs)
+        bb = bands.filter(
+            F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER
+        )
+        cb = bands.filter(
+            F.col("doc_id") % BATCH_MOD != BATCH_REMAINDER
+        ).withColumnRenamed("doc_id", "dup_of")
+        cand = (
+            bb.join(cb, ["band", "k1", "k2"])
+            .select("doc_id", "dup_of")
+            .distinct()
+        )
+        sa = sigs.select("doc_id", F.col("shingles").alias("sh_a"))
+        sb = sigs.select(
+            F.col("doc_id").alias("dup_of"),
+            F.col("shingles").alias("sh_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jaccard = inter.cast("double") / (
+            F.size("sh_a") + F.size("sh_b") - inter
+        )
+        ver = (
+            cand.join(sa, "doc_id")
+            .join(sb, "dup_of")
+            .filter(jaccard >= JACCARD_THRESHOLD)
+            .select("doc_id", "dup_of")
+        )
+        batch = sigs.filter(
+            F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER
+        ).select("doc_id")
+        out = (
+            batch.join(ver, "doc_id", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("dup_of").alias("n_near_dups"),
+                F.min("dup_of").alias("first_dup_of"),
+                (F.count("dup_of") == 0).alias("is_new"),
+            )
+        )
+        return _detach(out)
+    finally:
+        sigs.unpersist(False)
