@@ -32,6 +32,22 @@ def test_rows_only(spark, sf_dir, q):
     assert len(df.schema.fields) > 0
 
 
+def test_driver_window_is_first_50_catalog_entries():
+    """The driver's correctness harness samples the FIRST 50 catalog
+    entries; DRIVER_WINDOW is the policy list. This pins the contract:
+    exactly 50 unique names, registered first and in order, so a
+    refactor of module merge order can't silently change which queries
+    the driver checks.
+    """
+    from aws_weather_data_pipeline_spark.plans.catalog import (
+        DRIVER_WINDOW,
+    )
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(CATALOG.queries)[:50] == list(DRIVER_WINDOW)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
