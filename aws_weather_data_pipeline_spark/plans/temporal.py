@@ -399,3 +399,62 @@ def interval_range_join_counts(
         F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
         "sum_value",
     )
+
+
+# --------------------------------------------------------------------------
+# Time-based RANGE frame: trailing-hour per-row stats
+# --------------------------------------------------------------------------
+
+#: Trailing range width in microseconds (1 hour).
+TRAIL_MICROS = 3_600_000_000
+
+
+@CATALOG.add(
+    "trailing_hour_user_stats",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based RANGE frame (SQL:2011 sliding interval): for every "
+    "event, the count and exact sum of the same user's events in the "
+    "trailing hour — the per-row rolling statistic behind rate "
+    "limiting, anomaly scoring, and feature engineering. Physically "
+    "DISTINCT from both the rows-frame running total "
+    "(user_running_totals) and the groupBy sliding window "
+    "(sliding_hourly_activity): the frame is bounded by a time "
+    "PREDICATE, so peers are determined by value, not position — "
+    "Spark expresses it as rangeBetween over unix_micros(ts) [a "
+    "numeric range frame; Spark does not accept interval literals "
+    "here], DuckDB as RANGE INTERVAL 1 HOUR PRECEDING; both are "
+    "inclusive of the boundary instant, and duplicate-ts peers "
+    "collapse into the same frame on both engines, which is what "
+    "makes ORDER BY ts alone deterministic (a rows frame would need "
+    "the event_id tie-break). Sum routes through DECIMAL so frame "
+    "evaluation order can't shift the hash. One shuffle on user_id; "
+    "Spark evaluates range frames with a sliding two-pointer over "
+    "each sorted partition — O(n) per partition at any scale.",
+    tags=("window", "temporal"),
+)
+def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dec
+
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-TRAIL_MICROS, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_trailing"),
+    )
