@@ -236,6 +236,38 @@ def test_ngram_length_positional_filters_prune_without_recall_loss(spark):
     assert not missed, f"filters dropped true pairs: {sorted(missed)[:5]}"
 
 
+def test_round4_curation_queries_have_sane_plan_shapes(spark, sf_dir):
+    """Plan-shape pins for the round-4 curation operators:
+
+    - duplicated spans / bigram LM: pure equi-join pipelines — any
+      CartesianProduct or BroadcastNestedLoopJoin means the candidate
+      or model join degenerated.
+    - DSIR weights: one BroadcastNestedLoopJoin is EXPECTED (the
+      keyless cross join against the broadcast one-row totals frame,
+      same accepted shape as bm25's global-stats join) but never a
+      CartesianProduct, and never more than that single keyless join.
+    - trailing-hour stats: exactly ONE Window operator over one
+      user_id exchange — a second window or shuffle means the range
+      frame was rewritten as self-join or re-sorted.
+    """
+    import re
+
+    from aws_weather_data_pipeline_spark.plans import corpus, temporal
+
+    for fn in (corpus.doc_duplicated_spans, corpus.doc_bigram_lm_score):
+        plan = _formatted(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+    plan = _formatted(corpus.doc_importance_weights(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+    plan = _formatted(temporal.trailing_hour_user_stats(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ppjoin_filter_bounds_are_lossless_property():
     """Pure-math fuzz of the PPJoin candidate cuts (no Spark): for ANY
     pair of hash sets with J >= 0.6, (a) the length filter holds, and
