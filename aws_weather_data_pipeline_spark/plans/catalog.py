@@ -28,18 +28,18 @@ OPERATOR_MODULES = (
 
 # The driver's correctness harness checks only the FIRST 50 catalog
 # entries, so ordering is coverage policy, not cosmetics. Rotation
-# plan (VERDICT r03 #2/#8): round 4's window = the 37 queries that
-# have never had a driver row (32 catalog residents + the five new
+# plan (VERDICT r03 #2/#8): round 4's window = the 38 queries that
+# have never had a driver row (32 catalog residents + the six new
 # round-4 operators: PPM decode, bigram LM, DSIR weights, duplicated
-# spans, incremental near-dup) plus 13 of the 17 whose only driver
-# row was round 2, prioritizing the full window/rank/set-op family
-# (the four r02-green singles left out — fixed_size_doc_sample,
-# value_histogram, lineitem_unpivot_measures,
-# small_quantity_order_revenue — cycle back in round 5). The 50
-# queries checked green in round 3 rotate out; after this round every
-# catalog query has a driver row from round 2, 3, or 4. All 104 stay
-# continuously oracle-checked by tests/test_catalog_oracle.py
-# regardless of window position.
+# spans, incremental near-dup, trailing-hour range frame) plus 12 of
+# the 17 whose only driver row was round 2, prioritizing the full
+# window/rank/set-op family (the five r02-green singles left out —
+# fixed_size_doc_sample, value_histogram, lineitem_unpivot_measures,
+# small_quantity_order_revenue, price_percentiles_by_flag — cycle
+# back in round 5). The 50 queries checked green in round 3 rotate
+# out; after this round every catalog query has a driver row from
+# round 2, 3, or 4. All 105 stay continuously oracle-checked by
+# tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (rounds 1-3) ---
     "events_table_profile",
@@ -74,6 +74,7 @@ DRIVER_WINDOW = (
     "doc_importance_weights",
     "doc_duplicated_spans",
     "dedup_incremental_near",
+    "trailing_hour_user_stats",
     "corpus_mixture_sample",
     "doc_stopword_filtered",
     "doc_chunk_tokens",
@@ -92,7 +93,6 @@ DRIVER_WINDOW = (
     "cube_type_user_bucket",
     "grouping_sets_pricing",
     "customers_with_high_value_orders",
-    "price_percentiles_by_flag",
 )
 
 
