@@ -113,7 +113,10 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _tokens(_docs(spark, sf_dir))
-    tok = d.select("doc_id", F.explode("tokens").alias("token"))
+    # explode_outer: no generated size-predicate, so split() stays
+    # post-repartition and runs once (SCALE.md explode-pushdown trap);
+    # split never yields an empty array, so outer == inner here.
+    tok = d.select("doc_id", F.explode_outer("tokens").alias("token"))
     agg = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -323,8 +326,9 @@ SIMHASH_CTE_SQL = """
 def simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash per document, exact bit math."""
     d = _tokens(_docs(spark, sf_dir))
+    # explode_outer: see SCALE.md explode-pushdown trap.
     tok = d.select(
-        "doc_id", F.explode("tokens").alias("tok")
+        "doc_id", F.explode_outer("tokens").alias("tok")
     ).select(
         "doc_id",
         F.expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").alias(
@@ -414,7 +418,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _tokens(_docs(spark, sf_dir))
-    tok = d.select("doc_id", F.explode("tokens").alias("term"))
+    # explode_outer, not explode: split() never yields an empty array
+    # (empty text -> [""]), so outer == inner semantically, and the
+    # implicit size(tokens)>0 predicate plain explode generates would
+    # inline split(text) into the (one-task) scan-stage filter and run
+    # the tokenize twice per row per branch (see SCALE.md, the
+    # explode-pushdown trap).
+    tok = d.select("doc_id", F.explode_outer("tokens").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
