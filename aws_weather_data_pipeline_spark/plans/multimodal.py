@@ -1,12 +1,13 @@
 """Multimodal catalog queries: binary payload plumbing, end to end.
 
-The decode itself is stubbed (functions/multimodal.py — the media libs
-aren't in this container), but everything Spark-side is real: binary
-columns, typed metadata structs, Arrow-batched mapInPandas feature
-extraction with a declared schema, and the downstream relational ops
-over the features. The fake features are deterministic byte statistics,
-so even the Python stage is oracle-checkable — DuckDB recomputes the
-same statistics in SQL.
+Every stage of a media pipeline has a catalog query: payload/metadata
+accounting, Arrow-batched mapInPandas feature extraction, frame
+sampling (row expansion), a scalar pandas_udf scorer slot, REAL decode
+(pure-Python binary PPM through functions/multimodal.decode_media —
+JPEG/PNG/audio codecs would drop into the same branch; they are absent
+from this container), and resize/downsampling. Everything emits
+deterministic byte statistics, so even the Python stages are
+oracle-checkable — DuckDB recomputes the same statistics in SQL.
 """
 
 from __future__ import annotations
@@ -199,4 +200,52 @@ def multimodal_distinct_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(_docs(spark, sf_dir))
     return d.select(
         "doc_id", distinct_byte_count_col()(F.col("payload")).alias("n_distinct_bytes")
+    )
+
+
+@CATALOG.add(
+    "multimodal_resize_stats",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n,
+               CASE WHEN octet_length(encode(text)) <= 128 THEN 1
+                    ELSE CAST(ceil(octet_length(encode(text)) / 128.0)
+                              AS INTEGER)
+               END AS step
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS orig_bytes,
+           CAST(len(range(1, n + 1, step)) AS INTEGER) AS resized_bytes,
+           md5(array_to_string(
+               list_transform(range(1, n + 1, step),
+                              i -> substr(text, i, 1)), ''))
+               AS resized_md5
+    FROM t
+    """,
+    doc="Resize/downsample stage as a catalog query (completes the "
+    "multimodal stage set: payload stats, feature extract, frame "
+    "sample, scorer slot, decode, and now resize): each payload is "
+    "downsampled to <=128 bytes by keeping every ceil(n/128)-th byte "
+    "inside the Arrow mapInPandas stage (the deterministic stand-in "
+    "for decode-resize-reencode; a codec drops into the same body), "
+    "and the query emits per-item original size, resized size, and "
+    "the md5 of the resized bytes — so the oracle checks the stage's "
+    "BYTES, not just its row count (DuckDB rebuilds the stepped "
+    "subsequence with range arithmetic; the corpus is ASCII so char "
+    "steps == byte steps). Narrow stage, no shuffle; at 100 TB this "
+    "runs embarrassingly parallel next to the scan.",
+    tags=("multimodal", "udf"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import resize_payload
+
+    d = with_binary_payload(_docs(spark, sf_dir))
+    r = resize_payload(d, target_bytes=128)
+    return r.select(
+        "doc_id",
+        F.col("orig_bytes").cast("int").alias("orig_bytes"),
+        F.col("payload_meta.n_bytes").cast("int").alias("resized_bytes"),
+        F.md5("payload").alias("resized_md5"),
     )
