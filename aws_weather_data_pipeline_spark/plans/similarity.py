@@ -1445,3 +1445,90 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _detach(out)
     finally:
         sigs.unpersist(False)
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs that straddle train/val/test
+# --------------------------------------------------------------------------
+
+_SPLIT_LEAKAGE_SQL = """
+WITH p AS ({pairs}),
+s AS (
+    SELECT doc_id,
+           CASE WHEN {keyhash} % 100 < {train_hi} THEN 'train'
+                WHEN {keyhash} % 100 < {val_hi} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       sa.split <> sb.split AS crosses_split
+FROM p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+GROUP BY sa.split, sb.split
+"""
+
+
+@CATALOG.add(
+    "split_leakage_audit",
+    None,  # oracle attached below (embeds the pairs SQL, like clusters)
+    doc="Near-duplicate leakage audit across dataset splits: the "
+    "hash-keyed train/val/test assignment (dataset_split_assignment) "
+    "makes a document's split immutable, but near-DUPLICATES of a "
+    "training doc can still land in val/test and leak evaluation "
+    "signal — the failure mode hash assignment alone cannot prevent. "
+    "This query joins the MinHash near-dup pairs to each member's "
+    "split and counts pairs per (split_a, split_b) cell with a "
+    "crosses_split flag; any nonzero cross cell means eval "
+    "contamination, and the pair list itself is the fix list (drop "
+    "the eval-side member, or re-home the cluster with "
+    "near_dup_clusters keepers). Cost: the pairs pipeline (banded, "
+    "no all-pairs) plus two broadcast-to-tiny joins of the pair list "
+    "against the per-doc split expression — the pair frame is "
+    "O(near-dups), minuscule vs the corpus, so the audit is "
+    "essentially free on top of dedup at any scale.",
+    tags=("similarity", "dedup", "sampling"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import TRAIN_HI, VAL_HI, _KEYHASH_SPARK
+
+    pairs = near_dup_pairs_minhash(spark, sf_dir)
+    bucket = F.expr(f"{_KEYHASH_SPARK} % 100")
+    split = (
+        F.when(bucket < TRAIN_HI, "train")
+        .when(bucket < VAL_HI, "val")
+        .otherwise("test")
+    )
+    s = _docs(spark, sf_dir).select("doc_id", split.alias("split"))
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.col("split_a") != F.col("split_b")).alias("crosses_split"),
+        )
+    )
+
+
+def _attach_split_leakage_oracle() -> None:
+    from .sampling import TRAIN_HI, VAL_HI, _KEYHASH_SQL
+
+    CATALOG.queries["split_leakage_audit"].oracle = (
+        _SPLIT_LEAKAGE_SQL.format(
+            pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle,
+            keyhash=_KEYHASH_SQL,
+            train_hi=TRAIN_HI,
+            val_hi=VAL_HI,
+        )
+    )
+
+
+_attach_split_leakage_oracle()
