@@ -6,12 +6,14 @@ alongside; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` stages so each Python worker sees columnar
 batches, never Python-object rows.
 
-The actual media codecs are NOT in this container, so the decode step is
-STUBBED: ``decode_media`` raises ``NotImplementedError`` with a clear
-marker, and ``fake_byte_features`` is the deterministic stand-in used by
-tests and the catalog — the Spark-side plumbing (schema declaration,
-batch iteration, Arrow transfer, partition-preserving shape) is real and
-is exactly what a production decode UDF would plug into.
+``decode_media`` is a REAL decoder for binary PPM (P6) — pure Python,
+spec-compliant header parsing, exercised end-to-end by the
+``multimodal_decode_ppm`` catalog query with an integer-exact oracle.
+JPEG/PNG/audio/video codecs are not in this container; for those
+content types ``decode_media`` raises ``NotImplementedError`` and a
+deployment adds a branch (PIL/ffmpeg) without touching the surrounding
+mapInPandas plumbing. ``fake_byte_features`` remains the
+codec-independent byte-stat stand-in used by the feature-extract query.
 """
 
 from __future__ import annotations
