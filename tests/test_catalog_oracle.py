@@ -32,6 +32,30 @@ def test_rows_only(spark, sf_dir, q):
     assert len(df.schema.fields) > 0
 
 
+def test_catalog_never_shrinks():
+    """build_catalog deliberately SKIPS operator modules that are
+    absent on disk (feature-gating), which means a module rename or a
+    packaging mistake would silently drop its queries from driver
+    coverage. Pin the floor: every operator module imports, and the
+    catalog holds at least the round-4 count. Raise the floor when
+    adding queries; never lower it.
+    """
+    import importlib.util
+
+    from aws_weather_data_pipeline_spark.plans.catalog import (
+        OPERATOR_MODULES,
+    )
+
+    pkg = "aws_weather_data_pipeline_spark.plans"
+    missing = [
+        m
+        for m in OPERATOR_MODULES
+        if importlib.util.find_spec(f"{pkg}.{m}") is None
+    ]
+    assert not missing, f"operator modules not importable: {missing}"
+    assert len(CATALOG.queries) >= 107, sorted(CATALOG.queries)
+
+
 def test_driver_window_is_first_50_catalog_entries():
     """The driver's correctness harness samples the FIRST 50 catalog
     entries; DRIVER_WINDOW is the policy list. This pins the contract:
