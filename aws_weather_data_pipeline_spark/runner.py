@@ -238,13 +238,28 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("serving_dir")
     ap.add_argument("summary_dir")
     ap.add_argument("--report", action="store_true", help="print X4 report")
+    ap.add_argument(
+        "--as-of",
+        default=None,
+        metavar="ISO_TIMESTAMP",
+        help="anchor the freshness check at this UTC instant instead "
+        "of wall clock — required for historical backfills, whose "
+        "data is legitimately 'stale' relative to now",
+    )
     args = ap.parse_args(argv)
 
+    import datetime
+
+    as_of = (
+        datetime.datetime.fromisoformat(args.as_of)
+        if args.as_of
+        else None
+    )
     spark = get_spark(app_name="daily-pipeline")
     paths = PipelinePaths(
         args.raw_dir, args.lake_dir, args.serving_dir, args.summary_dir
     )
-    result = run(spark, paths)
+    result = run(spark, paths, now=as_of)
     print(f"validation: {result.checks}")
     print(f"stats: {result.stats}")
     if args.report:

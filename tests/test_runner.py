@@ -92,6 +92,40 @@ def test_full_pipeline_run(spark, paths):
     assert "dominant: Clear" in text
 
 
+def test_cli_main_backfill_with_as_of(spark, paths, capsys):
+    """The CLI must support historical backfills: without --as-of the
+    freshness check anchors at wall clock and 2024 fixture data is
+    'stale'; with --as-of it passes and prints the report.
+    """
+    from aws_weather_data_pipeline_spark.runner import main
+
+    rc = main(
+        [
+            paths.raw_dir,
+            paths.lake_dir,
+            paths.serving_dir,
+            paths.summary_dir,
+            "--report",
+            "--as-of",
+            "2024-01-15T20:00:00+00:00",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'fresh': True" in out
+    assert "DAILY WEATHER SUMMARY" in out
+
+    with pytest.raises(RuntimeError, match="fresh"):
+        main(
+            [
+                paths.raw_dir,
+                paths.lake_dir,
+                paths.serving_dir,
+                paths.summary_dir,
+            ]
+        )
+
+
 def test_validate_freshness_stale_and_fresh(spark, paths):
     """X3 freshness (reference README.md:750-755, age < 1 day): the
     same serving table passes with a now inside the window and fails
