@@ -28,71 +28,79 @@ OPERATOR_MODULES = (
 
 # The driver's correctness harness checks only the FIRST 50 catalog
 # entries, so ordering is coverage policy, not cosmetics. Rotation
-# plan (VERDICT r03 #2/#8): round 4's window = the 38 queries that
-# have never had a driver row (32 catalog residents + the six new
-# round-4 operators: PPM decode, bigram LM, DSIR weights, duplicated
-# spans, incremental near-dup, trailing-hour range frame) plus 12 of
-# the 17 whose only driver row was round 2, prioritizing the full
-# window/rank/set-op family (the five r02-green singles left out —
-# fixed_size_doc_sample, value_histogram, lineitem_unpivot_measures,
-# small_quantity_order_revenue, price_percentiles_by_flag — cycle
-# back in round 5). The 50 queries checked green in round 3 rotate
-# out; after this round every catalog query has a driver row from
-# round 2, 3, or 4. All 105 stay continuously oracle-checked by
+# plan (VERDICT r04 #1): round 5's window = the 2 queries added after
+# round 4's window froze (multimodal_resize_stats, split_leakage_audit
+# — never driver-checked), the 5 whose only driver row is round 2
+# (fixed_size_doc_sample, value_histogram, lineitem_unpivot_measures,
+# small_quantity_order_revenue, price_percentiles_by_flag), any query
+# NEW this round (inserted here at creation time), then as many of the
+# 50 r03-green queries as fit — weather / near-dup / sketch families
+# first — so no driver evidence goes stale beyond 2 rounds. The
+# r03-green relational singles that don't fit (nations_sorted,
+# recent_events_feed, top10_orders_by_price, filter_isin_projection,
+# order_date_arithmetic, coercion_null_on_error, null_drop_critical,
+# plus any popped from the tail below to make room for new queries)
+# head round 6's window together with the round-4 block. All 107+
+# queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
-    # --- never driver-checked (rounds 1-3) ---
-    "events_table_profile",
-    "referential_integrity_audit",
-    "sliding_hourly_activity",
-    "daily_value_rollup",
-    "interval_range_join_counts",
-    "doc_token_stats",
-    "term_frequencies",
-    "doc_quality_scores",
-    "doc_fingerprints",
-    "doc_simhash",
-    "pii_redaction",
-    "doc_repetition_metrics",
-    "cms_user_activity_sketch",
-    "bloom_dedup_probe",
-    "kmeans_lloyd_assignments",
-    "minhash_signatures",
-    "near_dup_pairs_editdist",
-    "near_dup_pairs_simhash",
-    "near_dup_pairs_ngram",
-    "near_dup_pairs_embedding",
-    "ann_hyperplane_lsh_topk",
-    "dedup_cascade_keep_list",
-    "label_centroids",
-    "dedup_incremental_batch",
-    "multimodal_payload_stats",
-    "multimodal_frame_sample",
-    "multimodal_distinct_bytes",
-    "multimodal_decode_ppm",
-    "doc_bigram_lm_score",
-    "doc_importance_weights",
-    "doc_duplicated_spans",
-    "dedup_incremental_near",
-    "trailing_hour_user_stats",
-    "corpus_mixture_sample",
-    "doc_stopword_filtered",
-    "doc_chunk_tokens",
-    "stratified_sample_per_lang",
-    "sequence_pack_assignment",
-    # --- r02-only driver rows: window/rank/set-op family cycling back ---
-    "top3_events_per_user",
-    "event_gaps_lag",
-    "user_running_totals",
-    "event_rank_functions",
-    "gap_based_sessions",
-    "union_distinct_active_users",
-    "intersect_error_purchase_users",
-    "except_users_without_big_events",
-    "date_range_revenue",
-    "cube_type_user_bucket",
-    "grouping_sets_pricing",
-    "customers_with_high_value_orders",
+    # --- never driver-checked (added after the r04 window froze) ---
+    "multimodal_resize_stats",
+    "split_leakage_audit",
+    # --- r02-only driver rows cycling back (stale >2 rounds) ---
+    "fixed_size_doc_sample",
+    "value_histogram",
+    "lineitem_unpivot_measures",
+    "small_quantity_order_revenue",
+    "price_percentiles_by_flag",
+    # --- r03-green core recycling: weather family ---
+    "weather_conversions",
+    "weather_comfort_heat_index",
+    "weather_severity_class",
+    "weather_alert_feed",
+    "weather_time_features",
+    "weather_quality_flags",
+    "weather_daily_summary",
+    "weather_current_status",
+    "parse_props_json",
+    "pack_explode_flatten",
+    # --- r03-green core recycling: near-dup / similarity family ---
+    "dedup_exact_content",
+    "near_dup_pairs_minhash",
+    "near_dup_clusters",
+    "knn_cosine_topk",
+    "ann_ivf_probe_topk",
+    "decontaminate_ngram_overlap",
+    # --- r03-green core recycling: sketches + corpus ---
+    "hll_distinct_sketch",
+    "tfidf_top_terms",
+    "doc_language_id",
+    "bm25_topk",
+    "multimodal_feature_extract",
+    "deterministic_doc_sample",
+    "dataset_split_assignment",
+    # --- r03-green core recycling: temporal + relational agg family ---
+    "tumbling_hourly_by_type",
+    "user_session_windows",
+    "asof_last_click_before_purchase",
+    "pricing_summary",
+    "global_stats",
+    "conditional_counts",
+    "dominant_event_type",
+    "event_type_share",
+    "rollup_returnflag_status",
+    "pivot_status_qty",
+    "latest_event_per_user",
+    "top_revenue_orders",
+    "regional_revenue",
+    "customers_without_urgent_orders",
+    "user_activity_coverage",
+    "union_segments",
+    "validation_aggregates",
+    # --- tail: popped first when new round-5 queries need a slot ---
+    "dedup_user_event_type",
+    "promo_revenue_ratio",
+    "range_validity_flags",
 )
 
 
