@@ -171,13 +171,24 @@ def validate(
     # Freshness (reference README.md:750-755: NOW() - MAX(ts) < 1 day).
     # One MAX aggregate — no extra scan cost beyond the agg above at
     # scale, and the comparison happens driver-side on a single value.
-    latest = serving.agg(
-        F.max("timestamp_parsed").alias("latest")
-    ).first()["latest"]
-    if latest is not None and latest.tzinfo is None:
-        latest = latest.replace(tzinfo=datetime.timezone.utc)
+    # Aggregated as epoch micros, not TimestampType: PySpark renders a
+    # collected timestamp through the driver process's OS timezone, so
+    # a non-UTC driver host would skew the staleness by the UTC offset
+    # (up to ±14h against the 24h bound). Epoch arithmetic has no zone.
+    latest_us = serving.agg(
+        F.max(F.unix_micros("timestamp_parsed")).alias("latest_us")
+    ).first()["latest_us"]
+    latest = (
+        datetime.datetime.fromtimestamp(
+            latest_us / 1_000_000, datetime.timezone.utc
+        )
+        if latest_us is not None
+        else None
+    )
     age = (
-        (now - latest).total_seconds() if latest is not None else None
+        now.timestamp() - latest_us / 1_000_000
+        if latest_us is not None
+        else None
     )
     res.stats["latest_timestamp"] = latest
     res.stats["staleness_seconds"] = age
