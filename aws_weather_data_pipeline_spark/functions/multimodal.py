@@ -6,14 +6,17 @@ alongside; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` stages so each Python worker sees columnar
 batches, never Python-object rows.
 
-``decode_media`` is a REAL decoder for binary PPM (P6) — pure Python,
-spec-compliant header parsing, exercised end-to-end by the
-``multimodal_decode_ppm`` catalog query with an integer-exact oracle.
-JPEG/PNG/audio/video codecs are not in this container; for those
-content types ``decode_media`` raises ``NotImplementedError`` and a
-deployment adds a branch (PIL/ffmpeg) without touching the surrounding
-mapInPandas plumbing. ``fake_byte_features`` remains the
-codec-independent byte-stat stand-in used by the feature-extract query.
+``decode_media`` is a REAL decoder for two image formats — binary PPM
+(P6) and PNG (8-bit RGB: chunk parsing with CRC verification, zlib
+inflate, and full scanline unfiltering incl. the Paeth predictor) —
+pure Python + stdlib zlib, each exercised end-to-end by a catalog
+query (``multimodal_decode_ppm`` / ``multimodal_decode_png``) with an
+integer-exact oracle. JPEG/audio/video codecs are not in this
+container; for those content types ``decode_media`` raises
+``NotImplementedError`` and a deployment adds a branch (PIL/ffmpeg)
+without touching the surrounding mapInPandas plumbing.
+``fake_byte_features`` remains the codec-independent byte-stat
+stand-in used by the feature-extract query.
 """
 
 from __future__ import annotations
@@ -59,21 +62,23 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     """Decode an image payload to ``{width, height, maxval, pixels}``.
 
-    Implemented pure-Python for binary PPM (P6) — a real decode of a
-    real format with zero library dependencies, exercising the
-    mapInPandas slot end-to-end. Every other content type still raises
-    ``NotImplementedError``: those codecs (JPEG/PNG/audio/video) need
+    Two real decoders, pure Python + stdlib: binary PPM (P6) and PNG
+    (8-bit RGB — chunk walk with CRC check, zlib inflate, scanline
+    unfilter for all five filter types). Every other content type
+    raises ``NotImplementedError``: JPEG/audio/video codecs need
     libraries not present in this container; a deployment installs
     PIL/ffmpeg and adds branches here — the surrounding plumbing
-    (``decode_ppm_features``) is format-agnostic and unchanged.
+    (``decode_image_features``) is format-agnostic and unchanged.
     """
-    if content_type != "image/x-portable-pixmap":
-        raise NotImplementedError(
-            f"no decoder for {content_type!r} in this environment; "
-            "binary PPM (image/x-portable-pixmap) is the built-in "
-            "reference decoder"
-        )
-    return _decode_ppm(payload_bytes)
+    if content_type == "image/x-portable-pixmap":
+        return _decode_ppm(payload_bytes)
+    if content_type == "image/png":
+        return _decode_png(payload_bytes)
+    raise NotImplementedError(
+        f"no decoder for {content_type!r} in this environment; "
+        "binary PPM (image/x-portable-pixmap) and 8-bit RGB PNG "
+        "(image/png) are the built-in reference decoders"
+    )
 
 
 def _decode_ppm(b: bytes) -> dict:
@@ -108,6 +113,194 @@ def _decode_ppm(b: bytes) -> dict:
         "maxval": maxval,
         "pixels": pixels,
     }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length, type, data, CRC32 over type+data."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): left/up/up-left pick."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(raster: bytes, width: int, height: int) -> bytes:
+    """Encode raw RGB bytes as a spec-compliant PNG (8-bit, color
+    type 2, no interlace).
+
+    Each scanline gets filter type ``row % 5``, so a round-trip
+    through ``_decode_png`` exercises None/Sub/Up/Average/Paeth —
+    the filters are what distinguish PNG decoding from plain inflate.
+    Fixture-generation side of the codec pair; CRCs are real.
+    """
+    import struct
+    import zlib
+
+    if len(raster) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(raster)} bytes; {width}x{height} RGB "
+            f"needs {width * height * 3}"
+        )
+    bpp, stride = 3, width * 3
+    prior = bytes(stride)
+    filtered = bytearray()
+    for row in range(height):
+        line = raster[row * stride : (row + 1) * stride]
+        ftype = row % 5
+        filtered.append(ftype)
+        for i in range(stride):
+            x = line[i]
+            left = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                x -= left
+            elif ftype == 2:
+                x -= up
+            elif ftype == 3:
+                x -= (left + up) // 2
+            elif ftype == 4:
+                x -= _paeth(left, up, upleft)
+            filtered.append(x & 0xFF)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes) -> dict:
+    """Decode an 8-bit RGB PNG: chunk walk (CRC-verified), IDAT
+    inflate, and per-scanline unfiltering (all five filter types).
+    """
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG: signature={b[:8]!r}")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", b[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("no IHDR chunk")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "only 8-bit non-interlaced RGB supported, got "
+            f"depth={depth} color={ctype_n} interlace={interlace}"
+        )
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"inflated to {len(raw)} bytes; expected "
+            f"{height * (stride + 1)}"
+        )
+    out = bytearray()
+    prior = bytes(stride)
+    for row in range(height):
+        ftype = raw[row * (stride + 1)]
+        line = bytearray(
+            raw[row * (stride + 1) + 1 : (row + 1) * (stride + 1)]
+        )
+        if ftype > 4:
+            raise ValueError(f"bad filter type {ftype} on row {row}")
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (left + up) // 2) & 0xFF
+            elif ftype == 4:
+                line[i] = (line[i] + _paeth(left, up, upleft)) & 0xFF
+        out.extend(line)
+        prior = bytes(line)
+    return {
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixels": bytes(out),
+    }
+
+
+def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a synthetic PNG payload derived from ``text_col``.
+
+    Same raster rule as ``with_ppm_payload`` — width 1-8 and height
+    1-5 from doc_id, raster = text truncated/right-padded to w*h*3
+    bytes — so the SQL oracle re-derives every decoded statistic
+    without a PNG decoder of its own: the Spark side must survive a
+    REAL encode→decode round-trip (zlib deflate, scanline filters,
+    CRCs) to reproduce numbers the oracle computes from the text
+    directly. PNG bytes can't be built with native column functions
+    (deflate is not SQL), so construction is a scalar pandas_udf —
+    Arrow-batched, same boundary discipline as every Python stage.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _to_png(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, t in zip(doc_id, text):
+            w = 1 + int(did) % 8
+            h = 1 + int(did) % 5
+            raster = (t or "")[:120].encode("utf-8")
+            raster = raster[: w * h * 3].ljust(w * h * 3, b"x")
+            out.append(encode_png(raster, w, h))
+        return pd.Series(out)
+
+    return df.withColumn(
+        "payload", _to_png(F.col("doc_id"), F.col(text_col))
+    ).withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit("image/png").alias("content_type"),
+        ),
+    )
 
 
 def with_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -158,13 +351,15 @@ PPM_SCHEMA = T.StructType(
 )
 
 
-def decode_ppm_features(df: DataFrame) -> DataFrame:
-    """Decode stage: PPM payloads → image statistics via ``decode_media``.
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Decode stage: image payloads → statistics via ``decode_media``.
 
     Same Arrow-batched ``mapInPandas`` shape as ``extract_features``,
-    but the per-item body is the REAL decoder — the slot a JPEG/PNG
-    decoder drops into. Narrow stage: partition-preserving, no shuffle;
-    only (doc_id, payload, content_type) crosses the Arrow boundary.
+    but the per-item body is a REAL decoder, dispatched per item on
+    ``payload_meta.content_type`` (PPM and PNG today; a JPEG decoder
+    drops into the same branch). Narrow stage: partition-preserving,
+    no shuffle; only (doc_id, payload, content_type) crosses the
+    Arrow boundary.
     """
 
     def gen(pdf_iter: Iterator) -> Iterator:
@@ -190,6 +385,10 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
         "doc_id", "payload",
         F.col("payload_meta.content_type").alias("content_type"),
     ).mapInPandas(gen, schema=PPM_SCHEMA)
+
+
+#: Backward-compatible name from when PPM was the only real decoder.
+decode_ppm_features = decode_image_features
 
 
 def fake_byte_features(pdf_iter: Iterator) -> Iterator:

@@ -53,6 +53,8 @@ DRIVER_WINDOW = (
     "lineitem_unpivot_measures",
     "small_quantity_order_revenue",
     "price_percentiles_by_flag",
+    # --- NEW this round: must be driver-checked at creation time ---
+    "multimodal_decode_png",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -100,7 +102,6 @@ DRIVER_WINDOW = (
     # --- tail: popped first when new round-5 queries need a slot ---
     "dedup_user_event_type",
     "promo_revenue_ratio",
-    "range_validity_flags",
 )
 
 
