@@ -24,6 +24,7 @@ OPERATOR_MODULES = (
     "similarity",
     "multimodal",
     "sampling",
+    "streaming_equiv",
 )
 
 # The driver's correctness harness checks only the FIRST 50 catalog
@@ -55,6 +56,7 @@ DRIVER_WINDOW = (
     "price_percentiles_by_flag",
     # --- NEW this round: must be driver-checked at creation time ---
     "multimodal_decode_png",
+    "streaming_batch_equivalence",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -101,7 +103,6 @@ DRIVER_WINDOW = (
     "validation_aggregates",
     # --- tail: popped first when new round-5 queries need a slot ---
     "dedup_user_event_type",
-    "promo_revenue_ratio",
 )
 
 

@@ -122,15 +122,19 @@ def start_pipeline(
     alerts_path: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    max_files_per_trigger: int = 10,
 ) -> StreamingQuery:
     """Wire the full streaming pipeline and start it.
 
     ``trigger`` defaults to ``availableNow`` (drain everything present,
     then stop — the testable batch-equivalent trigger); pass
     ``{"processingTime": "1 second"}`` for the reference's continuous
-    pacing (kinesis_to_s3.py:34-35).
+    pacing (kinesis_to_s3.py:34-35). ``max_files_per_trigger`` is the
+    T5 pacing knob — 1 forces one micro-batch per landing file.
     """
-    raw = read_stream_raw_json(spark, landing_dir)
+    raw = read_stream_raw_json(
+        spark, landing_dir, max_files_per_trigger=max_files_per_trigger
+    )
     processed = transform_stream(raw)
     writer = (
         processed.writeStream.outputMode("append")  # T2
