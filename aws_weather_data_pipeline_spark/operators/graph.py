@@ -16,8 +16,15 @@ Scale shape per round: one join of the edge list against the label
 frame (shuffle on node id), one aggregation, one self-join of the
 label frame. State between rounds is only the label frame —
 O(participating nodes), persisted and superseded round over round.
-A production run at 10⁹+ nodes would checkpoint every ~10 rounds to
-cut lineage; at catalog scale the persist chain suffices.
+Lineage is truncated EVERY round (localCheckpoint — executor-memory
+blocks, free); every ``checkpoint_every``-th round additionally takes
+a RELIABLE checkpoint (``DataFrame.checkpoint`` to the configured
+checkpoint dir) so a production run at 10⁹+ nodes survives executor
+loss mid-iteration — losing a localCheckpoint block after round 12
+would otherwise abort the whole job, since the lineage needed to
+recompute it was cut. When no checkpoint dir is configured (local
+runs, tests that don't ask for it), every round falls back to
+localCheckpoint and behavior is unchanged.
 """
 
 from __future__ import annotations
@@ -28,9 +35,17 @@ from pyspark.sql import DataFrame, functions as F
 #: with margin. Hitting the cap means something is broken, not slow.
 CC_MAX_ITERS = 30
 
+#: Reliable-checkpoint cadence: rarely enough that the (disk-write)
+#: cost amortizes, often enough that a lost executor replays at most
+#: this many rounds.
+CC_CHECKPOINT_EVERY = 10
+
 
 def connected_components(
-    edges: DataFrame, max_iters: int = CC_MAX_ITERS
+    edges: DataFrame,
+    max_iters: int = CC_MAX_ITERS,
+    checkpoint_every: int = CC_CHECKPOINT_EVERY,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges`` (src, dst).
 
@@ -39,6 +54,11 @@ def connected_components(
     ``RuntimeError`` if the fixpoint is not reached in ``max_iters``
     rounds — returning early would split components and elect
     duplicate keepers, which a dedup pass must never do silently.
+
+    Every ``checkpoint_every``-th round writes a reliable checkpoint
+    (requires ``sparkContext.setCheckpointDir``; silently falls back
+    to localCheckpoint when none is set). ``stats``, if given, receives
+    ``{"rounds": N, "reliable_checkpoints": M}`` for observability.
 
     Runs Spark ACTIONS to convergence (this is an algorithm, not a
     lazy plan); the returned frame is small and stays persisted.
@@ -61,8 +81,13 @@ def connected_components(
     labels.count()  # materialize edges+labels before iterating
     retired = labels  # frame whose storage the next round frees
 
+    sc = edges.sparkSession.sparkContext
+    can_reliable = sc.getCheckpointDir() is not None
+    n_reliable = 0
+
     converged = False
-    for _ in range(max_iters):
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
         nb = e.join(labels, e.dst == labels.node).select(
             F.col("src").alias("node"), "label", F.lit(False).alias("own")
         )
@@ -88,24 +113,26 @@ def connected_components(
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        # Lazy localCheckpoint, not persist: each round's plan
-        # references the previous frame several times, so lineage
-        # GROWS ~4× per round — O(log n) rounds is still an
-        # exponentially large plan by round ~7 (observed driver OOM on
-        # a 100-node chain). Truncating lineage keeps planning O(1)
-        # per round; lazy (not eager) so the convergence aggregate
-        # below both materializes the checkpoint AND computes the
-        # changed-count in ONE action. A cluster deployment would use
-        # reliable checkpoints for fault tolerance instead.
-        jumped = (
-            cand.join(parent, cand.label == parent.p_node)
-            .select(
-                "node",
-                F.col("p_label").alias("label"),
-                (F.col("p_label") != F.col("old_label")).alias("changed"),
-            )
-            .localCheckpoint(eager=False)
+        # Lazy truncation, not persist: each round's plan references
+        # the previous frame several times, so lineage GROWS ~4× per
+        # round — O(log n) rounds is still an exponentially large plan
+        # by round ~7 (observed driver OOM on a 100-node chain).
+        # Truncating keeps planning O(1) per round; lazy (not eager)
+        # so the convergence aggregate below both materializes the
+        # checkpoint AND computes the changed-count in ONE action.
+        # localCheckpoint normally (executor memory, free); every
+        # checkpoint_every-th round a RELIABLE checkpoint instead, so
+        # executor loss replays at most checkpoint_every rounds.
+        jumped = cand.join(parent, cand.label == parent.p_node).select(
+            "node",
+            F.col("p_label").alias("label"),
+            (F.col("p_label") != F.col("old_label")).alias("changed"),
         )
+        if can_reliable and rounds % checkpoint_every == 0:
+            jumped = jumped.checkpoint(eager=False)
+            n_reliable += 1
+        else:
+            jumped = jumped.localCheckpoint(eager=False)
         # Single action: materializes the lazy checkpoint AND returns
         # the convergence count (None only on an empty graph).
         changed = (
@@ -118,6 +145,9 @@ def connected_components(
             converged = True
             break
     e.unpersist(False)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["reliable_checkpoints"] = n_reliable
     if not converged:
         retired.unpersist(False)
         raise RuntimeError(

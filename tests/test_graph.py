@@ -56,3 +56,41 @@ def test_nonconvergence_raises_not_returns(spark):
         connected_components(
             _edges(spark, [(i, i + 1) for i in range(15)]), max_iters=1
         ).collect()
+
+
+def test_reliable_checkpoint_cadence_on_deep_chain(spark, tmp_path):
+    """checkpoint_every: a >10-round chain takes a reliable checkpoint
+    every N rounds once a checkpoint dir is configured — the 100×
+    fault-tolerance story as code (losing a localCheckpoint block
+    mid-iteration is otherwise unrecoverable, lineage being cut)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    # Without a checkpoint dir the operator must silently fall back to
+    # localCheckpoint-only (assert BEFORE setting the dir — the session
+    # is shared and setCheckpointDir is sticky).
+    assert spark.sparkContext.getCheckpointDir() is None
+    stats = {}
+    small = spark.range(31).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    connected_components(small, stats=stats).collect()
+    assert stats["reliable_checkpoints"] == 0
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    n = 4000  # diameter 3999: 12 pointer-jump rounds (>10)
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats = {}
+    out = connected_components(edges, checkpoint_every=3, stats=stats)
+    assert out.filter(F.col("cluster_id") == 0).count() == n
+    assert stats["rounds"] > 10
+    assert stats["reliable_checkpoints"] == stats["rounds"] // 3
+    # the reliable checkpoints actually hit disk
+    written = [
+        f for _, _, files in os.walk(ckpt) for f in files
+    ]
+    assert written, "no reliable checkpoint files were written"
