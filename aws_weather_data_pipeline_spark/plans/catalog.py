@@ -36,13 +36,14 @@ OPERATOR_MODULES = (
 # small_quantity_order_revenue, price_percentiles_by_flag), any query
 # NEW this round (inserted here at creation time), then as many of the
 # 50 r03-green queries as fit — weather / near-dup / sketch families
-# first — so no driver evidence goes stale beyond 2 rounds. The
-# r03-green relational singles that don't fit (nations_sorted,
+# first — so no driver evidence goes stale beyond 2 rounds. The ten
+# r03-green singles that didn't fit (nations_sorted,
 # recent_events_feed, top10_orders_by_price, filter_isin_projection,
 # order_date_arithmetic, coercion_null_on_error, null_drop_critical,
-# plus any popped from the tail below to make room for new queries)
-# head round 6's window together with the round-4 block. All 107+
-# queries stay continuously oracle-checked by
+# range_validity_flags, promo_revenue_ratio, dedup_user_event_type —
+# the last three popped to make room for this round's three new
+# queries) head round 6's window together with the round-4 block.
+# All 110 queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
@@ -57,6 +58,7 @@ DRIVER_WINDOW = (
     # --- NEW this round: must be driver-checked at creation time ---
     "multimodal_decode_png",
     "streaming_batch_equivalence",
+    "split_leakage_audit_simhash",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -101,8 +103,6 @@ DRIVER_WINDOW = (
     "user_activity_coverage",
     "union_segments",
     "validation_aggregates",
-    # --- tail: popped first when new round-5 queries need a slot ---
-    "dedup_user_event_type",
 )
 
 

@@ -1470,30 +1470,18 @@ GROUP BY sa.split, sb.split
 """
 
 
-@CATALOG.add(
-    "split_leakage_audit",
-    None,  # oracle attached below (embeds the pairs SQL, like clusters)
-    doc="Near-duplicate leakage audit across dataset splits: the "
-    "hash-keyed train/val/test assignment (dataset_split_assignment) "
-    "makes a document's split immutable, but near-DUPLICATES of a "
-    "training doc can still land in val/test and leak evaluation "
-    "signal — the failure mode hash assignment alone cannot prevent. "
-    "This query joins the MinHash near-dup pairs to each member's "
-    "split and counts pairs per (split_a, split_b) cell with a "
-    "crosses_split flag; any nonzero cross cell means eval "
-    "contamination, and the pair list itself is the fix list (drop "
-    "the eval-side member, or re-home the cluster with "
-    "near_dup_clusters keepers). Cost: the pairs pipeline (banded, "
-    "no all-pairs) plus two broadcast-to-tiny joins of the pair list "
-    "against the per-doc split expression — the pair frame is "
-    "O(near-dups), minuscule vs the corpus, so the audit is "
-    "essentially free on top of dedup at any scale.",
-    tags=("similarity", "dedup", "sampling"),
-)
-def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_audit(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Core audit over ANY candidate-pairs frame with (doc_a, doc_b).
+
+    Parameterized like dedup_cascade_keep_list's ``pairs=``: the split
+    join + cell aggregation is detector-agnostic, so MinHash, SimHash,
+    edit-distance, or n-gram pair pipelines all audit for free — pass
+    whichever pairs frame the corpus already computes.
+    """
     from .sampling import TRAIN_HI, VAL_HI, _KEYHASH_SPARK
 
-    pairs = near_dup_pairs_minhash(spark, sf_dir)
     bucket = F.expr(f"{_KEYHASH_SPARK} % 100")
     split = (
         F.when(bucket < TRAIN_HI, "train")
@@ -1518,17 +1506,68 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@CATALOG.add(
+    "split_leakage_audit",
+    None,  # oracle attached below (embeds the pairs SQL, like clusters)
+    doc="Near-duplicate leakage audit across dataset splits: the "
+    "hash-keyed train/val/test assignment (dataset_split_assignment) "
+    "makes a document's split immutable, but near-DUPLICATES of a "
+    "training doc can still land in val/test and leak evaluation "
+    "signal — the failure mode hash assignment alone cannot prevent. "
+    "This query joins the MinHash near-dup pairs to each member's "
+    "split and counts pairs per (split_a, split_b) cell with a "
+    "crosses_split flag; any nonzero cross cell means eval "
+    "contamination, and the pair list itself is the fix list (drop "
+    "the eval-side member, or re-home the cluster with "
+    "near_dup_clusters keepers). Cost: the pairs pipeline (banded, "
+    "no all-pairs) plus two broadcast-to-tiny joins of the pair list "
+    "against the per-doc split expression — the pair frame is "
+    "O(near-dups), minuscule vs the corpus, so the audit is "
+    "essentially free on top of dedup at any scale.",
+    tags=("similarity", "dedup", "sampling"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_audit(
+        spark, sf_dir, near_dup_pairs_minhash(spark, sf_dir)
+    )
+
+
+@CATALOG.add(
+    "split_leakage_audit_simhash",
+    None,  # oracle attached below (embeds the simhash pairs SQL)
+    doc="The leakage audit re-run over the SimHash detector's pairs — "
+    "one line of composition now that leakage_audit takes pairs= "
+    "(VERDICT r04 #6): different detectors surface different "
+    "near-dup populations (SimHash catches token-permuted twins "
+    "MinHash banding can miss and vice versa), so a thorough "
+    "pre-training audit runs the same split-cell aggregation over "
+    "each pairs pipeline the corpus already computes. Identical "
+    "scale shape: pairs are banded (no all-pairs), the split "
+    "expression is a per-row hash, and the audit joins are "
+    "pair-frame-sized.",
+    tags=("similarity", "dedup", "sampling"),
+)
+def split_leakage_audit_simhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return leakage_audit(
+        spark, sf_dir, near_dup_pairs_simhash(spark, sf_dir)
+    )
+
+
 def _attach_split_leakage_oracle() -> None:
     from .sampling import TRAIN_HI, VAL_HI, _KEYHASH_SQL
 
-    CATALOG.queries["split_leakage_audit"].oracle = (
-        _SPLIT_LEAKAGE_SQL.format(
-            pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle,
+    for name, pairs_query in (
+        ("split_leakage_audit", "near_dup_pairs_minhash"),
+        ("split_leakage_audit_simhash", "near_dup_pairs_simhash"),
+    ):
+        CATALOG.queries[name].oracle = _SPLIT_LEAKAGE_SQL.format(
+            pairs=CATALOG.queries[pairs_query].oracle,
             keyhash=_KEYHASH_SQL,
             train_hi=TRAIN_HI,
             val_hi=VAL_HI,
         )
-    )
 
 
 _attach_split_leakage_oracle()
