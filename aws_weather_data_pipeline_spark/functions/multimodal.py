@@ -6,15 +6,16 @@ alongside; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` stages so each Python worker sees columnar
 batches, never Python-object rows.
 
-``decode_media`` is a REAL decoder for two image formats — binary PPM
-(P6) and PNG (8-bit RGB: chunk parsing with CRC verification, zlib
-inflate, and full scanline unfiltering incl. the Paeth predictor) —
-pure Python + stdlib zlib, each exercised end-to-end by a catalog
-query (``multimodal_decode_ppm`` / ``multimodal_decode_png``) with an
-integer-exact oracle. JPEG/audio/video codecs are not in this
-container; for those content types ``decode_media`` raises
-``NotImplementedError`` and a deployment adds a branch (PIL/ffmpeg)
-without touching the surrounding mapInPandas plumbing.
+``decode_media`` is a REAL decoder for three formats — binary PPM
+(P6), PNG (8-bit RGB: chunk parsing with CRC verification, zlib
+inflate, full scanline unfiltering incl. the Paeth predictor), and
+RIFF WAV (16-bit PCM chunk walk) — pure Python + stdlib, each
+exercised end-to-end by a catalog query (``multimodal_decode_ppm`` /
+``_png`` / ``_wav``) with an integer-exact oracle. JPEG/MP3/video
+codecs are not in this container; for those content types
+``decode_media`` raises ``NotImplementedError`` and a deployment adds
+a branch (PIL/ffmpeg) without touching the surrounding mapInPandas
+plumbing.
 ``fake_byte_features`` remains the codec-independent byte-stat
 stand-in used by the feature-extract query.
 """
@@ -74,10 +75,13 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
         return _decode_ppm(payload_bytes)
     if content_type == "image/png":
         return _decode_png(payload_bytes)
+    if content_type == "audio/wav":
+        return _decode_wav(payload_bytes)
     raise NotImplementedError(
         f"no decoder for {content_type!r} in this environment; "
-        "binary PPM (image/x-portable-pixmap) and 8-bit RGB PNG "
-        "(image/png) are the built-in reference decoders"
+        "binary PPM, 8-bit RGB PNG, and 16-bit PCM WAV are the "
+        "built-in reference decoders (JPEG/MP3/video need codecs "
+        "absent from this container)"
     )
 
 
@@ -264,6 +268,168 @@ def _decode_png(b: bytes) -> dict:
         "maxval": 255,
         "pixels": bytes(out),
     }
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int, n_channels: int
+) -> bytes:
+    """Encode interleaved 16-bit PCM frames as a spec-compliant RIFF
+    WAV (fmt + data chunks, little-endian). Fixture side of the audio
+    codec pair."""
+    import struct
+
+    if len(samples) % max(n_channels, 1):
+        raise ValueError(
+            f"{len(samples)} samples not divisible by {n_channels} "
+            "channels"
+        )
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,
+        n_channels * 2,
+        16,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_wav(b: bytes) -> dict:
+    """Decode a RIFF WAV: chunk walk (word-aligned), PCM 16-bit only;
+    returns ``{n_channels, sample_rate, samples}`` with samples as a
+    flat interleaved list of ints."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE file: {b[:4]!r}/{b[8:12]!r}"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if (audio_format, bits) != (1, 16):
+        raise ValueError(
+            f"only 16-bit PCM supported, got format={audio_format} "
+            f"bits={bits}"
+        )
+    if len(data) % 2:
+        raise ValueError("odd data-chunk length for 16-bit samples")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "samples": samples,
+    }
+
+
+def with_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a synthetic 16-bit PCM WAV payload derived from
+    ``text_col``.
+
+    Channel count, sample rate, and frame count come from doc_id;
+    sample values are an affine map of the text's bytes (padded with
+    'x' like the image payloads), so every decoded statistic is
+    SQL-derivable and the Spark side must survive a real RIFF
+    encode→decode round-trip to match the oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _to_wav(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, t in zip(doc_id, text):
+            did = int(did)
+            n_channels = 1 + did % 2
+            sample_rate = 8000 + 1000 * (did % 3)
+            n_frames = 10 + did % 20
+            n = n_channels * n_frames
+            raw = (t or "")[:120].encode("utf-8")
+            raw = raw[:n].ljust(n, b"x")
+            samples = [c * 37 - 6000 for c in raw]
+            out.append(encode_wav(samples, sample_rate, n_channels))
+        return pd.Series(out)
+
+    return df.withColumn(
+        "payload", _to_wav(F.col("doc_id"), F.col(text_col))
+    ).withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit("audio/wav").alias("content_type"),
+        ),
+    )
+
+
+#: Audio decode-stage output schema: integer-exact sample statistics.
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+        T.StructField("peak_amplitude", T.LongType(), True),
+        T.StructField("mean_amplitude", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """Audio decode stage: WAV payloads → sample statistics via
+    ``decode_media``. Same narrow Arrow-batched mapInPandas shape as
+    the image decode stage."""
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            out = {k.name: [] for k in WAV_SCHEMA.fields}
+            for doc_id, payload, ctype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_type"]
+            ):
+                wav = decode_media(bytes(payload), ctype)
+                s = wav["samples"]
+                out["doc_id"].append(doc_id)
+                out["n_channels"].append(wav["n_channels"])
+                out["sample_rate"].append(wav["sample_rate"])
+                out["n_frames"].append(
+                    len(s) // wav["n_channels"] if s else 0
+                )
+                out["sample_sum"].append(sum(s))
+                out["peak_amplitude"].append(
+                    max(abs(x) for x in s) if s else None
+                )
+                out["mean_amplitude"].append(
+                    sum(s) / len(s) if s else None
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload",
+        F.col("payload_meta.content_type").alias("content_type"),
+    ).mapInPandas(gen, schema=WAV_SCHEMA)
 
 
 def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

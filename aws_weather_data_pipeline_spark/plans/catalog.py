@@ -57,6 +57,7 @@ DRIVER_WINDOW = (
     "price_percentiles_by_flag",
     # --- NEW this round: must be driver-checked at creation time ---
     "multimodal_decode_png",
+    "multimodal_decode_wav",
     "streaming_batch_equivalence",
     "split_leakage_audit_simhash",
     # --- r03-green core recycling: weather family ---
@@ -102,7 +103,6 @@ DRIVER_WINDOW = (
     "customers_without_urgent_orders",
     "user_activity_coverage",
     "union_segments",
-    "validation_aggregates",
 )
 
 

@@ -192,6 +192,62 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CATALOG.add(
+    "multimodal_decode_wav",
+    """
+    WITH dims AS (
+        SELECT doc_id, text,
+               1 + doc_id % 2 AS n_channels,
+               8000 + 1000 * (doc_id % 3) AS sample_rate,
+               10 + doc_id % 20 AS n_frames
+        FROM documents
+    ),
+    aud AS (
+        SELECT doc_id, n_channels, sample_rate, n_frames,
+               rpad(substr(text, 1, 120),
+                    CAST(n_channels * n_frames AS INTEGER), 'x') AS raw
+        FROM dims
+    ),
+    s AS (
+        SELECT doc_id, n_channels, sample_rate, n_frames,
+               list_transform(
+                   range(1, CAST(n_channels * n_frames AS BIGINT) + 1),
+                   i -> ascii(substr(raw, i, 1)) * 37 - 6000) AS samples
+        FROM aud
+    )
+    SELECT doc_id,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+           CAST(list_aggregate(list_transform(samples, x -> abs(x)),
+                               'max') AS BIGINT) AS peak_amplitude,
+           CAST(list_sum(samples) AS DOUBLE) / (n_channels * n_frames)
+               AS mean_amplitude
+    FROM s
+    """,
+    doc="REAL audio decode through the mapInPandas slot: each document "
+    "carries an actual RIFF WAV (16-bit PCM, fmt+data chunks, "
+    "little-endian, word-aligned chunk walk) built by "
+    "functions/multimodal.encode_wav — channels/rate/frames from "
+    "doc_id, samples an affine map of the text bytes — and "
+    "decode_media's _decode_wav parses it back in pure stdlib struct. "
+    "The emitted statistics (sample sum, peak amplitude, exact mean) "
+    "are SQL-derivable from the text, so the oracle value-checks the "
+    "full encode→decode round-trip. With PPM, PNG, and WAV the "
+    "decode slot now covers raw raster, compressed raster, and PCM "
+    "audio; only JPEG/MP3/video remain behind NotImplementedError "
+    "(codecs absent from this container). Narrow no-shuffle stage, "
+    "Arrow-batched.",
+    tags=("multimodal", "udf"),
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_wav_features, with_wav_payload
+
+    d = with_wav_payload(_docs(spark, sf_dir))
+    return decode_wav_features(d)
+
+
+@CATALOG.add(
     "multimodal_frame_sample",
     f"""
     WITH t AS (

@@ -14,12 +14,14 @@ from aws_weather_data_pipeline_spark.functions.multimodal import (
 
 
 def test_decode_media_unknown_type_still_raises():
-    # Audio/video/JPEG codecs remain unimplemented in this container —
+    # JPEG/MP3/video codecs remain unimplemented in this container —
     # the extension contract (raise, don't guess) is unchanged.
     with pytest.raises(NotImplementedError, match="no decoder"):
-        decode_media(b"RIFF", "audio/wav")
+        decode_media(b"\xff\xfb", "audio/mpeg")
     with pytest.raises(NotImplementedError, match="no decoder"):
         decode_media(b"\xff\xd8", "image/jpeg")
+    with pytest.raises(NotImplementedError, match="no decoder"):
+        decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
 
 
 def test_decode_media_parses_binary_ppm():
@@ -267,3 +269,85 @@ def test_resize_downsamples_and_updates_metadata(spark):
     # deterministic: every 5th byte of "abab..." is always 'a'
     assert bytes(out[1]["payload"]) == bytes(("ab" * 300).encode()[::5])
     assert bytes(out[2]["payload"]) == b"tiny"
+
+
+def test_wav_roundtrip_property():
+    """Property: any int16 sample train at any channel/rate layout
+    survives the RIFF encode→decode round-trip exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_wav,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n_channels=st.integers(1, 4),
+        n_frames=st.integers(1, 64),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        data=st.data(),
+    )
+    def check(n_channels, n_frames, rate, data):
+        samples = data.draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=n_channels * n_frames,
+                max_size=n_channels * n_frames,
+            )
+        )
+        out = decode_media(
+            encode_wav(samples, rate, n_channels), "audio/wav"
+        )
+        assert out == {
+            "n_channels": n_channels,
+            "sample_rate": rate,
+            "samples": samples,
+        }
+
+    check()
+
+
+def test_wav_decoder_rejects_malformed_input():
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_media(b"OggS" + b"\0" * 40, "audio/wav")
+    good = encode_wav([1, 2, 3, 4], 8000, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(good[:-3], "audio/wav")
+    # 8-bit PCM (bits=8 in fmt) must be refused, not misparsed
+    import struct
+
+    bad_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="only 16-bit"):
+        decode_media(bad, "audio/wav")
+
+
+def test_wav_payload_decodes_end_to_end(spark):
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        WAV_SCHEMA,
+        decode_wav_features,
+        with_wav_payload,
+    )
+
+    # doc_id=9: 2 channels, rate 8000, 19 frames → 38 samples; text
+    # "abcd" padded with 'x' to 38 bytes, sample = byte*37 - 6000.
+    df = spark.createDataFrame([Row(doc_id=9, text="abcd")])
+    feats = decode_wav_features(with_wav_payload(df))
+    assert feats.schema == WAV_SCHEMA
+    r = feats.first()
+    assert (r["n_channels"], r["sample_rate"], r["n_frames"]) == (
+        2, 8000, 19,
+    )
+    raw = b"abcd" + b"x" * 34
+    samples = [c * 37 - 6000 for c in raw]
+    assert r["sample_sum"] == sum(samples)
+    assert r["peak_amplitude"] == max(abs(s) for s in samples)
+    assert r["mean_amplitude"] == sum(samples) / 38
