@@ -36,15 +36,16 @@ OPERATOR_MODULES = (
 # small_quantity_order_revenue, price_percentiles_by_flag), any query
 # NEW this round (inserted here at creation time), then as many of the
 # 50 r03-green queries as fit — weather / near-dup / sketch families
-# first — so no driver evidence goes stale beyond 2 rounds. The ten
-# r03-green singles that didn't fit (nations_sorted,
+# first — so no driver evidence goes stale beyond 2 rounds. The
+# twelve r03-green singles that didn't fit (nations_sorted,
 # recent_events_feed, top10_orders_by_price, filter_isin_projection,
 # order_date_arithmetic, coercion_null_on_error, null_drop_critical,
-# range_validity_flags, promo_revenue_ratio, dedup_user_event_type —
-# the last three popped to make room for this round's three new
-# queries) head round 6's window together with the round-4 block.
-# All 110 queries stay continuously oracle-checked by
-# tests/test_catalog_oracle.py regardless of window position.
+# range_validity_flags, promo_revenue_ratio, dedup_user_event_type,
+# validation_aggregates, union_segments — the last five popped to
+# make room for this round's five new queries) head round 6's window
+# together with the round-4 block. All 112 queries stay continuously
+# oracle-checked by tests/test_catalog_oracle.py regardless of
+# window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
     "multimodal_resize_stats",
@@ -59,6 +60,7 @@ DRIVER_WINDOW = (
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "streaming_batch_equivalence",
+    "streaming_windowed_alert_counts",
     "split_leakage_audit_simhash",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
@@ -102,7 +104,6 @@ DRIVER_WINDOW = (
     "regional_revenue",
     "customers_without_urgent_orders",
     "user_activity_coverage",
-    "union_segments",
 )
 
 

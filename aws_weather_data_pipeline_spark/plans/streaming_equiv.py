@@ -143,7 +143,10 @@ COMPARED_COLUMNS = FLAT_COLUMNS + [
     "data_quality_score",
 ]
 
-_ORACLE = f"""
+#: Shared oracle prefix: events → the fully-enriched reading relation
+#: (raw fields + heat index + parsed timestamp), mirroring
+#: synthesize_readings + the transform chain's inputs.
+_ENRICHED_CTE = f"""
     WITH base AS (
         SELECT event_id AS eid, ts FROM events
         WHERE event_id % {_KEEP_MOD} = 0
@@ -194,6 +197,25 @@ _ORACLE = f"""
              CASE WHEN temp_f < 80 THEN temperature_celsius
                   ELSE (hi_f - 32) * 5 / 9 END AS heat_index_celsius
            FROM f3)
+"""
+
+#: F5 alert classification, shared by both oracles (same text as
+#: plans/weatherlike._ALERT_SQL; duplicated here because this module's
+#: relation exposes the envelope columns, not the weatherlike CTE's).
+_ALERT_CASE = """
+           CASE WHEN heat_index_celsius > 54 OR precipitation_mm > 50
+                     OR wind_speed_kmh > 80 THEN 'CRITICAL'
+                WHEN heat_index_celsius > 41 OR precipitation_mm > 25
+                     OR wind_speed_kmh > 60 OR visibility_km < 2
+                     OR uv_index > 10 THEN 'WARNING'
+                WHEN heat_index_celsius > 32 OR precipitation_mm > 10
+                     OR wind_speed_kmh > 40 OR uv_index > 8
+                     THEN 'WATCH'
+                ELSE 'NORMAL' END
+"""
+
+_ORACLE = f"""
+    {_ENRICHED_CTE}
     SELECT station_id, city, country, latitude, longitude, "timestamp",
            temperature_celsius, humidity_percent, pressure_hpa,
            wind_speed_kmh, wind_direction, precipitation_mm,
@@ -212,15 +234,7 @@ _ORACLE = f"""
                       OR visibility_km < 3) THEN 'Moderate'
                 WHEN uv_index > 10 THEN 'Moderate'
                 ELSE 'Normal' END AS weather_severity,
-           CASE WHEN heat_index_celsius > 54 OR precipitation_mm > 50
-                     OR wind_speed_kmh > 80 THEN 'CRITICAL'
-                WHEN heat_index_celsius > 41 OR precipitation_mm > 25
-                     OR wind_speed_kmh > 60 OR visibility_km < 2
-                     OR uv_index > 10 THEN 'WARNING'
-                WHEN heat_index_celsius > 32 OR precipitation_mm > 10
-                     OR wind_speed_kmh > 40 OR uv_index > 8
-                     THEN 'WATCH'
-                ELSE 'NORMAL' END AS alert_level,
+           {_ALERT_CASE} AS alert_level,
            timestamp_parsed,
            CAST(hour(timestamp_parsed) AS INTEGER) AS hour_of_day,
            CAST(dayofweek(timestamp_parsed) + 1 AS INTEGER)
@@ -287,3 +301,84 @@ def streaming_batch_equivalence(
     )
     q.awaitTermination(600)
     return spark.read.parquet(processed).select(*COMPARED_COLUMNS)
+
+
+_WINDOWED_ORACLE = f"""
+    {_ENRICHED_CTE},
+    w AS (
+        SELECT time_bucket(INTERVAL '1 hour', timestamp_parsed) AS ws,
+               timestamp_parsed,
+               {_ALERT_CASE} AS alert_level
+        FROM enriched
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(ws + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           alert_level,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w, (SELECT max(timestamp_parsed) AS mx FROM enriched) m
+    WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+    GROUP BY ws, alert_level
+"""
+
+
+@CATALOG.add(
+    "streaming_windowed_alert_counts",
+    _WINDOWED_ORACLE,
+    doc="STATEFUL streaming with a watermark, driver-checked: the same "
+    "landing files drain through readStream → transform chain → "
+    "1-hour event-time watermark → tumbling 1-hour window grouped by "
+    "alert_level, append output mode to a streaming parquet sink. "
+    "Append mode only emits a window once the watermark passes its "
+    "end, so the result is exactly the windows closed by the FINAL "
+    "watermark (max event time - 1h, advanced by the trailing "
+    "no-data micro-batch) — the oracle models that emission rule "
+    "explicitly (window_end <= max(ts) - 1h), making late-data "
+    "semantics part of the checked contract, not incidental. At "
+    "scale this is the canonical streaming rollup: state is one "
+    "count per (window, level) key, eviction is watermark-driven, "
+    "and the sink receives only finalized rows.",
+    tags=("streaming", "weather", "agg", "temporal"),
+)
+def streaming_windowed_alert_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.readers import flatten_readings
+    from ..streaming.pipeline import read_stream_raw_json
+    from ..functions.weather import apply_transformations
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_window_")
+    landing = f"{work}/landing"
+    outdir = f"{work}/windowed"
+    ckpt = f"{work}/ckpt"
+
+    write_landing_files(synthesize_readings(spark, sf_dir), landing)
+    # One micro-batch for both files: the watermark then gates only
+    # FINAL emission — no mid-stream late-drop dependence on file
+    # modification-time ordering, which is not deterministic.
+    proc = apply_transformations(
+        flatten_readings(read_stream_raw_json(spark, landing))
+    )
+    agg = (
+        proc.withWatermark("timestamp_parsed", "1 hour")
+        .groupBy(
+            F.window("timestamp_parsed", "1 hour").alias("w"),
+            "alert_level",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "alert_level",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", outdir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(outdir)
