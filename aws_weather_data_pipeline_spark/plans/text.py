@@ -291,6 +291,123 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Winnowing parameters (Schleimer, Wilkerson, Aiken, "Winnowing:
+#: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+#: k-gram size 3 tokens, window 4 — guarantee window t = w + k - 1 = 6
+#: tokens: any shared token run of >= 6 tokens produces at least one
+#: shared fingerprint.
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@CATALOG.add(
+    "doc_winnowing_fingerprints",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(1, len(tk) - {WINNOW_K - 2}),
+                   i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                   AS hs
+        FROM t
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, len(hs) - {WINNOW_W - 1}),
+                   i -> struct_pack(
+                       pos := i + list_max(list_transform(
+                           range(1, {WINNOW_W + 1}),
+                           j -> CASE WHEN hs[i + j] = list_aggregate(
+                                    list_transform(
+                                        range(1, {WINNOW_W + 1}),
+                                        j2 -> hs[i + j2]), 'min')
+                               THEN j ELSE 0 END)),
+                       fp := list_aggregate(list_transform(
+                           range(1, {WINNOW_W + 1}),
+                           j -> hs[i + j]), 'min'))) AS sel
+        FROM hs
+    )
+    SELECT DISTINCT doc_id,
+           CAST(u.s.pos AS INTEGER) AS pos,
+           u.s.fp AS fp
+    FROM sel, unnest(sel) AS u(s)
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+    "SIGMOD 2003 — the MOSS algorithm): hash every 3-token shingle, "
+    "slide a 4-hash window, keep the window minimum with the "
+    "RIGHTMOST-occurrence tie rule (expressed as max-index-of-min so "
+    "Spark and DuckDB agree exactly), dedupe selected positions. "
+    "Guarantees any shared run of >= w+k-1 = 6 tokens yields a shared "
+    "fingerprint while storing ~2/(w+1) of all shingle hashes — the "
+    "local fingerprinting scheme plagiarism and fine-grained overlap "
+    "detectors build on, complementing the global signatures (MinHash/"
+    "SimHash) already in the catalog. Everything is per-row array "
+    "math inside codegen — no explode shuffle; the fingerprint rows "
+    "(doc_id, pos, fp) then group/join like any table. At 100 TB the "
+    "stage is narrow and the downstream fingerprint-equality join is "
+    "a hash join on fp, bucket-able exactly like the band joins.",
+    tags=("text", "dedup"),
+)
+def doc_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return winnow_fingerprints(_tokens(_docs(spark, sf_dir)))
+
+
+def winnow_fingerprints(
+    d: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, pos, fp) winnowing fingerprints for any frame with a
+    ``tokens`` array column. See the catalog entry's doc."""
+    d = d.filter(F.size("tokens") >= k + w - 1)
+    # One expression, with the shingle-hash array LET-BOUND as a
+    # lambda variable (transform over a 1-element array): Catalyst's
+    # projection collapse would otherwise inline a `withColumn("hs")`
+    # into every element_at reference below and recompute the whole
+    # md5 map per window — O(m²w²) md5 calls per document (the same
+    # double-compute class as the round-3 explode trap, SCALE.md).
+    # Bound once, hs is evaluated once per row.
+    # tokens[] is 0-based in Spark (1-based in the DuckDB twin, hence
+    # the index shift); per 0-based window start i the w hashes are
+    # element_at(hs, i+1..i+w), their min is the fingerprint, and the
+    # rightmost position attaining it is max-index-of-min.
+    sel = F.expr(
+        f"""
+        element_at(transform(
+            array(transform(sequence(0, size(tokens) - {k}), i ->
+                md5(concat_ws(' ', tokens[i], tokens[i+1],
+                              tokens[i+2])))),
+            hs ->
+            transform(sequence(0, size(hs) - {w}), i ->
+                struct(
+                    i + array_max(transform(sequence(1, {w}), j ->
+                        IF(element_at(hs, i + j) =
+                           array_min(transform(sequence(1, {w}), j2 ->
+                               element_at(hs, i + j2))), j, 0)))
+                        AS pos,
+                    array_min(transform(sequence(1, {w}), j ->
+                        element_at(hs, i + j))) AS fp))), 1)
+        """
+    )
+    # Row-level distinct (not array_distinct) so the DuckDB twin can
+    # mirror it — DuckDB's list_distinct is unimplemented for structs.
+    return (
+        d.select("doc_id", sel.alias("sel"))
+        .select("doc_id", F.explode("sel").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.pos").cast("int").alias("pos"),
+            F.col("s.fp").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash (64-bit locality-sensitive content signature, exact bit math)
 # --------------------------------------------------------------------------

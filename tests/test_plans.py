@@ -408,3 +408,50 @@ def test_sequence_packing_windows_per_shard_not_globally(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "windowspecdefinition(shard" in plan, plan
+
+
+def test_winnowing_guarantee_and_compression(spark):
+    """Winnowing's two defining properties (Schleimer et al. 2003):
+    (1) GUARANTEE — any shared token run of >= w+k-1 tokens between
+    two documents yields at least one shared fingerprint; (2) the
+    selected set is much smaller than the full shingle set (density
+    ~2/(w+1)). Checked on synthetic docs with a planted shared run
+    inside otherwise-disjoint text."""
+    from pyspark.sql import Row
+
+    from aws_weather_data_pipeline_spark.plans.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # w+k-1 = 6 tokens
+    doc_a = "one two three four " + shared + " five six seven eight"
+    doc_b = "red green blue cyan pink " + shared + " teal mauve navy"
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=doc_a), Row(doc_id=2, text=doc_b)]
+    ).withColumn("tokens", F.split("text", " "))
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fp"
+    # compression: strictly fewer fingerprints than shingles
+    n_shingles_a = len(doc_a.split()) - WINNOW_K + 1
+    assert len(by_doc[1]) < n_shingles_a
+    # positions are valid 1-based shingle indices
+    for r in fps:
+        assert 1 <= r["pos"]
+        assert r["pos"] <= (
+            len((doc_a if r["doc_id"] == 1 else doc_b).split())
+            - WINNOW_K + 1
+        )
+    # determinism: a second run selects the identical set
+    again = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert again == {(r["doc_id"], r["pos"], r["fp"]) for r in fps}
+    assert WINNOW_W >= 2  # density claim presumes a real window
