@@ -37,14 +37,14 @@ OPERATOR_MODULES = (
 # NEW this round (inserted here at creation time), then as many of the
 # 50 r03-green queries as fit — weather / near-dup / sketch families
 # first — so no driver evidence goes stale beyond 2 rounds. The
-# thirteen r03-green singles that didn't fit (nations_sorted,
+# fourteen r03-green singles that didn't fit (nations_sorted,
 # recent_events_feed, top10_orders_by_price, filter_isin_projection,
 # order_date_arithmetic, coercion_null_on_error, null_drop_critical,
 # range_validity_flags, promo_revenue_ratio, dedup_user_event_type,
-# validation_aggregates, union_segments, user_activity_coverage —
-# the last six popped to make room for this round's six new queries)
-# head round 6's window together with the round-4 block. All 113
-# queries stay continuously oracle-checked by
+# validation_aggregates, union_segments, user_activity_coverage,
+# regional_revenue — the last seven popped to make room for this
+# round's seven new queries) head round 6's window together with the
+# round-4 block. All 114 queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
@@ -63,6 +63,7 @@ DRIVER_WINDOW = (
     "streaming_windowed_alert_counts",
     "split_leakage_audit_simhash",
     "doc_winnowing_fingerprints",
+    "near_dup_pairs_winnow",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -102,7 +103,6 @@ DRIVER_WINDOW = (
     "pivot_status_qty",
     "latest_event_per_user",
     "top_revenue_orders",
-    "regional_revenue",
     "customers_without_urgent_orders",
 )
 

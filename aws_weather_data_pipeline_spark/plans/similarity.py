@@ -563,6 +563,76 @@ def near_dup_pairs_simhash(
 
 
 # --------------------------------------------------------------------------
+# Winnowing-fingerprint pairs (local-overlap detector)
+# --------------------------------------------------------------------------
+
+#: Two docs are flagged when they share at least this many DISTINCT
+#: winnowing fingerprints — i.e. several independent >= 6-token runs
+#: in common, the local-overlap signal (quotation, boilerplate,
+#: template reuse) that global signatures dilute away.
+WINNOW_SHARED_THRESHOLD = 8
+
+
+@CATALOG.add(
+    "near_dup_pairs_winnow",
+    None,  # oracle attached below (embeds WINNOW_FPS_SQL)
+    doc="Near-dup / overlap pairs from winnowing fingerprints: distinct "
+    "(doc_id, fp) per document, self-join on fp, keep pairs sharing "
+    f">= {WINNOW_SHARED_THRESHOLD} fingerprints. Winnowing guarantees "
+    "every shared run of >= w+k-1 tokens contributes a shared "
+    "fingerprint, so this detector surfaces LOCAL overlap — long "
+    "quotations, shared boilerplate, template reuse — that "
+    "whole-document signatures (MinHash/SimHash) dilute away when the "
+    "rest of the text differs; it feeds leakage_audit(pairs=) and the "
+    "dedup cascade like every other pairs pipeline. Scale shape: the "
+    "fingerprint frame is ~2/(w+1) of the shingle count, the self-join "
+    "is a hash join on fp (bucket-able exactly like the band joins; a "
+    "stop-fingerprint cut on document frequency caps hot keys the "
+    "same way band-bucket caps do), and the pair aggregation is one "
+    "shuffle on (doc_a, doc_b).",
+    tags=("similarity", "dedup", "text", "join"),
+)
+def near_dup_pairs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(
+            _docs(spark, sf_dir).withColumn(
+                "tokens", F.split("text", " ")
+            )
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_SHARED_THRESHOLD)
+    )
+
+
+def _attach_winnow_pairs_oracle() -> None:
+    from .text import WINNOW_FPS_SQL
+
+    CATALOG.queries["near_dup_pairs_winnow"].oracle = f"""
+    WITH w_out AS ({WINNOW_FPS_SQL}),
+    d AS (SELECT DISTINCT doc_id, fp FROM w_out)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_SHARED_THRESHOLD}
+    """
+
+
+_attach_winnow_pairs_oracle()
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram Jaccard join (prefix filtering — no all-pairs, no LSH loss)
 # --------------------------------------------------------------------------
 

@@ -300,9 +300,10 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
-@CATALOG.add(
-    "doc_winnowing_fingerprints",
-    f"""
+#: DuckDB twin of winnow_fingerprints — exported so the winnowing
+#: near-dup pairs query in plans/similarity.py composes its oracle
+#: from the same text (like SIMHASH_CTE_SQL).
+WINNOW_FPS_SQL = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS tk
         FROM documents
@@ -336,7 +337,12 @@ WINNOW_W = 4
            CAST(u.s.pos AS INTEGER) AS pos,
            u.s.fp AS fp
     FROM sel, unnest(sel) AS u(s)
-    """,
+"""
+
+
+@CATALOG.add(
+    "doc_winnowing_fingerprints",
+    WINNOW_FPS_SQL,
     doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
     "SIGMOD 2003 — the MOSS algorithm): hash every 3-token shingle, "
     "slide a 4-hash window, keep the window minimum with the "
