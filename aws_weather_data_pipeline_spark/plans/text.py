@@ -21,7 +21,7 @@ bit arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.tables import load_spread
 from .registry import QueryCatalog
@@ -369,46 +369,57 @@ def winnow_fingerprints(
     d: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> DataFrame:
     """(doc_id, pos, fp) winnowing fingerprints for any frame with a
-    ``tokens`` array column. See the catalog entry's doc."""
+    ``tokens`` array column. See the catalog entry's doc.
+
+    Formulated as a windowed MIN over posexploded shingle hashes, not
+    per-row array lambdas: the rightmost-min-of-window selection is
+    ``min(struct(h, -pos))`` over ROWS BETWEEN CURRENT AND w-1
+    FOLLOWING — struct ordering gives the smallest hash first and,
+    on hash ties, the most NEGATIVE -pos, i.e. the rightmost
+    occurrence, exactly the winnowing tie rule, all inside JVM window
+    codegen. A higher-order-function formulation (the hash array
+    let-bound per row, per-window slice/min lambdas) keeps the stage
+    shuffle-free but benches 4x slower at sf0.1: Spark evaluates HOF
+    lambdas interpretively per element, and ~m windows x ~3w lambda
+    calls per document dominates. The window form pays one shuffle on
+    doc_id — the same clustering the downstream fingerprint join
+    family re-uses, and no worse than the explode+agg shape every
+    other text operator (TF-IDF, n-gram decontamination) already has
+    at 100 TB.
+    """
     d = d.filter(F.size("tokens") >= k + w - 1)
-    # One expression, with the shingle-hash array LET-BOUND as a
-    # lambda variable (transform over a 1-element array): Catalyst's
-    # projection collapse would otherwise inline a `withColumn("hs")`
-    # into every element_at reference below and recompute the whole
-    # md5 map per window — O(m²w²) md5 calls per document (the same
-    # double-compute class as the round-3 explode trap, SCALE.md).
-    # Bound once, hs is evaluated once per row.
     # tokens[] is 0-based in Spark (1-based in the DuckDB twin, hence
-    # the index shift); per 0-based window start i the w hashes are
-    # element_at(hs, i+1..i+w), their min is the fingerprint, and the
-    # rightmost position attaining it is max-index-of-min.
-    sel = F.expr(
-        f"""
-        element_at(transform(
-            array(transform(sequence(0, size(tokens) - {k}), i ->
-                md5(concat_ws(' ', tokens[i], tokens[i+1],
-                              tokens[i+2])))),
-            hs ->
-            transform(sequence(0, size(hs) - {w}), i ->
-                struct(
-                    i + array_max(transform(sequence(1, {w}), j ->
-                        IF(element_at(hs, i + j) =
-                           array_min(transform(sequence(1, {w}), j2 ->
-                               element_at(hs, i + j2))), j, 0)))
-                        AS pos,
-                    array_min(transform(sequence(1, {w}), j ->
-                        element_at(hs, i + j))) AS fp))), 1)
-        """
+    # the index shift in the oracle SQL).
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tokens) - {k}), i -> "
+                "md5(concat_ws(' ', tokens[i], tokens[i+1],"
+                " tokens[i+2])))"
+            )
+        ).alias("p", "h"),
     )
-    # Row-level distinct (not array_distinct) so the DuckDB twin can
-    # mirror it — DuckDB's list_distinct is unimplemented for structs.
+    win = (
+        W.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    )
+    sel = sh.withColumn(
+        "mn",
+        F.min(F.struct(F.col("h"), (-F.col("p")).alias("nj"))).over(
+            win
+        ),
+    ).withColumn(
+        "m", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    )
+    # Only full windows select (start p <= m - w); pos is the 1-based
+    # shingle index of the selected hash. Row-level distinct (not
+    # array_distinct) so the DuckDB twin can mirror it.
     return (
-        d.select("doc_id", sel.alias("sel"))
-        .select("doc_id", F.explode("sel").alias("s"))
+        sel.filter(F.col("p") <= F.col("m") - w)
         .select(
             "doc_id",
-            F.col("s.pos").cast("int").alias("pos"),
-            F.col("s.fp").alias("fp"),
+            (-F.col("mn.nj") + 1).cast("int").alias("pos"),
+            F.col("mn.h").alias("fp"),
         )
         .distinct()
     )
