@@ -25,6 +25,7 @@ OPERATOR_MODULES = (
     "multimodal",
     "sampling",
     "streaming_equiv",
+    "layout",
 )
 
 # The driver's correctness harness checks only the FIRST 50 catalog
@@ -37,15 +38,17 @@ OPERATOR_MODULES = (
 # NEW this round (inserted here at creation time), then as many of the
 # 50 r03-green queries as fit — weather / near-dup / sketch families
 # first — so no driver evidence goes stale beyond 2 rounds. The
-# fourteen r03-green singles that didn't fit (nations_sorted,
+# seventeen r03-green singles that didn't fit (nations_sorted,
 # recent_events_feed, top10_orders_by_price, filter_isin_projection,
 # order_date_arithmetic, coercion_null_on_error, null_drop_critical,
 # range_validity_flags, promo_revenue_ratio, dedup_user_event_type,
 # validation_aggregates, union_segments, user_activity_coverage,
-# regional_revenue — the last seven popped to make room for this
-# round's seven new queries) head round 6's window together with the
-# round-4 block. All 114 queries stay continuously oracle-checked by
-# tests/test_catalog_oracle.py regardless of window position.
+# regional_revenue, latest_event_per_user, top_revenue_orders,
+# customers_without_urgent_orders — the last ten popped to make room
+# for this round's ten new queries) head round 6's window together
+# with the round-4 block. All 117 queries stay continuously
+# oracle-checked by tests/test_catalog_oracle.py regardless of window
+# position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
     "multimodal_resize_stats",
@@ -64,6 +67,9 @@ DRIVER_WINDOW = (
     "split_leakage_audit_simhash",
     "doc_winnowing_fingerprints",
     "near_dup_pairs_winnow",
+    "quantile_sketch_estimates",
+    "semantic_dedup_keep_list",
+    "zorder_layout_audit",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -101,9 +107,6 @@ DRIVER_WINDOW = (
     "event_type_share",
     "rollup_returnflag_status",
     "pivot_status_qty",
-    "latest_event_per_user",
-    "top_revenue_orders",
-    "customers_without_urgent_orders",
 )
 
 

@@ -98,9 +98,10 @@ def _update_cte(assign: str, out: str) -> str:
     )"""
 
 
-@CATALOG.add(
-    "kmeans_lloyd_assignments",
-    f"""
+#: The full 2-iteration Lloyd chain as a reusable CTE prefix: ``q``
+#: (quantized vectors) … ``a2`` (final assignments). Shared by the
+#: assignment oracle and the SemDeDup oracle below.
+_KMEANS_CTE_SQL = f"""
     WITH q AS (
         SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
     ),
@@ -116,6 +117,13 @@ def _update_cte(assign: str, out: str) -> str:
     {_assign_cte("q", "seeds", "a1")},
     {_update_cte("a1", "c1")},
     {_assign_cte("q", "c1", "a2")}
+"""
+
+
+@CATALOG.add(
+    "kmeans_lloyd_assignments",
+    _KMEANS_CTE_SQL
+    + """
     SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
            CAST(dist AS BIGINT) AS dist_q
     FROM a2
@@ -210,4 +218,104 @@ def kmeans_lloyd_assignments(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
         F.col("dist").cast("long").alias("dist_q"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means cells (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+#: Within-cluster cosine at or above this marks the larger vec_id as a
+#: semantic duplicate of the smaller.
+SEMDEDUP_THRESHOLD = 0.35
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len(a.v) + 1),"
+    " i -> a.v[i] * b.v[i]))"
+)
+
+
+@CATALOG.add(
+    "semantic_dedup_keep_list",
+    _KMEANS_CTE_SQL
+    + f""",
+    n AS (
+        SELECT a.vec_id, a.cluster, q.v,
+               list_sum(list_transform(q.v, x -> x * x)) AS nrm
+        FROM a2 a JOIN q ON a.vec_id = q.vec_id
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM n a JOIN n b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE a.nrm > 0 AND b.nrm > 0
+          AND {_DOT_SQL} / sqrt(a.nrm * b.nrm)
+                >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT n.vec_id, CAST(n.cluster AS INTEGER) AS cluster,
+           d.dup_id IS NULL AS kept
+    FROM n LEFT JOIN dups d ON n.vec_id = d.dup_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "deduplication that only compares embeddings INSIDE a k-means "
+    "cell — the trick that turns O(n²) corpus-wide cosine dedup into "
+    "Σ|cell|². Reuses the deterministic 2-iteration Lloyd assignment "
+    "above verbatim (same CTE prefix in the oracle, same DataFrame "
+    "chain in Spark), then an equi-join on the cluster id generates "
+    f"candidate pairs, exact quantized cosine ≥ {SEMDEDUP_THRESHOLD} "
+    "marks the larger vec_id a duplicate (deterministic keep rule: "
+    "smallest id in a dup pair survives), and a left anti-style join "
+    "flags the keep-list. At 100 TB: the corpus is written bucketed "
+    "by cluster, so pair generation is shuffle-free within cells, "
+    "cell sizes are capped by raising k (paper uses k ≈ √n), and the "
+    "dup set stays a small broadcast against the corpus. The cosine "
+    "arithmetic is the exact integer quantization shared by the whole "
+    "embedding family, so the flag column hashes identically across "
+    "engines.",
+    tags=("similarity", "embedding", "dedup", "join", "iterative"),
+)
+def semantic_dedup_keep_list(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_spread(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", F.expr(_QUANT).alias("v"))
+    assigned = kmeans_lloyd_assignments(spark, sf_dir).select(
+        "vec_id", "cluster"
+    )
+    sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
+    n = assigned.join(q, "vec_id").withColumn("nrm", sq_norm)
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        "cluster",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        "cluster",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter((F.col("nrm_a") > 0) & (F.col("nrm_b") > 0))
+        .filter(
+            dot / F.sqrt(F.col("nrm_a") * F.col("nrm_b"))
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("vec_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        n.join(dups, n.vec_id == dups.dup_id, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dup_id").isNull().alias("kept"),
+        )
     )

@@ -236,6 +236,134 @@ def cms_columns(key: str) -> list[int]:
 
 
 # --------------------------------------------------------------------------
+# Binned quantile sketch (mergeable equi-width histogram quantiles)
+# --------------------------------------------------------------------------
+
+#: Bin width and count: 64 bins of width 8 cover values in [0, 512) —
+#: the events.value domain. Out-of-range values clamp into the last bin
+#: (the standard histogram-sketch guard band).
+QSK_BIN_WIDTH = 8
+QSK_N_BINS = 64
+#: Quantiles reported, in percent.
+QSK_QUANTILES = (50, 90, 99)
+
+_QSK_Q_LIST = ", ".join(str(q) for q in QSK_QUANTILES)
+
+
+@CATALOG.add(
+    "quantile_sketch_estimates",
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               LEAST(CAST(floor(value / {QSK_BIN_WIDTH}) AS BIGINT),
+                     {QSK_N_BINS - 1}) AS bin,
+               COUNT(*) AS n
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bin, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bin)
+                   AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS total
+        FROM b
+    ),
+    hit AS (
+        SELECT c.event_type, q.q AS q_pct, c.total,
+               MIN(c.bin) AS est_bin
+        FROM c JOIN unnest([{_QSK_Q_LIST}]) AS q(q)
+          ON c.cum * 100 >= c.total * q.q
+        GROUP BY c.event_type, q.q, c.total
+    )
+    SELECT event_type, CAST(q_pct AS INTEGER) AS q_pct,
+           CAST(est_bin AS BIGINT) AS est_bin,
+           CAST(est_bin * {QSK_BIN_WIDTH} AS DOUBLE) AS est_lo,
+           CAST((est_bin + 1) * {QSK_BIN_WIDTH} AS DOUBLE) AS est_hi,
+           CAST(total AS BIGINT) AS n_values
+    FROM hit
+    """,
+    doc=f"Mergeable quantile sketch: an equi-width histogram "
+    f"({QSK_N_BINS} bins × width {QSK_BIN_WIDTH}) whose bin counts are "
+    "plain integer SUMs — associative, so partials combine map-side "
+    "and sketches from different days/partitions merge by adding "
+    "counts, exactly like the HLL/CMS grids. Quantile estimates read "
+    "off the merged table: the q-quantile is the first bin where "
+    "100·cum ≥ q·total (all-integer comparison — no float rank "
+    "arithmetic to diverge between engines), reported as the bin's "
+    "[lo, hi) range — error is bounded by one bin width. The "
+    "percentile path Spark's exact percentile() can't take at 100 TB "
+    "(exact needs a full sort or a huge digest per group); the "
+    "cumulative window runs on the POST-aggregate table "
+    f"(≤ #groups × {QSK_N_BINS} rows). Accuracy vs exact percentiles "
+    "and two-way merge associativity are pytest-checked "
+    "(tests/test_sketch.py); production swaps in approx_percentile's "
+    "KLL digest for tighter error at the same mergeable plan shape.",
+    tags=("sketch", "agg", "window"),
+)
+def quantile_sketch_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_spread(spark, sf_dir, "events")
+    bins = quantile_sketch_bins(ev, "event_type", "value")
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = bins.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in QSK_QUANTILES])
+    ).alias("q_pct")
+    return (
+        c.select("event_type", "bin", "cum", "total", qs)
+        .filter(F.col("cum") * 100 >= F.col("total") * F.col("q_pct"))
+        .groupBy("event_type", "q_pct", "total")
+        .agg(F.min("bin").alias("est_bin"))
+        .select(
+            "event_type",
+            F.col("q_pct").cast("int").alias("q_pct"),
+            F.col("est_bin").cast("bigint").alias("est_bin"),
+            (F.col("est_bin") * QSK_BIN_WIDTH)
+            .cast("double")
+            .alias("est_lo"),
+            ((F.col("est_bin") + 1) * QSK_BIN_WIDTH)
+            .cast("double")
+            .alias("est_hi"),
+            F.col("total").cast("bigint").alias("n_values"),
+        )
+    )
+
+
+def quantile_sketch_bins(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(group, bin, n) histogram-sketch state for ``value_col``.
+
+    The mergeable form: two sketch states over disjoint row sets merge
+    by unioning and summing ``n`` per (group, bin) — used by the
+    associativity test and by incremental (per-day) profiling at scale.
+    """
+    bin_col = F.least(
+        F.floor(F.col(value_col) / QSK_BIN_WIDTH).cast("bigint"),
+        F.lit(QSK_N_BINS - 1).cast("bigint"),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Bloom filter (bit-packed membership pre-screen for incremental dedup)
 # --------------------------------------------------------------------------
 

@@ -107,6 +107,55 @@ def test_cms_estimate_bounds(spark, sf_dir):
         assert est <= n + (2.718 / CMS_WIDTH) * total * 3, (uid, est, n)
 
 
+def test_quantile_sketch_merges_by_summing_bins(spark, sf_dir):
+    from aws_weather_data_pipeline_spark.plans.sketch import (
+        quantile_sketch_bins,
+    )
+
+    ev = _events(spark, sf_dir)
+    whole = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in quantile_sketch_bins(ev, "event_type", "value").collect()
+    }
+    lo = quantile_sketch_bins(
+        ev.filter(F.col("event_id") % 2 == 0), "event_type", "value"
+    ).collect()
+    hi = quantile_sketch_bins(
+        ev.filter(F.col("event_id") % 2 == 1), "event_type", "value"
+    ).collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        k = (r["event_type"], r["bin"])
+        merged[k] = merged.get(k, 0) + r["n"]
+    assert merged == whole
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark, sf_dir):
+    from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+
+    cat = build_catalog()
+    est = {
+        (r["event_type"], r["q_pct"]): (r["est_lo"], r["est_hi"])
+        for r in cat.queries["quantile_sketch_estimates"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert est
+    ev = _events(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["p"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("p"))
+        .collect()
+    }
+    for (etype, q), (lo, hi) in est.items():
+        p = exact[etype][{50: 0, 90: 1, 99: 2}[q]]
+        # The discrete q-quantile (first value with cum >= q·n) lives
+        # inside the reported bin; the interpolated exact percentile
+        # can undershoot the bin's lo by at most one bin width.
+        assert lo - 8 <= p < hi + 8, (etype, q, lo, hi, p)
+
+
 def test_bloom_has_no_false_negatives(spark, sf_dir):
     from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
 
