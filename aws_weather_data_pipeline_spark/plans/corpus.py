@@ -686,3 +686,140 @@ def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_fraction"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Filter-funnel attrition report (quality gates applied as a cascade)
+# --------------------------------------------------------------------------
+
+#: Cascade order: each document is charged to the FIRST gate it fails.
+FUNNEL_STAGES = ("length", "mean_word_len", "stopwords", "repetition")
+
+
+@CATALOG.add(
+    "corpus_filter_funnel",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               len(tk) BETWEEN 15 AND 90 AS g1,
+               CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+                   BETWEEN 2 AND 8 AS g2,
+               len(list_filter(tk, x -> x IN ('the', 'a'))) > 0 AS g3,
+               (CAST(list_max(list_transform(
+                        list_distinct(list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1])),
+                        x -> len(list_filter(
+                            list_transform(range(1, len(tk)),
+                                i -> tk[i] || ' ' || tk[i+1]),
+                            y -> y = x)))) AS DOUBLE)
+                    / (len(tk) - 1)) <= {TOP_BIGRAM_MAX_FRAC}::DOUBLE
+                   AS g4
+        FROM t
+    ),
+    f AS (
+        SELECT CASE WHEN NOT g1 THEN 1
+                    WHEN NOT g2 THEN 2
+                    WHEN NOT g3 THEN 3
+                    WHEN NOT g4 THEN 4
+                    ELSE 5 END AS failed_idx
+        FROM g
+    ),
+    counts AS (
+        SELECT failed_idx, COUNT(*) AS n FROM f GROUP BY 1
+    ),
+    stages AS (
+        SELECT * FROM (VALUES
+            (1, 'length'), (2, 'mean_word_len'),
+            (3, 'stopwords'), (4, 'repetition')) s(idx, stage)
+    ),
+    agg AS (
+        SELECT s.idx, s.stage, COALESCE(c.n, 0) AS n_failed,
+               (SELECT SUM(n) FROM counts) AS total
+        FROM stages s LEFT JOIN counts c ON s.idx = c.failed_idx
+    )
+    SELECT CAST(idx AS INTEGER) AS stage_idx, stage,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           CAST(total - SUM(n_failed) OVER (ORDER BY idx) AS BIGINT)
+               AS n_surviving,
+           CAST(total - SUM(n_failed) OVER (ORDER BY idx) AS DOUBLE)
+               * 100 / total AS pct_surviving
+    FROM agg
+    """,
+    doc="Filter-funnel attrition report: the quality gates every "
+    "pretraining pipeline applies (token-count bounds, mean-word-length "
+    "bounds, stopword presence, top-bigram repetition — the same "
+    "thresholds as doc_quality_scores / doc_repetition_metrics) "
+    "evaluated as an ORDERED cascade, charging each document to the "
+    "first gate it fails. One scan computes all gate booleans per row "
+    "(lazy CASE: the O(L²) repetition fold only runs for docs "
+    "surviving the cheap gates — exactly how production orders "
+    "cheap-to-expensive), one tiny aggregation on the 5-value "
+    "failed-stage key, and the cumulative-survivor window runs over "
+    "the 4-row post-aggregate table. The output is the curation "
+    "dashboard number: documents failing each gate and surviving each "
+    "prefix, the report that decides threshold tuning before a 100 TB "
+    "filtering run is committed.",
+    tags=("text", "filter", "agg"),
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _tokens(_docs(spark, sf_dir))
+    n = F.size("tokens")
+    avg_len = (F.length("text") - (n - 1)).cast("double") / n
+    stop_hits = F.size(F.expr("filter(tokens, x -> x IN ('the', 'a'))"))
+    g2arr = F.expr(
+        "transform(sequence(0, size(tokens)-2),"
+        " i -> concat_ws(' ', tokens[i], tokens[i+1]))"
+    )
+    top_frac = F.array_max(
+        F.transform(
+            F.array_distinct(g2arr),
+            lambda x: F.size(F.filter(g2arr, lambda y: y == x)),
+        )
+    ).cast("double") / (n - 1)
+    failed_idx = (
+        F.when(~n.between(15, 90), 1)
+        .when(~avg_len.between(2, 8), 2)
+        .when(~(stop_hits > 0), 3)
+        .when(~(top_frac <= TOP_BIGRAM_MAX_FRAC), 4)
+        .otherwise(5)
+    )
+    counts = (
+        d.select(failed_idx.alias("failed_idx"))
+        .groupBy("failed_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stages = counts.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)],
+        "idx INT, stage STRING",
+    )
+    agg = (
+        F.broadcast(stages)
+        .join(counts, stages.idx == counts.failed_idx, "left")
+        .select(
+            "idx",
+            "stage",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_failed"),
+        )
+        .crossJoin(
+            F.broadcast(counts.agg(F.sum("n").alias("total")))
+        )
+    )
+    w = Window.orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surviving = F.col("total") - F.sum("n_failed").over(w)
+    return agg.select(
+        F.col("idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_failed").cast("bigint").alias("n_failed"),
+        surviving.cast("bigint").alias("n_surviving"),
+        (surviving.cast("double") * 100 / F.col("total")).alias(
+            "pct_surviving"
+        ),
+    )

@@ -455,3 +455,33 @@ def test_winnowing_guarantee_and_compression(spark):
     }
     assert again == {(r["doc_id"], r["pos"], r["fp"]) for r in fps}
     assert WINNOW_W >= 2  # density claim presumes a real window
+
+
+def test_filter_funnel_consistent_with_quality_gates(spark, sf_dir):
+    """Cross-module consistency: the funnel's survivor count after its
+    first three gates equals doc_quality_scores' passes_quality count
+    (identical thresholds), and survivors are monotone non-increasing.
+    """
+    from aws_weather_data_pipeline_spark.plans.corpus import (
+        corpus_filter_funnel,
+    )
+    from aws_weather_data_pipeline_spark.plans.text import (
+        doc_quality_scores,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        corpus_filter_funnel(spark, sf_dir).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "length", "mean_word_len", "stopwords", "repetition",
+    ]
+    surv = [r["n_surviving"] for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    n_quality = (
+        doc_quality_scores(spark, sf_dir)
+        .filter(F.col("passes_quality"))
+        .count()
+    )
+    assert rows[2]["n_surviving"] == n_quality
