@@ -382,3 +382,121 @@ def streaming_windowed_alert_counts(
     )
     q.awaitTermination(600)
     return spark.read.parquet(outdir)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState), driver-checked
+# --------------------------------------------------------------------------
+
+#: Micros-precision round-trip format for the JSON landing fixture —
+#: the default JSON timestampFormat truncates to millis, which would
+#: let the stream and the oracle order same-millisecond events
+#: differently.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def write_event_landing_files(
+    spark: SparkSession, sf_dir: str, landing_dir: str
+) -> None:
+    """Raw-events landing fixture: the first two days of ``events``
+    split into two JSON files by event_id parity, so
+    ``maxFilesPerTrigger=1`` replays them as two micro-batches whose
+    composition is deterministic (not mtime-ordering-dependent)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
+        F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF))
+    )
+    for i in (0, 1):
+        ev.filter(F.col("event_id") % 2 == i).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(1).write.mode("append").option(
+            "timestampFormat", _TS_FMT
+        ).json(landing_dir)
+
+
+@CATALOG.add(
+    "streaming_running_user_stats",
+    f"""
+    WITH base AS (
+        SELECT event_id, date_trunc('microseconds', ts) AS ts,
+               user_id, event_type, value
+        FROM events
+        WHERE ts < TIMESTAMP '{_TS_CUTOFF}'
+    ),
+    last AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM base
+    )
+    SELECT g.user_id, g.n_events, g.max_value, l.event_type
+               AS last_event_type
+    FROM (
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(value) AS max_value
+        FROM base GROUP BY user_id
+    ) g
+    JOIN (SELECT user_id, event_type FROM last WHERE rn = 1) l
+      ON g.user_id = l.user_id
+    """,
+    doc="The CUSTOM stateful operator (streaming/windows.py "
+    "running_user_stats — applyInPandasWithState, per-user profile in "
+    "the checkpointed state store) driven end-to-end and checked "
+    "against a batch oracle: two deterministic micro-batches of raw "
+    "event JSON drain through the operator in update mode, foreachBatch "
+    "records each epoch's emitted updates, and the query returns each "
+    "user's LAST update — which must equal the all-batch cumulative "
+    "profile (count, max, and (ts, event_id)-resolved last event type) "
+    "recomputed by plain SQL. This is the state-merge contract: "
+    "arrival order and batch boundaries must not be observable in the "
+    "final state. State partitions by user_id (one shuffle per batch, "
+    "horizontal scale); the Python boundary is Arrow-batched pandas "
+    "per key-group, never row-at-a-time.",
+    tags=("streaming", "stateful", "agg"),
+)
+def streaming_running_user_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+        running_user_stats,
+    )
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_state_")
+    landing = f"{work}/landing"
+    outdir = f"{work}/updates"
+    ckpt = f"{work}/ckpt"
+
+    write_event_landing_files(spark, sf_dir, landing)
+    events = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", _TS_FMT)
+        .json(landing)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn(
+            "batch_id", F.lit(epoch_id).cast("long")
+        ).write.mode("append").parquet(outdir)
+
+    q = (
+        running_user_stats(events)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    from pyspark.sql import Window
+
+    updates = spark.read.parquet(outdir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value", "last_event_type")
+    )

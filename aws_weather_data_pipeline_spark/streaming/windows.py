@@ -90,6 +90,7 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType(), True),
         T.StructField("max_value", T.DoubleType(), True),
         T.StructField("last_ts", T.TimestampType(), True),
+        T.StructField("last_event_id", T.LongType(), True),
         T.StructField("last_event_type", T.StringType(), True),
     ]
 )
@@ -99,13 +100,15 @@ def _update_user_stats(key, pdf_iter, state: GroupState):
     """Merge this batch's rows for one user into persistent state.
 
     Emits the updated profile once per (user, batch). Deterministic:
-    'last' is resolved by (ts, event_id) max, not arrival order.
+    'last' is resolved by (ts, event_id) max, not arrival order —
+    the event_id tie-break is carried in state so equal timestamps
+    resolve identically whether the rows share a micro-batch or not.
     """
     import pandas as pd
 
     (user_id,) = key
-    n, mx, last_ts, last_type = (
-        state.get if state.exists else (0, None, None, None)
+    n, mx, last_ts, last_eid, last_type = (
+        state.get if state.exists else (0, None, None, None, None)
     )
     for pdf in pdf_iter:
         if pdf.empty:
@@ -115,10 +118,12 @@ def _update_user_stats(key, pdf_iter, state: GroupState):
         mx = batch_max if mx is None else max(mx, float(batch_max))
         idx = pdf.sort_values(["ts", "event_id"]).index[-1]
         row_ts = pdf.loc[idx, "ts"]
-        if last_ts is None or row_ts >= last_ts:
+        row_eid = int(pdf.loc[idx, "event_id"])
+        if last_ts is None or (row_ts, row_eid) >= (last_ts, last_eid):
             last_ts = row_ts
+            last_eid = row_eid
             last_type = pdf.loc[idx, "event_type"]
-    state.update((n, mx, last_ts, last_type))
+    state.update((n, mx, last_ts, last_eid, last_type))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
