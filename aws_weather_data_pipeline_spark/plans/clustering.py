@@ -283,7 +283,15 @@ def semantic_dedup_keep_list(
         "vec_id", "cluster"
     )
     sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
-    n = assigned.join(q, "vec_id").withColumn("nrm", sq_norm)
+    # The Lloyd-assignment pipeline (two corpus×centroids passes) is
+    # referenced by THREE branches below (pair sides a/b + the final
+    # keep-list join); Spark does not dedupe common subplans across
+    # join inputs, so persist + materialize it once (the frame is
+    # O(corpus) rows of quantized vectors — the same footprint the
+    # signature cache carries in plans/similarity.py, and the same
+    # recompute trap documented there).
+    n = assigned.join(q, "vec_id").withColumn("nrm", sq_norm).persist()
+    n.count()
     a = n.select(
         F.col("vec_id").alias("vec_a"),
         "cluster",
@@ -311,11 +319,17 @@ def semantic_dedup_keep_list(
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
-    return (
+    out = (
         n.join(dups, n.vec_id == dups.dup_id, "left")
         .select(
             "vec_id",
             F.col("cluster").cast("int").alias("cluster"),
             F.col("dup_id").isNull().alias("kept"),
         )
+        # Eagerly detach the (tiny) result so the cache can be
+        # released before returning — no cache leak across the
+        # 119-query bench/driver session.
+        .localCheckpoint(eager=True)
     )
+    n.unpersist()
+    return out

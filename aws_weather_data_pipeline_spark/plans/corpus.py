@@ -768,18 +768,24 @@ FUNNEL_STAGES = ("length", "mean_word_len", "stopwords", "repetition")
 def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = _tokens(_docs(spark, sf_dir))
+    # Materialize the bigram array as a named column so the distinct×
+    # filter fold reads ONE computed array — inlined, the g2 expression
+    # appears twice in the projection and higher-order exprs are not
+    # reliably CSE'd.
+    d = _tokens(_docs(spark, sf_dir)).withColumn(
+        "g2",
+        F.expr(
+            "transform(sequence(0, size(tokens)-2),"
+            " i -> concat_ws(' ', tokens[i], tokens[i+1]))"
+        ),
+    )
     n = F.size("tokens")
     avg_len = (F.length("text") - (n - 1)).cast("double") / n
     stop_hits = F.size(F.expr("filter(tokens, x -> x IN ('the', 'a'))"))
-    g2arr = F.expr(
-        "transform(sequence(0, size(tokens)-2),"
-        " i -> concat_ws(' ', tokens[i], tokens[i+1]))"
-    )
     top_frac = F.array_max(
         F.transform(
-            F.array_distinct(g2arr),
-            lambda x: F.size(F.filter(g2arr, lambda y: y == x)),
+            F.array_distinct("g2"),
+            lambda x: F.size(F.filter("g2", lambda y: y == x)),
         )
     ).cast("double") / (n - 1)
     failed_idx = (

@@ -118,11 +118,12 @@ def write_landing_files(readings: DataFrame, landing_dir: str) -> None:
     document per file)."""
     envelopes = readings.groupBy("env_id").agg(
         F.collect_list(F.struct(*FLAT_COLUMNS)).alias("readings")
-    )
+    ).persist()  # two filtered writes below — build the 2 rows once
     for i in (0, 1):
         envelopes.filter(F.col("env_id") == i).select(
             "readings"
         ).coalesce(1).write.mode("append").json(landing_dir)
+    envelopes.unpersist()
 
 
 #: Columns compared against the oracle (PROCESSED minus the two
@@ -402,15 +403,17 @@ def write_event_landing_files(
     split into two JSON files by event_id parity, so
     ``maxFilesPerTrigger=1`` replays them as two micro-batches whose
     composition is deterministic (not mtime-ordering-dependent)."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
-        F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF))
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF)))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .persist()  # two parity-filtered writes — scan events once
     )
     for i in (0, 1):
-        ev.filter(F.col("event_id") % 2 == i).select(
-            "event_id", "ts", "user_id", "event_type", "value"
-        ).coalesce(1).write.mode("append").option(
-            "timestampFormat", _TS_FMT
-        ).json(landing_dir)
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).option("timestampFormat", _TS_FMT).json(landing_dir)
+    ev.unpersist()
 
 
 @CATALOG.add(

@@ -72,3 +72,26 @@ def test_zorder_repartition_tightens_second_dimension(spark, sf_dir):
     # narrow band of them (64 files ≈ 4-tile code ranges ⇒ ~2×2 tile
     # blocks, x-span ≈ 32 vs the naive layout's ~149).
     assert z_span < naive_span / 2, (z_span, naive_span)
+
+
+def test_morton_roundtrip_property(spark):
+    """Hypothesis-style roundtrip: demorton(morton(a, b)) == (a, b) for
+    the full 8-bit grid, evaluated by the actual Spark expressions."""
+    from aws_weather_data_pipeline_spark.operators.layout import (
+        demorton_expr_spark,
+    )
+
+    df = (
+        spark.range(0, 1 << 16)
+        .select(
+            F.expr("id % 256").alias("x"),
+            F.expr("id div 256").alias("y"),
+        )
+        .withColumn("z", F.expr(morton_expr_spark("x", "y", 8)))
+        .withColumn("x2", F.expr(demorton_expr_spark("z", 0, 8)))
+        .withColumn("y2", F.expr(demorton_expr_spark("z", 1, 8)))
+    )
+    bad = df.filter("x2 <> x OR y2 <> y").count()
+    assert bad == 0
+    # codes are a bijection onto [0, 2^16)
+    assert df.select("z").distinct().count() == 1 << 16

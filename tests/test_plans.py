@@ -44,6 +44,10 @@ ALLOWED_HINTS = {
     # model — bounded by the bucket constant at ANY corpus size (that
     # fixed size is the DSIR design point).
     "doc_importance_weights": 2,
+    # the 4-row stage table + the ≤5-row failed-stage counts (key
+    # domain is the stage list, a config constant) — both bounded at
+    # any corpus size.
+    "corpus_filter_funnel": 2,
 }
 
 
