@@ -503,3 +503,100 @@ def streaming_running_user_stats(
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "max_value", "last_event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream time-range join, driver-checked
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_HORIZON = "12 hours"
+
+
+@CATALOG.add(
+    "streaming_attributed_purchases",
+    f"""
+    WITH base AS (
+        SELECT event_id, date_trunc('microseconds', ts) AS ts,
+               user_id, event_type, value
+        FROM events
+        WHERE ts < TIMESTAMP '{_TS_CUTOFF}'
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM base c JOIN base p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 12 HOUR
+    """,
+    doc="Stream-stream inner join driven end-to-end and value-checked: "
+    "clicks and purchases land as separate JSON streams, BOTH sides "
+    "are unbounded (each buffers rows in the state store until the "
+    "other side can no longer match), and the time-RANGE condition + "
+    "per-side watermarks bound that state — the streaming/windows.py "
+    "attributed_purchases operator, previously pytest-only. Draining "
+    "with availableNow, an INNER join emits every match exactly once "
+    "regardless of watermark timing, so the streamed result must "
+    "equal the batch range join the oracle computes — source "
+    "round-trip (micros-exact timestamps), state buffering, and join "
+    "semantics all in one check. At 100 TB/day the state held per "
+    "side is one horizon's worth of keys (the range condition tells "
+    "the engine exactly when a buffered click is dead), partitioned "
+    "by user_id across executors.",
+    tags=("streaming", "join", "temporal"),
+)
+def streaming_attributed_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+        attributed_purchases,
+    )
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_join_")
+    clicks_dir = f"{work}/clicks"
+    purchases_dir = f"{work}/purchases"
+    outdir = f"{work}/attributed"
+    ckpt = f"{work}/ckpt"
+
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF)))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .persist()
+    )
+    for etype, d in (("click", clicks_dir), ("purchase", purchases_dir)):
+        ev.filter(F.col("event_type") == etype).coalesce(1).write.mode(
+            "append"
+        ).option("timestampFormat", _TS_FMT).json(d)
+    ev.unpersist()
+
+    def stream(d: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("timestampFormat", _TS_FMT)
+            .json(d)
+        )
+
+    # Watermark > horizon: a buffered click must stay in state for
+    # the full attribution window before eviction is allowed.
+    joined = attributed_purchases(
+        stream(clicks_dir),
+        stream(purchases_dir),
+        horizon=ATTRIBUTION_HORIZON,
+        watermark="13 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", outdir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(outdir)
