@@ -38,18 +38,19 @@ OPERATOR_MODULES = (
 # NEW this round (inserted here at creation time), then as many of the
 # 50 r03-green queries as fit — weather / near-dup / sketch families
 # first — so no driver evidence goes stale beyond 2 rounds. The
-# twenty-one r03-green singles that didn't fit (nations_sorted,
+# twenty-three r03-green singles that didn't fit (nations_sorted,
 # recent_events_feed, top10_orders_by_price, filter_isin_projection,
 # order_date_arithmetic, coercion_null_on_error, null_drop_critical,
 # range_validity_flags, promo_revenue_ratio, dedup_user_event_type,
 # validation_aggregates, union_segments, user_activity_coverage,
 # regional_revenue, latest_event_per_user, top_revenue_orders,
 # customers_without_urgent_orders, pivot_status_qty,
-# rollup_returnflag_status, event_type_share, dominant_event_type —
-# the last fourteen popped to make room for this round's fourteen new
-# queries) head round 6's window together with the round-4 block. All
-# 121 queries stay continuously oracle-checked by
-# tests/test_catalog_oracle.py regardless of window position.
+# rollup_returnflag_status, event_type_share, dominant_event_type,
+# global_stats, conditional_counts — the last sixteen popped to make
+# room for this round's sixteen new queries) head round 6's window
+# together with the round-4 block. All 123 queries stay continuously
+# oracle-checked by tests/test_catalog_oracle.py regardless of window
+# position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
     "multimodal_resize_stats",
@@ -75,6 +76,8 @@ DRIVER_WINDOW = (
     "streaming_running_user_stats",
     "streaming_attributed_purchases",
     "streaming_dedup_replay",
+    "length_weighted_doc_sample",
+    "corpus_relative_quality_filter",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -106,8 +109,6 @@ DRIVER_WINDOW = (
     "user_session_windows",
     "asof_last_click_before_purchase",
     "pricing_summary",
-    "global_stats",
-    "conditional_counts",
 )
 
 

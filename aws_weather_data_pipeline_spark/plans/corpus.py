@@ -829,3 +829,72 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_surviving"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-relative quality gate (self-normalizing threshold)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "corpus_relative_quality_filter",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(tk)) AS BIGINT) * 1000
+                   // len(tk) AS uniq_permille,
+               CAST(len(tk) AS BIGINT) AS n_tokens
+        FROM t
+    ),
+    stats AS (
+        SELECT SUM(uniq_permille) AS s, COUNT(*) AS n FROM scored
+    )
+    SELECT doc_id, uniq_permille, n_tokens,
+           uniq_permille * (SELECT n FROM stats)
+               >= (SELECT s FROM stats) AS above_corpus_mean
+    FROM scored
+    """,
+    doc="Self-normalizing quality gate: keep documents whose "
+    "uniqueness score (distinct-token per-mille — an exact integer, "
+    "so the corpus SUM is order-free) is at or above the CORPUS MEAN. "
+    "Fixed thresholds (doc_quality_scores) go stale as the corpus "
+    "shifts; a corpus-relative threshold re-centers every run. The "
+    "comparison is cross-multiplied (score·n ≥ Σscores) to stay in "
+    "exact integers — no mean division, no float drift. Plan shape: "
+    "one scan computes scores, a one-row global aggregate broadcasts "
+    "back over the same scores (the BM25/DSIR corpus-stats pattern) — "
+    "two passes over a cached scan at 100 TB, or one pass + a "
+    "pre-computed stats row in incremental operation.",
+    tags=("text", "filter", "agg"),
+)
+def corpus_relative_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    scored = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("tokens")).cast("bigint")
+            * 1000
+        ).alias("u1000"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        F.expr("u1000 div n_tokens").alias("uniq_permille"),
+        "n_tokens",
+    )
+    stats = scored.agg(
+        F.sum("uniq_permille").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return scored.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "uniq_permille",
+        "n_tokens",
+        (F.col("uniq_permille") * F.col("n") >= F.col("s")).alias(
+            "above_corpus_mean"
+        ),
+    )

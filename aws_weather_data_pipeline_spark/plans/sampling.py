@@ -382,3 +382,55 @@ def sequence_pack_assignment(
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Length-weighted deterministic sampling (inclusion ∝ document size)
+# --------------------------------------------------------------------------
+
+#: Weight normalizer: inclusion probability = n_chars / WEIGHT_NORM
+#: (a config cap, NOT a corpus max — a data-dependent normalizer would
+#: make every row's keep decision depend on a global aggregate and
+#: change historical decisions when a longer doc arrives).
+WEIGHT_NORM = 1000
+
+
+@CATALOG.add(
+    "length_weighted_doc_sample",
+    f"""
+    SELECT doc_id, n_chars,
+           CAST(n_chars AS DOUBLE) / {WEIGHT_NORM} AS inclusion_p
+    FROM documents
+    WHERE {_KEYHASH_SQL} % {WEIGHT_NORM} < n_chars
+    """,
+    doc="Weighted Bernoulli sampling with inclusion probability "
+    "proportional to document LENGTH (token-budget-aware corpus "
+    "subsetting: sampling docs uniformly under-represents long "
+    "documents' tokens; sampling ∝ length approximates uniform-over-"
+    "tokens). The decision is hash % NORM < weight — all-integer, a "
+    "pure function of the row like every sampler here, so the kept "
+    "set survives re-partitioning and incremental rebuilds, and "
+    "raising a document's weight can only ADD it (threshold "
+    f"nesting). The normalizer is a config constant ({WEIGHT_NORM}), "
+    "not a corpus max: a data-dependent normalizer would silently "
+    "change past keep decisions whenever the corpus grows. Evaluates "
+    "in the scan stage, no shuffle; at 100 TB this composes with the "
+    "mixture sampler (rate × weight) in the same single pass.",
+    tags=("sampling", "filter"),
+)
+def length_weighted_doc_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(
+            F.expr(f"{_KEYHASH_SPARK} % {WEIGHT_NORM}") < F.col("n_chars")
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars").cast("double") / WEIGHT_NORM).alias(
+                "inclusion_p"
+            ),
+        )
+    )
