@@ -489,3 +489,59 @@ def test_filter_funnel_consistent_with_quality_gates(spark, sf_dir):
         .count()
     )
     assert rows[2]["n_surviving"] == n_quality
+
+
+def test_round5_queries_have_sane_plan_shapes(spark, sf_dir):
+    """Plan-shape pins for the round-5 operators:
+
+    - zorder audit: one hash-aggregate pipeline (partial + final), no
+      join, no window, no sort — the interleave must stay a per-row
+      expression inside the scan stage.
+    - quantile sketch: windows run over the POST-aggregate bin table
+      (aggregation appears below the window), never the raw events.
+    - weighted sample: pure scan-stage predicate like the other
+      samplers — no join/aggregate/sort.
+    - relative quality filter: exactly one keyless broadcast join (the
+      one-row corpus-stats frame, the bm25/DSIR-accepted shape), no
+      CartesianProduct.
+    - filter funnel: no CartesianProduct beyond its two bounded
+      broadcasts; the cumulative window input is the 4-row stage
+      frame (window appears above the aggregate).
+    """
+    import re
+
+    from aws_weather_data_pipeline_spark.plans import (
+        corpus,
+        layout,
+        sampling,
+        sketch,
+    )
+
+    plan = _formatted(layout.zorder_layout_audit(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "HashAggregate" in plan
+
+    plan = _formatted(sketch.quantile_sketch_estimates(spark, sf_dir))
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and "HashAggregate" in plan
+    # formatted plans print top-down (children below parents): some
+    # HashAggregate must appear BELOW the window — the cumulative
+    # window consumes the aggregated bin table, never raw events.
+    assert plan.rfind("HashAggregate") > win_pos, plan
+
+    plan = _formatted(
+        sampling.length_weighted_doc_sample(spark, sf_dir)
+    )
+    for op in ("Join", "HashAggregate", "Sort"):
+        assert op not in plan, f"weighted sample contains {op}"
+
+    plan = _formatted(
+        corpus.corpus_relative_quality_filter(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert (
+        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    ), plan
+
+    plan = _formatted(corpus.corpus_filter_funnel(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
