@@ -328,7 +328,7 @@ def semantic_dedup_keep_list(
         )
         # Eagerly detach the (tiny) result so the cache can be
         # released before returning — no cache leak across the
-        # 119-query bench/driver session.
+        # 100+-query bench/driver session.
         .localCheckpoint(eager=True)
     )
     n.unpersist()

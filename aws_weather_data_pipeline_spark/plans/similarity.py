@@ -148,7 +148,7 @@ def _detach(df: DataFrame) -> DataFrame:
     """Eagerly materialize a RESULT frame (localCheckpoint) so its
     lineage no longer references the caller's persisted intermediates —
     the caller can then unpersist them immediately instead of leaking
-    cache entries into the session (83 catalog queries share one
+    cache entries into the session (100+ catalog queries share one
     session in bench/driver runs). Only ever applied to near-dup
     pair/label frames: tiny relative to the corpus, so the checkpoint
     write is negligible at any scale."""
