@@ -64,6 +64,57 @@ def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
     return flatten_readings(envelopes)
 
 
+def read_raw_json_with_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """S4 with a dead-letter path: (readings, quarantined).
+
+    A 100 TB/day raw zone always contains malformed batches (truncated
+    uploads, encoding damage, producer bugs). Dropping them silently
+    corrupts counts; failing the job on one bad file is worse. The
+    production shape is PERMISSIVE parsing with
+    ``columnNameOfCorruptRecord``: well-formed envelopes flow to the
+    flatten path, malformed documents land — original bytes intact —
+    in a quarantine frame the caller writes to a dead-letter sink for
+    replay after the producer fix. The split is one predicate on the
+    corrupt column (both branches share the scan); quarantine volume
+    is the alert metric (``runner.validate`` style).
+
+    Reference parity: the reference's ETL assumes clean input and
+    would throw mid-job (glue_weather_etl.py json parsing); this is
+    the operational hardening a real pipeline needs.
+    """
+    from pyspark.sql import types as T
+
+    # StructType.add MUTATES the receiver — build a fresh StructType so
+    # the shared WEATHER_RAW_SCHEMA is never widened behind the backs
+    # of the other readers.
+    schema = T.StructType(
+        [*WEATHER_RAW_SCHEMA.fields]
+    ).add("_corrupt_record", "string")
+    parsed = (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .option("recursiveFileLookup", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # multiLine corrupt-column semantics require materializing the
+        # corrupt column together with the data columns; cache the
+        # split point so the two branches share one parse.
+        .persist()
+    )
+    good = flatten_readings(
+        parsed.filter(F.col("_corrupt_record").isNull()).drop(
+            "_corrupt_record"
+        )
+    )
+    quarantined = parsed.filter(
+        F.col("_corrupt_record").isNotNull()
+    ).select(F.col("_corrupt_record").alias("raw_payload"))
+    return good, quarantined
+
+
 #: Declared schema of the processed-CSV round-trip (S6): the flat CSV
 #: columns ARE the reading fields, so reuse the one schema definition
 #: (a hand-copied twin would silently drift — under P9 cast-to-null

@@ -119,3 +119,42 @@ def test_csv_roundtrip_declared_schema(spark, tmp_path):
     bad = back2.filter("station_id = 'WS999'").first()
     assert bad["latitude"] is None
     assert bad["longitude"] == 72.9
+
+
+def test_quarantine_splits_malformed_from_good(spark, tmp_path):
+    # Dead-letter path: a truncated JSON document must land in the
+    # quarantine frame with its original bytes, while well-formed
+    # envelopes parse normally — and nothing is silently dropped.
+    from aws_weather_data_pipeline_spark.sources.readers import (
+        read_raw_json_with_quarantine,
+    )
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "good.json").write_text(
+        json.dumps({"readings": [_reading(0), _reading(1)]}, indent=2)
+    )
+    truncated = '{"readings": [{"station_id": "WS9'
+    (d / "truncated.json").write_text(truncated)
+
+    good, quarantined = read_raw_json_with_quarantine(spark, str(d))
+    assert good.count() == 2
+    assert set(good.columns) == set(FLAT_COLUMNS)
+    q = quarantined.collect()
+    assert len(q) == 1
+    assert q[0]["raw_payload"] == truncated  # original bytes intact
+
+
+def test_quarantine_empty_when_all_files_clean(spark, tmp_path):
+    from aws_weather_data_pipeline_spark.sources.readers import (
+        read_raw_json_with_quarantine,
+    )
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "good.json").write_text(
+        json.dumps({"readings": [_reading(0)]}, indent=2)
+    )
+    good, quarantined = read_raw_json_with_quarantine(spark, str(d))
+    assert good.count() == 1
+    assert quarantined.count() == 0
