@@ -147,3 +147,56 @@ def start_pipeline(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def start_quarantine_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Sidecar dead-letter query: malformed envelopes → quarantine sink.
+
+    The main pipeline is already malformed-tolerant (declared schema
+    nulls a bad envelope; the flatten explode drops it) — but silent
+    drops hide producer bugs. This companion query tails the SAME
+    landing dir with PERMISSIVE parsing + a corrupt-record column and
+    appends each malformed document's original bytes to a quarantine
+    sink for replay. Running it as a separate query (own checkpoint)
+    keeps the hot path untouched: the DLQ can lag, be restarted, or be
+    dropped without affecting processed/alerts, and at 100 TB/day its
+    input is the same file listing with near-zero matching rows.
+    Batch twin: sources/readers.read_raw_json_with_quarantine.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [*WEATHER_RAW_SCHEMA.fields]
+    ).add("_corrupt_record", "string")
+    corrupt = (
+        spark.readStream.schema(schema)
+        .option("multiLine", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(landing_dir)
+        .filter(F.col("_corrupt_record").isNotNull())
+        # Spark rejects queries whose only referenced column is the
+        # internal corrupt-record column
+        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so
+        # keep one data column in the output; it doubles as a parse
+        # diagnostic (null readings == envelope-level damage).
+        .select(
+            F.col("_corrupt_record").alias("raw_payload"),
+            F.size("readings").alias("n_parsed_readings"),
+        )
+    )
+    return (
+        corrupt.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", quarantine_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -150,3 +150,48 @@ def read_raw_json_fixture(spark, tmp_path):
         landing / "b.json", [make_reading(i) for i in range(8)]
     )
     return read_raw_json(spark, str(landing))
+
+
+def test_quarantine_sidecar_captures_malformed_envelopes(
+    spark, tmp_path
+):
+    """The DLQ companion query must capture a truncated landing file's
+    original bytes while the main pipeline processes the good file
+    unaffected — no silent drops, no poisoned hot path."""
+    import json as _json
+
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        start_pipeline,
+        start_quarantine_stream,
+    )
+    from tests.weather_fixtures import make_reading
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "good.json").write_text(
+        _json.dumps({"readings": [make_reading(0)]}, indent=2)
+    )
+    bad = '{"readings": [{"station_id": "WS9'
+    (landing / "truncated.json").write_text(bad)
+
+    q1 = start_pipeline(
+        spark,
+        str(landing),
+        str(tmp_path / "processed"),
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt_main"),
+    )
+    q2 = start_quarantine_stream(
+        spark,
+        str(landing),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt_dlq"),
+    )
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+
+    processed = spark.read.parquet(str(tmp_path / "processed"))
+    assert processed.count() == 1
+    dlq = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    assert len(dlq) == 1
+    assert dlq[0]["raw_payload"] == bad
