@@ -38,7 +38,7 @@ OPERATOR_MODULES = (
 # NEW this round (inserted here at creation time), then as many of the
 # 50 r03-green queries as fit — weather / near-dup / sketch families
 # first — so no driver evidence goes stale beyond 2 rounds. The
-# twenty-three r03-green singles that didn't fit (nations_sorted,
+# twenty-five r03-green singles that didn't fit (nations_sorted,
 # recent_events_feed, top10_orders_by_price, filter_isin_projection,
 # order_date_arithmetic, coercion_null_on_error, null_drop_critical,
 # range_validity_flags, promo_revenue_ratio, dedup_user_event_type,
@@ -46,9 +46,10 @@ OPERATOR_MODULES = (
 # regional_revenue, latest_event_per_user, top_revenue_orders,
 # customers_without_urgent_orders, pivot_status_qty,
 # rollup_returnflag_status, event_type_share, dominant_event_type,
-# global_stats, conditional_counts — the last sixteen popped to make
-# room for this round's sixteen new queries) head round 6's window
-# together with the round-4 block. All 123 queries stay continuously
+# global_stats, conditional_counts, asof_last_click_before_purchase,
+# tumbling_hourly_by_type — the last eighteen popped to make room for
+# this round's eighteen new queries) head round 6's window together
+# with the round-4 block. All 125 queries stay continuously
 # oracle-checked by tests/test_catalog_oracle.py regardless of window
 # position.
 DRIVER_WINDOW = (
@@ -78,6 +79,8 @@ DRIVER_WINDOW = (
     "streaming_dedup_replay",
     "length_weighted_doc_sample",
     "corpus_relative_quality_filter",
+    "salted_hot_key_join",
+    "salted_user_event_lists",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -105,9 +108,7 @@ DRIVER_WINDOW = (
     "deterministic_doc_sample",
     "dataset_split_assignment",
     # --- r03-green core recycling: temporal + relational agg family ---
-    "tumbling_hourly_by_type",
     "user_session_windows",
-    "asof_last_click_before_purchase",
     "pricing_summary",
 )
 

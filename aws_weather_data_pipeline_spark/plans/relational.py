@@ -1576,3 +1576,104 @@ def referential_integrity_audit(
                     "lineitem->part")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-handling operators, driver-checked (operators/skew.py)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "salted_hot_key_join",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CAST(length(event_type) AS INTEGER) AS type_len
+        FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(MAX(d.type_len) AS INTEGER) AS type_len
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    doc="The manual skew escape hatch (operators/skew.salted_join) "
+    "driven against a value oracle: events (every key is hot — 5 keys "
+    "over the whole table, the worst equi-join skew shape) join a "
+    "derived per-type dimension through the salted form — probe rows "
+    "salted by pmod(hash(event_id), 8), build side replicated ×8, join "
+    "on (key, salt) — and the aggregated result must equal the PLAIN "
+    "join the oracle computes. A replication or salt-distribution bug "
+    "multiplies counts and fails the hash. This is the shape AQE skew "
+    "splitting cannot fix (a single key larger than a partition); the "
+    "salt spreads each hot key over 8 reducers at any scale, and "
+    "determinism (hash-derived salt, not rand()) makes task retries "
+    "converge.",
+    tags=("join", "skew", "agg"),
+)
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    dim = ev.select("event_type").distinct().select(
+        "event_type",
+        F.length("event_type").cast("int").alias("type_len"),
+    )
+    joined = salted_join(
+        ev.select("event_id", "event_type"),
+        dim,
+        key="event_type",
+        n_salts=8,
+        salt_from="event_id",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("type_len").cast("int").alias("type_len"),
+    )
+
+
+@CATALOG.add(
+    "salted_user_event_lists",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           md5(array_to_string(list(event_id ORDER BY event_id), ','))
+               AS values_hash
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Two-stage salted collect_list "
+    "(operators/skew.salted_collect_list) driver-checked: collect_list "
+    "has NO map-side partial aggregation, so a hot key funnels every "
+    "row through one reducer — the salted form collects per (key, "
+    "salt) partials and flattens ≤8 partial lists per key. The emitted "
+    "md5 of the sorted id list must equal the oracle's straight "
+    "ordered aggregation: any row lost, duplicated, or mis-salted "
+    "changes the hash. Sorting the merged list is what makes the "
+    "result independent of salt count, partitioning, and collect "
+    "order — the determinism contract that lets the same query run "
+    "salted at 100 TB and unsalted in a unit test.",
+    tags=("agg", "skew"),
+)
+def salted_user_event_lists(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.skew import salted_collect_list
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    lists = salted_collect_list(
+        ev.select("user_id", "event_id"),
+        key="user_id",
+        value="event_id",
+        n_salts=8,
+        salt_from="event_id",
+    )
+    return lists.select(
+        "user_id",
+        F.size("values").cast("bigint").alias("n_values"),
+        F.md5(
+            F.array_join(
+                F.transform("values", lambda x: x.cast("string")), ","
+            )
+        ).alias("values_hash"),
+    )

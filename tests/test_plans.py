@@ -48,6 +48,9 @@ ALLOWED_HINTS = {
     # domain is the stage list, a config constant) — both bounded at
     # any corpus size.
     "corpus_filter_funnel": 2,
+    # the one-row corpus-stats frame (sum + count) — the bm25/DSIR
+    # global-stats shape.
+    "corpus_relative_quality_filter": 1,
 }
 
 
