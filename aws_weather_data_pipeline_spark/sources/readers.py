@@ -99,18 +99,26 @@ def read_raw_json_with_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        # multiLine corrupt-column semantics require materializing the
-        # corrupt column together with the data columns; cache the
-        # split point so the two branches share one parse.
-        .persist()
     )
     good = flatten_readings(
         parsed.filter(F.col("_corrupt_record").isNull()).drop(
             "_corrupt_record"
         )
     )
+    # Keep a data column referenced IN THE FILTER: Spark rejects plans
+    # that touch ONLY the internal corrupt-record column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and a
+    # downstream count() prunes the projection — so the filter itself
+    # must reference `readings`. On a corrupt row PERMISSIVE nulls
+    # every data column, so `readings IS NULL` is a no-op conjunct
+    # semantically. The two branches re-parse independently —
+    # deliberately no persist() here, since a library reader must not
+    # leave cache entries behind in a long-lived session; a caller
+    # materializing both frames in one job can wrap the call in its
+    # own persist/unpersist.
     quarantined = parsed.filter(
         F.col("_corrupt_record").isNotNull()
+        & F.col("readings").isNull()
     ).select(F.col("_corrupt_record").alias("raw_payload"))
     return good, quarantined
 

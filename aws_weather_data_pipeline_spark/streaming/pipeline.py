@@ -181,16 +181,18 @@ def start_quarantine_stream(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(landing_dir)
-        .filter(F.col("_corrupt_record").isNotNull())
-        # Spark rejects queries whose only referenced column is the
-        # internal corrupt-record column
-        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so
-        # keep one data column in the output; it doubles as a parse
-        # diagnostic (null readings == envelope-level damage).
-        .select(
-            F.col("_corrupt_record").alias("raw_payload"),
-            F.size("readings").alias("n_parsed_readings"),
+        # The readings-IS-NULL conjunct is semantically a no-op
+        # (PERMISSIVE nulls every data column on a corrupt row) but
+        # keeps a data column referenced even under projection pruning
+        # — Spark rejects plans touching ONLY the internal
+        # corrupt-record column
+        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+        # Same workaround as sources/readers.read_raw_json_with_quarantine.
+        .filter(
+            F.col("_corrupt_record").isNotNull()
+            & F.col("readings").isNull()
         )
+        .select(F.col("_corrupt_record").alias("raw_payload"))
     )
     return (
         corrupt.writeStream.outputMode("append")
