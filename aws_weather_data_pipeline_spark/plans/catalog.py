@@ -47,11 +47,10 @@ OPERATOR_MODULES = (
 # customers_without_urgent_orders, pivot_status_qty,
 # rollup_returnflag_status, event_type_share, dominant_event_type,
 # global_stats, conditional_counts, asof_last_click_before_purchase,
-# tumbling_hourly_by_type — the last eighteen popped to make room for
-# this round's eighteen new queries) head round 6's window together
-# with the round-4 block. All 125 queries stay continuously
-# oracle-checked by tests/test_catalog_oracle.py regardless of window
-# position.
+# tumbling_hourly_by_type, pricing_summary — popped to make room for
+# this round's new queries) head round 6's window together with the
+# round-4 block. All queries stay continuously oracle-checked by
+# tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
     "multimodal_resize_stats",
@@ -81,6 +80,7 @@ DRIVER_WINDOW = (
     "corpus_relative_quality_filter",
     "salted_hot_key_join",
     "salted_user_event_lists",
+    "exact_substr_removal",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -109,7 +109,6 @@ DRIVER_WINDOW = (
     "dataset_split_assignment",
     # --- r03-green core recycling: temporal + relational agg family ---
     "user_session_windows",
-    "pricing_summary",
 )
 
 

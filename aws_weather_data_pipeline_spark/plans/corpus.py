@@ -898,3 +898,148 @@ def corpus_relative_quality_filter(
             "above_corpus_mean"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr REMOVAL (keep-first span dedup + text reassembly)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "exact_substr_removal",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(tk[i:i + {SPAN_TOKENS} - 1], ' '))
+                   AS gh
+        FROM t, unnest(range(1, len(tk) - {SPAN_TOKENS} + 2)) AS u(i)
+        WHERE len(tk) >= {SPAN_TOKENS}
+    ),
+    o AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+               COUNT(*) OVER (PARTITION BY gh) AS cnt
+        FROM w
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + u.j AS tpos
+        FROM o, unnest(range(0, {SPAN_TOKENS})) AS u(j)
+        WHERE cnt >= 2 AND rn >= 2
+    ),
+    tok AS (
+        SELECT doc_id, i - 1 AS tpos, tk[i] AS token
+        FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.tpos, tok.token
+        FROM tok
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cov
+            WHERE cov.doc_id = tok.doc_id AND cov.tpos = tok.tpos
+        )
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               COUNT(*) AS n_kept,
+               md5(string_agg(token, ' ' ORDER BY tpos)) AS cleaned_hash
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           COALESCE(r.cleaned_hash, md5('')) AS cleaned_hash
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="ExactSubstr REMOVAL (Lee et al. 2022): where "
+    "doc_duplicated_spans only *detects* cross-document duplicated "
+    f"{SPAN_TOKENS}-token windows, this operator performs the actual "
+    "dedup edit — every duplicated window occurrence except the "
+    "globally FIRST (ordered by doc_id, then position; a total order, "
+    "so the edit is deterministic under any partitioning) has its "
+    "token range removed, and each document's surviving tokens are "
+    "reassembled in position order (emitted as md5 so the driver "
+    "compares the exact cleaned bytes at bounded size). Plan: windows "
+    "explode ≈ one row per token; ONE hash-shuffle on the window hash "
+    "ranks occurrences (rank + count in the same window pass over the "
+    "same shuffle); removed ranges re-explode to covered positions and "
+    "anti-join the token stream on (doc_id, position); reassembly is a "
+    "groupBy doc_id over sort_array(collect_list) — state bounded by "
+    "document length, never corpus size. Linear at 100 TB: suffix "
+    "arrays (the paper's exact tool) do not distribute, but "
+    "fixed-length windows lose only matches shorter than the window "
+    "and shuffle uniformly by construction; a hot boilerplate span is "
+    "one big rank group, handled by AQE skew splitting on the "
+    "explode side and bounded rank state on the window side.",
+    tags=("text", "dedup", "join"),
+)
+def exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = SPAN_TOKENS
+    t = _tokens(_docs(spark, sf_dir)).select("doc_id", "tokens")
+    # Window occurrences: (doc_id, pos, hash of the n-token slice).
+    # xxhash64 on the token-array slice — no per-window string
+    # materialization (the oracle builds strings; only equality is
+    # compared, values never reach the output).
+    spans = F.expr(
+        f"transform(sequence(0, size(tokens)-{n}),"
+        f" i -> struct(i AS pos, xxhash64(slice(tokens, i + 1, {n})) AS gh))"
+    )
+    w = (
+        t.filter(F.size("tokens") >= n)
+        .select("doc_id", F.explode_outer(spans).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    )
+    occ_w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    cnt_w = Window.partitionBy("gh")
+    o = w.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(occ_w).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("cnt"),
+    )
+    cov = (
+        o.filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok = t.select(
+        "doc_id",
+        F.posexplode_outer("tokens").alias("tpos", "token"),
+    )
+    kept = tok.join(cov, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("tpos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_hash"),
+    )
+    base = t.select("doc_id", F.size("tokens").cast("bigint").alias("n_tokens"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+            "cleaned_hash"
+        ),
+    )

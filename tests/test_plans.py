@@ -548,3 +548,66 @@ def test_round5_queries_have_sane_plan_shapes(spark, sf_dir):
 
     plan = _formatted(corpus.corpus_filter_funnel(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_substr_removal_keep_first_semantics(spark, tmp_path):
+    """ExactSubstr removal on a planted corpus: doc 10 and doc 20 share
+    an exact SPAN_TOKENS-token run. The occurrence in doc 10 is globally
+    first (lower doc_id), so doc 10 must survive untouched while doc 20
+    loses exactly the shared tokens and reassembles to its unique tail.
+    Doc 30 (no duplicated window) and doc 40 (shorter than the window)
+    must pass through unchanged — including the short-doc path that
+    never enters the window generator.
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_weather_data_pipeline_spark.plans.corpus import (
+        SPAN_TOKENS,
+        exact_substr_removal,
+    )
+
+    shared = [f"s{i}" for i in range(SPAN_TOKENS)]
+    tail = ["t0", "t1", "t2", "t3", "t4"]
+    docs = {
+        10: ["p0", "p1"] + shared,
+        20: shared + tail,
+        30: [f"u{i}" for i in range(SPAN_TOKENS + 3)],
+        40: ["short", "doc"],
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), type=pa.int64()),
+            "text": [" ".join(docs[k]) for k in sorted(docs)],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": pa.array(
+                [len(" ".join(docs[k])) for k in sorted(docs)],
+                type=pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_removal(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda toks: hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    assert out[10]["n_removed"] == 0
+    assert out[10]["cleaned_hash"] == md5(docs[10])
+    assert out[20]["n_removed"] == SPAN_TOKENS
+    assert out[20]["cleaned_hash"] == md5(tail)
+    for unaffected in (30, 40):
+        assert out[unaffected]["n_removed"] == 0
+        assert out[unaffected]["cleaned_hash"] == md5(docs[unaffected])
+    assert {r["n_tokens"] for r in out.values()} == {
+        len(t) for t in docs.values()
+    }
+
+    plan = _formatted(exact_substr_removal(spark, str(tmp_path)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
