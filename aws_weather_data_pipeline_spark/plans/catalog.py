@@ -47,9 +47,9 @@ OPERATOR_MODULES = (
 # customers_without_urgent_orders, pivot_status_qty,
 # rollup_returnflag_status, event_type_share, dominant_event_type,
 # global_stats, conditional_counts, asof_last_click_before_purchase,
-# tumbling_hourly_by_type, pricing_summary — popped to make room for
-# this round's new queries) head round 6's window together with the
-# round-4 block. All queries stay continuously oracle-checked by
+# tumbling_hourly_by_type, pricing_summary, dataset_split_assignment,
+# user_session_windows — popped to make room for this round's new
+# queries) head round 6's window together with the round-4 block. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
@@ -81,6 +81,8 @@ DRIVER_WINDOW = (
     "salted_hot_key_join",
     "salted_user_event_lists",
     "exact_substr_removal",
+    "hard_negative_mining",
+    "temperature_mixture_sample",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -106,9 +108,6 @@ DRIVER_WINDOW = (
     "bm25_topk",
     "multimodal_feature_extract",
     "deterministic_doc_sample",
-    "dataset_split_assignment",
-    # --- r03-green core recycling: temporal + relational agg family ---
-    "user_session_windows",
 )
 
 

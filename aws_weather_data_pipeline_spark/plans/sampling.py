@@ -177,6 +177,80 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (source weights ∝ count^α, α=1/2)
+# --------------------------------------------------------------------------
+
+#: Target expected number of sampled documents across all sources.
+TEMP_TARGET_DOCS = 200
+#: Bernoulli modulus for the per-row keep decision.
+TEMP_MODULUS = 1_000_000
+
+
+@CATALOG.add(
+    "temperature_mixture_sample",
+    f"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS c,
+               CAST(floor(sqrt(COUNT(*)) * 1000) AS BIGINT) AS sq
+        FROM documents GROUP BY source
+    ),
+    r AS (
+        SELECT source, c,
+               ({TEMP_MODULUS} * {TEMP_TARGET_DOCS} * sq)
+                   // ((SELECT SUM(sq) FROM s) * c) AS thresh
+        FROM s
+    )
+    SELECT d.doc_id, d.source, CAST(r.thresh AS BIGINT) AS thresh
+    FROM documents d JOIN r USING (source)
+    WHERE {_KEYHASH_SQL} % {TEMP_MODULUS} < r.thresh
+    """,
+    doc="Temperature-scaled mixture sampling (multilingual-corpus "
+    "rebalancing, α = 1/2): each source's share of the sampled corpus "
+    "is proportional to count^α rather than count, flattening the "
+    "head-source dominance the way multilingual pretraining flattens "
+    "head languages. α = 1/2 is computed with sqrt — the ONE power "
+    "IEEE 754 requires correctly rounded, so both engines quantize "
+    "sqrt(count)·1000 to the identical integer and every downstream "
+    "step (weight sum, per-source threshold, keep decision) is exact "
+    "integer arithmetic: no float SUM, no pow() libm drift. The "
+    "per-row decision is the same hash-Bernoulli as every sampler "
+    "here (stable under re-partitioning; thresholds nest), with the "
+    "per-source threshold arriving via a broadcast join of the tiny "
+    "source-stats frame — at 100 TB that is one map-side pass after "
+    "one count aggregation, and the stats frame is reusable across "
+    "ablation runs with different targets.",
+    tags=("sampling", "filter", "agg"),
+)
+def temperature_mixture_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("c")).select(
+        "source",
+        "c",
+        F.expr("cast(floor(sqrt(cast(c as double)) * 1000) as bigint)").alias(
+            "sq"
+        ),
+    )
+    tot = s.agg(F.sum("sq").alias("tot"))
+    r = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            f"({TEMP_MODULUS}L * {TEMP_TARGET_DOCS} * sq) div (tot * c)"
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    return (
+        d.join(F.broadcast(r), "source")
+        .filter(
+            F.expr(f"{_KEYHASH_SPARK} % {TEMP_MODULUS}") < F.col("thresh")
+        )
+        .select("doc_id", "source", "thresh")
+    )
+
+
 @CATALOG.add(
     "doc_stopword_filtered",
     """

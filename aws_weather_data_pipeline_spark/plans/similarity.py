@@ -1014,6 +1014,115 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# --------------------------------------------------------------------------
+
+#: Hard negatives mined per anchor.
+HARD_NEG_K = 5
+
+
+@CATALOG.add(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               {_QUANT_SQL} AS v
+        FROM embeddings WHERE vec_id < {N_QUERY}
+    ),
+    n AS (
+        SELECT vec_id AS negative_id, label AS negative_label,
+               {_QUANT_SQL} AS v
+        FROM embeddings WHERE vec_id >= {N_QUERY}
+    ),
+    qn AS (SELECT anchor_id, anchor_label, v,
+                  list_sum(list_transform(v, x -> x * x)) AS nrm FROM q),
+    nn AS (SELECT negative_id, negative_label, v,
+                  list_sum(list_transform(v, x -> x * x)) AS nrm FROM n)
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           rnk, cosine
+    FROM (
+        SELECT qn.anchor_id, qn.anchor_label,
+               nn.negative_id, nn.negative_label,
+               {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qn.anchor_id
+                   ORDER BY {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) DESC,
+                            nn.negative_id
+               ) AS rnk
+        FROM qn CROSS JOIN nn
+        WHERE qn.nrm > 0 AND nn.nrm > 0
+          AND nn.negative_label <> qn.anchor_label
+    )
+    WHERE rnk <= {HARD_NEG_K}
+    """,
+    doc=f"Hard-negative mining for contrastive training: for each of "
+    f"{N_QUERY} anchor embeddings, the top-{HARD_NEG_K} most "
+    "cosine-similar vectors carrying a DIFFERENT label — the "
+    "nearest-but-wrong examples that make the strongest negatives for "
+    "embedding-model fine-tuning (easy random negatives saturate the "
+    "loss; hard ones keep the gradient informative). Same "
+    "quantized-integer exact-cosine arithmetic and broadcast-anchors × "
+    "corpus-scan shape as knn_cosine_topk — the label inequality is an "
+    "extra scan-stage predicate, so mining cost equals a kNN pass: "
+    "linear in corpus size, no shuffle until the per-anchor top-k. At "
+    "100 TB the label filter composes with the ANN variants (IVF cell "
+    "probe / hyperplane LSH) exactly as kNN does; the brute-force form "
+    "here is the recall oracle those variants are judged against.",
+    tags=("similarity", "embedding", "join"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000))"
+    )
+    sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            quant.alias("v"),
+        )
+        .withColumn("q_nrm", sq_norm)
+        .withColumnRenamed("v", "qv")
+    )
+    n = (
+        e.filter(F.col("vec_id") >= N_QUERY)
+        .select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            quant.alias("v"),
+        )
+        .withColumn("n_nrm", sq_norm)
+        .withColumnRenamed("v", "nv")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter((F.col("q_nrm") > 0) & (F.col("n_nrm") > 0))
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("cosine", dot / F.sqrt(F.col("q_nrm") * F.col("n_nrm")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "rnk",
+            "cosine",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Hyperplane-LSH bucketed ANN (random-projection sign bits)
 # --------------------------------------------------------------------------
 

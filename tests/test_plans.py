@@ -611,3 +611,34 @@ def test_exact_substr_removal_keep_first_semantics(spark, tmp_path):
     plan = _formatted(exact_substr_removal(spark, str(tmp_path)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mining_and_temperature_sampler_plan_shapes(spark, sf_dir):
+    """Plan pins for the contrastive-mining and temperature-sampling
+    queries:
+
+    - hard_negative_mining: exactly the kNN shape — at most the ONE
+      keyless broadcast join (anchors × corpus), never a
+      CartesianProduct, one per-anchor ranking window.
+    - temperature_mixture_sample: the per-source threshold frame must
+      arrive via broadcast HASH join on source (a shuffle join on the
+      full corpus would defeat the map-side design); at most the one
+      keyless broadcast for the one-row weight total.
+    """
+    import re
+
+    from aws_weather_data_pipeline_spark.plans import sampling, similarity
+
+    plan = _formatted(similarity.hard_negative_mining(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    # \b: don't count WindowGroupLimit (the rank-pushdown nodes Spark
+    # inserts around the ranking window — their presence is the point:
+    # per-partition top-k prunes before the final window).
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "WindowGroupLimit" in plan
+
+    plan = _formatted(sampling.temperature_mixture_sample(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
