@@ -532,6 +532,104 @@ def streaming_running_user_stats(
 
 
 # --------------------------------------------------------------------------
+# Streaming session windows (merging-window state), driver-checked
+# --------------------------------------------------------------------------
+
+#: Session inactivity gap — matches the batch user_session_windows
+#: query so the two share semantics.
+_SESSION_GAP = "10 minutes"
+#: Event-time watermark delay for the streaming session query.
+_SESSION_WM = "1 hour"
+
+
+@CATALOG.add(
+    "streaming_session_windows",
+    f"""
+    WITH base AS (
+        SELECT event_id, date_trunc('microseconds', ts) AS ts,
+               user_id, value
+        FROM events
+        WHERE ts < TIMESTAMP '{_TS_CUTOFF}'
+    ),
+    gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, value
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    HAVING MAX(ts) + INTERVAL '10 minutes'
+              <= (SELECT MAX(ts) FROM base) - INTERVAL '1 hour'
+    """,
+    doc="Session windows under STREAMING (merging-window state), "
+    "driver-checked: the two-day raw-event fixture drains through "
+    "sessionized_user_activity (streaming/windows.py — native "
+    "F.session_window with a 10-minute gap and a 1-hour event-time "
+    "watermark) in append mode. Session state is the hardest stateful "
+    "shape Structured Streaming has: windows MERGE when a new event "
+    "bridges two open sessions, and a session only closes when the "
+    "watermark passes its end (last event + gap). The oracle is the "
+    "batch gaps-and-islands sessionization (same SQL as "
+    "user_session_windows) plus the append-mode emission rule made "
+    "explicit: sessions whose end <= final watermark (max event time "
+    "- 1h). The fixture lands as ONE micro-batch so the watermark "
+    "gates only final emission — mid-stream late-drop would depend on "
+    "nondeterministic file ordering. At 100 TB the state store holds "
+    "only OPEN sessions per user (bounded by the gap), partitioned by "
+    "user_id; closed sessions leave state the moment the watermark "
+    "passes them.",
+    tags=("streaming", "temporal", "agg"),
+)
+def streaming_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+        sessionized_user_activity,
+    )
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    landing = f"{work}/landing"
+    outdir = f"{work}/sessions"
+    ckpt = f"{work}/ckpt"
+
+    write_event_landing_files(spark, sf_dir, landing)
+    # No maxFilesPerTrigger: both files in one micro-batch (see doc).
+    sessions = sessionized_user_activity(
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("timestampFormat", _TS_FMT)
+        .json(landing),
+        gap=_SESSION_GAP,
+        watermark=_SESSION_WM,
+    )
+    with _stream_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", outdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    return spark.read.parquet(outdir)
+
+
+# --------------------------------------------------------------------------
 # Stream-stream time-range join, driver-checked
 # --------------------------------------------------------------------------
 

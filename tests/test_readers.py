@@ -158,3 +158,46 @@ def test_quarantine_empty_when_all_files_clean(spark, tmp_path):
     good, quarantined = read_raw_json_with_quarantine(spark, str(d))
     assert good.count() == 1
     assert quarantined.count() == 0
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    # ORC interchange at parquet parity: schema survives the round
+    # trip, and both predicate pushdown and column pruning reach the
+    # ORC scan (the scan must not read all 16 columns for a
+    # 2-column projection).
+    from pyspark.sql import Row
+
+    from aws_weather_data_pipeline_spark.sinks.writers import write_orc
+    from aws_weather_data_pipeline_spark.sources.readers import (
+        read_flat_orc,
+    )
+
+    out = str(tmp_path / "flat_orc")
+    df = spark.createDataFrame(
+        [Row(**_reading(0)), Row(**_reading(1))]
+    ).select(*FLAT_COLUMNS)
+    write_orc(df, out)
+
+    back = read_flat_orc(spark, out)
+    assert back.columns == FLAT_COLUMNS
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in df.schema.fields
+    ]
+    assert sorted(r["station_id"] for r in back.collect()) == [
+        "WS000",
+        "WS001",
+    ]
+
+    q = back.filter("temperature_celsius > 30.5").select(
+        "station_id", "temperature_celsius"
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    assert "temperature_celsius" in plan.split("PushedFilters")[1].split(
+        "]"
+    )[0], plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "humidity_percent" not in read_schema, read_schema
+    assert q.count() == 1
