@@ -48,9 +48,9 @@ OPERATOR_MODULES = (
 # rollup_returnflag_status, event_type_share, dominant_event_type,
 # global_stats, conditional_counts, asof_last_click_before_purchase,
 # tumbling_hourly_by_type, pricing_summary, dataset_split_assignment,
-# user_session_windows, deterministic_doc_sample — popped to make room
-# for this round's new queries) head round 6's window together with
-# the round-4 block. All queries stay continuously oracle-checked by
+# user_session_windows, deterministic_doc_sample, bm25_topk,
+# multimodal_feature_extract — popped to make room for this round's
+# new queries) head round 6's window together with the round-4 block. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
@@ -85,6 +85,8 @@ DRIVER_WINDOW = (
     "hard_negative_mining",
     "temperature_mixture_sample",
     "streaming_session_windows",
+    "pq_code_assignment",
+    "pq_adc_topk",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -107,8 +109,6 @@ DRIVER_WINDOW = (
     "hll_distinct_sketch",
     "tfidf_top_terms",
     "doc_language_id",
-    "bm25_topk",
-    "multimodal_feature_extract",
 )
 
 

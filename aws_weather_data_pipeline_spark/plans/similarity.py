@@ -1321,6 +1321,260 @@ CATALOG.queries["near_dup_clusters"].oracle = _CLUSTERS_SQL.format(
 
 
 # --------------------------------------------------------------------------
+# Product quantization: per-subspace codebook assignment (IVF-PQ prep)
+# --------------------------------------------------------------------------
+
+#: Subspaces the 64-dim embedding splits into (16 dims each).
+PQ_M = 4
+#: Dims per subspace (embedding_dim / PQ_M).
+PQ_SUBDIM = 16
+#: Codewords per subspace codebook — the first PQ_K vectors' subvectors
+#: serve as the (deterministic, iteration-free) trained codebook.
+PQ_K = 16
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, subspace, subvec): each quantized embedding split into
+    PQ_M integer subvectors — the shared front of every PQ query."""
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000))"
+    )
+    return e.select(F.col("vec_id"), quant.alias("v")).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" s -> struct(cast(s as bigint) AS subspace,"
+                f" slice(v, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS subvec))"
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id",
+        F.col("s.subspace").alias("subspace"),
+        F.col("s.subvec").alias("subvec"),
+    )
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(cid, subspace, cvec): the deterministic first-PQ_K codebook."""
+    return sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"),
+        "subspace",
+        F.col("subvec").alias("cvec"),
+    )
+
+
+def _pq_dist() -> F.Column:
+    """Exact integer L2 between the subvec/cvec column pair (built
+    lazily — F.expr needs an active session, so no module-level
+    Column)."""
+    return F.expr(
+        "aggregate(zip_with(subvec, cvec, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code, sq_dist): nearest-codeword argmin."""
+    d = sub.join(F.broadcast(cb), "subspace").withColumn(
+        "sq_dist", _pq_dist()
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("sq_dist", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("cid").alias("code"),
+            F.col("sq_dist").cast("bigint").alias("sq_dist"),
+        )
+    )
+
+
+@CATALOG.add(
+    "pq_code_assignment",
+    f"""
+    WITH v AS (
+        SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, CAST(s.s AS BIGINT) AS subspace,
+               v[s.s * {PQ_SUBDIM} + 1 : (s.s + 1) * {PQ_SUBDIM}]
+                   AS subvec
+        FROM v, unnest(range(0, {PQ_M})) AS s(s)
+    ),
+    cb AS (
+        SELECT vec_id AS cid, subspace, subvec AS cvec
+        FROM sub WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+        SELECT sub.vec_id, sub.subspace, cb.cid,
+               list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (sub.subvec[i] - cb.cvec[i])
+                        * (sub.subvec[i] - cb.cvec[i]))) AS sq_dist
+        FROM sub JOIN cb USING (subspace)
+    )
+    SELECT vec_id, subspace, cid AS code, CAST(sq_dist AS BIGINT)
+               AS sq_dist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, subspace
+                   ORDER BY sq_dist, cid) AS rn
+        FROM d
+    )
+    WHERE rn = 1
+    """,
+    doc=f"Product-quantization code assignment (the compression step "
+    f"of IVF-PQ indexes): each 64-dim embedding splits into {PQ_M} "
+    f"subspaces of {PQ_SUBDIM} dims, and each subspace maps to its "
+    f"nearest of {PQ_K} codewords by EXACT integer L2 (same "
+    "floor(x·1000) scalar quantization as the kNN family, so "
+    "distances are order-free BIGINT sums and the argmin is total — "
+    "ties break on codeword id). The codebook here is the first "
+    f"{PQ_K} vectors' subvectors — deterministic and oracle-exact "
+    "where a trained k-means codebook would be float-iterative; at "
+    "scale the codebook SOURCE swaps to kmeans_lloyd_assignments' "
+    "centroids per subspace with this assignment plan unchanged. "
+    f"Plan: in-row slice explodes N×{PQ_M} subvector rows, the "
+    f"{PQ_M}×{PQ_K}-row codebook broadcasts, distances compute "
+    "map-side, and the per-(vector, subspace) argmin is a "
+    "WindowGroupLimit-pruned rank — no shuffle touches anything "
+    "corpus-sized except the one rank exchange. The emitted codes "
+    f"are {PQ_M} small ints per vector — a 64× memory cut that is "
+    "what makes billion-scale ANN serving fit in RAM.",
+    tags=("similarity", "embedding", "join"),
+)
+def pq_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _pq_subvectors(_emb(spark, sf_dir))
+    return _pq_codes(sub, _pq_codebook(sub))
+
+
+#: Neighbors returned per query by the ADC search.
+PQ_ADC_K = 10
+
+#: Shared SQL front: subvectors, codebook, and nearest-code argmin —
+#: the oracle twin of _pq_subvectors/_pq_codebook/_pq_codes.
+_PQ_BASE_SQL = f"""
+    WITH v AS (
+        SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, CAST(s.s AS BIGINT) AS subspace,
+               v[s.s * {PQ_SUBDIM} + 1 : (s.s + 1) * {PQ_SUBDIM}]
+                   AS subvec
+        FROM v, unnest(range(0, {PQ_M})) AS s(s)
+    ),
+    cb AS (
+        SELECT vec_id AS cid, subspace, subvec AS cvec
+        FROM sub WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+        SELECT sub.vec_id, sub.subspace, cb.cid,
+               list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (sub.subvec[i] - cb.cvec[i])
+                        * (sub.subvec[i] - cb.cvec[i]))) AS sq_dist
+        FROM sub JOIN cb USING (subspace)
+    )
+"""
+
+
+@CATALOG.add(
+    "pq_adc_topk",
+    _PQ_BASE_SQL
+    + f""",
+    codes AS (
+        SELECT vec_id, subspace, cid AS code
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, subspace
+                       ORDER BY sq_dist, cid) AS rn
+            FROM d
+        )
+        WHERE rn = 1 AND vec_id >= {N_QUERY}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, subspace, subvec AS qsub
+        FROM sub WHERE vec_id < {N_QUERY}
+    ),
+    ltab AS (
+        SELECT q.query_id, cb.subspace, cb.cid,
+               list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (q.qsub[i] - cb.cvec[i])
+                        * (q.qsub[i] - cb.cvec[i]))) AS pdist
+        FROM q JOIN cb USING (subspace)
+    ),
+    agg AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+        FROM codes c
+        JOIN ltab l ON c.subspace = l.subspace AND c.code = l.cid
+        GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rnk, adc_dist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM agg
+    )
+    WHERE rnk <= {PQ_ADC_K}
+    """,
+    doc=f"PQ ANN search by asymmetric distance computation (ADC) — the "
+    "serving-path complement of pq_code_assignment: each query first "
+    f"builds its distance LOOKUP TABLE (query subvector × all "
+    f"{PQ_M}×{PQ_K} codewords = {PQ_M * PQ_K} exact integer partial "
+    "distances), then every neighbor's distance is just PQ_M table "
+    "lookups summed — the neighbor's raw floats are never touched, "
+    "which is the whole point of PQ serving. Here that is literal "
+    "relational algebra: the per-query tables broadcast "
+    f"(Q×{PQ_M}×{PQ_K} rows), the corpus side is the CODES frame (4 "
+    "small ints per vector), the lookup is a broadcast hash join on "
+    "(subspace, code), and the per-query top-k is a "
+    "WindowGroupLimit-pruned rank. At billion scale the scan side is "
+    "64× smaller than the raw embeddings and composes with the IVF "
+    "cell filter (ann_ivf_probe_topk) for the full IVF-PQ index; "
+    "recall loss vs exact integer-L2 top-k is the quantization trade "
+    "— measured and pinned in tests/test_plans.py (the toy "
+    "first-PQ_K codebook on near-uniform synthetic vectors sits ~15× "
+    "above random; a trained codebook on clustered real embeddings "
+    "is where PQ earns its production recall).",
+    tags=("similarity", "embedding", "join"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _pq_subvectors(_emb(spark, sf_dir))
+    cb = _pq_codebook(sub)
+    codes = _pq_codes(sub, cb).filter(F.col("vec_id") >= N_QUERY)
+    q = sub.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "subspace", "subvec"
+    )
+    ltab = (
+        q.join(F.broadcast(cb), "subspace")
+        .withColumn("pdist", _pq_dist())
+        .select("query_id", "subspace", "cid", "pdist")
+    )
+    agg = (
+        codes.join(
+            F.broadcast(ltab),
+            (codes.subspace == ltab.subspace) & (codes.code == ltab.cid),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_ADC_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rn").alias("rnk"),
+            "adc_dist",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Full dedup cascade: exact + near-dup → one keep decision per document
 # --------------------------------------------------------------------------
 

@@ -51,6 +51,16 @@ ALLOWED_HINTS = {
     # the one-row corpus-stats frame (sum + count) — the bm25/DSIR
     # global-stats shape.
     "corpus_relative_quality_filter": 1,
+    # ≤N_QUERY anchor vectors — the kNN shape with a label filter.
+    "hard_negative_mining": 1,
+    # the one-row weight total + the per-source threshold frame (both
+    # bounded by the source-key domain, not corpus size).
+    "temperature_mixture_sample": 2,
+    # the PQ_M×PQ_K-row codebook — a config-sized constant.
+    "pq_code_assignment": 1,
+    # codebook (code assignment) + codebook (lookup build) + the
+    # Q×PQ_M×PQ_K lookup table — all bounded by config constants.
+    "pq_adc_topk": 3,
 }
 
 
@@ -642,3 +652,66 @@ def test_mining_and_temperature_sampler_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_pq_codes_valid_and_adc_recall_floor(spark, sf_dir):
+    """PQ pins: (1) every vector gets exactly PQ_M codes, each in
+    [0, PQ_K); (2) a codebook vector's own code is itself with zero
+    distance (the argmin sanity anchor); (3) ADC top-k recall against
+    EXACT integer-L2 top-k (numpy twin of the same quantization) is
+    >= 0.2 — random picking would land ~0.02, so the floor proves the
+    lookup-table search carries real signal even with the untrained
+    first-PQ_K codebook; (4) the search is deterministic.
+    """
+    import duckdb
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.plans.similarity import (
+        N_QUERY,
+        PQ_ADC_K,
+        PQ_K,
+        PQ_M,
+        pq_adc_topk,
+        pq_code_assignment,
+    )
+
+    codes = pq_code_assignment(spark, sf_dir).collect()
+    per_vec = {}
+    for r in codes:
+        assert 0 <= r["code"] < PQ_K
+        assert r["sq_dist"] >= 0
+        per_vec.setdefault(r["vec_id"], []).append(r)
+    assert all(len(v) == PQ_M for v in per_vec.values())
+    for r in codes:
+        if r["vec_id"] < PQ_K:
+            assert r["code"] == r["vec_id"]
+            assert r["sq_dist"] == 0
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.floor(np.array([r[1] for r in rows], dtype=np.float64) * 1000)
+    Q, Nv = V[ids < N_QUERY], V[ids >= N_QUERY]
+    qi, ni = ids[ids < N_QUERY], ids[ids >= N_QUERY]
+    d2 = ((Q[:, None, :] - Nv[None, :, :]) ** 2).sum(-1)
+    exact = set()
+    for i in range(len(qi)):
+        order = np.lexsort((ni, d2[i]))[:PQ_ADC_K]
+        exact |= {(qi[i], ni[j]) for j in order}
+
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(spark, sf_dir).collect()
+    }
+    assert len(adc) == N_QUERY * PQ_ADC_K
+    recall = len(exact & adc) / len(exact)
+    assert recall >= 0.2, f"ADC recall {recall} below floor"
+
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(spark, sf_dir).collect()
+    }
+    assert again == adc
