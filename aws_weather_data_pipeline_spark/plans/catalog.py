@@ -49,8 +49,9 @@ OPERATOR_MODULES = (
 # global_stats, conditional_counts, asof_last_click_before_purchase,
 # tumbling_hourly_by_type, pricing_summary, dataset_split_assignment,
 # user_session_windows, deterministic_doc_sample, bm25_topk,
-# multimodal_feature_extract — popped to make room for this round's
-# new queries) head round 6's window together with the round-4 block. All queries stay continuously oracle-checked by
+# multimodal_feature_extract, tfidf_top_terms, doc_language_id —
+# popped to make room for this round's new queries) head round 6's
+# window together with the round-4 block. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
@@ -87,6 +88,8 @@ DRIVER_WINDOW = (
     "streaming_session_windows",
     "pq_code_assignment",
     "pq_adc_topk",
+    "streaming_static_enrichment",
+    "value_outliers_exact",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -107,8 +110,6 @@ DRIVER_WINDOW = (
     "decontaminate_ngram_overlap",
     # --- r03-green core recycling: sketches + corpus ---
     "hll_distinct_sketch",
-    "tfidf_top_terms",
-    "doc_language_id",
 )
 
 

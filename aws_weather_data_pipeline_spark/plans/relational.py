@@ -1677,3 +1677,71 @@ def salted_user_event_lists(
             )
         ).alias("values_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-integer 3-sigma outlier detection (anomaly gate)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "value_outliers_exact",
+    """
+    WITH c AS (
+        SELECT event_id, event_type, value,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        FROM events
+    ),
+    g AS (
+        SELECT *, COUNT(*) OVER w AS n, SUM(vc) OVER w AS s,
+               SUM(vc * vc) OVER w AS s2
+        FROM c WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, value
+    FROM g
+    WHERE CAST(vc * n - s AS HUGEINT) * CAST(vc * n - s AS HUGEINT)
+              > 9 * CAST(n * s2 - s * s AS HUGEINT)
+    """,
+    doc="Per-group 3-sigma outlier detection in EXACT integer algebra: "
+    "the z-score test |v-mean| > 3*stddev cross-multiplies to "
+    "(v_c*n - S)^2 > 9*(n*S2 - S^2) over cent-scaled integer value "
+    "sums — no mean division, no sqrt, no float accumulation, so the "
+    "flagged set is bit-identical on any engine and any partitioning "
+    "(the squares run in DECIMAL(38,0)/HUGEINT: cents*n squared "
+    "clears BIGINT at production group sizes). This is the "
+    "anomaly gate a pipeline runs per ingest partition before "
+    "accepting it — population sigma per event_type, each row "
+    "charged against its own group. Plan: ONE shuffle on event_type "
+    "computes the three moment sums as an unordered window (no sort "
+    "frame), then the flag is a per-row predicate over the same "
+    "pass; at 100 TB the moments come from a pre-aggregated "
+    "(group, n, S, S2) statistics table instead — mergeable across "
+    "partitions like every sketch here, with this same final "
+    "predicate.",
+    tags=("agg", "window", "profiling"),
+)
+def value_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("event_type")
+    vc = (
+        F.col("value").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    # All three moments in ONE projection so Catalyst folds them into
+    # a single Window operator (chained withColumn over a derived
+    # column splits the window into two nodes).
+    g = ev.select("event_id", "event_type", "value").select(
+        "event_id",
+        "event_type",
+        "value",
+        vc.alias("vc"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(vc).over(w).alias("s"),
+        F.sum(vc * vc).over(w).alias("s2"),
+    )
+    dev = (F.col("vc") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    var_n2 = (
+        F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    ).cast("decimal(38,0)")
+    return g.filter(dev * dev > var_n2 * 9).select(
+        "event_id", "event_type", "value"
+    )

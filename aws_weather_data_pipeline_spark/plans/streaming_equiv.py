@@ -728,6 +728,82 @@ def streaming_attributed_purchases(
 
 
 # --------------------------------------------------------------------------
+# Stream-static enrichment join, driver-checked
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "streaming_static_enrichment",
+    f"""
+    SELECT e.event_id, date_trunc('microseconds', e.ts) AS ts,
+           e.user_id, e.event_type,
+           c.c_mktsegment AS segment,
+           c.c_acctbal AS acctbal
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts < TIMESTAMP '{_TS_CUTOFF}'
+    """,
+    doc="Stream-STATIC join, driver-checked: the raw-event stream "
+    "enriches against the batch customer dimension (user_id = "
+    "c_custkey) — the canonical streaming-enrichment topology "
+    "(clickstream × user profile, reading × station metadata). "
+    "Unlike the stream-stream join this is STATELESS: the static "
+    "side re-resolves per micro-batch (two here via "
+    "maxFilesPerTrigger=1) and broadcasts under AQE, so there is no "
+    "state store, no watermark, and dimension updates between "
+    "batches are picked up automatically — the property that makes "
+    "this the right tool when only one side is unbounded. The "
+    "oracle is the plain batch equi-join, so the check pins that "
+    "per-batch re-resolution changes nothing for a static dimension. "
+    "At 100 TB/day the dimension side stays broadcast-sized or "
+    "becomes a bucketed table co-partitioned with the stream's "
+    "shuffle — either way the streaming side never buffers.",
+    tags=("streaming", "join"),
+)
+def streaming_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.windows import EVENT_STREAM_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_enrich_")
+    landing = f"{work}/landing"
+    outdir = f"{work}/enriched"
+    ckpt = f"{work}/ckpt"
+
+    write_event_landing_files(spark, sf_dir, landing)
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", _TS_FMT)
+        .json(landing)
+    )
+    enriched = (
+        stream.join(
+            customer, stream.user_id == customer.c_custkey, "inner"
+        )
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            enriched.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", outdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    return spark.read.parquet(outdir)
+
+
+# --------------------------------------------------------------------------
 # Streaming exact dedup under at-least-once replay, driver-checked
 # --------------------------------------------------------------------------
 

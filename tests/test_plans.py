@@ -715,3 +715,21 @@ def test_pq_codes_valid_and_adc_recall_floor(spark, sf_dir):
         for r in pq_adc_topk(spark, sf_dir).collect()
     }
     assert again == adc
+
+
+def test_outlier_gate_single_pass_window(spark, sf_dir):
+    """value_outliers_exact pins: the three moment sums and the flag
+    evaluate in ONE pass — exactly one Window operator (unordered
+    frame over event_type), no join, no sort beyond the window's own
+    partitioning, and no second aggregation of the events scan.
+    """
+    import re
+
+    from aws_weather_data_pipeline_spark.plans.relational import (
+        value_outliers_exact,
+    )
+
+    plan = _formatted(value_outliers_exact(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan

@@ -201,3 +201,36 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "humidity_percent" not in read_schema, read_schema
     assert q.count() == 1
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # Additive schema evolution on an append-forever path: files
+    # written before a column existed must read as null for it, newer
+    # files keep their values, and predicate pushdown still reaches
+    # the merged scan.
+    from aws_weather_data_pipeline_spark.sources.tables import (
+        read_parquet_evolving,
+    )
+
+    out = str(tmp_path / "evolving")
+    spark.range(0, 3).selectExpr(
+        "id", "id * 2 AS metric"
+    ).write.mode("append").parquet(out)
+    spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS metric", "'v2' AS producer_version"
+    ).write.mode("append").parquet(out)
+
+    back = read_parquet_evolving(spark, out)
+    assert sorted(back.columns) == ["id", "metric", "producer_version"]
+    rows = {r["id"]: r for r in back.collect()}
+    assert len(rows) == 6
+    assert rows[1]["producer_version"] is None
+    assert rows[4]["producer_version"] == "v2"
+    assert all(rows[i]["metric"] == i * 2 for i in range(6))
+
+    q = back.filter("id >= 4").select("id", "producer_version")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(id" in plan
