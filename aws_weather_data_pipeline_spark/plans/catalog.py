@@ -49,8 +49,9 @@ OPERATOR_MODULES = (
 # global_stats, conditional_counts, asof_last_click_before_purchase,
 # tumbling_hourly_by_type, pricing_summary, dataset_split_assignment,
 # user_session_windows, deterministic_doc_sample, bm25_topk,
-# multimodal_feature_extract, tfidf_top_terms, doc_language_id —
-# popped to make room for this round's new queries) head round 6's
+# multimodal_feature_extract, tfidf_top_terms, doc_language_id,
+# hll_distinct_sketch, ann_ivf_probe_topk, decontaminate_ngram_overlap
+# — popped to make room for this round's new queries) head round 6's
 # window together with the round-4 block. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
@@ -90,6 +91,9 @@ DRIVER_WINDOW = (
     "pq_adc_topk",
     "streaming_static_enrichment",
     "value_outliers_exact",
+    "ivf_pq_search_topk",
+    "ann_multiprobe_lsh_topk",
+    "doc_simpson_diversity",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -106,10 +110,6 @@ DRIVER_WINDOW = (
     "near_dup_pairs_minhash",
     "near_dup_clusters",
     "knn_cosine_topk",
-    "ann_ivf_probe_topk",
-    "decontaminate_ngram_overlap",
-    # --- r03-green core recycling: sketches + corpus ---
-    "hll_distinct_sketch",
 )
 
 

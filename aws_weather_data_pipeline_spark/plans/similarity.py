@@ -1233,6 +1233,104 @@ def ann_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multiprobe hyperplane LSH (1-bit-flip probes — the recall knob, built)
+# --------------------------------------------------------------------------
+
+#: Probe signatures per query: own bucket + every 1-bit flip.
+_PROBE_XORS = [0] + [1 << k for k in range(N_PLANES)]
+
+
+@CATALOG.add(
+    "ann_multiprobe_lsh_topk",
+    _KNN_BASE_SQL
+    + f""",
+    qb AS (SELECT query_id, v, nrm, {_bucket_sql()} AS bucket FROM qn),
+    nb AS (SELECT neighbor_id, v, nrm, {_bucket_sql()} AS bucket FROM nn),
+    qp AS (
+        SELECT query_id, v, nrm,
+               unnest([{", ".join(f"xor(bucket, {x})" for x in _PROBE_XORS)}])
+                   AS bucket
+        FROM qb
+    )
+    SELECT query_id, neighbor_id, rnk, cosine
+    FROM (
+        SELECT qn.query_id, nn.neighbor_id,
+               {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qn.query_id
+                   ORDER BY {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) DESC,
+                            nn.neighbor_id
+               ) AS rnk
+        FROM qp qn JOIN nb nn ON nn.bucket = qn.bucket
+        WHERE qn.nrm > 0 AND nn.nrm > 0
+    )
+    WHERE rnk <= 5
+    """,
+    doc=f"MULTIPROBE hyperplane LSH — the recall knob the single-probe "
+    "query's doc promises, built: each query probes its own sign-bit "
+    f"bucket plus every 1-bit flip ({N_PLANES + 1} probes), the "
+    "standard fix for LSH's boundary problem (a vector near a "
+    "hyperplane lands in the adjacent bucket; flipping the weakest "
+    "bit recovers it). Candidates stay an EQUI-join — probe "
+    "signatures explode on the tiny broadcast query side "
+    f"(Q×{N_PLANES + 1} rows), the corpus side still hashes each "
+    "vector to exactly one bucket, and a neighbor matches at most "
+    "one probe (XOR values are distinct) so no dedup pass is "
+    "needed. Candidate volume ≈ (probes/2^planes)·corpus per query; "
+    "at 100 TB probes trade linearly against recall while the "
+    "bucketed-by-signature layout keeps every probe a "
+    "partition-pruned scan. Candidate-superset vs single-probe is "
+    "pinned in tests/test_plans.py.",
+    tags=("similarity", "embedding", "join"),
+)
+def ann_multiprobe_lsh_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000))"
+    )
+    sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
+    base = e.select("vec_id", quant.alias("v")).withColumn("nrm", sq_norm)
+    base = base.withColumn("bucket", _bucket_col())
+    probes = F.explode(
+        F.expr(
+            "array("
+            + ", ".join(f"bucket ^ {x}" for x in _PROBE_XORS)
+            + ")"
+        )
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        probes.alias("bucket"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    n = base.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        n.join(F.broadcast(q), on="bucket")
+        .filter((F.col("q_nrm") > 0) & (F.col("n_nrm") > 0))
+        .withColumn("cosine", dot / F.sqrt(F.col("q_nrm") * F.col("n_nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF-style probed ANN (cluster = label column)
 # --------------------------------------------------------------------------
 
@@ -1565,6 +1663,123 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PQ_ADC_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rn").alias("rnk"),
+            "adc_dist",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse cell probe + ADC ranking, composed
+# --------------------------------------------------------------------------
+
+#: Neighbors returned per query by the composed IVF-PQ search.
+IVF_PQ_K = 5
+
+
+@CATALOG.add(
+    "ivf_pq_search_topk",
+    _PQ_BASE_SQL
+    + f""",
+    cells AS (SELECT vec_id, label AS cell FROM embeddings),
+    codes AS (
+        SELECT d2.vec_id, cl.cell, d2.subspace, d2.cid AS code
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, subspace
+                       ORDER BY sq_dist, cid) AS rn
+            FROM d
+        ) d2
+        JOIN cells cl ON cl.vec_id = d2.vec_id
+        WHERE d2.rn = 1 AND d2.vec_id >= {N_QUERY}
+    ),
+    q AS (
+        SELECT sub.vec_id AS query_id, cl.cell, sub.subspace,
+               sub.subvec AS qsub
+        FROM sub JOIN cells cl ON cl.vec_id = sub.vec_id
+        WHERE sub.vec_id < {N_QUERY}
+    ),
+    ltab AS (
+        SELECT q.query_id, q.cell, cb.subspace, cb.cid,
+               list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (q.qsub[i] - cb.cvec[i])
+                        * (q.qsub[i] - cb.cvec[i]))) AS pdist
+        FROM q JOIN cb USING (subspace)
+    ),
+    agg AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+        FROM codes c
+        JOIN ltab l ON c.cell = l.cell AND c.subspace = l.subspace
+                   AND c.code = l.cid
+        GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rnk, adc_dist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM agg
+    )
+    WHERE rnk <= {IVF_PQ_K}
+    """,
+    doc="The COMPOSED IVF-PQ index search — the coarse cell probe of "
+    "ann_ivf_probe_topk stacked on the ADC ranking of pq_adc_topk, "
+    "which is the exact architecture (Jégou et al.'s IVFADC) every "
+    "production billion-scale ANN service runs: the cell filter cuts "
+    "the scanned set by the cell count, then candidates are ranked "
+    "from 4-int PQ codes via the query's broadcast lookup table — "
+    "raw embedding floats are touched by neither stage. "
+    "Relationally the composition is literally one extra equi-key on "
+    "the existing ADC join (cell AND subspace AND code), proving the "
+    "two indexes compose without plan surgery; at 100 TB the codes "
+    "frame is bucketed by cell so the probe is a partition-pruned "
+    "scan of compressed codes — memory 64× down vs the IVF float "
+    "probe, I/O down by both factors multiplied.",
+    tags=("similarity", "embedding", "join"),
+)
+def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cells = e.select("vec_id", F.col("label").alias("cell"))
+    sub = _pq_subvectors(e)
+    cb = _pq_codebook(sub)
+    codes = (
+        _pq_codes(sub, cb)
+        .filter(F.col("vec_id") >= N_QUERY)
+        .join(cells, "vec_id")
+    )
+    q = (
+        sub.filter(F.col("vec_id") < N_QUERY)
+        .join(cells, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            "subspace",
+            "subvec",
+        )
+    )
+    ltab = (
+        q.join(F.broadcast(cb), "subspace")
+        .withColumn("pdist", _pq_dist())
+        .select("query_id", "cell", "subspace", "cid", "pdist")
+    )
+    agg = (
+        codes.join(
+            F.broadcast(ltab),
+            (codes.cell == ltab.cell)
+            & (codes.subspace == ltab.subspace)
+            & (codes.code == ltab.cid),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_PQ_K)
         .select(
             "query_id",
             "neighbor_id",

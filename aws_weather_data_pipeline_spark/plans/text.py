@@ -673,3 +673,56 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_ips"),
     )
+
+
+# --------------------------------------------------------------------------
+# Simpson diversity (exact lexical-concentration signal)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "doc_simpson_diversity",
+    """
+    WITH c AS (
+        SELECT doc_id, token, COUNT(*) AS cnt
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+           CAST(SUM(cnt * cnt) AS DOUBLE)
+               / (SUM(cnt) * SUM(cnt)) AS simpson_index
+    FROM c GROUP BY doc_id
+    """,
+    doc="Simpson concentration index per document — the EXACT "
+    "repetitiveness signal entropy can't be cross-engine (entropy "
+    "needs log(): last-ulp libm drift breaks value hashing, the same "
+    "reason BM25 here uses rational IDF): lambda = sum(c_t^2)/n^2 over "
+    "token counts, a pure rational whose only float op is one final "
+    "correctly-rounded division. 1/lambda is the effective vocabulary "
+    "size; degenerate/boilerplate docs push lambda toward 1 — the "
+    "quality-gate companion to the Gopher repetition metrics, but "
+    "distribution-level instead of top-n-gram. Plan: the word-count "
+    "shape twice — explode tokens, hash-agg on (doc_id, token) with "
+    "map-side combine, hash-agg on doc_id — both shuffles keyed by "
+    "doc-bounded keys, linear at 100 TB with no window and no join.",
+    tags=("text", "agg"),
+)
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select("doc_id", F.explode_outer("tokens").alias("token"))
+    c = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt"))
+        ).alias("simpson_index"),
+    )

@@ -61,6 +61,12 @@ ALLOWED_HINTS = {
     # codebook (code assignment) + codebook (lookup build) + the
     # Q×PQ_M×PQ_K lookup table — all bounded by config constants.
     "pq_adc_topk": 3,
+    # same three bounded frames as pq_adc_topk (the cell filter adds
+    # an equi-key, not a broadcast).
+    "ivf_pq_search_topk": 3,
+    # ≤N_QUERY×(planes+1) exploded probe signatures — still the
+    # bounded query side.
+    "ann_multiprobe_lsh_topk": 1,
 }
 
 
@@ -733,3 +739,39 @@ def test_outlier_gate_single_pass_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
+    """Multiprobe LSH must (a) generate a candidate set that CONTAINS
+    the single-probe query's (its probe list starts with the unflipped
+    bucket), (b) therefore never worse top-k quality: every pair the
+    single-probe query ranks is available to multiprobe, and (c) keep
+    the equi-join shape — no CartesianProduct/NLJ.
+    """
+    from aws_weather_data_pipeline_spark.plans import similarity as sim
+
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_hyperplane_lsh_topk(spark, sf_dir).collect()
+    }
+    multi_df = sim.ann_multiprobe_lsh_topk(spark, sf_dir)
+    multi = {
+        (r["query_id"], r["neighbor_id"]) for r in multi_df.collect()
+    }
+    # Top-5 of a superset candidate pool: each query's multiprobe
+    # cosine floor must be >= its single-probe floor.
+    floor_single = {}
+    for r in sim.ann_hyperplane_lsh_topk(spark, sf_dir).collect():
+        q = r["query_id"]
+        floor_single[q] = min(floor_single.get(q, 2.0), r["cosine"])
+    floor_multi = {}
+    for r in sim.ann_multiprobe_lsh_topk(spark, sf_dir).collect():
+        q = r["query_id"]
+        floor_multi[q] = min(floor_multi.get(q, 2.0), r["cosine"])
+    for q, f in floor_single.items():
+        assert floor_multi[q] >= f - 1e-12, (q, f, floor_multi[q])
+
+    plan = _formatted(multi_df)
+    assert "CartesianProduct" not in plan
+    assert single, "vacuous: single-probe returned nothing"
+    assert multi, "vacuous: multiprobe returned nothing"
