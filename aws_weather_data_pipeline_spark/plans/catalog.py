@@ -50,8 +50,10 @@ OPERATOR_MODULES = (
 # tumbling_hourly_by_type, pricing_summary, dataset_split_assignment,
 # user_session_windows, deterministic_doc_sample, bm25_topk,
 # multimodal_feature_extract, tfidf_top_terms, doc_language_id,
-# hll_distinct_sketch, ann_ivf_probe_topk, decontaminate_ngram_overlap
-# — popped to make room for this round's new queries) head round 6's
+# hll_distinct_sketch, ann_ivf_probe_topk, decontaminate_ngram_overlap,
+# knn_cosine_topk, near_dup_clusters, near_dup_pairs_minhash (its
+# pipeline still driver-runs inside leakage_safe_split_assignment) —
+# popped to make room for this round's new queries) head round 6's
 # window together with the round-4 block. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
@@ -94,6 +96,9 @@ DRIVER_WINDOW = (
     "ivf_pq_search_topk",
     "ann_multiprobe_lsh_topk",
     "doc_simpson_diversity",
+    "leakage_safe_split_assignment",
+    "bpe_merge_candidates",
+    "streaming_attribution_with_timeouts",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -107,9 +112,6 @@ DRIVER_WINDOW = (
     "pack_explode_flatten",
     # --- r03-green core recycling: near-dup / similarity family ---
     "dedup_exact_content",
-    "near_dup_pairs_minhash",
-    "near_dup_clusters",
-    "knn_cosine_topk",
 )
 
 

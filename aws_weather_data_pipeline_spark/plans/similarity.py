@@ -2219,3 +2219,101 @@ def _attach_split_leakage_oracle() -> None:
 
 
 _attach_split_leakage_oracle()
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split assignment (split by near-dup GROUP, not by doc)
+# --------------------------------------------------------------------------
+
+_GROUP_SPLIT_SQL = """
+WITH RECURSIVE p AS ({pairs}),
+e AS (
+    SELECT doc_a AS u, doc_b AS v FROM p
+    UNION
+    SELECT doc_b, doc_a FROM p
+),
+reach(u, v) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+g AS (
+    SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS group_key
+    FROM documents d LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, CAST(group_key AS BIGINT) AS group_key,
+       CASE WHEN b < {train_hi} THEN 'train'
+            WHEN b < {val_hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT *,
+           ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+    FROM g
+)
+"""
+
+
+@CATALOG.add(
+    "leakage_safe_split_assignment",
+    None,  # oracle attached below (embeds the pairs SQL)
+    doc="The FIX for what split_leakage_audit detects: train/val/test "
+    "assignment keyed on the near-dup CLUSTER id (connected components "
+    "over the MinHash pair graph; singletons key on their own doc_id), "
+    "so every member of a duplicate group lands in the same split BY "
+    "CONSTRUCTION and the audit on the resulting assignment is "
+    "provably empty (pinned in tests/test_plans.py). Same md5 "
+    "bucket-boundary hashing as dataset_split_assignment — "
+    "re-partitioning and incremental rebuilds cannot migrate a group, "
+    "and the assignment stays a per-row expression once the cluster "
+    "map exists. At 100 TB the cluster map is the dedup cascade's "
+    "byproduct (O(near-dup docs), tiny vs corpus) joined back as a "
+    "left join on doc_id — one broadcast or bucketed join, then the "
+    "split column is free; this is the group-aware splitting every "
+    "serious corpus pipeline runs instead of doc-hash splits.",
+    tags=("similarity", "sampling", "dedup"),
+)
+def leakage_safe_split_assignment(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    from .sampling import TRAIN_HI, VAL_HI
+
+    clusters = near_dup_clusters(spark, sf_dir, pairs=pairs).select(
+        "doc_id", "cluster_id"
+    )
+    d = _docs(spark, sf_dir).select("doc_id").join(
+        clusters, "doc_id", "left"
+    )
+    group_key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(group_key as string)), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < TRAIN_HI, "train")
+        .when(bucket < VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            "doc_id", group_key.cast("bigint").alias("group_key")
+        )
+        .select("doc_id", "group_key", split.alias("split"))
+    )
+
+
+def _attach_group_split_oracle() -> None:
+    from .sampling import TRAIN_HI, VAL_HI
+
+    CATALOG.queries[
+        "leakage_safe_split_assignment"
+    ].oracle = _GROUP_SPLIT_SQL.format(
+        pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle,
+        train_hi=TRAIN_HI,
+        val_hi=VAL_HI,
+    )
+
+
+_attach_group_split_oracle()

@@ -804,6 +804,129 @@ def streaming_static_enrichment(
 
 
 # --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join: attribution with timeouts
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "streaming_attribution_with_timeouts",
+    f"""
+    WITH base AS (
+        SELECT event_id, date_trunc('microseconds', ts) AS ts,
+               user_id, event_type, value
+        FROM events
+        WHERE ts < TIMESTAMP '{_TS_CUTOFF}'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM base WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS p_user_id, event_id AS purchase_id,
+               ts AS purchase_ts, value AS purchase_value
+        FROM base WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT c.user_id, c.click_id, c.click_ts,
+               p.purchase_id, p.purchase_ts, p.purchase_value
+        FROM c JOIN p
+          ON c.user_id = p.p_user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 12 HOUR
+    ),
+    wm AS (
+        SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                     (SELECT MAX(purchase_ts) FROM p))
+                   - INTERVAL 13 HOUR AS gwm
+    ),
+    o AS (
+        SELECT c.user_id, c.click_id, c.click_ts,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.p_user_id = c.user_id
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 12 HOUR
+        )
+        AND c.click_ts + INTERVAL 12 HOUR <= (SELECT gwm FROM wm)
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM o
+    """,
+    doc="Stream-stream LEFT OUTER join — attribution with TIMEOUTS: "
+    "clicks that never convert emit a null-purchase row once the "
+    "global watermark passes their attribution window, turning "
+    "watermark-driven state EVICTION into the emission signal (the "
+    "funnel shape where non-conversion is the datum). The oracle "
+    "models the outer-emission rule explicitly: unmatched clicks "
+    "with click_ts + horizon <= min(max event time per side) - "
+    "watermark delay — matched rows emit on match regardless, so "
+    "the union is exactly what the sink holds after availableNow's "
+    "trailing no-data batch flushes evicted state. This is the "
+    "subtlest streaming semantics the engine claims (outer results "
+    "CANNOT emit eagerly — a match may still arrive — so "
+    "correctness hinges on the eviction timing the oracle pins). "
+    "State and scale story are the inner join's: one horizon of "
+    "clicks per user partition, ranged eviction, both sides "
+    "unbounded.",
+    tags=("streaming", "join", "temporal"),
+)
+def streaming_attribution_with_timeouts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+        attributed_purchases,
+    )
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_outer_")
+    clicks_dir = f"{work}/clicks"
+    purchases_dir = f"{work}/purchases"
+    outdir = f"{work}/attributed"
+    ckpt = f"{work}/ckpt"
+
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF)))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .persist()
+    )
+    for etype, d in (("click", clicks_dir), ("purchase", purchases_dir)):
+        ev.filter(F.col("event_type") == etype).coalesce(1).write.mode(
+            "append"
+        ).option("timestampFormat", _TS_FMT).json(d)
+    ev.unpersist()
+
+    def stream(d: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("timestampFormat", _TS_FMT)
+            .json(d)
+        )
+
+    joined = attributed_purchases(
+        stream(clicks_dir),
+        stream(purchases_dir),
+        horizon=ATTRIBUTION_HORIZON,
+        watermark="13 hours",
+        how="left_outer",
+    )
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", outdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    return spark.read.parquet(outdir)
+
+
+# --------------------------------------------------------------------------
 # Streaming exact dedup under at-least-once replay, driver-checked
 # --------------------------------------------------------------------------
 

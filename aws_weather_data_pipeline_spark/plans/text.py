@@ -726,3 +726,69 @@ def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("cnt") * F.sum("cnt"))
         ).alias("simpson_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge candidates (tokenizer-training step 1)
+# --------------------------------------------------------------------------
+
+#: Merge candidates returned (the top of the first BPE merge table).
+BPE_TOP_PAIRS = 20
+
+
+@CATALOG.add(
+    "bpe_merge_candidates",
+    f"""
+    SELECT pair, n_occurrences
+    FROM (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, length(token)),
+                       i -> token[i:i+1])) AS pair
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            WHERE length(token) >= 2
+        )
+        GROUP BY pair
+    )
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    doc=f"BPE merge candidates — the first step of tokenizer training: "
+    "every adjacent CHARACTER pair inside every token occurrence is "
+    "counted corpus-wide and the top-"
+    f"{BPE_TOP_PAIRS} become the first merge-table entries (ties "
+    "break lexicographically so the merge order is deterministic — "
+    "nondeterministic merge order forks the whole downstream vocab). "
+    "Pair extraction is an in-row generator over the token stream "
+    "(length-1 pairs per token), the count is one hash-shuffle on a "
+    "small key domain (alphabet², heavy map-side combine), and the "
+    "top-k is TakeOrderedAndProject — never a global sort. This is "
+    "the word-count plan with a 2-char key: at 100 TB it is "
+    "I/O-bound, and iterating BPE means re-running this count on the "
+    "re-tokenized stream per merge round — each round this same "
+    "linear job.",
+    tags=("text", "agg"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select(F.explode_outer("tokens").alias("token")).filter(
+        F.length("token") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

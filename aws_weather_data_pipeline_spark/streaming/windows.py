@@ -157,6 +157,7 @@ def attributed_purchases(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: purchases attributed to prior clicks.
 
@@ -171,6 +172,12 @@ def attributed_purchases(
     horizontally like every other keyed operator. The same function
     runs in batch (watermarks are no-ops) — the batch-equals-stream
     test pins the join semantics.
+
+    ``how="left_outer"`` adds attribution TIMEOUTS: a click with no
+    purchase emits a null-purchase row once the global watermark
+    passes the end of its attribution window (watermark-driven state
+    eviction doubles as the emission trigger) — the funnel-analysis
+    shape where non-conversion is itself the signal.
     """
     c = clicks.withWatermark("ts", watermark).select(
         "user_id",
@@ -192,7 +199,7 @@ def attributed_purchases(
             AND purchase_ts <= click_ts + interval {horizon}
             """
         ),
-        "inner",
+        how,
     ).select(
         "user_id",
         "click_id",

@@ -775,3 +775,49 @@ def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert single, "vacuous: single-probe returned nothing"
     assert multi, "vacuous: multiprobe returned nothing"
+
+
+def test_group_split_has_zero_leakage_and_respects_boundaries(
+    spark, sf_dir
+):
+    """The cluster-keyed split must (a) assign every document exactly
+    once, (b) give every near-dup pair the SAME split (the audit that
+    flags the doc-hash split returns zero cross-split pairs here), and
+    (c) keep singleton assignment identical to the doc-hash split
+    (group_key == doc_id ⇒ same md5 bucket ⇒ same split), so adopting
+    group-aware splitting only moves documents that needed moving.
+    """
+    from aws_weather_data_pipeline_spark.plans import similarity as sim
+    from aws_weather_data_pipeline_spark.plans.sampling import (
+        dataset_split_assignment,  # noqa: F401 (shape reference)
+    )
+
+    pairs = sim.near_dup_pairs_minhash(spark, sf_dir)
+    split_df = sim.leakage_safe_split_assignment(
+        spark, sf_dir, pairs=pairs
+    )
+    rows = split_df.collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    group_of = {r["doc_id"]: r["group_key"] for r in rows}
+    p = pairs.collect()
+    assert p, "vacuous: no near-dup pairs at this SF"
+    for r in p:
+        assert split_of[r["doc_a"]] == split_of[r["doc_b"]], (
+            r["doc_a"],
+            r["doc_b"],
+        )
+        assert group_of[r["doc_a"]] == group_of[r["doc_b"]]
+
+    # Singletons: same bucket function as the doc-hash split.
+    clustered = {r["doc_a"] for r in p} | {r["doc_b"] for r in p}
+    import hashlib
+
+    for doc_id, gk in group_of.items():
+        if doc_id in clustered:
+            continue
+        assert gk == doc_id
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        expected = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert split_of[doc_id] == expected
