@@ -432,6 +432,57 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
     ).mapInPandas(gen, schema=WAV_SCHEMA)
 
 
+#: Windowed-energy output schema: one row per fixed-size frame window.
+WAV_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("energy_sum", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def wav_window_energy(df: DataFrame, window_frames: int = 8) -> DataFrame:
+    """Windowed audio features: decode each WAV payload and emit one
+    row per ``window_frames``-frame window with its exact integer
+    energy (sum of squared samples) and peak amplitude — the framing
+    step under VAD / audio fingerprinting / silence trimming. Row
+    EXPANSION through Arrow (one input row → ⌈frames/window⌉ output
+    rows), same boundary discipline as ``sample_frames``; windows are
+    frame-aligned so multichannel frames never split."""
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            out = {k.name: [] for k in WAV_WINDOW_SCHEMA.fields}
+            for doc_id, payload, ctype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_type"]
+            ):
+                wav = decode_media(bytes(payload), ctype)
+                s = wav["samples"]
+                nc = wav["n_channels"]
+                n_frames = len(s) // nc if nc else 0
+                n_windows = -(-n_frames // window_frames) if n_frames else 0
+                for w in range(n_windows):
+                    lo = w * window_frames * nc
+                    hi = min((w + 1) * window_frames, n_frames) * nc
+                    win = s[lo:hi]
+                    out["doc_id"].append(doc_id)
+                    out["window_id"].append(w)
+                    out["n_samples"].append(len(win))
+                    out["energy_sum"].append(
+                        sum(x * x for x in win)
+                    )
+                    out["peak"].append(max(abs(x) for x in win))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload",
+        F.col("payload_meta.content_type").alias("content_type"),
+    ).mapInPandas(gen, schema=WAV_WINDOW_SCHEMA)
+
+
 def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach a synthetic PNG payload derived from ``text_col``.
 

@@ -247,6 +247,80 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_features(d)
 
 
+#: Frames per analysis window for the windowed-energy stage.
+AUDIO_WINDOW_FRAMES = 8
+
+
+@CATALOG.add(
+    "multimodal_audio_windows",
+    f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               1 + doc_id % 2 AS n_channels,
+               10 + doc_id % 20 AS n_frames
+        FROM documents
+    ),
+    aud AS (
+        SELECT doc_id, n_channels, n_frames,
+               rpad(substr(text, 1, 120),
+                    CAST(n_channels * n_frames AS INTEGER), 'x') AS raw
+        FROM dims
+    ),
+    s AS (
+        SELECT doc_id, n_channels, n_frames,
+               list_transform(
+                   range(1, CAST(n_channels * n_frames AS BIGINT) + 1),
+                   i -> ascii(substr(raw, i, 1)) * 37 - 6000) AS samples
+        FROM aud
+    ),
+    w AS (
+        SELECT doc_id, n_channels, n_frames, samples,
+               unnest(range(0,
+                   CAST(ceil(n_frames / {AUDIO_WINDOW_FRAMES}.0)
+                        AS BIGINT))) AS window_id
+        FROM s
+    ),
+    sl AS (
+        SELECT doc_id, window_id,
+               samples[CAST(window_id * {AUDIO_WINDOW_FRAMES} * n_channels
+                            AS INTEGER) + 1 :
+                       CAST(LEAST((window_id + 1) * {AUDIO_WINDOW_FRAMES},
+                                  n_frames) * n_channels AS INTEGER)]
+                   AS win
+        FROM w
+    )
+    SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+           CAST(len(win) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(win, x -> x * x)) AS BIGINT)
+               AS energy_sum,
+           CAST(list_aggregate(list_transform(win, x -> abs(x)), 'max')
+               AS BIGINT) AS peak
+    FROM sl
+    """,
+    doc=f"Windowed audio features through the REAL WAV decode slot: "
+    f"each document's PCM payload frames into {AUDIO_WINDOW_FRAMES}-"
+    "frame windows (frame-aligned, so multichannel frames never "
+    "split) and every window emits its exact integer energy "
+    "(sum of squared samples) and peak — the framing primitive under "
+    "VAD, silence trimming, and audio fingerprinting. This is the "
+    "row-EXPANDING Arrow stage (one row in, frames/window rows out — "
+    "the audio analog of multimodal_frame_sample), and the oracle "
+    "re-derives every window's numbers from the deterministic "
+    "payload synthesis, so the check covers the full RIFF "
+    "encode→decode→window pipeline. Narrow stage, no shuffle; at "
+    "100 TB windows inherit the scan's partitioning and downstream "
+    "aggregations see (doc_id, window_id) keys.",
+    tags=("multimodal",),
+)
+def multimodal_audio_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.multimodal import wav_window_energy, with_wav_payload
+
+    d = with_wav_payload(_docs(spark, sf_dir))
+    return wav_window_energy(d, window_frames=AUDIO_WINDOW_FRAMES)
+
+
 @CATALOG.add(
     "multimodal_frame_sample",
     f"""
