@@ -2317,3 +2317,152 @@ def _attach_group_split_oracle() -> None:
 
 
 _attach_group_split_oracle()
+
+
+# --------------------------------------------------------------------------
+# Capstone: the full corpus-build manifest in ONE composed plan
+# --------------------------------------------------------------------------
+
+_MANIFEST_SQL = """
+WITH RECURSIVE p AS ({pairs}),
+e AS (
+    SELECT doc_a AS u, doc_b AS v FROM p
+    UNION
+    SELECT doc_b, doc_a FROM p
+),
+reach(u, v) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+ek AS (SELECT ch, MIN(doc_id) AS exact_keeper FROM h GROUP BY ch),
+keepers AS (
+    SELECT d.doc_id
+    FROM h d JOIN ek USING (ch) LEFT JOIN cl USING (doc_id)
+    WHERE ek.exact_keeper = d.doc_id
+      AND (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id)
+),
+q AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE (len(string_split(text, ' ')) BETWEEN 15 AND 90)
+      AND (CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                AS DOUBLE) / len(string_split(text, ' '))
+           BETWEEN 2 AND 8)
+      AND len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the', 'a'))) > 0
+),
+g AS (
+    SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS gk
+    FROM documents d LEFT JOIN cl USING (doc_id)
+),
+s AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 15))
+                         ::BIGINT % 100 < {train_hi} THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 15))
+                         ::BIGINT % 100 < {val_hi} THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+),
+surv AS (
+    SELECT k.doc_id, q.n_tokens, s.split
+    FROM keepers k JOIN q USING (doc_id) JOIN s USING (doc_id)
+),
+c AS (
+    SELECT *, doc_id % {shards} AS shard,
+           SUM(n_tokens) OVER (
+               PARTITION BY split, doc_id % {shards} ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM surv
+)
+SELECT doc_id, split, n_tokens,
+       CAST(shard * 1000000 + (cum - n_tokens) // {budget} AS BIGINT)
+           AS pack_id
+FROM c
+"""
+
+
+@CATALOG.add(
+    "corpus_build_manifest",
+    None,  # oracle attached below (embeds the pairs SQL)
+    doc="The CAPSTONE composition — a full pretraining corpus build as "
+    "ONE declarative plan: dedup-cascade keep decision (exact hash + "
+    "MinHash-LSH near-dup clusters, pairs pipeline materialized ONCE "
+    "and threaded through both the cascade and the split) ∧ "
+    "Gopher-quality gate → leakage-safe cluster-keyed split → "
+    "per-(split, shard) sequence packing of the SURVIVORS into "
+    "256-token pack ids. The output is the training manifest a "
+    "loader consumes: (doc_id, split, n_tokens, pack_id), packing "
+    "windowed per split×shard so train can never share a pack with "
+    "val/test and shards pack independently (no global order). "
+    "This is the integration proof the per-operator queries imply: "
+    "every stage is the already-verified catalog operator, composed "
+    "with joins — one pairs materialization, one cluster map, "
+    "narrow gates, and the packing window's state is O(1) per "
+    "shard. At 100 TB the expensive stage (near-dup pairs) runs "
+    "once and amortizes across the cascade, the split, and any "
+    "number of manifest rebuilds with different budgets.",
+    tags=("similarity", "dedup", "sampling", "text"),
+)
+def corpus_build_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .sampling import N_PACK_SHARDS, PACK_BUDGET
+    from .text import doc_quality_scores
+
+    pairs = near_dup_pairs_minhash(spark, sf_dir)
+    keep = (
+        dedup_cascade_keep_list(spark, sf_dir, pairs=pairs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    quality = (
+        doc_quality_scores(spark, sf_dir)
+        .filter(F.col("passes_quality"))
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    split = leakage_safe_split_assignment(
+        spark, sf_dir, pairs=pairs
+    ).select("doc_id", "split")
+    surv = keep.join(quality, "doc_id").join(split, "doc_id")
+    shard = (F.col("doc_id") % N_PACK_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = surv.select("doc_id", "split", "n_tokens", shard).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return c.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        (
+            F.col("shard") * 1000000
+            + F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+        )
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+def _attach_manifest_oracle() -> None:
+    from .sampling import N_PACK_SHARDS, PACK_BUDGET, TRAIN_HI, VAL_HI
+
+    CATALOG.queries["corpus_build_manifest"].oracle = _MANIFEST_SQL.format(
+        pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle,
+        train_hi=TRAIN_HI,
+        val_hi=VAL_HI,
+        shards=N_PACK_SHARDS,
+        budget=PACK_BUDGET,
+    )
+
+
+_attach_manifest_oracle()
