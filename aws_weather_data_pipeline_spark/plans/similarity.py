@@ -2276,13 +2276,20 @@ FROM (
     tags=("similarity", "sampling", "dedup"),
 )
 def leakage_safe_split_assignment(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     from .sampling import TRAIN_HI, VAL_HI
 
-    clusters = near_dup_clusters(spark, sf_dir, pairs=pairs).select(
-        "doc_id", "cluster_id"
-    )
+    # ``clusters=`` threads a precomputed (doc_id, cluster_id) map —
+    # the connected-components loop is the expensive stage, and any
+    # pipeline that already clustered (the cascade, the manifest)
+    # holds exactly this frame.
+    if clusters is None:
+        clusters = near_dup_clusters(spark, sf_dir, pairs=pairs)
+    clusters = clusters.select("doc_id", "cluster_id")
     d = _docs(spark, sf_dir).select("doc_id").join(
         clusters, "doc_id", "left"
     )
@@ -2417,9 +2424,25 @@ def corpus_build_manifest(
     from .text import doc_quality_scores
 
     pairs = near_dup_pairs_minhash(spark, sf_dir)
+    # ONE connected-components run feeds both the keep decision and
+    # the split (the loop is the manifest's expensive stage; without
+    # threading, the cascade and the split would each run their own).
+    clusters = near_dup_clusters(spark, sf_dir, pairs=pairs).select(
+        "doc_id", "cluster_id"
+    )
+    d = _docs(spark, sf_dir)
+    hashed = d.select("doc_id", F.md5("text").alias("ch"))
+    ek = hashed.groupBy("ch").agg(F.min("doc_id").alias("exact_keeper"))
     keep = (
-        dedup_cascade_keep_list(spark, sf_dir, pairs=pairs)
-        .filter(F.col("keep"))
+        hashed.join(ek, "ch")
+        .join(clusters, "doc_id", "left")
+        .filter(
+            (F.col("exact_keeper") == F.col("doc_id"))
+            & (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            )
+        )
         .select("doc_id")
     )
     quality = (
@@ -2428,7 +2451,7 @@ def corpus_build_manifest(
         .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
     )
     split = leakage_safe_split_assignment(
-        spark, sf_dir, pairs=pairs
+        spark, sf_dir, clusters=clusters
     ).select("doc_id", "split")
     surv = keep.join(quality, "doc_id").join(split, "doc_id")
     shard = (F.col("doc_id") % N_PACK_SHARDS).alias("shard")
