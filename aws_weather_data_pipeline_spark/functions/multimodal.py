@@ -764,3 +764,59 @@ def resize_payload(df: DataFrame, target_bytes: int = 128) -> DataFrame:
             F.lit("application/x-thumb").alias("content_type"),
         ),
     )
+
+
+#: Tile-stats output schema: one row per raster tile.
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tile_x", T.LongType(), False),
+        T.StructField("tile_y", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+        T.StructField("byte_max", T.LongType(), False),
+    ]
+)
+
+
+def ppm_tile_stats(
+    df: DataFrame, tile_w: int = 4, tile_h: int = 2
+) -> DataFrame:
+    """Tiled raster features: decode each PPM payload and emit one row
+    per ``tile_w``×``tile_h``-pixel tile with its exact channel-byte
+    sum and max — the patching step under vision preprocessing
+    (ViT-style patch grids, tile-level quality/blur screens). Ragged
+    edge tiles shrink, never pad. The image analog of
+    ``wav_window_energy``: row expansion through Arrow, exact integer
+    statistics, no shuffle."""
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            out = {k.name: [] for k in TILE_SCHEMA.fields}
+            for doc_id, payload, ctype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_type"]
+            ):
+                img = decode_media(bytes(payload), ctype)
+                w, h, px = img["width"], img["height"], img["pixels"]
+                for ty in range(-(-h // tile_h)):
+                    for tx in range(-(-w // tile_w)):
+                        xs = range(tx * tile_w, min((tx + 1) * tile_w, w))
+                        ys = range(ty * tile_h, min((ty + 1) * tile_h, h))
+                        vals = [
+                            px[(y * w + x) * 3 + c]
+                            for y in ys
+                            for x in xs
+                            for c in range(3)
+                        ]
+                        out["doc_id"].append(doc_id)
+                        out["tile_x"].append(tx)
+                        out["tile_y"].append(ty)
+                        out["n_pixels"].append(len(xs) * len(ys))
+                        out["byte_sum"].append(sum(vals))
+                        out["byte_max"].append(max(vals))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload",
+        F.col("payload_meta.content_type").alias("content_type"),
+    ).mapInPandas(gen, schema=TILE_SCHEMA)

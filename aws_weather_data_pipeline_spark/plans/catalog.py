@@ -53,9 +53,9 @@ OPERATOR_MODULES = (
 # hll_distinct_sketch, ann_ivf_probe_topk, decontaminate_ngram_overlap,
 # knn_cosine_topk, near_dup_clusters, near_dup_pairs_minhash (its
 # pipeline still driver-runs inside leakage_safe_split_assignment and
-# corpus_build_manifest), dedup_exact_content, pack_explode_flatten —
-# popped to make room for this round's new queries) head round 6's
-# window together with the round-4 block. All queries stay continuously oracle-checked by
+# corpus_build_manifest), dedup_exact_content, pack_explode_flatten,
+# parse_props_json — popped to make room for this round's new queries)
+# head round 6's window together with the round-4 block. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
@@ -102,6 +102,7 @@ DRIVER_WINDOW = (
     "streaming_attribution_with_timeouts",
     "multimodal_audio_windows",
     "corpus_build_manifest",
+    "multimodal_image_tiles",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -111,7 +112,6 @@ DRIVER_WINDOW = (
     "weather_quality_flags",
     "weather_daily_summary",
     "weather_current_status",
-    "parse_props_json",
 )
 
 

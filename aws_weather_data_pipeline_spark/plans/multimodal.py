@@ -143,6 +143,82 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d)
 
 
+#: Tile grid for the patching stage (pixels per tile, w × h).
+TILE_W = 4
+TILE_H = 2
+
+
+@CATALOG.add(
+    "multimodal_image_tiles",
+    f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               1 + doc_id % 8 AS width,
+               1 + doc_id % 5 AS height
+        FROM documents
+    ),
+    img AS (
+        SELECT doc_id, width, height,
+               rpad(substr(text, 1, 120),
+                    CAST(width * height * 3 AS INTEGER), 'x') AS raster
+        FROM dims
+    ),
+    tx AS (
+        SELECT doc_id, width, height, raster,
+               unnest(range(0, CAST(ceil(width / {TILE_W}.0) AS BIGINT)))
+                   AS tile_x
+        FROM img
+    ),
+    t AS (
+        SELECT doc_id, width, height, raster, tile_x,
+               unnest(range(0, CAST(ceil(height / {TILE_H}.0) AS BIGINT)))
+                   AS tile_y
+        FROM tx
+    ),
+    v AS (
+        SELECT doc_id, tile_x, tile_y, width, height,
+               flatten(list_transform(
+                   range(tile_y * {TILE_H},
+                         LEAST((tile_y + 1) * {TILE_H}, height)),
+                   py -> flatten(list_transform(
+                       range(tile_x * {TILE_W},
+                             LEAST((tile_x + 1) * {TILE_W}, width)),
+                       px -> list_transform(range(0, 3),
+                           c -> ascii(substr(raster,
+                               CAST((py * width + px) * 3 + c + 1
+                                    AS INTEGER), 1))))))) AS vals
+        FROM t
+    )
+    SELECT doc_id, CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(len(vals) // 3 AS BIGINT) AS n_pixels,
+           CAST(list_sum(vals) AS BIGINT) AS byte_sum,
+           CAST(list_aggregate(vals, 'max') AS BIGINT) AS byte_max
+    FROM v
+    """,
+    doc=f"Tiled raster features through the REAL PPM decode slot: each "
+    f"decoded image splits into a {TILE_W}×{TILE_H}-pixel tile grid "
+    "(ragged edge tiles shrink, never pad) and every tile emits its "
+    "exact channel-byte sum and max — the patching primitive under "
+    "ViT-style patch grids and tile-level quality screens, and the "
+    "raster analog of multimodal_audio_windows (the audio framing "
+    "stage). Row expansion through Arrow, one input row → "
+    "⌈w/tile⌉×⌈h/tile⌉ rows; the oracle re-derives every tile's "
+    "numbers from the deterministic raster synthesis, so the check "
+    "covers decode → 2-D indexing → tiling end to end. Narrow "
+    "no-shuffle stage; downstream aggregations see "
+    "(doc_id, tile_x, tile_y) keys.",
+    tags=("multimodal",),
+)
+def multimodal_image_tiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.multimodal import ppm_tile_stats
+
+    d = with_ppm_payload(_docs(spark, sf_dir))
+    return ppm_tile_stats(d, tile_w=TILE_W, tile_h=TILE_H)
+
+
 @CATALOG.add(
     "multimodal_decode_png",
     """
