@@ -54,8 +54,9 @@ OPERATOR_MODULES = (
 # knn_cosine_topk, near_dup_clusters, near_dup_pairs_minhash (its
 # pipeline still driver-runs inside leakage_safe_split_assignment and
 # corpus_build_manifest), dedup_exact_content, pack_explode_flatten,
-# parse_props_json — popped to make room for this round's new queries)
-# head round 6's window together with the round-4 block. All queries stay continuously oracle-checked by
+# parse_props_json, weather_current_status — popped to make room for
+# this round's new queries) head round 6's window together with the
+# round-4 block. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
     # --- never driver-checked (added after the r04 window froze) ---
@@ -103,6 +104,7 @@ DRIVER_WINDOW = (
     "multimodal_audio_windows",
     "corpus_build_manifest",
     "multimodal_image_tiles",
+    "dedup_attrition_by_source",
     # --- r03-green core recycling: weather family ---
     "weather_conversions",
     "weather_comfort_heat_index",
@@ -111,7 +113,6 @@ DRIVER_WINDOW = (
     "weather_time_features",
     "weather_quality_flags",
     "weather_daily_summary",
-    "weather_current_status",
 )
 
 

@@ -2489,3 +2489,69 @@ def _attach_manifest_oracle() -> None:
 
 
 _attach_manifest_oracle()
+
+
+# --------------------------------------------------------------------------
+# Dedup attrition by source (the curation dashboard rollup)
+# --------------------------------------------------------------------------
+
+_ATTRITION_SQL = """
+WITH cascade AS ({cascade})
+SELECT d.source, c.reason,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) * 100
+           / SUM(COUNT(*)) OVER (PARTITION BY d.source) AS pct_of_source
+FROM cascade c JOIN documents d USING (doc_id)
+GROUP BY d.source, c.reason
+"""
+
+
+@CATALOG.add(
+    "dedup_attrition_by_source",
+    None,  # oracle attached below (embeds the cascade SQL)
+    doc="Dedup attrition BY SOURCE — the dashboard that decides which "
+    "feeds are worth their ingest cost: every document's cascade "
+    "verdict (kept / exact_dup / near_dup) rolls up per source with "
+    "its within-source percentage (analytic share over the "
+    "post-aggregate frame — O(sources × reasons) rows, the "
+    "event_type_share discipline). A source shipping 40% duplicates "
+    "is a crawler bug or a mirror; this is the number that finds it "
+    "before a 100 TB run pays for it. Plan: the cascade's one pairs "
+    "pipeline + cluster map (shared via pairs=), one broadcast-sized "
+    "join back to doc metadata, one hash-shuffle on (source, "
+    "reason).",
+    tags=("similarity", "dedup", "agg"),
+)
+def dedup_attrition_by_source(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    verdicts = dedup_cascade_keep_list(spark, sf_dir, pairs=pairs)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    agg = (
+        verdicts.join(src, "doc_id")
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "reason",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") * 100
+            / F.sum("n_docs").over(w)
+        ).alias("pct_of_source"),
+    )
+
+
+def _attach_attrition_oracle() -> None:
+    CATALOG.queries[
+        "dedup_attrition_by_source"
+    ].oracle = _ATTRITION_SQL.format(
+        cascade=CATALOG.queries["dedup_cascade_keep_list"].oracle
+    )
+
+
+_attach_attrition_oracle()
