@@ -963,7 +963,12 @@ def corpus_relative_quality_filter(
     "so the edit is deterministic under any partitioning) has its "
     "token range removed, and each document's surviving tokens are "
     "reassembled in position order (emitted as md5 so the driver "
-    "compares the exact cleaned bytes at bounded size). Plan: windows "
+    "compares the exact cleaned bytes at bounded size). The window "
+    "key is 128-bit (two salted xxhash64s; the oracle's md5 is also "
+    "128-bit) because the edit is destructive — a key collision "
+    "deletes an unrelated span, so the 64-bit birthday bound at 1e13 "
+    "windows is not acceptable here the way it is for detect-only "
+    "spans. Plan: windows "
     "explode ≈ one row per token; ONE hash-shuffle on the window hash "
     "ranks occurrences (rank + count in the same window pass over the "
     "same shuffle); removed ranges re-explode to covered positions and "
@@ -982,13 +987,20 @@ def exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = SPAN_TOKENS
     t = _tokens(_docs(spark, sf_dir)).select("doc_id", "tokens")
-    # Window occurrences: (doc_id, pos, hash of the n-token slice).
-    # xxhash64 on the token-array slice — no per-window string
-    # materialization (the oracle builds strings; only equality is
-    # compared, values never reach the output).
+    # Window occurrences: (doc_id, pos, 128-bit key of the n-token
+    # slice) — a struct of TWO differently-salted xxhash64s, not one
+    # 64-bit hash (ADVICE r05: this operator performs a destructive
+    # edit, and at ~1e13 windows a single 64-bit key has millions of
+    # expected birthday collisions, each silently deleting an
+    # unrelated span; 128 bits pushes the expected collision count to
+    # ~1e-12). No per-window string materialization (the oracle
+    # builds md5 strings — also 128-bit; only equality is compared
+    # within each engine, values never reach the output).
     spans = F.expr(
         f"transform(sequence(0, size(tokens)-{n}),"
-        f" i -> struct(i AS pos, xxhash64(slice(tokens, i + 1, {n})) AS gh))"
+        f" i -> struct(i AS pos, struct("
+        f"xxhash64(slice(tokens, i + 1, {n})) AS h1,"
+        f" xxhash64(slice(tokens, i + 1, {n}), 'salt2') AS h2) AS gh))"
     )
     w = (
         t.filter(F.size("tokens") >= n)

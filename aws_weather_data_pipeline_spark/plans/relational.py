@@ -1693,22 +1693,29 @@ def salted_user_event_lists(
         FROM events
     ),
     g AS (
-        SELECT *, COUNT(*) OVER w AS n, SUM(vc) OVER w AS s,
-               SUM(vc * vc) OVER w AS s2
+        SELECT *, CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+               SUM(CAST(vc AS HUGEINT)) OVER w AS s,
+               SUM(CAST(vc AS HUGEINT) * vc) OVER w AS s2
         FROM c WINDOW w AS (PARTITION BY event_type)
     )
     SELECT event_id, event_type, value
     FROM g
-    WHERE CAST(vc * n - s AS HUGEINT) * CAST(vc * n - s AS HUGEINT)
-              > 9 * CAST(n * s2 - s * s AS HUGEINT)
+    WHERE (CAST(vc AS HUGEINT) * n - s) * (CAST(vc AS HUGEINT) * n - s)
+              > 9 * (n * s2 - s * s)
     """,
     doc="Per-group 3-sigma outlier detection in EXACT integer algebra: "
     "the z-score test |v-mean| > 3*stddev cross-multiplies to "
     "(v_c*n - S)^2 > 9*(n*S2 - S^2) over cent-scaled integer value "
     "sums — no mean division, no sqrt, no float accumulation, so the "
-    "flagged set is bit-identical on any engine and any partitioning "
-    "(the squares run in DECIMAL(38,0)/HUGEINT: cents*n squared "
-    "clears BIGINT at production group sizes). This is the "
+    "flagged set is bit-identical on any engine and any partitioning. "
+    "Every moment and cross-product is carried in DECIMAL(38,0) "
+    "(Spark) / HUGEINT (oracle) from the FIRST multiplication — "
+    "BIGINT only holds the cent-scaled raw value, never a sum or "
+    "product (ADVICE r05: s*s and n*s2 overflow BIGINT at ~1e9 rows "
+    "of ~$1000 values; casting only the result wraps silently). "
+    "Exact bound: the algebra is exact while n * max|v_cents| < 1e19 "
+    "per group, i.e. ~1e13 rows of $100k values — far past any "
+    "single-group size this engine targets. This is the "
     "anomaly gate a pipeline runs per ingest partition before "
     "accepting it — population sigma per event_type, each row "
     "charged against its own group. Plan: ONE shuffle on event_type "
@@ -1726,22 +1733,23 @@ def value_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = (
         F.col("value").cast("decimal(18,2)") * 100
     ).cast("bigint")
-    # All three moments in ONE projection so Catalyst folds them into
-    # a single Window operator (chained withColumn over a derived
-    # column splits the window into two nodes).
+    # Moments accumulate in decimal(38,0) from the first operation —
+    # BIGINT holds only the raw cent value. All three moments in ONE
+    # projection so Catalyst folds them into a single Window operator
+    # (chained withColumn over a derived column splits the window
+    # into two nodes).
+    vc38 = vc.cast("decimal(38,0)")
     g = ev.select("event_id", "event_type", "value").select(
         "event_id",
         "event_type",
         "value",
-        vc.alias("vc"),
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(vc).over(w).alias("s"),
-        F.sum(vc * vc).over(w).alias("s2"),
+        vc38.alias("vc"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        F.sum(vc38).over(w).alias("s"),
+        F.sum(vc38 * vc38).over(w).alias("s2"),
     )
-    dev = (F.col("vc") * F.col("n") - F.col("s")).cast("decimal(38,0)")
-    var_n2 = (
-        F.col("n") * F.col("s2") - F.col("s") * F.col("s")
-    ).cast("decimal(38,0)")
+    dev = F.col("vc") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
     return g.filter(dev * dev > var_n2 * 9).select(
         "event_id", "event_type", "value"
     )

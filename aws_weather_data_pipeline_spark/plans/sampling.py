@@ -415,9 +415,8 @@ N_PACK_SHARDS = 32
     )
     SELECT doc_id, CAST(shard AS BIGINT) AS shard,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(shard * 1000000
-                + (cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT)
-               AS pack_id
+           CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT)
+               AS pack_index
     FROM c
     """,
     doc=f"Sequence packing: documents concatenate in doc_id order "
@@ -429,9 +428,11 @@ N_PACK_SHARDS = 32
     "a global ORDER BY window is a single-task serialization at any "
     "scale, while shards pack independently — at 100 TB raise the "
     "shard count with the cluster and packs stay deterministic "
-    "because shard and order are row properties. pack_id embeds the "
-    "shard (shard·10⁶ + index) so ids are globally unique without "
-    "cross-shard coordination.",
+    "because shard and order are row properties. Pack identity is "
+    "the COMPOSITE (shard, pack_index) — an encoded shard·10⁶+index "
+    "integer collides once a shard exceeds 1e6 packs (~2.6e8 "
+    "tokens/shard, guaranteed at 100 TB; ADVICE r05), while the "
+    "composite is collision-free without cross-shard coordination.",
     tags=("sampling", "window"),
 )
 def sequence_pack_assignment(
@@ -452,9 +453,7 @@ def sequence_pack_assignment(
         "doc_id",
         F.col("shard").cast("bigint").alias("shard"),
         "n_tokens",
-        (F.col("shard") * 1000000 + F.floor(start / PACK_BUDGET))
-        .cast("bigint")
-        .alias("pack_id"),
+        F.floor(start / PACK_BUDGET).cast("bigint").alias("pack_index"),
     )
 
 

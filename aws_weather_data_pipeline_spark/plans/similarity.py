@@ -2387,8 +2387,8 @@ c AS (
     FROM surv
 )
 SELECT doc_id, split, n_tokens,
-       CAST(shard * 1000000 + (cum - n_tokens) // {budget} AS BIGINT)
-           AS pack_id
+       CAST(shard AS BIGINT) AS shard,
+       CAST((cum - n_tokens) // {budget} AS BIGINT) AS pack_index
 FROM c
 """
 
@@ -2402,10 +2402,15 @@ FROM c
     "and threaded through both the cascade and the split) ∧ "
     "Gopher-quality gate → leakage-safe cluster-keyed split → "
     "per-(split, shard) sequence packing of the SURVIVORS into "
-    "256-token pack ids. The output is the training manifest a "
-    "loader consumes: (doc_id, split, n_tokens, pack_id), packing "
-    "windowed per split×shard so train can never share a pack with "
-    "val/test and shards pack independently (no global order). "
+    "256-token packs. The output is the training manifest a loader "
+    "consumes: (doc_id, split, n_tokens, shard, pack_index) — pack "
+    "identity is the COMPOSITE (split, shard, pack_index), never a "
+    "single encoded integer (ADVICE r05: shard*1e6+index collides "
+    "once any shard exceeds 1e6 packs, i.e. ~2.6e8 tokens/shard — "
+    "guaranteed at 100 TB; the composite is collision-free by "
+    "construction). Packing is windowed per split×shard so train can "
+    "never share a pack with val/test and shards pack independently "
+    "(no global order). "
     "This is the integration proof the per-operator queries imply: "
     "every stage is the already-verified catalog operator, composed "
     "with joins — one pairs materialization, one cluster map, "
@@ -2467,12 +2472,10 @@ def corpus_build_manifest(
         "doc_id",
         "split",
         "n_tokens",
-        (
-            F.col("shard") * 1000000
-            + F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
-        )
+        F.col("shard").cast("bigint").alias("shard"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
         .cast("bigint")
-        .alias("pack_id"),
+        .alias("pack_index"),
     )
 
 
