@@ -30,89 +30,80 @@ OPERATOR_MODULES = (
 
 # The driver's correctness harness checks only the FIRST 50 catalog
 # entries, so ordering is coverage policy, not cosmetics. Rotation
-# plan (VERDICT r04 #1): round 5's window = the 2 queries added after
-# round 4's window froze (multimodal_resize_stats, split_leakage_audit
-# — never driver-checked), the 5 whose only driver row is round 2
-# (fixed_size_doc_sample, value_histogram, lineitem_unpivot_measures,
-# small_quantity_order_revenue, price_percentiles_by_flag), any query
-# NEW this round (inserted here at creation time), then as many of the
-# 50 r03-green queries as fit — weather / near-dup / sketch families
-# first — so no driver evidence goes stale beyond 2 rounds. The
-# twenty-five r03-green singles that didn't fit (nations_sorted,
-# recent_events_feed, top10_orders_by_price, filter_isin_projection,
-# order_date_arithmetic, coercion_null_on_error, null_drop_critical,
-# range_validity_flags, promo_revenue_ratio, dedup_user_event_type,
-# validation_aggregates, union_segments, user_activity_coverage,
-# regional_revenue, latest_event_per_user, top_revenue_orders,
-# customers_without_urgent_orders, pivot_status_qty,
-# rollup_returnflag_status, event_type_share, dominant_event_type,
-# global_stats, conditional_counts, asof_last_click_before_purchase,
-# tumbling_hourly_by_type, pricing_summary, dataset_split_assignment,
-# user_session_windows, deterministic_doc_sample, bm25_topk,
-# multimodal_feature_extract, tfidf_top_terms, doc_language_id,
-# hll_distinct_sketch, ann_ivf_probe_topk, decontaminate_ngram_overlap,
-# knn_cosine_topk, near_dup_clusters, near_dup_pairs_minhash (its
-# pipeline still driver-runs inside leakage_safe_split_assignment and
-# corpus_build_manifest), dedup_exact_content, pack_explode_flatten,
-# parse_props_json, weather_current_status — popped to make room for
-# this round's new queries) head round 6's window together with the
-# round-4 block. All queries stay continuously oracle-checked by
+# policy (executable form: tests/test_rotation_policy.py fails if any
+# query's driver evidence would exceed 3 rounds old under this
+# committed window): every round's window = (a) queries NEW this
+# round, (b) queries whose SCHEMA or semantics changed this round
+# even if recently green (their old driver rows no longer describe
+# the current shape), then (c) the stalest remainder, oldest driver
+# row first. Round 6's window = the 43 queries whose latest driver
+# row is r03 (they would hit the 3-round limit this round), the new
+# multimodal_decode_gif, the four queries changed by the r05 ADVICE
+# fixes (sequence_pack_assignment and corpus_build_manifest emit
+# (shard, pack_index) instead of an encoded pack_id;
+# value_outliers_exact moved its moment algebra to decimal(38,0)/
+# HUGEINT; exact_substr_removal's dedup key became 128-bit), and two
+# r04 fills (dedup_cascade_keep_list, near_dup_pairs_embedding — the
+# two most composite r04 plans). The remaining 47 r04-latest queries
+# head round 7's window (they hit age 3 there); the r05-latest block
+# fills round 8. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
 DRIVER_WINDOW = (
-    # --- never driver-checked (added after the r04 window froze) ---
-    "multimodal_resize_stats",
-    "split_leakage_audit",
-    # --- r02-only driver rows cycling back (stale >2 rounds) ---
-    "fixed_size_doc_sample",
-    "value_histogram",
-    "lineitem_unpivot_measures",
-    "small_quantity_order_revenue",
-    "price_percentiles_by_flag",
     # --- NEW this round: must be driver-checked at creation time ---
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "streaming_batch_equivalence",
-    "streaming_windowed_alert_counts",
-    "split_leakage_audit_simhash",
-    "doc_winnowing_fingerprints",
-    "near_dup_pairs_winnow",
-    "quantile_sketch_estimates",
-    "semantic_dedup_keep_list",
-    "zorder_layout_audit",
-    "corpus_filter_funnel",
-    "streaming_running_user_stats",
-    "streaming_attributed_purchases",
-    "streaming_dedup_replay",
-    "length_weighted_doc_sample",
-    "corpus_relative_quality_filter",
-    "salted_hot_key_join",
-    "salted_user_event_lists",
-    "exact_substr_removal",
-    "hard_negative_mining",
-    "temperature_mixture_sample",
-    "streaming_session_windows",
-    "pq_code_assignment",
-    "pq_adc_topk",
-    "streaming_static_enrichment",
-    "value_outliers_exact",
-    "ivf_pq_search_topk",
-    "ann_multiprobe_lsh_topk",
-    "doc_simpson_diversity",
-    "leakage_safe_split_assignment",
-    "bpe_merge_candidates",
-    "streaming_attribution_with_timeouts",
-    "multimodal_audio_windows",
+    "multimodal_decode_gif",
+    # --- changed this round (r05 ADVICE fixes): re-evidence the new
+    # --- shapes even though their last rows are green
+    "sequence_pack_assignment",
     "corpus_build_manifest",
-    "multimodal_image_tiles",
-    "dedup_attrition_by_source",
-    # --- r03-green core recycling: weather family ---
-    "weather_conversions",
-    "weather_comfort_heat_index",
-    "weather_severity_class",
-    "weather_alert_feed",
-    "weather_time_features",
-    "weather_quality_flags",
-    "weather_daily_summary",
+    "value_outliers_exact",
+    "exact_substr_removal",
+    # --- the 43 queries whose latest driver row is r03 ---
+    "ann_ivf_probe_topk",
+    "asof_last_click_before_purchase",
+    "bm25_topk",
+    "coercion_null_on_error",
+    "conditional_counts",
+    "customers_without_urgent_orders",
+    "dataset_split_assignment",
+    "decontaminate_ngram_overlap",
+    "dedup_exact_content",
+    "dedup_user_event_type",
+    "deterministic_doc_sample",
+    "doc_language_id",
+    "dominant_event_type",
+    "event_type_share",
+    "filter_isin_projection",
+    "global_stats",
+    "hll_distinct_sketch",
+    "knn_cosine_topk",
+    "latest_event_per_user",
+    "multimodal_feature_extract",
+    "nations_sorted",
+    "near_dup_clusters",
+    "near_dup_pairs_minhash",
+    "null_drop_critical",
+    "order_date_arithmetic",
+    "pack_explode_flatten",
+    "parse_props_json",
+    "pivot_status_qty",
+    "pricing_summary",
+    "promo_revenue_ratio",
+    "range_validity_flags",
+    "recent_events_feed",
+    "regional_revenue",
+    "rollup_returnflag_status",
+    "tfidf_top_terms",
+    "top10_orders_by_price",
+    "top_revenue_orders",
+    "tumbling_hourly_by_type",
+    "union_segments",
+    "user_activity_coverage",
+    "user_session_windows",
+    "validation_aggregates",
+    "weather_current_status",
+    # --- r04 fills (the two most composite r04 plans) ---
+    "dedup_cascade_keep_list",
+    "near_dup_pairs_embedding",
 )
 
 

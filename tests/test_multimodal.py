@@ -298,11 +298,10 @@ def test_wav_roundtrip_property():
         out = decode_media(
             encode_wav(samples, rate, n_channels), "audio/wav"
         )
-        assert out == {
-            "n_channels": n_channels,
-            "sample_rate": rate,
-            "samples": samples,
-        }
+        assert out["n_channels"] == n_channels
+        assert out["sample_rate"] == rate
+        # samples decode to an int16 ndarray (vectorized stats path)
+        assert out["samples"].tolist() == samples
 
     check()
 
@@ -351,3 +350,99 @@ def test_wav_payload_decodes_end_to_end(spark):
     assert r["sample_sum"] == sum(samples)
     assert r["peak_amplitude"] == max(abs(s) for s in samples)
     assert r["mean_amplitude"] == sum(samples) / 38
+
+
+def test_lzw_roundtrip_property():
+    """Property: any byte stream survives the GIF-variant LZW
+    compress→decompress round-trip exactly, across code-width growth
+    (mcs+1..12 bits), 4096-entry clear-resets, and the KwKwK
+    self-reference case. Pure codec fuzz, no Spark."""
+    from hypothesis import given, settings, strategies as st
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        mcs=st.sampled_from([2, 4, 8]),
+        data=st.data(),
+    )
+    def check(mcs, data):
+        alphabet = data.draw(st.integers(1, 1 << mcs))
+        n = data.draw(st.integers(0, 4000))
+        stream = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, alphabet - 1),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        assert _lzw_decode(_lzw_encode(stream, mcs), mcs) == stream
+
+    check()
+    # deterministic long low-entropy stream: crosses 9→12-bit widths
+    # AND the 4096-entry clear-reset inside one frame
+    big = bytes((i * i) % 7 for i in range(60000))
+    assert _lzw_decode(_lzw_encode(big, 8), 8) == big
+
+
+def test_gif_roundtrip_multiframe():
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_gif,
+    )
+
+    frames = [
+        bytes((i * 31 + f) % 256 for i in range(5 * 4))
+        for f in range(3)
+    ]
+    out = decode_media(encode_gif(frames, 5, 4), "image/gif")
+    assert (out["width"], out["height"]) == (5, 4)
+    assert out["frames"] == frames
+
+
+def test_gif_decoder_rejects_malformed_input():
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_media(b"\x89PNG\r\n\x1a\n", "image/gif")
+    good = encode_gif([bytes(range(12))], 4, 3)
+    with pytest.raises(ValueError, match="terminator|truncated|EOI"):
+        decode_media(good[:-3], "image/gif")
+    # interlace flag on the image descriptor must be refused
+    bad = bytearray(good)
+    # image descriptor starts after 6 (header) + 7 (LSD) + 768 (GCT)
+    # + 8 (GCE); its packed byte is at offset +9
+    idesc = 6 + 7 + 768 + 8
+    assert bad[idesc] == 0x2C
+    bad[idesc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_media(bytes(bad), "image/gif")
+
+
+def test_gif_payload_decodes_end_to_end(spark):
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        GIF_FRAME_SCHEMA,
+        decode_gif_frames,
+        with_gif_payload,
+    )
+
+    # doc_id=7: w=1+7%6=2, h=1+7%4=4, frames=2+7%3=3 → 8 px/frame,
+    # raw = "abcdefgh" + 'x'*16, frame f = raw[f*8:(f+1)*8]
+    df = spark.createDataFrame([Row(doc_id=7, text="abcdefgh")])
+    feats = decode_gif_frames(with_gif_payload(df))
+    assert feats.schema == GIF_FRAME_SCHEMA
+    rows = {r["frame_idx"]: r for r in feats.collect()}
+    assert set(rows) == {0, 1, 2}
+    raw = b"abcdefgh" + b"x" * 16
+    for f in range(3):
+        fr = raw[f * 8 : (f + 1) * 8]
+        assert rows[f]["n_indices"] == 8
+        assert rows[f]["index_sum"] == sum(fr)
+        assert rows[f]["index_max"] == max(fr)
+        assert (rows[f]["width"], rows[f]["height"]) == (2, 4)

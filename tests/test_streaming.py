@@ -195,3 +195,100 @@ def test_quarantine_sidecar_captures_malformed_envelopes(
     dlq = spark.read.parquet(str(tmp_path / "quarantine")).collect()
     assert len(dlq) == 1
     assert dlq[0]["raw_payload"] == bad
+
+
+def test_stateful_running_stats_checkpoint_crash_resume(spark, tmp_path):
+    """VERDICT r05 #7: checkpoint recovery of applyInPandasWithState
+    STATE, not just source offsets. Phase 1 drains file A and the
+    query object dies (the crash point — only the checkpoint
+    survives). Phase 2 lands file B and a brand-new query resumes
+    from the same checkpoint: its state store must reload every
+    user's profile, so the merged result equals an uninterrupted run
+    over A+B. A cross-phase timestamp TIE pins that the tie-break
+    fields (last_ts, last_event_id) really round-trip through the
+    checkpointed state, not just the counters."""
+    import json
+
+    from aws_weather_data_pipeline_spark.streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+        running_user_stats,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    def ev(eid, ts, uid, etype, value):
+        return {
+            "event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": etype, "value": value,
+        }
+
+    file_a = [
+        ev(1, "2024-01-01T10:00:00", 1, "view", 5.0),
+        ev(5, "2024-01-01T10:30:00", 1, "click", 9.0),
+        ev(2, "2024-01-01T10:05:00", 2, "view", 3.0),
+    ]
+    file_b = [
+        # same ts as eid 5 but LOWER event_id: must NOT displace the
+        # phase-1 last_event_type (tie resolves to the higher eid,
+        # carried in checkpointed state)
+        ev(4, "2024-01-01T10:30:00", 1, "purchase", 1.0),
+        ev(6, "2024-01-01T11:00:00", 3, "error", 7.0),
+    ]
+
+    def drain(outdir, ckpt):
+        events = spark.readStream.schema(EVENT_STREAM_SCHEMA).json(
+            str(landing)
+        )
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn(
+                "batch_id", F.lit(epoch_id).cast("long")
+            ).write.mode("append").parquet(outdir)
+
+        q = (
+            running_user_stats(events)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    def final_profiles(outdir):
+        from pyspark.sql import Window
+
+        u = spark.read.parquet(outdir)
+        w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+        return {
+            r["user_id"]: (
+                r["n_events"], r["max_value"], r["last_event_type"]
+            )
+            for r in u.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+
+    out_resumed = str(tmp_path / "resumed")
+    ckpt = str(tmp_path / "ckpt")
+    write_file("a.json", file_a)
+    drain(out_resumed, ckpt)          # phase 1, then "crash"
+    write_file("b.json", file_b)
+    drain(out_resumed, ckpt)          # NEW query, SAME checkpoint
+
+    out_control = str(tmp_path / "control")
+    drain(out_control, str(tmp_path / "ckpt_control"))  # uninterrupted
+
+    resumed = final_profiles(out_resumed)
+    control = final_profiles(out_control)
+    assert resumed == control
+    # explicit expectations (not just self-consistency):
+    assert resumed[1] == (3, 9.0, "click")   # tie kept phase-1 type
+    assert resumed[2] == (1, 3.0, "view")    # untouched state survives
+    assert resumed[3] == (1, 7.0, "error")   # new key after resume
