@@ -26,6 +26,7 @@ OPERATOR_MODULES = (
     "sampling",
     "streaming_equiv",
     "layout",
+    "graph",
 )
 
 # The driver's correctness harness checks only the FIRST 50 catalog
@@ -38,25 +39,28 @@ OPERATOR_MODULES = (
 # the current shape), then (c) the stalest remainder, oldest driver
 # row first. Round 6's window = the 43 queries whose latest driver
 # row is r03 (they would hit the 3-round limit this round), the new
-# multimodal_decode_gif, the four queries changed by the r05 ADVICE
-# fixes (sequence_pack_assignment and corpus_build_manifest emit
-# (shard, pack_index) instead of an encoded pack_id;
-# value_outliers_exact moved its moment algebra to decimal(38,0)/
-# HUGEINT; exact_substr_removal's dedup key became 128-bit), and two
-# r04 fills (dedup_cascade_keep_list, near_dup_pairs_embedding — the
-# two most composite r04 plans). The remaining 47 r04-latest queries
-# head round 7's window (they hit age 3 there); the r05-latest block
-# fills round 8. All queries stay continuously oracle-checked by
-# tests/test_catalog_oracle.py regardless of window position.
+# four queries NEW this round (multimodal_decode_gif, scd2_user_state,
+# ann_recall_at_k, pagerank_trade_graph), the two queries whose OUTPUT
+# SCHEMA changed with the r05 ADVICE fixes (sequence_pack_assignment
+# and corpus_build_manifest emit (shard, pack_index) instead of an
+# encoded pack_id — their green r05 rows describe the old shape;
+# value_outliers_exact and exact_substr_removal also changed but only
+# internally, same output contract, so their r05 rows stand), and one
+# r04 fill (dedup_cascade_keep_list, the most composite r04 plan).
+# The remaining 48 r04-latest queries head round 7's window (they hit
+# age 3 there); the r05-latest block fills round 8. All queries stay
+# continuously oracle-checked by tests/test_catalog_oracle.py
+# regardless of window position.
 DRIVER_WINDOW = (
     # --- NEW this round: must be driver-checked at creation time ---
     "multimodal_decode_gif",
-    # --- changed this round (r05 ADVICE fixes): re-evidence the new
-    # --- shapes even though their last rows are green
+    "scd2_user_state",
+    "ann_recall_at_k",
+    "pagerank_trade_graph",
+    # --- output schema changed this round (r05 ADVICE fixes):
+    # --- re-evidence the new shapes even though their rows are green
     "sequence_pack_assignment",
     "corpus_build_manifest",
-    "value_outliers_exact",
-    "exact_substr_removal",
     # --- the 43 queries whose latest driver row is r03 ---
     "ann_ivf_probe_topk",
     "asof_last_click_before_purchase",
@@ -101,9 +105,8 @@ DRIVER_WINDOW = (
     "user_session_windows",
     "validation_aggregates",
     "weather_current_status",
-    # --- r04 fills (the two most composite r04 plans) ---
+    # --- r04 fill (the most composite r04 plan) ---
     "dedup_cascade_keep_list",
-    "near_dup_pairs_embedding",
 )
 
 

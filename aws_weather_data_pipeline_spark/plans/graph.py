@@ -1,0 +1,169 @@
+"""Link-graph analytics: iterative PageRank in exact integer algebra.
+
+Corpus-curation use: link-graph centrality is a standard quality prior
+for web-scale training data (rank pages by the link structure, keep
+the head, downweight the tail). The reference has no graph surface at
+all (its engine is single-pass ETL); this module supplies the
+ITERATIVE-algorithm shape Spark expresses as a chained-join DAG — the
+same family as ``operators/graph.py``'s pointer-jumping connected
+components, but with per-iteration numeric redistribution instead of
+label convergence.
+
+Determinism design: textbook PageRank is float and never hash-stable
+across engines; this implementation carries rank mass as integer
+micro-units (total mass 1e12) and replaces every division with
+explicit FLOOR division — ``div`` in Spark, ``//`` in DuckDB, both
+exact on BIGINT — so after any number of iterations the per-node rank
+is bit-identical on any engine under any partitioning. The damping
+split is (15 * base) div 100 + (85 * inflow) div 100 per node. Floor
+truncation leaks a few units of mass per node per iteration (bounded
+by 2 units/node/iter); ranking order is unaffected and the leak is
+deterministic, which is the property that matters for an oracle-
+checked pipeline gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_tables
+from .registry import QueryCatalog
+
+CATALOG = QueryCatalog()
+
+#: PageRank iterations (unrolled in both engines' plans).
+PR_ITERS = 3
+#: Total rank mass in integer micro-units.
+PR_MASS = 1_000_000_000_000
+#: Offset keeping supplier node ids disjoint from customer keys.
+SUPP_OFFSET = 1_000_000
+
+_EDGE_SQL = f"""
+    e0 AS (
+        SELECT DISTINCT o.o_custkey AS src,
+               l.l_suppkey + {SUPP_OFFSET} AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM e0
+        UNION
+        SELECT dst, src FROM e0
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes)
+"""
+
+
+def _iter_sql(prev: int, cur: int) -> str:
+    return f""",
+    i{cur} AS (
+        SELECT e.dst AS node,
+               CAST(SUM(r.rank_scaled // d.outdeg) AS BIGINT) AS inflow
+        FROM edges e
+        JOIN r{prev} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ),
+    r{cur} AS (
+        SELECT node,
+               (15 * ({PR_MASS} // n)) // 100
+                   + (85 * inflow) // 100 AS rank_scaled
+        FROM i{cur}, nn
+    )"""
+
+
+_PR_SQL = (
+    "WITH "
+    + _EDGE_SQL
+    + f""",
+    r0 AS (
+        SELECT node, {PR_MASS} // n AS rank_scaled FROM nodes, nn
+    )"""
+    + "".join(_iter_sql(i, i + 1) for i in range(PR_ITERS))
+    + f"""
+    SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled
+    FROM r{PR_ITERS}
+    """
+)
+
+
+@CATALOG.add(
+    "pagerank_trade_graph",
+    _PR_SQL,
+    doc=f"Iterative PageRank ({PR_ITERS} unrolled iterations, damping "
+    "0.85) over the customer-supplier trade graph (symmetrized "
+    "distinct (custkey, suppkey) edges from lineitem x orders; "
+    "symmetrization gives every node out-degree >= 1, so there is no "
+    "dangling-mass case to special-case). Rank mass is integer "
+    "micro-units with explicit floor division at every step (Spark "
+    "`div` == DuckDB `//`), making the result bit-identical across "
+    "engines — the determinism that lets a link-graph quality prior "
+    "gate a training corpus reproducibly (the Common-Crawl-style "
+    "head/tail cut). Plan: edges and degrees materialize once; each "
+    "iteration is ONE equi-join of the (node, rank) frame against "
+    "the edge list plus ONE hash aggregation on dst — rank state is "
+    "O(nodes), never O(edges). At 100 TB the edge list is "
+    "partitioned by src and the rank frame co-partitions with it, so "
+    "every iteration reuses the same shuffle layout; like the "
+    "pointer-jumping CC in operators/graph.py, lineage is cut with "
+    "a checkpoint every few iterations (here the unrolled depth is "
+    f"{PR_ITERS}, well under the lineage limit).",
+    tags=("join", "agg", "profiling"),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    e0 = (
+        t["lineitem"]
+        .join(
+            t["orders"],
+            t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # The edge list is loop-INVARIANT but referenced by every unrolled
+    # iteration — persist it so the symmetrize+distinct+degree build
+    # runs once, not once per iteration (the 100 TB analog: a
+    # materialized, src-partitioned edge table that every iteration's
+    # join reuses). Like connected_components, this is an iterative
+    # ALGORITHM, so one count() action both materializes the cache
+    # and pins N — the per-node base share then folds into the plan
+    # as a literal instead of a per-iteration scalar cross-join.
+    edges_deg = edges.join(deg, "src").persist()
+    n = edges_deg.select("src").distinct().count()
+    base = PR_MASS // n
+    ranks = (
+        edges_deg.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(base).cast("bigint").alias("rank_scaled"))
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = inflow.select(
+            "node",
+            (
+                F.lit((15 * base) // 100).cast("bigint")
+                + F.expr("(85 * inflow) div 100")
+            ).alias("rank_scaled"),
+        )
+    return ranks.select(
+        "node", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
+    )

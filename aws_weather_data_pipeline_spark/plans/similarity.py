@@ -1411,6 +1411,100 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF probe vs exact kNN
+# --------------------------------------------------------------------------
+
+#: Cutoff for the recall comparison (the IVF query returns top-5).
+RECALL_K = 5
+
+
+@CATALOG.add(
+    "ann_recall_at_k",
+    _KNN_BASE_SQL
+    + f""",
+    exact AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT qn.query_id, nn.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qn.query_id
+                       ORDER BY {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) DESC,
+                                nn.neighbor_id
+                   ) AS rnk
+            FROM qn CROSS JOIN nn
+            WHERE qn.nrm > 0 AND nn.nrm > 0
+        ) WHERE rnk <= {RECALL_K}
+    ),
+    qlab AS (
+        SELECT qn.query_id, qn.v, qn.nrm, e.label
+        FROM qn JOIN embeddings e ON e.vec_id = qn.query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT qn.query_id, nn.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qn.query_id
+                       ORDER BY {_DOT_SQL} / sqrt(qn.nrm * nn.nrm) DESC,
+                                nn.neighbor_id
+                   ) AS rnk
+            FROM qlab qn JOIN nn ON nn.label = qn.label
+            WHERE qn.nrm > 0 AND nn.nrm > 0
+        ) WHERE rnk <= {RECALL_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({RECALL_K} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) * 1000 // {RECALL_K} AS BIGINT)
+               AS recall_permille
+    FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+    doc=f"ANN index-quality evaluation: per-query recall@{RECALL_K} "
+    "of the IVF cell probe against the brute-force exact kNN — the "
+    "measurement every production ANN deployment runs before trusting "
+    "an index (and re-runs on drift). Composes the two "
+    "already-verified operators as plan fragments: the exact top-k "
+    "and the probed top-k share one scan+quantization subtree, then a "
+    "LEFT join on (query_id, neighbor_id) counts matches — "
+    "COUNT(non-null) over the left join keeps 0-recall queries in "
+    "the output (an inner-join recall metric silently drops exactly "
+    "the queries that matter most). Recall is emitted as an exact "
+    "integer permille (hits*1000 div k) — no float division, "
+    "hash-stable. At 100 TB this runs on a SAMPLE of queries "
+    "(first-N here stands in for the sampled panel) against the full "
+    "corpus: cost = one exact-kNN pass over the panel, the one "
+    "measurement that justifies trusting the cheap path for "
+    "everything else.",
+    tags=("similarity", "embedding", "join", "profiling"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        knn_cosine_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        ann_ivf_probe_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.lit(RECALL_K).cast("bigint").alias("k"),
+            F.expr(f"n_hits * 1000 div {RECALL_K}")
+            .cast("bigint")
+            .alias("recall_permille"),
+        )
+    )
+
+
 # The clusters oracle embeds the near-dup pairs oracle as its edge set —
 # attached post-registration so the two can never drift apart.
 CATALOG.queries["near_dup_clusters"].oracle = _CLUSTERS_SQL.format(

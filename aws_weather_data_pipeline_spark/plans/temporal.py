@@ -458,3 +458,105 @@ def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_trailing"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension build (validity intervals from an event stream)
+# --------------------------------------------------------------------------
+
+
+@CATALOG.add(
+    "scd2_user_state",
+    """
+    WITH chg AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ver AS (
+        SELECT user_id, event_type, ts,
+               SUM(is_change) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS version
+        FROM chg
+    ),
+    runs AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               event_type AS state,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ver GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER pv AS valid_to,
+           (lead(valid_from) OVER pv IS NULL) AS is_current,
+           n_events
+    FROM runs
+    WINDOW pv AS (PARTITION BY user_id ORDER BY version)
+    """,
+    doc="Slowly-Changing-Dimension Type 2 build from an event stream: "
+    "per user, consecutive runs of the same event_type (ordered by "
+    "(ts, event_id) — a total order, so run boundaries are "
+    "deterministic under any partitioning) collapse into versioned "
+    "validity intervals [valid_from, valid_to) with an is_current "
+    "flag — the warehouse dimension-history primitive every lakehouse "
+    "pipeline needs (user state history, label provenance, "
+    "consent/policy tracking for training-data governance). Classic "
+    "gaps-and-islands: ONE shuffle on user_id serves the change "
+    "flags, the running version number, the per-run aggregate, AND "
+    "the lead() that closes each interval — Catalyst reuses the "
+    "partitioning across all four (same key, no re-shuffle). At "
+    "100 TB the incremental form processes only new events: the open "
+    "(is_current) row per user is the only carried state, merged via "
+    "the same dynamic-partition-overwrite upsert as the aggregate "
+    "sink (sinks/writers.py), exactly how SCD2 merge works on a real "
+    "lakehouse table.",
+    tags=("temporal", "window", "agg"),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    ver = chg.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_change")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("version"),
+    )
+    runs = ver.groupBy(
+        "user_id", "version", F.col("event_type").alias("state")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    pv = W.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(pv).alias("valid_to"),
+        F.lead("valid_from").over(pv).isNull().alias("is_current"),
+        "n_events",
+    )

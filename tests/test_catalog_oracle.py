@@ -53,7 +53,7 @@ def test_catalog_never_shrinks():
         if importlib.util.find_spec(f"{pkg}.{m}") is None
     ]
     assert not missing, f"operator modules not importable: {missing}"
-    assert len(CATALOG.queries) >= 144, sorted(CATALOG.queries)
+    assert len(CATALOG.queries) >= 147, sorted(CATALOG.queries)
 
 
 def test_driver_window_is_first_50_catalog_entries():

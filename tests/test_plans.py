@@ -26,6 +26,9 @@ ALLOWED_HINTS = {
     "weather_current_status": 1,
     "knn_cosine_topk": 1,
     "ann_ivf_probe_topk": 1,
+    # recall@k composes the two plans above — it inherits both
+    # (provably ≤N_QUERY) query-vector hints, adding none of its own.
+    "ann_recall_at_k": 2,
     # ≤N_QUERY query vectors — provably bounded.
     "ann_hyperplane_lsh_topk": 1,
     # the one-row corpus count (vocabulary df side is NOT hinted).
@@ -890,3 +893,79 @@ def test_pq_codebook_source_agnostic_kmeans_training(spark, sf_dir):
         codes0.unpersist(False)
     finally:
         sub.unpersist(False)
+
+
+def test_pagerank_conserves_integer_mass(spark, sf_dir):
+    """Floor-division PageRank may only LEAK mass (a few units per
+    edge per iteration — ~1e-7 of total here), never create it.
+    Duplicated edges, a broken join, or double-counted inflow would
+    inflate the total; a lost partition would crater it."""
+    from aws_weather_data_pipeline_spark.plans.graph import (
+        PR_MASS,
+        pagerank_trade_graph,
+    )
+
+    rows = pagerank_trade_graph(spark, sf_dir).collect()
+    total = sum(r["rank_scaled"] for r in rows)
+    assert total <= PR_MASS
+    assert total >= int(PR_MASS * 0.99)
+    assert all(r["rank_scaled"] > 0 for r in rows)
+    # symmetrized bipartite graph: every node keeps a row
+    assert len(rows) == len({r["node"] for r in rows})
+
+
+def test_scd2_intervals_partition_user_history(spark, sf_dir):
+    """SCD2 output must PARTITION each user's history: exactly one
+    open (is_current) version, contiguous version numbers, intervals
+    chained valid_to == next valid_from, and run sizes summing to the
+    user's full event count."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from aws_weather_data_pipeline_spark.plans.temporal import (
+        _events,
+        scd2_user_state,
+    )
+
+    rows = scd2_user_state(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(by_user) == set(ev_counts)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(
+            range(1, len(vs) + 1)
+        )
+        assert sum(v["n_events"] for v in vs) == ev_counts[uid]
+        assert [v["is_current"] for v in vs] == [False] * (
+            len(vs) - 1
+        ) + [True]
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            # consecutive versions always differ in state — that's
+            # what makes them versions
+            assert a["state"] != b["state"]
+        assert vs[-1]["valid_to"] is None
+
+
+def test_ann_recall_keeps_zero_hit_queries(spark, sf_dir):
+    from aws_weather_data_pipeline_spark.plans.similarity import (
+        N_QUERY,
+        RECALL_K,
+        ann_recall_at_k,
+    )
+
+    rows = ann_recall_at_k(spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == set(range(N_QUERY))
+    for r in rows:
+        assert 0 <= r["n_hits"] <= RECALL_K
+        assert r["recall_permille"] == r["n_hits"] * 1000 // RECALL_K

@@ -292,3 +292,102 @@ def test_stateful_running_stats_checkpoint_crash_resume(spark, tmp_path):
     assert resumed[1] == (3, 9.0, "click")   # tie kept phase-1 type
     assert resumed[2] == (1, 3.0, "view")    # untouched state survives
     assert resumed[3] == (1, 7.0, "error")   # new key after resume
+
+
+def test_stateful_operator_under_rocksdb_state_store(spark, tmp_path):
+    """100 TB posture test: production stateful streams run on the
+    RocksDB state store provider (off-heap, spillable, incremental
+    checkpoints) — the default in-memory provider caps state at
+    executor heap. The custom applyInPandasWithState operator must be
+    provider-agnostic: the same two-phase drain-with-resume under
+    RocksDB yields exactly the default-provider profiles, proving
+    both providers serialize/restore the state rows identically."""
+    import json
+
+    from aws_weather_data_pipeline_spark.streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+        running_user_stats,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    def ev(eid, ts, uid, etype, value):
+        return {
+            "event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": etype, "value": value,
+        }
+
+    file_a = [
+        ev(1, "2024-01-01T10:00:00", 1, "view", 5.0),
+        ev(2, "2024-01-01T10:05:00", 2, "view", 3.0),
+    ]
+    file_b = [
+        ev(3, "2024-01-01T10:30:00", 1, "click", 9.0),
+        ev(4, "2024-01-01T11:00:00", 3, "error", 7.0),
+    ]
+
+    def drain(outdir, ckpt):
+        events = spark.readStream.schema(EVENT_STREAM_SCHEMA).json(
+            str(landing)
+        )
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn(
+                "batch_id", F.lit(epoch_id).cast("long")
+            ).write.mode("append").parquet(outdir)
+
+        q = (
+            running_user_stats(events)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    def final_profiles(outdir):
+        from pyspark.sql import Window
+
+        u = spark.read.parquet(outdir)
+        w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+        return {
+            r["user_id"]: (
+                r["n_events"], r["max_value"], r["last_event_type"]
+            )
+            for r in u.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        write_file("a.json", file_a)
+        drain(str(tmp_path / "rocks"), str(tmp_path / "ckpt_rocks"))
+        write_file("b.json", file_b)  # resume against RocksDB state
+        drain(str(tmp_path / "rocks"), str(tmp_path / "ckpt_rocks"))
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    drain(str(tmp_path / "default"), str(tmp_path / "ckpt_default"))
+
+    rocks = final_profiles(str(tmp_path / "rocks"))
+    default = final_profiles(str(tmp_path / "default"))
+    assert rocks == default
+    assert rocks[1] == (2, 9.0, "click")
+    assert rocks[2] == (1, 3.0, "view")
+    assert rocks[3] == (1, 7.0, "error")
