@@ -969,3 +969,32 @@ def test_ann_recall_keeps_zero_hit_queries(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= RECALL_K
         assert r["recall_permille"] == r["n_hits"] * 1000 // RECALL_K
+
+
+def test_scd2_reuses_one_user_shuffle(spark, sf_dir):
+    """The SCD2 plan must hash-exchange on user_id exactly ONCE: the
+    change flags, the running version, the per-run aggregate, and the
+    interval-closing lead() all consume the same partitioning. A
+    second exchange means a window or grouping key drifted off
+    user_id and the plan re-shuffles the full event stream."""
+    df = CATALOG.queries["scd2_user_state"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, (
+        f"scd2_user_state has {n_exchanges} hash exchanges, "
+        "expected 1 (all stages share the user_id partitioning)"
+    )
+
+
+def test_pagerank_has_no_cartesian_or_nlj(spark, sf_dir):
+    """Every PageRank iteration must be an equi-join against the edge
+    list; with the node count folded in as a literal there is no
+    scalar cross-join left. A CartesianProduct or
+    BroadcastNestedLoopJoin anywhere would be quadratic at scale."""
+    from aws_weather_data_pipeline_spark.plans.graph import (
+        pagerank_trade_graph,
+    )
+
+    plan = _formatted(pagerank_trade_graph(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
