@@ -141,15 +141,11 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    """PNG Paeth predictor (RFC 2083 §6.6): left/up/up-left pick."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
+# The Paeth predictor (RFC 2083 §6.6) lives as lane-vectorized numpy
+# in both encode_png and _decode_png: pa=|b-c|, pb=|a-c|, pc=|a+b-2c|
+# with the left/up/up-left pick via np.where — no scalar helper, so
+# the two copies are pinned against each other by the round-trip
+# property test.
 
 
 def encode_png(raster: bytes, width: int, height: int) -> bytes:
@@ -332,7 +328,12 @@ def encode_wav(
     codec pair."""
     import struct
 
-    arr = np.asarray(samples, dtype=np.int64)
+    arr = np.asarray(samples)
+    if arr.size and not np.issubdtype(arr.dtype, np.integer):
+        # struct.pack previously rejected non-int samples loudly; a
+        # dtype-coercing asarray would silently floor floats instead.
+        raise ValueError(f"samples must be integers, got {arr.dtype}")
+    arr = arr.astype(np.int64)
     if arr.size % max(n_channels, 1):
         raise ValueError(
             f"{arr.size} samples not divisible by {n_channels} "

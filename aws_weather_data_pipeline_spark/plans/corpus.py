@@ -525,8 +525,10 @@ DSIR_PPM = 1_000_000
     ),
     model AS (
         SELECT bucket,
-               ((tgt.c * {DSIR_PPM} // tt) * {LM_SCALE})
-                   // ((raw.c * {DSIR_PPM} // rt) + 1) AS term
+               ((CAST(tgt.c AS HUGEINT) * {DSIR_PPM} // tt)
+                    * {LM_SCALE})
+                   // ((CAST(raw.c AS HUGEINT) * {DSIR_PPM} // rt) + 1)
+                   AS term
         FROM tgt JOIN raw USING (bucket) CROSS JOIN totals
     )
     SELECT doc_id,
@@ -590,9 +592,17 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
+            # tc/rc are corpus-wide per-bucket token counts: tc*1e6
+            # wraps BIGINT past ~9e12 tokens (a 100 TB corpus holds
+            # ~2.5e13) — carry the ppm products in decimal(38,0)/
+            # HUGEINT from the first multiplication (r06 self-audit,
+            # value_outliers_exact ADVICE class). The div results are
+            # <=1e6 and <=1e9, back in bigint range.
             F.expr(
-                f"((tc * {DSIR_PPM} div tt) * {LM_SCALE})"
-                f" div ((rc * {DSIR_PPM} div rt) + 1)"
+                f"((cast(tc as decimal(38,0)) * {DSIR_PPM} div tt)"
+                f" * {LM_SCALE})"
+                f" div ((cast(rc as decimal(38,0)) * {DSIR_PPM} div rt)"
+                " + 1)"
             ).alias("term"),
         )
     )
@@ -993,14 +1003,19 @@ def exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edit, and at ~1e13 windows a single 64-bit key has millions of
     # expected birthday collisions, each silently deleting an
     # unrelated span; 128 bits pushes the expected collision count to
-    # ~1e-12). No per-window string materialization (the oracle
-    # builds md5 strings — also 128-bit; only equality is compared
-    # within each engine, values never reach the output).
+    # ~1e-12). The salt is the FIRST hash argument: Spark's multi-arg
+    # xxhash64 chains arguments through one running 64-bit state, so
+    # a TRAILING salt would make h2 = XXH64(salt, seed=h1) — a pure
+    # function of h1, adding zero collision resistance. Salt-first
+    # changes the state before the slice is absorbed, so h1/h2
+    # collide independently. No per-window string materialization
+    # (the oracle builds md5 strings — also 128-bit; only equality
+    # is compared within each engine, values never reach the output).
     spans = F.expr(
         f"transform(sequence(0, size(tokens)-{n}),"
         f" i -> struct(i AS pos, struct("
         f"xxhash64(slice(tokens, i + 1, {n})) AS h1,"
-        f" xxhash64(slice(tokens, i + 1, {n}), 'salt2') AS h2) AS gh))"
+        f" xxhash64('salt2', slice(tokens, i + 1, {n})) AS h2) AS gh))"
     )
     w = (
         t.filter(F.size("tokens") >= n)

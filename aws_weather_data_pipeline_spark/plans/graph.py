@@ -35,13 +35,17 @@ CATALOG = QueryCatalog()
 PR_ITERS = 3
 #: Total rank mass in integer micro-units.
 PR_MASS = 1_000_000_000_000
-#: Offset keeping supplier node ids disjoint from customer keys.
-SUPP_OFFSET = 1_000_000
 
-_EDGE_SQL = f"""
+# Node ids are STRUCTURALLY disjoint — customer c -> 2c, supplier
+# s -> 2s+1 — never offset-based: an additive offset collides as soon
+# as custkey exceeds it (TPC-H custkey = 150k x SF crosses any fixed
+# constant; the same defect class as the shard*1e6 pack_id ADVICE
+# r05 removed), while parity-tagging is collision-free at every SF.
+
+_EDGE_SQL = """
     e0 AS (
-        SELECT DISTINCT o.o_custkey AS src,
-               l.l_suppkey + {SUPP_OFFSET} AS dst
+        SELECT DISTINCT o.o_custkey * 2 AS src,
+               l.l_suppkey * 2 + 1 AS dst
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     edges AS (
@@ -93,8 +97,10 @@ _PR_SQL = (
     _PR_SQL,
     doc=f"Iterative PageRank ({PR_ITERS} unrolled iterations, damping "
     "0.85) over the customer-supplier trade graph (symmetrized "
-    "distinct (custkey, suppkey) edges from lineitem x orders; "
-    "symmetrization gives every node out-degree >= 1, so there is no "
+    "distinct (custkey, suppkey) edges from lineitem x orders, node "
+    "ids parity-tagged 2c / 2s+1 so the two key spaces are disjoint "
+    "at ANY scale factor; symmetrization gives every node "
+    "out-degree >= 1, so there is no "
     "dangling-mass case to special-case). Rank mass is integer "
     "micro-units with explicit floor division at every step (Spark "
     "`div` == DuckDB `//`), making the result bit-identical across "
@@ -120,8 +126,8 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
         )
         .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )

@@ -197,8 +197,9 @@ TEMP_MODULUS = 1_000_000
     ),
     r AS (
         SELECT source, c,
-               ({TEMP_MODULUS} * {TEMP_TARGET_DOCS} * sq)
-                   // ((SELECT SUM(sq) FROM s) * c) AS thresh
+               (CAST({TEMP_MODULUS} AS HUGEINT) * {TEMP_TARGET_DOCS} * sq)
+                   // (CAST((SELECT SUM(sq) FROM s) AS HUGEINT) * c)
+                   AS thresh
         FROM s
     )
     SELECT d.doc_id, d.source, CAST(r.thresh AS BIGINT) AS thresh
@@ -234,10 +235,18 @@ def temperature_mixture_sample(
         ),
     )
     tot = s.agg(F.sum("sq").alias("tot"))
+    # Threshold algebra in decimal(38,0)/HUGEINT from the FIRST
+    # multiplication (the value_outliers_exact ADVICE class, found by
+    # the r06 self-audit): tot*c >= c^1.5 * 1000 crosses BIGINT at
+    # ~4e10 docs per source — ~100 TB of ~2 KB documents, exactly the
+    # advertised regime. Spark decimal `div` floors and returns
+    # bigint, matching DuckDB HUGEINT `//`.
     r = s.crossJoin(F.broadcast(tot)).select(
         "source",
         F.expr(
-            f"({TEMP_MODULUS}L * {TEMP_TARGET_DOCS} * sq) div (tot * c)"
+            f"(cast({TEMP_MODULUS} as decimal(38,0))"
+            f" * {TEMP_TARGET_DOCS} * sq)"
+            " div (cast(tot as decimal(38,0)) * c)"
         )
         .cast("bigint")
         .alias("thresh"),

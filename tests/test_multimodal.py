@@ -384,9 +384,18 @@ def test_lzw_roundtrip_property():
         assert _lzw_decode(_lzw_encode(stream, mcs), mcs) == stream
 
     check()
-    # deterministic long low-entropy stream: crosses 9→12-bit widths
-    # AND the 4096-entry clear-reset inside one frame
-    big = bytes((i * i) % 7 for i in range(60000))
+    # Deterministic high-entropy stream: verified by instrumenting
+    # the encoder's dictionary — this exact stream reaches the full
+    # 12-bit code width and fires the 4096-entry clear-reset 15
+    # times. (A low-entropy periodic stream does NOT get there: its
+    # phrases lengthen so the dictionary only reaches ~1.2k entries
+    # over 60k symbols — review r06 caught that gap.) The hypothesis
+    # cases above cap at 4000 symbols and cannot reach the reset
+    # either, so this is the codec's only reset-path coverage.
+    import random as _random
+
+    rng = _random.Random(12345)
+    big = bytes(rng.randrange(256) for _ in range(60000))
     assert _lzw_decode(_lzw_encode(big, 8), 8) == big
 
 

@@ -40,10 +40,15 @@ def _latest_green_rows() -> tuple[dict[str, int], int]:
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            # Green = no error and matching rows; hash_match may be
-            # absent/None for rows-only (non-SQL-expressible) checks.
-            if row.get("err") is None and row.get("rows_match") and (
-                row.get("hash_match") is not False
+            # Green = no error, matching rows, matching schema;
+            # hash_match may be absent/None for rows-only
+            # (non-SQL-expressible) checks, but an explicit False on
+            # any compare field disqualifies the row as evidence.
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
             ):
                 latest[name] = max(latest.get(name, 0), rnd)
     assert rounds, "no CORRECTNESS_r*.json files found"
