@@ -49,6 +49,11 @@ N_MINHASH = 16
 N_BANDS = 8
 ROWS_PER_BAND = 2
 assert N_BANDS * ROWS_PER_BAND == N_MINHASH
+# _minhash_bands and _BANDS_SQL join on exactly TWO keys per band
+# (k1, k2); retuning ROWS_PER_BAND without generalizing them would
+# silently weaken the low-J rejection to 1-(1-J^2)^b while all other
+# guards still pass (review r06).
+assert ROWS_PER_BAND == 2, "band join keys are hard-coded for r=2"
 
 JACCARD_THRESHOLD = 0.6
 
@@ -509,55 +514,61 @@ def near_dup_pairs_simhash(
     from .text import simhash_frame
 
     sigs = simhash_frame(spark, sf_dir)
-    if materialize:
-        # band self-join = two branches over the signature scan
-        sigs = sigs.persist()
-        sigs.count()
-    # One generator pass over the signatures (posexplode), not a
-    # 5-way union — same lesson as the MinHash bands.
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"(simhash >> {j * SIMHASH_BAND_BITS})"
-                        f" & {(1 << SIMHASH_BAND_BITS) - 1}"
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sig_a"),
-        "band",
-        "bucket",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sig_b"),
-        "band",
-        "bucket",
-    )
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
-    out = (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .select("doc_a", "doc_b", "hamming")
-    )
+
+    def build(s: DataFrame) -> DataFrame:
+        # One generator pass over the signatures (posexplode), not a
+        # 5-way union — same lesson as the MinHash bands.
+        bands = s.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"(simhash >> {j * SIMHASH_BAND_BITS})"
+                            f" & {(1 << SIMHASH_BAND_BITS) - 1}"
+                        )
+                        for j in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sig_a"),
+            "band",
+            "bucket",
+        )
+        b = bands.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sig_b"),
+            "band",
+            "bucket",
+        )
+        cand = (
+            a.join(b, on=["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+            .distinct()
+        )
+        hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+        return (
+            cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+            .select("doc_a", "doc_b", "hamming")
+        )
+
     if not materialize:
-        return out
+        return build(sigs)
+    # band self-join = two branches over the signature scan. The try
+    # opens IMMEDIATELY after the persist is filled so any failure
+    # during plan construction still unpersists (review r06: the old
+    # shape leaked the cache entry on an AnalysisException between
+    # count() and the detach).
+    sigs = sigs.persist()
+    sigs.count()
     try:
-        return _detach(out)
+        return _detach(build(sigs))
     finally:
         sigs.unpersist(False)
 
@@ -604,15 +615,24 @@ def near_dup_pairs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
-        .filter(F.col("n_shared_fps") >= WINNOW_SHARED_THRESHOLD)
-    )
+    # Both self-join branches read fps: persist so the windowed
+    # fingerprint pipeline (posexplode + two window passes) runs once,
+    # not once per side — Spark does not dedupe common subplans
+    # (review r06; same discipline as the other pairs queries).
+    fps = fps.persist()
+    fps.count()
+    try:
+        a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+        b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+        return _detach(
+            a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+            .filter(F.col("n_shared_fps") >= WINNOW_SHARED_THRESHOLD)
+        )
+    finally:
+        fps.unpersist(False)
 
 
 def _attach_winnow_pairs_oracle() -> None:
@@ -771,8 +791,13 @@ def near_dup_pairs_ngram(
 # Near-dup clusters: connected components + keeper assignment
 # --------------------------------------------------------------------------
 
-_CLUSTERS_SQL = f"""
-WITH RECURSIVE p AS ({{pairs}}),
+#: Shared recursive transitive-closure fragment: symmetrized edges ->
+#: full reachability -> (used by all four cluster-consuming oracles).
+#: ONE definition so a change to the closure (seeding, symmetrization,
+#: keeper rule) can never desynchronize the clusters / cascade /
+#: group-split / manifest oracles (review r06: it was pasted 4x).
+#: Keeps the literal {pairs} placeholder for the attach-time .format.
+_REACH_SQL = """WITH RECURSIVE p AS ({pairs}),
 e AS (
     SELECT doc_a AS u, doc_b AS v FROM p
     UNION
@@ -782,7 +807,13 @@ reach(u, v) AS (
     SELECT u, u FROM e
     UNION
     SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-)
+)"""
+
+#: The min-label cluster map most consumers want on top of the closure.
+_CLUSTER_MAP_SQL = _REACH_SQL + """,
+cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)"""
+
+_CLUSTERS_SQL = _REACH_SQL + """
 SELECT u AS doc_id, MIN(v) AS cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_component,
        u = MIN(v) AS is_keeper
@@ -926,6 +957,13 @@ def near_dup_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Queries are the first N_QUERY vec_ids; neighbors are everything else.
 N_QUERY = 5
 TOP_K = 10
+#: Top-k returned by every PROBED ANN variant (IVF, hyperplane
+#: LSH, multiprobe) — and therefore the k of the recall@k
+#: evaluation, which compares them against the exact baseline.
+#: One constant so the three oracles, the three builders, and
+#: ann_recall_at_k can never drift apart (review r06: the
+#: literals were independent and only accidentally equal).
+PROBE_TOP_K = 5
 
 _KNN_BASE_SQL = f"""
 WITH q AS (
@@ -1180,7 +1218,7 @@ def _bucket_col() -> F.Column:
         FROM qb qn JOIN nb nn ON nn.bucket = qn.bucket
         WHERE qn.nrm > 0 AND nn.nrm > 0
     )
-    WHERE rnk <= 5
+    WHERE rnk <= {PROBE_TOP_K}
     """,
     doc=f"Hyperplane-LSH bucketed ANN: {N_PLANES} fixed random ±1 "
     "hyperplanes (literal weight arrays, identical in both engines) "
@@ -1227,7 +1265,7 @@ def ann_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= PROBE_TOP_K)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
 
@@ -1264,7 +1302,7 @@ _PROBE_XORS = [0] + [1 << k for k in range(N_PLANES)]
         FROM qp qn JOIN nb nn ON nn.bucket = qn.bucket
         WHERE qn.nrm > 0 AND nn.nrm > 0
     )
-    WHERE rnk <= 5
+    WHERE rnk <= {PROBE_TOP_K}
     """,
     doc=f"MULTIPROBE hyperplane LSH — the recall knob the single-probe "
     "query's doc promises, built: each query probes its own sign-bit "
@@ -1325,7 +1363,7 @@ def ann_multiprobe_lsh_topk(
     )
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= PROBE_TOP_K)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
 
@@ -1355,7 +1393,7 @@ def ann_multiprobe_lsh_topk(
         FROM qlab qn JOIN nn ON nn.label = qn.label
         WHERE qn.nrm > 0 AND nn.nrm > 0
     )
-    WHERE rnk <= 5
+    WHERE rnk <= {PROBE_TOP_K}
     """,
     doc="IVF-probed ANN: the corpus is pre-assigned to coarse cells "
     "(here the label column stands in for the k-means cell id a real "
@@ -1406,7 +1444,7 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= PROBE_TOP_K)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
 
@@ -1416,7 +1454,7 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: Cutoff for the recall comparison (the IVF query returns top-5).
-RECALL_K = 5
+RECALL_K = PROBE_TOP_K
 
 
 @CATALOG.add(
@@ -1465,9 +1503,13 @@ RECALL_K = 5
     "of the IVF cell probe against the brute-force exact kNN — the "
     "measurement every production ANN deployment runs before trusting "
     "an index (and re-runs on drift). Composes the two "
-    "already-verified operators as plan fragments: the exact top-k "
-    "and the probed top-k share one scan+quantization subtree, then a "
-    "LEFT join on (query_id, neighbor_id) counts matches — "
+    "already-verified operators: the ORACLE's exact and probed top-k "
+    "share one scan+quantization CTE; the Spark side reuses the two "
+    "builders as-is, so each scans and quantizes the embeddings "
+    "independently (Spark does not dedupe common subplans — at a "
+    "scale where the scan dominates, persist one shared quantized "
+    "base frame and thread it through both, the pairs= pattern). "
+    "Then a LEFT join on (query_id, neighbor_id) counts matches — "
     "COUNT(non-null) over the left join keeps 0-recall queries in "
     "the output (an inner-join recall metric silently drops exactly "
     "the queries that matter most). Recall is emitted as an exact "
@@ -1887,19 +1929,7 @@ def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Full dedup cascade: exact + near-dup → one keep decision per document
 # --------------------------------------------------------------------------
 
-_CASCADE_SQL = """
-WITH RECURSIVE p AS ({pairs}),
-e AS (
-    SELECT doc_a AS u, doc_b AS v FROM p
-    UNION
-    SELECT doc_b, doc_a FROM p
-),
-reach(u, v) AS (
-    SELECT u, u FROM e
-    UNION
-    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-),
-cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+_CASCADE_SQL = _CLUSTER_MAP_SQL + """,
 h AS (SELECT doc_id, md5(text) AS ch FROM documents),
 ek AS (SELECT ch, MIN(doc_id) AS exact_keeper FROM h GROUP BY ch),
 r AS (
@@ -2117,7 +2147,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(v.dup_of) AS BIGINT) AS n_near_dups,
            MIN(v.dup_of) AS first_dup_of,
            COUNT(v.dup_of) = 0 AS is_new
-    FROM sets s LEFT JOIN ver v USING (doc_id)
+    FROM (SELECT doc_id FROM documents) s
+    LEFT JOIN ver v USING (doc_id)
     WHERE s.doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
     GROUP BY s.doc_id"""
     ),
@@ -2127,7 +2158,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{BATCH_MOD} = {BATCH_REMAINDER}) probes the existing corpus via "
     "an ASYMMETRIC band join (batch bands × corpus bands — never "
     "corpus × corpus), exact-Jaccard-verifies only the colliding "
-    "pairs, and emits one row per batch doc: match count, first "
+    "pairs, and emits one row per EVERY batch doc — including "
+    "sub-shingle-length (<3-token) docs, which cannot match and "
+    "arrive is_new=true: match count, first "
     "(minimum) corpus duplicate, and an is_new keep flag. At 100 TB "
     "the corpus side is a persisted SIGNATURE INDEX (16 bigints + "
     "shingle hashes per doc, no text), so daily cost is O(batch + "
@@ -2172,9 +2205,16 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(jaccard >= JACCARD_THRESHOLD)
             .select("doc_id", "dup_of")
         )
-        batch = sigs.filter(
-            F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER
-        ).select("doc_id")
+        # Keep-list base = ALL batch docs from the source table, not
+        # the shingle frame: _with_shingles drops docs under 3 tokens,
+        # and a keep-list that silently omits them would lose those
+        # documents at ingest (review r06). A shingle-less doc cannot
+        # near-dup-match, so it lands as is_new=true.
+        batch = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER)
+            .select("doc_id")
+        )
         out = (
             batch.join(ver, "doc_id", "left")
             .groupBy("doc_id")
@@ -2319,19 +2359,7 @@ _attach_split_leakage_oracle()
 # Leakage-safe split assignment (split by near-dup GROUP, not by doc)
 # --------------------------------------------------------------------------
 
-_GROUP_SPLIT_SQL = """
-WITH RECURSIVE p AS ({pairs}),
-e AS (
-    SELECT doc_a AS u, doc_b AS v FROM p
-    UNION
-    SELECT doc_b, doc_a FROM p
-),
-reach(u, v) AS (
-    SELECT u, u FROM e
-    UNION
-    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-),
-cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+_GROUP_SPLIT_SQL = _CLUSTER_MAP_SQL + """,
 g AS (
     SELECT d.doc_id,
            COALESCE(cl.cluster_id, d.doc_id) AS group_key
@@ -2424,19 +2452,7 @@ _attach_group_split_oracle()
 # Capstone: the full corpus-build manifest in ONE composed plan
 # --------------------------------------------------------------------------
 
-_MANIFEST_SQL = """
-WITH RECURSIVE p AS ({pairs}),
-e AS (
-    SELECT doc_a AS u, doc_b AS v FROM p
-    UNION
-    SELECT doc_b, doc_a FROM p
-),
-reach(u, v) AS (
-    SELECT u, u FROM e
-    UNION
-    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-),
-cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+_MANIFEST_SQL = _CLUSTER_MAP_SQL + """,
 h AS (SELECT doc_id, md5(text) AS ch FROM documents),
 ek AS (SELECT ch, MIN(doc_id) AS exact_keeper FROM h GROUP BY ch),
 keepers AS (
@@ -2446,15 +2462,10 @@ keepers AS (
       AND (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id)
 ),
 q AS (
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-    FROM documents
-    WHERE (len(string_split(text, ' ')) BETWEEN 15 AND 90)
-      AND (CAST(length(text) - (len(string_split(text, ' ')) - 1)
-                AS DOUBLE) / len(string_split(text, ' '))
-           BETWEEN 2 AND 8)
-      AND len(list_filter(string_split(text, ' '),
-                          x -> x IN ('the', 'a'))) > 0
+    SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS tokens
+          FROM documents)
+    WHERE {quality_gate}
 ),
 g AS (
     SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS gk
@@ -2576,12 +2587,18 @@ def corpus_build_manifest(
 def _attach_manifest_oracle() -> None:
     from .sampling import N_PACK_SHARDS, PACK_BUDGET, TRAIN_HI, VAL_HI
 
+    from .text import quality_gate_sql
+
     CATALOG.queries["corpus_build_manifest"].oracle = _MANIFEST_SQL.format(
         pairs=CATALOG.queries["near_dup_pairs_minhash"].oracle,
         train_hi=TRAIN_HI,
         val_hi=VAL_HI,
         shards=N_PACK_SHARDS,
         budget=PACK_BUDGET,
+        # the gate is text.py's single definition — the Spark side
+        # reaches it through doc_quality_scores, so both engines
+        # retune together (review r06)
+        quality_gate=quality_gate_sql(),
     )
 
 

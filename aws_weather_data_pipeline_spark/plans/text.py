@@ -33,6 +33,29 @@ STOPWORDS = ("the", "a")
 
 _STOP_SQL = "('the', 'a')"
 
+#: Gopher-style quality-gate thresholds — ONE definition consumed by
+#: the Spark builder, this module's oracle, and the
+#: corpus_build_manifest oracle (review r06: the manifest hand-copied
+#: the literals, so a retune here would have silently desynchronized
+#: the capstone's engine-parity check).
+QUALITY_MIN_TOKENS = 15
+QUALITY_MAX_TOKENS = 90
+QUALITY_MIN_AVG_LEN = 2
+QUALITY_MAX_AVG_LEN = 8
+
+
+def quality_gate_sql(tokens: str = "tokens", text: str = "text") -> str:
+    """DuckDB predicate for the document quality gate, over a
+    tokens-array expression and the raw text column."""
+    return (
+        f"(len({tokens}) BETWEEN {QUALITY_MIN_TOKENS}"
+        f" AND {QUALITY_MAX_TOKENS})"
+        f" AND (CAST(length({text}) - (len({tokens}) - 1) AS DOUBLE)"
+        f" / len({tokens}) BETWEEN {QUALITY_MIN_AVG_LEN}"
+        f" AND {QUALITY_MAX_AVG_LEN})"
+        f" AND (len(list_filter({tokens}, x -> x IN {_STOP_SQL})) > 0)"
+    )
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound per-row work: spread under-split scans across cores
@@ -153,10 +176,7 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
                / len(tokens) AS stopword_ratio,
            CAST(length(text) - (len(tokens) - 1) AS DOUBLE) / len(tokens)
                AS avg_token_len,
-           (len(tokens) BETWEEN 15 AND 90)
-               AND (CAST(length(text) - (len(tokens) - 1) AS DOUBLE)
-                    / len(tokens) BETWEEN 2 AND 8)
-               AND (len(list_filter(tokens, x -> x IN {_STOP_SQL})) > 0)
+           {quality_gate_sql()}
                AS passes_quality
     FROM t
     """,
@@ -183,8 +203,8 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (stop_hits.cast("double") / n).alias("stopword_ratio"),
         avg_len.alias("avg_token_len"),
         (
-            n.between(15, 90)
-            & avg_len.between(2, 8)
+            n.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS)
+            & avg_len.between(QUALITY_MIN_AVG_LEN, QUALITY_MAX_AVG_LEN)
             & (stop_hits > 0)
         ).alias("passes_quality"),
     )

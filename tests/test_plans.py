@@ -998,3 +998,26 @@ def test_pagerank_has_no_cartesian_or_nlj(spark, sf_dir):
     plan = _formatted(pagerank_trade_graph(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_fixture_dim_matches_constant(spark, sf_dir):
+    """_EMB_DIM (hyperplane-LSH planes, PQ subspace slicing) is a
+    hard-coded assumption about the embeddings fixture, and the two
+    engines DISAGREE when it drifts: Spark's zip_with null-pads short
+    arrays (dot sum -> null -> bit 0) while DuckDB's out-of-range
+    index skips elements (partial sum -> either bit) — a dim mismatch
+    would surface as a confusing LSH parity failure far from the
+    cause. Fail fast at the fixture instead."""
+    from pyspark.sql import functions as F
+
+    from aws_weather_data_pipeline_spark.plans.similarity import (
+        _EMB_DIM,
+        _emb,
+    )
+
+    bad = (
+        _emb(spark, sf_dir)
+        .filter(F.size("embedding") != _EMB_DIM)
+        .count()
+    )
+    assert bad == 0
