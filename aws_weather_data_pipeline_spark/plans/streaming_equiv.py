@@ -28,13 +28,16 @@ before the sinks), and each micro-batch's write is bounded by
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
 import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import weather as wx
-from ..schemas import FLAT_COLUMNS
+from ..schemas import DERIVED_COLUMNS, FLAT_COLUMNS
 from ..sources.tables import load_tables
 from .registry import QueryCatalog
 
@@ -73,6 +76,36 @@ def _stream_shuffle(spark: SparkSession):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _drain(q) -> None:
+    """Await an availableNow drain to COMPLETION. awaitTermination
+    returns False on timeout without raising — falling through would
+    read a half-written sink (reported as a bogus correctness
+    failure) while the orphaned query keeps running and contends
+    with every later catalog query (review r06). Fail loudly
+    instead."""
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming drain did not finish within 600s; sink is "
+            "partial — not reading it"
+        )
+
+
+def _collect_sink(spark: SparkSession, path, work, columns=None):
+    """Read the drained sink EAGERLY (localCheckpoint) and delete the
+    temp work tree. Builders run repeatedly under bench/driver
+    sweeps; without this every invocation leaked a full landing +
+    sink + checkpoint copy of the fixture into /tmp (review r06).
+    The returned frame holds its rows in block storage, independent
+    of the deleted files."""
+    df = spark.read.parquet(path)
+    if columns is not None:
+        df = df.select(*columns)
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 _CITIES = ("Austin", "Boston", "Chicago", "Denver", "Seattle")
@@ -149,22 +182,15 @@ def write_landing_files(readings: DataFrame, landing_dir: str) -> None:
     envelopes.unpersist()
 
 
-#: Columns compared against the oracle (PROCESSED minus the two
-#: ROUND(double,1) conversion columns — see module docstring).
+#: Columns compared against the oracle: the full processed surface
+#: minus the two ROUND(double,1) conversion columns (see module
+#: docstring). DERIVED from schemas.DERIVED_COLUMNS so a new derived
+#: column automatically joins the equivalence check instead of being
+#: silently skipped (review r06: the list was re-typed by hand).
 COMPARED_COLUMNS = FLAT_COLUMNS + [
-    "comfort_level",
-    "weather_severity",
-    "alert_level",
-    "timestamp_parsed",
-    "hour_of_day",
-    "day_of_week",
-    "is_weekend",
-    "time_of_day",
-    "season",
-    "is_valid_temperature",
-    "is_valid_humidity",
-    "is_valid_pressure",
-    "data_quality_score",
+    c
+    for c in DERIVED_COLUMNS
+    if c not in ("temperature_fahrenheit", "temperature_kelvin")
 ]
 
 #: Shared oracle prefix: events → the fully-enriched reading relation
@@ -223,20 +249,12 @@ _ENRICHED_CTE = f"""
            FROM f3)
 """
 
-#: F5 alert classification, shared by both oracles (same text as
-#: plans/weatherlike._ALERT_SQL; duplicated here because this module's
-#: relation exposes the envelope columns, not the weatherlike CTE's).
-_ALERT_CASE = """
-           CASE WHEN heat_index_celsius > 54 OR precipitation_mm > 50
-                     OR wind_speed_kmh > 80 THEN 'CRITICAL'
-                WHEN heat_index_celsius > 41 OR precipitation_mm > 25
-                     OR wind_speed_kmh > 60 OR visibility_km < 2
-                     OR uv_index > 10 THEN 'WARNING'
-                WHEN heat_index_celsius > 32 OR precipitation_mm > 10
-                     OR wind_speed_kmh > 40 OR uv_index > 8
-                     THEN 'WATCH'
-                ELSE 'NORMAL' END
-"""
+#: F5 alert classification — weatherlike._ALERT_SQL IS the single
+#: definition (it references only envelope columns this module's
+#: `enriched` relation also exposes, so it drops in as-is; review
+#: r06 removed a verbatim copy whose comment wrongly claimed the
+#: column contexts differed).
+from .weatherlike import _ALERT_SQL as _ALERT_CASE  # noqa: E402
 
 _ORACLE = f"""
     {_ENRICHED_CTE}
@@ -324,8 +342,8 @@ def streaming_batch_equivalence(
             spark, landing, processed, alerts, ckpt,
             max_files_per_trigger=1,
         )
-        q.awaitTermination(600)
-    return spark.read.parquet(processed).select(*COMPARED_COLUMNS)
+        _drain(q)
+    return _collect_sink(spark, processed, work, COMPARED_COLUMNS)
 
 
 _WINDOWED_ORACLE = f"""
@@ -367,9 +385,7 @@ _WINDOWED_ORACLE = f"""
 def streaming_windowed_alert_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..sources.readers import flatten_readings
-    from ..streaming.pipeline import read_stream_raw_json
-    from ..functions.weather import apply_transformations
+    from ..streaming.pipeline import read_stream_raw_json, transform_stream
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_window_")
     landing = f"{work}/landing"
@@ -380,9 +396,11 @@ def streaming_windowed_alert_counts(
     # One micro-batch for both files: the watermark then gates only
     # FINAL emission — no mid-stream late-drop dependence on file
     # modification-time ordering, which is not deterministic.
-    proc = apply_transformations(
-        flatten_readings(read_stream_raw_json(spark, landing))
-    )
+    # the CANONICAL parse->flatten->transform chain, not a local
+    # recomposition of its pieces (review r06): an added stage in
+    # transform_stream must propagate here for the "same code path"
+    # claim to stay true
+    proc = transform_stream(read_stream_raw_json(spark, landing))
     agg = (
         proc.withWatermark("timestamp_parsed", "1 hour")
         .groupBy(
@@ -406,8 +424,8 @@ def streaming_windowed_alert_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-    return spark.read.parquet(outdir)
+        _drain(q)
+    return _collect_sink(spark, outdir, work)
 
 
 # --------------------------------------------------------------------------
@@ -419,6 +437,36 @@ def streaming_windowed_alert_counts(
 #: let the stream and the oracle order same-millisecond events
 #: differently.
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _write_typed_landing(
+    spark: SparkSession, sf_dir: str, dirs: dict
+) -> None:
+    """Split the two-day event fixture into one landing dir per
+    event_type (micros-precision JSON) — ONE definition shared by
+    both stream-stream attribution fixtures (review r06: the ~18
+    lines were pasted into each)."""
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF)))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .persist()
+    )
+    for etype, d in dirs.items():
+        ev.filter(F.col("event_type") == etype).coalesce(1).write.mode(
+            "append"
+        ).option("timestampFormat", _TS_FMT).json(d)
+    ev.unpersist()
+
+
+def _typed_stream(spark: SparkSession, d: str) -> DataFrame:
+    from ..streaming.windows import EVENT_STREAM_SCHEMA
+
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("timestampFormat", _TS_FMT)
+        .json(d)
+    )
 
 
 def write_event_landing_files(
@@ -518,11 +566,11 @@ def streaming_running_user_stats(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
 
     from pyspark.sql import Window
 
-    updates = spark.read.parquet(outdir)
+    updates = _collect_sink(spark, outdir, work)
     w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
     return (
         updates.withColumn("rn", F.row_number().over(w))
@@ -573,7 +621,8 @@ _SESSION_WM = "1 hour"
     FROM sess
     GROUP BY user_id, session_id
     HAVING MAX(ts) + INTERVAL '10 minutes'
-              <= (SELECT MAX(ts) FROM base) - INTERVAL '1 hour'
+              <= (SELECT date_trunc('milliseconds', MAX(ts))
+                  FROM base) - INTERVAL '1 hour'
     """,
     doc="Session windows under STREAMING (merging-window state), "
     "driver-checked: the two-day raw-event fixture drains through "
@@ -625,8 +674,8 @@ def streaming_session_windows(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-    return spark.read.parquet(outdir)
+        _drain(q)
+    return _collect_sink(spark, outdir, work)
 
 
 # --------------------------------------------------------------------------
@@ -676,10 +725,7 @@ ATTRIBUTION_HORIZON = "12 hours"
 def streaming_attributed_purchases(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.windows import (
-        EVENT_STREAM_SCHEMA,
-        attributed_purchases,
-    )
+    from ..streaming.windows import attributed_purchases
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_join_")
     clicks_dir = f"{work}/clicks"
@@ -687,30 +733,16 @@ def streaming_attributed_purchases(
     outdir = f"{work}/attributed"
     ckpt = f"{work}/ckpt"
 
-    ev = (
-        load_tables(spark, sf_dir, ("events",))["events"]
-        .filter(F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF)))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .persist()
+    _write_typed_landing(
+        spark, sf_dir,
+        {"click": clicks_dir, "purchase": purchases_dir},
     )
-    for etype, d in (("click", clicks_dir), ("purchase", purchases_dir)):
-        ev.filter(F.col("event_type") == etype).coalesce(1).write.mode(
-            "append"
-        ).option("timestampFormat", _TS_FMT).json(d)
-    ev.unpersist()
-
-    def stream(d: str) -> DataFrame:
-        return (
-            spark.readStream.schema(EVENT_STREAM_SCHEMA)
-            .option("timestampFormat", _TS_FMT)
-            .json(d)
-        )
 
     # Watermark > horizon: a buffered click must stay in state for
     # the full attribution window before eviction is allowed.
     joined = attributed_purchases(
-        stream(clicks_dir),
-        stream(purchases_dir),
+        _typed_stream(spark, clicks_dir),
+        _typed_stream(spark, purchases_dir),
         horizon=ATTRIBUTION_HORIZON,
         watermark="13 hours",
     )
@@ -723,8 +755,8 @@ def streaming_attributed_purchases(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-    return spark.read.parquet(outdir)
+        _drain(q)
+    return _collect_sink(spark, outdir, work)
 
 
 # --------------------------------------------------------------------------
@@ -799,8 +831,8 @@ def streaming_static_enrichment(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-    return spark.read.parquet(outdir)
+        _drain(q)
+    return _collect_sink(spark, outdir, work)
 
 
 # --------------------------------------------------------------------------
@@ -835,8 +867,16 @@ def streaming_static_enrichment(
          AND p.purchase_ts <= c.click_ts + INTERVAL 12 HOUR
     ),
     wm AS (
-        SELECT LEAST((SELECT MAX(click_ts) FROM c),
-                     (SELECT MAX(purchase_ts) FROM p))
+        -- Spark tracks max event time floored to MILLISECONDS
+        -- (EventTimeStats accumulates micros/1000), so the final
+        -- watermark each side contributes is floor_ms(max) - delay;
+        -- a micros-exact MAX here would claim emissions Spark still
+        -- holds when a timeout lands in the sub-ms gap (review r06)
+        SELECT LEAST(
+                 (SELECT date_trunc('milliseconds', MAX(click_ts))
+                  FROM c),
+                 (SELECT date_trunc('milliseconds', MAX(purchase_ts))
+                  FROM p))
                    - INTERVAL 13 HOUR AS gwm
     ),
     o AS (
@@ -876,10 +916,7 @@ def streaming_static_enrichment(
 def streaming_attribution_with_timeouts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.windows import (
-        EVENT_STREAM_SCHEMA,
-        attributed_purchases,
-    )
+    from ..streaming.windows import attributed_purchases
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_outer_")
     clicks_dir = f"{work}/clicks"
@@ -887,28 +924,14 @@ def streaming_attribution_with_timeouts(
     outdir = f"{work}/attributed"
     ckpt = f"{work}/ckpt"
 
-    ev = (
-        load_tables(spark, sf_dir, ("events",))["events"]
-        .filter(F.col("ts") < F.to_timestamp(F.lit(_TS_CUTOFF)))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .persist()
+    _write_typed_landing(
+        spark, sf_dir,
+        {"click": clicks_dir, "purchase": purchases_dir},
     )
-    for etype, d in (("click", clicks_dir), ("purchase", purchases_dir)):
-        ev.filter(F.col("event_type") == etype).coalesce(1).write.mode(
-            "append"
-        ).option("timestampFormat", _TS_FMT).json(d)
-    ev.unpersist()
-
-    def stream(d: str) -> DataFrame:
-        return (
-            spark.readStream.schema(EVENT_STREAM_SCHEMA)
-            .option("timestampFormat", _TS_FMT)
-            .json(d)
-        )
 
     joined = attributed_purchases(
-        stream(clicks_dir),
-        stream(purchases_dir),
+        _typed_stream(spark, clicks_dir),
+        _typed_stream(spark, purchases_dir),
         horizon=ATTRIBUTION_HORIZON,
         watermark="13 hours",
         how="left_outer",
@@ -922,8 +945,8 @@ def streaming_attribution_with_timeouts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-    return spark.read.parquet(outdir)
+        _drain(q)
+    return _collect_sink(spark, outdir, work)
 
 
 # --------------------------------------------------------------------------
@@ -975,11 +998,23 @@ def streaming_dedup_replay(
         .select("event_id", "ts", "user_id", "event_type", "value")
         .persist()
     )
-    # File 1: every event. File 2: the replayed duplicates.
-    for frame in (ev, ev.filter(F.col("event_id") % 2 == 0)):
+    # File 1: every event. File 2: the replayed duplicates. The
+    # micro-batch ORDER is load-bearing: if the replay file were
+    # processed first, the watermark would advance past most odd
+    # events and late-drop them in batch 2 (review r06).
+    # FileStreamSource orders files by modification time, which two
+    # back-to-back writes cannot be trusted to distinguish — pin it
+    # with explicit, strictly increasing mtimes.
+    for i, frame in enumerate(
+        (ev, ev.filter(F.col("event_id") % 2 == 0))
+    ):
+        before = set(glob.glob(f"{landing}/part-*"))
         frame.coalesce(1).write.mode("append").option(
             "timestampFormat", _TS_FMT
         ).json(landing)
+        stamp = 1_700_000_000 + 60 * i
+        for f in set(glob.glob(f"{landing}/part-*")) - before:
+            os.utime(f, (stamp, stamp))
     ev.unpersist()
 
     deduped = deduplicated_events(
@@ -997,5 +1032,5 @@ def streaming_dedup_replay(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-    return spark.read.parquet(outdir)
+        _drain(q)
+    return _collect_sink(spark, outdir, work)
