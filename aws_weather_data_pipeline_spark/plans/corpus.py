@@ -43,6 +43,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_spread
 from .registry import QueryCatalog
+from .text import (
+    QUALITY_MAX_AVG_LEN,
+    QUALITY_MAX_TOKENS,
+    QUALITY_MIN_AVG_LEN,
+    QUALITY_MIN_TOKENS,
+    STOPWORDS,
+    _STOP_SQL,
+)
 
 CATALOG = QueryCatalog()
 
@@ -84,7 +92,7 @@ DUP_TRIGRAM_MAX_FRAC = 0.30
         FROM t
     )
     SELECT doc_id,
-           len(g2) AS n_bigrams,
+           CAST(len(g2) AS BIGINT) AS n_bigrams,
            CAST(list_max(list_transform(list_distinct(g2),
                     x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
                / len(g2) AS top_bigram_frac,
@@ -112,13 +120,7 @@ DUP_TRIGRAM_MAX_FRAC = 0.30
 )
 def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tokens(_docs(spark, sf_dir)).filter(F.size("tokens") >= 3)
-    d = d.withColumn(
-        "g2",
-        F.expr(
-            "transform(sequence(0, size(tokens)-2),"
-            " i -> concat_ws(' ', tokens[i], tokens[i+1]))"
-        ),
-    ).withColumn(
+    d = d.withColumn("g2", F.expr(_BIGRAM_EXPR)).withColumn(
         "g3",
         F.expr(
             "transform(sequence(0, size(tokens)-3),"
@@ -141,7 +143,9 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac = dup_tri.cast("double") / F.size("g3")
     return d.select(
         "doc_id",
-        F.size("g2").alias("n_bigrams"),
+        # bigint to match the oracle's DuckDB len() (the file's own
+        # cross-engine type convention; review r06)
+        F.size("g2").cast("bigint").alias("n_bigrams"),
         top_frac.alias("top_bigram_frac"),
         dup_frac.alias("dup_trigram_frac"),
         (
@@ -705,6 +709,20 @@ def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Cascade order: each document is charged to the FIRST gate it fails.
 FUNNEL_STAGES = ("length", "mean_word_len", "stopwords", "repetition")
 
+#: Guarded bigram-array expression over a `tokens` column — shared by
+#: doc_repetition_metrics and corpus_filter_funnel. The guard is
+#: load-bearing: sequence(0, size-2) for a 1-token doc is the
+#: DESCENDING [0,-1], whose lambda indexes tokens[1] out of bounds
+#: and ABORTS the job under ANSI mode (review r06, reproduced —
+#: hidden only because the fixtures have no short docs; the funnel
+#: cannot pre-filter short docs since gate 1 must charge them).
+_BIGRAM_EXPR = (
+    "if(size(tokens) >= 2,"
+    " transform(sequence(0, size(tokens)-2),"
+    " i -> concat_ws(' ', tokens[i], tokens[i+1])),"
+    " array())"
+)
+
 
 @CATALOG.add(
     "corpus_filter_funnel",
@@ -715,10 +733,12 @@ FUNNEL_STAGES = ("length", "mean_word_len", "stopwords", "repetition")
     ),
     g AS (
         SELECT doc_id,
-               len(tk) BETWEEN 15 AND 90 AS g1,
+               len(tk) BETWEEN {QUALITY_MIN_TOKENS}
+                   AND {QUALITY_MAX_TOKENS} AS g1,
                CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
-                   BETWEEN 2 AND 8 AS g2,
-               len(list_filter(tk, x -> x IN ('the', 'a'))) > 0 AS g3,
+                   BETWEEN {QUALITY_MIN_AVG_LEN}
+                       AND {QUALITY_MAX_AVG_LEN} AS g2,
+               len(list_filter(tk, x -> x IN {_STOP_SQL})) > 0 AS g3,
                (CAST(list_max(list_transform(
                         list_distinct(list_transform(range(1, len(tk)),
                             i -> tk[i] || ' ' || tk[i+1])),
@@ -765,9 +785,11 @@ FUNNEL_STAGES = ("length", "mean_word_len", "stopwords", "repetition")
     "thresholds as doc_quality_scores / doc_repetition_metrics) "
     "evaluated as an ORDERED cascade, charging each document to the "
     "first gate it fails. One scan computes all gate booleans per row "
-    "(lazy CASE: the O(L²) repetition fold only runs for docs "
-    "surviving the cheap gates — exactly how production orders "
-    "cheap-to-expensive), one tiny aggregation on the 5-value "
+    "(the bigram ARRAY materializes per row as a named column — the "
+    "price of reliable CSE — but the O(L²) distinct-x-filter fold "
+    "inside the CASE branch only runs for docs surviving the cheap "
+    "gates, production's cheap-to-expensive ordering), one tiny "
+    "aggregation on the 5-value "
     "failed-stage key, and the cumulative-survivor window runs over "
     "the 4-row post-aggregate table. The output is the curation "
     "dashboard number: documents failing each gate and surviving each "
@@ -783,15 +805,11 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears twice in the projection and higher-order exprs are not
     # reliably CSE'd.
     d = _tokens(_docs(spark, sf_dir)).withColumn(
-        "g2",
-        F.expr(
-            "transform(sequence(0, size(tokens)-2),"
-            " i -> concat_ws(' ', tokens[i], tokens[i+1]))"
-        ),
+        "g2", F.expr(_BIGRAM_EXPR)
     )
     n = F.size("tokens")
     avg_len = (F.length("text") - (n - 1)).cast("double") / n
-    stop_hits = F.size(F.expr("filter(tokens, x -> x IN ('the', 'a'))"))
+    stop_hits = F.size(F.filter("tokens", lambda x: x.isin(*STOPWORDS)))
     top_frac = F.array_max(
         F.transform(
             F.array_distinct("g2"),
@@ -799,8 +817,8 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("double") / (n - 1)
     failed_idx = (
-        F.when(~n.between(15, 90), 1)
-        .when(~avg_len.between(2, 8), 2)
+        F.when(~n.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS), 1)
+        .when(~avg_len.between(QUALITY_MIN_AVG_LEN, QUALITY_MAX_AVG_LEN), 2)
         .when(~(stop_hits > 0), 3)
         .when(~(top_frac <= TOP_BIGRAM_MAX_FRAC), 4)
         .otherwise(5)
@@ -931,14 +949,13 @@ def corpus_relative_quality_filter(
     o AS (
         SELECT doc_id, pos,
                ROW_NUMBER() OVER (
-                   PARTITION BY gh ORDER BY doc_id, pos) AS rn,
-               COUNT(*) OVER (PARTITION BY gh) AS cnt
+                   PARTITION BY gh ORDER BY doc_id, pos) AS rn
         FROM w
     ),
     cov AS (
         SELECT DISTINCT doc_id, pos + u.j AS tpos
         FROM o, unnest(range(0, {SPAN_TOKENS})) AS u(j)
-        WHERE cnt >= 2 AND rn >= 2
+        WHERE rn >= 2
     ),
     tok AS (
         SELECT doc_id, i - 1 AS tpos, tk[i] AS token
@@ -980,8 +997,9 @@ def corpus_relative_quality_filter(
     "windows is not acceptable here the way it is for detect-only "
     "spans. Plan: windows "
     "explode ≈ one row per token; ONE hash-shuffle on the window hash "
-    "ranks occurrences (rank + count in the same window pass over the "
-    "same shuffle); removed ranges re-explode to covered positions and "
+    "ranks occurrences (rn >= 2 alone marks duplicates — a second row "
+    "implies a multi-row partition); removed ranges re-explode to "
+    "covered positions and "
     "anti-join the token stream on (doc_id, position); reassembly is a "
     "groupBy doc_id over sort_array(collect_list) — state bounded by "
     "document length, never corpus size. Linear at 100 TB: suffix "
@@ -1023,15 +1041,17 @@ def exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
     )
     occ_w = Window.partitionBy("gh").orderBy("doc_id", "pos")
-    cnt_w = Window.partitionBy("gh")
+    # rn >= 2 alone identifies every non-first occurrence (a second
+    # row in a partition implies the partition has >= 2 rows), so no
+    # COUNT(*) OVER companion is needed — one less window aggregate
+    # in the widest post-shuffle stage (review r06).
     o = w.select(
         "doc_id",
         "pos",
         F.row_number().over(occ_w).alias("rn"),
-        F.count(F.lit(1)).over(cnt_w).alias("cnt"),
     )
     cov = (
-        o.filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+        o.filter(F.col("rn") >= 2)
         .select(
             "doc_id",
             F.explode(

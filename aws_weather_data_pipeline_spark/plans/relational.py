@@ -1693,7 +1693,7 @@ def salted_user_event_lists(
         FROM events
     ),
     g AS (
-        SELECT *, CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+        SELECT *, CAST(COUNT(vc) OVER w AS HUGEINT) AS n,
                SUM(CAST(vc AS HUGEINT)) OVER w AS s,
                SUM(CAST(vc AS HUGEINT) * vc) OVER w AS s2
         FROM c WINDOW w AS (PARTITION BY event_type)
@@ -1713,9 +1713,15 @@ def salted_user_event_lists(
     "BIGINT only holds the cent-scaled raw value, never a sum or "
     "product (ADVICE r05: s*s and n*s2 overflow BIGINT at ~1e9 rows "
     "of ~$1000 values; casting only the result wraps silently). "
-    "Exact bound: the algebra is exact while n * max|v_cents| < 1e19 "
-    "per group, i.e. ~1e13 rows of $100k values — far past any "
-    "single-group size this engine targets. This is the "
+    "Exact bound: 9*(n*s2 - s*s) must clear decimal(38,0)/int128, "
+    "and var_n2 <= (n*max|v_cents|)^2, so the algebra is exact "
+    "while n * max|v_cents| < ~3.3e18 per group — e.g. ~3e13 "
+    "rows of $1,000 values or ~3e11 rows of $100k values, still "
+    "orders past any single-group size this engine targets "
+    "(review r06 corrected an earlier 1e19 claim that the 9x "
+    "multiply actually exceeds). Past the bound both engines "
+    "fail LOUDLY (ANSI decimal overflow / INT128 OutOfRange), "
+    "never silently. This is the "
     "anomaly gate a pipeline runs per ingest partition before "
     "accepting it — population sigma per event_type, each row "
     "charged against its own group. Plan: ONE shuffle on event_type "
@@ -1744,7 +1750,11 @@ def value_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         vc38.alias("vc"),
-        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        # COUNT(vc), not COUNT(*): value is nullable, and a
+        # null-skipping sum paired with an all-rows count would
+        # compute variance with an inconsistent n on BOTH engines —
+        # invisible to the oracle check (review r06)
+        F.count(vc38).over(w).cast("decimal(38,0)").alias("n"),
         F.sum(vc38).over(w).alias("s"),
         F.sum(vc38 * vc38).over(w).alias("s2"),
     )

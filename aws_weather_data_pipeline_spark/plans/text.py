@@ -31,7 +31,9 @@ CATALOG = QueryCatalog()
 #: English stopword markers present in the corpus vocabulary.
 STOPWORDS = ("the", "a")
 
-_STOP_SQL = "('the', 'a')"
+# Derived, never hand-maintained: the oracle twin retunes with the
+# Spark list automatically (review r06 — the silent-desync class).
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 #: Gopher-style quality-gate thresholds — ONE definition consumed by
 #: the Spark builder, this module's oracle, and the
@@ -133,8 +135,6 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "agg"),
 )
 def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = _tokens(_docs(spark, sf_dir))
     # explode_outer: no generated size-predicate, so split() stays
     # post-repartition and runs once (SCALE.md explode-pushdown trap);
@@ -151,7 +151,7 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n_total").cast("double")
             * F.lit(100.0)
-            / F.sum("n_total").over(Window.partitionBy())
+            / F.sum("n_total").over(W.partitionBy())
         ).alias("share_pct"),
     )
 
@@ -372,11 +372,16 @@ WINNOW_FPS_SQL = f"""
     "fingerprint while storing ~2/(w+1) of all shingle hashes — the "
     "local fingerprinting scheme plagiarism and fine-grained overlap "
     "detectors build on, complementing the global signatures (MinHash/"
-    "SimHash) already in the catalog. Everything is per-row array "
-    "math inside codegen — no explode shuffle; the fingerprint rows "
-    "(doc_id, pos, fp) then group/join like any table. At 100 TB the "
-    "stage is narrow and the downstream fingerprint-equality join is "
-    "a hash join on fp, bucket-able exactly like the band joins.",
+    "SimHash) already in the catalog. Plan: shingle hashes posexplode "
+    "and the per-window MIN runs as a frame window over doc_id-"
+    "partitioned positions — ONE shuffle on doc_id (deliberately "
+    "chosen over a shuffle-free higher-order-function form that "
+    "benches 4x slower; Spark evaluates HOF lambdas interpretively — "
+    "see winnow_fingerprints' docstring). The fingerprint rows "
+    "(doc_id, pos, fp) then group/join like any table; at 100 TB the "
+    "doc_id clustering is re-used by the downstream fingerprint-"
+    "equality join, itself a hash join on fp, bucket-able exactly "
+    "like the band joins.",
     tags=("text", "dedup"),
 )
 def doc_winnowing_fingerprints(
@@ -409,14 +414,20 @@ def winnow_fingerprints(
     """
     d = d.filter(F.size("tokens") >= k + w - 1)
     # tokens[] is 0-based in Spark (1-based in the DuckDB twin, hence
-    # the index shift in the oracle SQL).
+    # the index shift in the oracle SQL). The shingle concat is
+    # GENERATED over k tokens — a hard-coded 3-token concat would
+    # silently produce 3-gram hashes under 4-gram window accounting
+    # for any other k (review r06). m (shingle count) is analytic
+    # (size - k + 1), carried through the explode instead of a second
+    # unbounded count window over every doc partition.
+    shingle = ", ".join(f"tokens[i+{j}]" for j in range(k))
     sh = d.select(
         "doc_id",
+        (F.size("tokens") - k + 1).alias("m"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(tokens) - {k}), i -> "
-                "md5(concat_ws(' ', tokens[i], tokens[i+1],"
-                " tokens[i+2])))"
+                f"md5(concat_ws(' ', {shingle})))"
             )
         ).alias("p", "h"),
     )
@@ -428,8 +439,6 @@ def winnow_fingerprints(
         F.min(F.struct(F.col("h"), (-F.col("p")).alias("nj"))).over(
             win
         ),
-    ).withColumn(
-        "m", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
     )
     # Only full windows select (start p <= m - w); pos is the 1-based
     # shingle index of the selected hash. Row-level distinct (not
@@ -446,7 +455,7 @@ def winnow_fingerprints(
 
 
 # --------------------------------------------------------------------------
-# SimHash (64-bit locality-sensitive content signature, exact bit math)
+# SimHash (60-bit locality-sensitive signature in a BIGINT, exact bit math)
 # --------------------------------------------------------------------------
 
 
@@ -510,7 +519,9 @@ def simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMHASH_CTE_SQL + "SELECT doc_id, simhash FROM simhashes",
     doc="SimHash: each token hashes to 60 bits (md5 prefix as BIGINT — "
     "identical in both engines); per bit position, occurrences vote "
-    "+1/-1; the sign vector packs into one 64-bit signature whose "
+    "+1/-1; the sign vector packs its 60 meaningful bits into one "
+    "BIGINT signature (bit positions 0-59 — collision/Hamming math "
+    "should use 60, not the storage width) whose "
     "Hamming distance approximates cosine similarity of term vectors. "
     "All-integer arithmetic, so the signature is bit-exact across "
     "engines and cluster sizes. The bit fan-out (60× tokens) collapses "
@@ -569,8 +580,6 @@ TFIDF_TOP_N = 3
     tags=("text", "agg", "window"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = _tokens(_docs(spark, sf_dir))
     # explode_outer, not explode: split() never yields an empty array
     # (empty text -> [""]), so outer == inner semantically, and the
@@ -589,7 +598,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idf = F.col("tf") * (
         F.col("n_docs").cast("double") / F.col("df")
     )
-    w = Window.partitionBy("doc_id").orderBy(tf_idf.desc(), F.col("term"))
+    w = W.partitionBy("doc_id").orderBy(tf_idf.desc(), F.col("term"))
     return (
         joined.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_N)

@@ -1021,3 +1021,48 @@ def test_embedding_fixture_dim_matches_constant(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_funnel_survives_degenerate_docs(spark, tmp_path):
+    """Review r06 (reproduced): a document with 0 or 1 tokens made
+    corpus_filter_funnel ABORT under ANSI mode — sequence(0, size-2)
+    for size=1 is the DESCENDING [0,-1], whose bigram lambda indexes
+    tokens[1] out of bounds. The guarded _BIGRAM_EXPR must charge
+    such docs to gate 1 (length) instead of crashing."""
+    from aws_weather_data_pipeline_spark.plans.corpus import (
+        corpus_filter_funnel,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "",
+        "x",
+        "two words",
+        "the quick brown fox jumps over a lazy dog and then "
+        "runs far away into the quiet green field tonight",
+    ]
+    # single parquet FILE, the testdata layout load_spread expects
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["web"] * 4,
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r["stage"]: r
+        for r in corpus_filter_funnel(spark, str(tmp_path)).collect()
+    }
+    # docs 1-3 fail the length gate; doc 4 (18 tokens, stopwords,
+    # sane word lengths, no repeated bigram) survives the funnel
+    assert rows["length"]["n_failed"] == 3
+    assert rows["repetition"]["n_surviving"] == 1
