@@ -591,6 +591,11 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
     emit(clear)
     w = b""
     for byte in data:
+        if byte >= clear:
+            raise ValueError(
+                f"symbol {byte} exceeds the {clear}-entry alphabet "
+                f"of min_code_size={min_code_size}"
+            )
         c = bytes([byte])
         if w + c in table:
             w += c
@@ -608,6 +613,15 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
         w = c
     if w:
         emit(table[w])
+        # Tail-boundary width sync (hypothesis-found r06): the
+        # decoder adds one more table entry while PROCESSING this
+        # final code and then applies its lagged early-bump, so if
+        # next_code lands on (1 << cs) - 1 here, the decoder will
+        # read the EOI one bit wider. Mid-stream the encoder's own
+        # add keeps the widths in lockstep; the tail emit has no add,
+        # so mirror the decoder's bump explicitly before EOI.
+        if next_code == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
     emit(eoi)
     if nbits:
         out.append(buf & 0xFF)

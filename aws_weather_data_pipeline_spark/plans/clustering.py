@@ -12,9 +12,10 @@ DuckDB oracle, with every step engine-exact:
   per-dim ≤ 4e6, ×64 dims ≪ 2^63);
 - argmin breaks ties on cluster id (lexicographic (dist, cluster) min);
 - centroid update is *floored* integer division of exact sums — written
-  as (s - pmod(s, n)) div n on both engines because Spark's ``div``
-  truncates toward zero while DuckDB's ``//`` floors, and quantized
-  sums go negative;
+  as (s - pmod(s, n)) div n on both engines: both Spark ``div`` and
+  DuckDB ``//`` truncate toward zero (measured: (-7)//3 = -2 on
+  both), and quantized sums go negative, so the pmod adjustment is
+  what pins FLOOR semantics — not an engine-difference workaround;
 - seeding picks the k vectors with smallest md5(vec_id) (deterministic,
   uniformly spread, no RNG).
 
@@ -98,10 +99,15 @@ def _update_cte(assign: str, out: str) -> str:
     )"""
 
 
-#: The full 2-iteration Lloyd chain as a reusable CTE prefix: ``q``
-#: (quantized vectors) … ``a2`` (final assignments). Shared by the
-#: assignment oracle and the SemDeDup oracle below.
-_KMEANS_CTE_SQL = f"""
+def _lloyd_cte_chain(iters: int) -> str:
+    """The full Lloyd chain as a CTE prefix, GENERATED from the
+    iteration count: ``q`` (quantized vectors) … ``a{iters}`` (final
+    assignments). Generated, never hand-unrolled, so retuning
+    KMEANS_ITERATIONS retunes the oracle with the Spark loop instead
+    of silently diverging from a fixed 2-iteration chain (review
+    r06 — the PROBE_TOP_K divergence-trap class)."""
+    parts = [
+        f"""
     WITH q AS (
         SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
     ),
@@ -113,20 +119,29 @@ _KMEANS_CTE_SQL = f"""
         FROM q
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         LIMIT {KMEANS_K}
-    ),
-    {_assign_cte("q", "seeds", "a1")},
-    {_update_cte("a1", "c1")},
-    {_assign_cte("q", "c1", "a2")}
-"""
+    )"""
+    ]
+    cents = "seeds"
+    for i in range(1, iters + 1):
+        parts.append(_assign_cte("q", cents, f"a{i}"))
+        if i < iters:
+            parts.append(_update_cte(f"a{i}", f"c{i}"))
+            cents = f"c{i}"
+    return ",".join(parts)
+
+
+_KMEANS_CTE_SQL = _lloyd_cte_chain(KMEANS_ITERATIONS)
+#: Name of the chain's final-assignment CTE.
+_FINAL_ASSIGN = f"a{KMEANS_ITERATIONS}"
 
 
 @CATALOG.add(
     "kmeans_lloyd_assignments",
     _KMEANS_CTE_SQL
-    + """
+    + f"""
     SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
            CAST(dist AS BIGINT) AS dist_q
-    FROM a2
+    FROM {_FINAL_ASSIGN}
     """,
     doc=f"k-means (k = {KMEANS_K}), {KMEANS_ITERATIONS} Lloyd "
     "iterations unrolled: md5-seeded centroids → assign → exact-int "
@@ -137,7 +152,8 @@ _KMEANS_CTE_SQL = f"""
     "by config k, so the broadcast is always safe, and no step "
     "collects to the driver. Ties (equal distance) break on cluster "
     "id; centroid division floors identically on both engines "
-    "(pmod-adjusted div; Spark div truncates, DuckDB // floors). The "
+    "(pmod-adjusted div — both engines truncate toward zero, the "
+    "pmod is what makes it FLOOR for negative sums). The "
     "same loop body iterated to convergence IS MLlib-shape k-means; "
     "2 rounds keep the oracle CTE chain finite.",
     tags=("similarity", "embedding", "iterative"),
@@ -146,7 +162,12 @@ def kmeans_lloyd_assignments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     e = load_spread(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", F.expr(_QUANT).alias("v"))
+    # q feeds the seed sort plus every iteration's crossJoin and
+    # update join (~5 branches at 2 iterations); Spark does not
+    # dedupe common subplans, so persist the quantized frame once
+    # (review r06 — similarity.py documents this exact trap).
+    q = e.select("vec_id", F.expr(_QUANT).alias("v")).persist()
+    q.count()
 
     from pyspark.sql import Window
 
@@ -208,17 +229,21 @@ def kmeans_lloyd_assignments(
             ).alias("v")
         )
 
-    cents = seeds
-    assigned = None
-    for i in range(KMEANS_ITERATIONS):
-        assigned = assign(cents)
-        if i < KMEANS_ITERATIONS - 1:
-            cents = update(assigned)
-    return assigned.select(
-        "vec_id",
-        F.col("cluster").cast("int").alias("cluster"),
-        F.col("dist").cast("long").alias("dist_q"),
-    )
+    try:
+        cents = seeds
+        assigned = None
+        for i in range(KMEANS_ITERATIONS):
+            assigned = assign(cents)
+            if i < KMEANS_ITERATIONS - 1:
+                cents = update(assigned)
+        # detach (eager) so the cache releases now, not at session end
+        return assigned.select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dist").cast("long").alias("dist_q"),
+        ).localCheckpoint(eager=True)
+    finally:
+        q.unpersist(False)
 
 
 # --------------------------------------------------------------------------
@@ -242,7 +267,7 @@ _DOT_SQL = (
     n AS (
         SELECT a.vec_id, a.cluster, q.v,
                list_sum(list_transform(q.v, x -> x * x)) AS nrm
-        FROM a2 a JOIN q ON a.vec_id = q.vec_id
+        FROM {_FINAL_ASSIGN} a JOIN q ON a.vec_id = q.vec_id
     ),
     dups AS (
         SELECT DISTINCT b.vec_id AS dup_id

@@ -12,9 +12,11 @@ label convergence.
 Determinism design: textbook PageRank is float and never hash-stable
 across engines; this implementation carries rank mass as integer
 micro-units (total mass 1e12) and replaces every division with
-explicit FLOOR division — ``div`` in Spark, ``//`` in DuckDB, both
-exact on BIGINT — so after any number of iterations the per-node rank
-is bit-identical on any engine under any partitioning. The damping
+explicit integer division — ``div`` in Spark, ``//`` in DuckDB, both
+truncating toward zero identically, which equals FLOOR here because
+every operand (rank mass, degree, damping term) is non-negative — so
+after any number of iterations the per-node rank is bit-identical on
+any engine under any partitioning. The damping
 split is (15 * base) div 100 + (85 * inflow) div 100 per node. Floor
 truncation leaks a few units of mass per node per iteration (bounded
 by 2 units/node/iter); ranking order is unaffected and the leak is

@@ -239,8 +239,9 @@ def temperature_mixture_sample(
     # multiplication (the value_outliers_exact ADVICE class, found by
     # the r06 self-audit): tot*c >= c^1.5 * 1000 crosses BIGINT at
     # ~4e10 docs per source — ~100 TB of ~2 KB documents, exactly the
-    # advertised regime. Spark decimal `div` floors and returns
-    # bigint, matching DuckDB HUGEINT `//`.
+    # advertised regime. Spark decimal `div` and DuckDB HUGEINT `//`
+    # both truncate toward zero identically (== floor here: every
+    # operand is non-negative), and both return integer types.
     r = s.crossJoin(F.broadcast(tot)).select(
         "source",
         F.expr(
@@ -481,9 +482,10 @@ WEIGHT_NORM = 1000
     "length_weighted_doc_sample",
     f"""
     SELECT doc_id, n_chars,
-           CAST(n_chars AS DOUBLE) / {WEIGHT_NORM} AS inclusion_p
+           CAST(LEAST(n_chars, {WEIGHT_NORM}) AS DOUBLE)
+               / {WEIGHT_NORM} AS inclusion_p
     FROM documents
-    WHERE {_KEYHASH_SQL} % {WEIGHT_NORM} < n_chars
+    WHERE {_KEYHASH_SQL} % {WEIGHT_NORM} < LEAST(n_chars, {WEIGHT_NORM})
     """,
     doc="Weighted Bernoulli sampling with inclusion probability "
     "proportional to document LENGTH (token-budget-aware corpus "
@@ -493,7 +495,10 @@ WEIGHT_NORM = 1000
     "pure function of the row like every sampler here, so the kept "
     "set survives re-partitioning and incremental rebuilds, and "
     "raising a document's weight can only ADD it (threshold "
-    f"nesting). The normalizer is a config constant ({WEIGHT_NORM}), "
+    f"nesting; weights clamp at the normalizer, so docs of "
+    f">= {WEIGHT_NORM} chars saturate at p = 1.0 instead of "
+    "overflowing the probability). "
+    f"The normalizer is a config constant ({WEIGHT_NORM}), "
     "not a corpus max: a data-dependent normalizer would silently "
     "change past keep decisions whenever the corpus grows. Evaluates "
     "in the scan stage, no shuffle; at 100 TB this composes with the "
@@ -504,15 +509,18 @@ def length_weighted_doc_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # Clamp the weight at the normalizer: without it any doc with
+    # n_chars >= NORM is kept with certainty AND reports
+    # inclusion_p > 1 — at ~2 KB docs the "weighted" sample silently
+    # degenerates to keep-everything and Horvitz-Thompson
+    # reweighting by 1/inclusion_p goes wrong (review r06). Clamped,
+    # long docs saturate at p = 1.0, the honest ceiling.
+    w = F.least(F.col("n_chars"), F.lit(WEIGHT_NORM))
     return (
-        d.filter(
-            F.expr(f"{_KEYHASH_SPARK} % {WEIGHT_NORM}") < F.col("n_chars")
-        )
+        d.filter(F.expr(f"{_KEYHASH_SPARK} % {WEIGHT_NORM}") < w)
         .select(
             "doc_id",
             "n_chars",
-            (F.col("n_chars").cast("double") / WEIGHT_NORM).alias(
-                "inclusion_p"
-            ),
+            (w.cast("double") / WEIGHT_NORM).alias("inclusion_p"),
         )
     )

@@ -255,8 +255,9 @@ _QSK_Q_LIST = ", ".join(str(q) for q in QSK_QUANTILES)
     f"""
     WITH b AS (
         SELECT event_type,
-               LEAST(CAST(floor(value / {QSK_BIN_WIDTH}) AS BIGINT),
-                     {QSK_N_BINS - 1}) AS bin,
+               GREATEST(CAST(0 AS BIGINT),
+                   LEAST(CAST(floor(value / {QSK_BIN_WIDTH}) AS BIGINT),
+                         {QSK_N_BINS - 1})) AS bin,
                COUNT(*) AS n
         FROM events
         WHERE value IS NOT NULL
@@ -352,9 +353,16 @@ def quantile_sketch_bins(
     by unioning and summing ``n`` per (group, bin) — used by the
     associativity test and by incremental (per-day) profiling at scale.
     """
-    bin_col = F.least(
-        F.floor(F.col(value_col) / QSK_BIN_WIDTH).cast("bigint"),
-        F.lit(QSK_N_BINS - 1).cast("bigint"),
+    # clamp BOTH ends: negative values would otherwise mint
+    # unbounded negative bins, breaking the fixed-64-bin state-size
+    # claim the sketch's guard band exists for (review r06; the top
+    # clamp alone only capped the positive side)
+    bin_col = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor(F.col(value_col) / QSK_BIN_WIDTH).cast("bigint"),
+            F.lit(QSK_N_BINS - 1).cast("bigint"),
+        ),
     )
     return (
         df.filter(F.col(value_col).isNotNull())
@@ -441,11 +449,16 @@ def _bloom_pos_sql(key_expr: str, j_expr: str) -> str:
 )
 def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
+    # base feeds THREE branches (filter bits, probe, ground-truth
+    # marker); Spark does not dedupe common subplans, so without the
+    # persist one action scans + md5-hashes the documents table three
+    # times (review r06 — the same trap clustering.py documents).
     base = d.select(
         "doc_id",
         F.md5("text").alias("ch"),
         (F.col("doc_id") % BLOOM_MOD == BLOOM_REM).alias("is_batch"),
-    )
+    ).persist()
+    base.count()
     corpus = base.filter(~F.col("is_batch")).select("ch").distinct()
 
     def pos_col() -> F.Column:
@@ -496,11 +509,19 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     marker = corpus.withColumn("in_corpus", F.lit(1))
-    return hits.join(marker, "ch", "left").select(
-        "doc_id",
-        "bloom_candidate",
-        F.col("in_corpus").isNotNull().alias("actual_dup"),
-        (F.col("bloom_candidate") & F.col("in_corpus").isNull()).alias(
-            "is_false_positive"
-        ),
-    )
+    try:
+        return (
+            hits.join(marker, "ch", "left")
+            .select(
+                "doc_id",
+                "bloom_candidate",
+                F.col("in_corpus").isNotNull().alias("actual_dup"),
+                (
+                    F.col("bloom_candidate")
+                    & F.col("in_corpus").isNull()
+                ).alias("is_false_positive"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist(False)

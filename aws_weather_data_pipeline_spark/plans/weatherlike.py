@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import weather as wx
-from ..functions.exact import davg, dec, dsum
+from ..functions.exact import davg, dec
 from ..sources.tables import load_tables
 from .registry import QueryCatalog
 
@@ -509,7 +509,8 @@ def weather_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weather_current_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _weatherized(spark, sf_dir)
     # Aliased self-join (the agg side derives from w, so unqualified
-    # column refs would be ambiguous — Dataset.alias disambiguates).
+    # column refs would be ambiguous — the withColumnRenamed on the
+    # agg side's key is what disambiguates).
     latest = (
         w.groupBy("event_type")
         .agg(F.max("ts").alias("latest_time"))
@@ -540,13 +541,20 @@ def weather_current_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @CATALOG.add(
     "parse_props_json",
     """
-    SELECT event_id, CAST(props->>'k' AS INTEGER) AS prop_k
+    SELECT event_id,
+           CASE WHEN json_valid(props)
+                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN CAST(props->>'k' AS INTEGER) END AS prop_k
     FROM events
     """,
     doc="P1 from_json + struct projection on the events.props JSON "
     "column (reference from_json(col('data').cast('string'), schema) at "
     "glue_weather_etl.py:146-149). Declared-schema parse; malformed "
-    "payloads null out instead of failing.",
+    "payloads null out instead of failing — and the oracle mirrors "
+    "that contract (json_valid guard + integer-json-type check, "
+    "since DuckDB's bare ->> ERRORS on malformed JSON and coerces "
+    "quoted numbers where Spark's from_json nulls them; review "
+    "r06).",
     tags=("weather", "json"),
 )
 def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -397,6 +397,16 @@ def test_lzw_roundtrip_property():
     rng = _random.Random(12345)
     big = bytes(rng.randrange(256) for _ in range(60000))
     assert _lzw_decode(_lzw_encode(big, 8), 8) == big
+    # Tail-boundary regression (hypothesis-found r06): when the FINAL
+    # data code lands exactly on the width boundary, the decoder's
+    # lagged table add bumps its width before reading EOI; the
+    # encoder must mirror that bump or the EOI is written one bit
+    # narrow ("LZW stream ended without EOI"). This stream's last
+    # code hits the 7-bit boundary at mcs=2.
+    rng = _random.Random(99)
+    for _ in range(200):
+        tricky = bytes(rng.randrange(2) for _ in range(514))
+        assert _lzw_decode(_lzw_encode(tricky, 2), 2) == tricky
 
 
 def test_gif_roundtrip_multiframe():

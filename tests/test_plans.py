@@ -1021,6 +1021,17 @@ def test_embedding_fixture_dim_matches_constant(spark, sf_dir):
         .count()
     )
     assert bad == 0
+    # NULL elements are the other engine-divergence trap: Spark's
+    # aggregate/zip_with propagates NULL while DuckDB's list_sum
+    # SKIPS it, and min(struct)/ROW_NUMBER order NULL distances
+    # oppositely — reproduced against an adversarial fixture in
+    # review r06. Pin the fixture clean.
+    nulls = (
+        _emb(spark, sf_dir)
+        .filter(F.exists("embedding", lambda x: x.isNull()))
+        .count()
+    )
+    assert nulls == 0
 
 
 def test_funnel_survives_degenerate_docs(spark, tmp_path):
