@@ -123,7 +123,10 @@ def validate(
     if now.tzinfo is None:
         now = now.replace(tzinfo=datetime.timezone.utc)
     res = ValidationResult()
-    serving = spark.read.parquet(paths.serving_dir)
+    # Six independent actions follow (counts, aggs, groupBys) — each
+    # is its own job over the serving table, so without a persist the
+    # validation pass rescans the parquet six times (review r06).
+    serving = spark.read.parquet(paths.serving_dir).persist()
     total = serving.count()
     res.stats["total_rows"] = total
     res.checks["has_rows"] = total > 0
@@ -169,8 +172,8 @@ def validate(
     res.checks["unique_key"] = dup == 0
 
     # Freshness (reference README.md:750-755: NOW() - MAX(ts) < 1 day).
-    # One MAX aggregate — no extra scan cost beyond the agg above at
-    # scale, and the comparison happens driver-side on a single value.
+    # One MAX aggregate over the persisted frame; the comparison
+    # happens driver-side on a single value.
     # Aggregated as epoch micros, not TimestampType: PySpark renders a
     # collected timestamp through the driver process's OS timezone, so
     # a non-UTC driver host would skew the staleness by the UTC offset
@@ -195,6 +198,7 @@ def validate(
     res.checks["fresh"] = (
         age is not None and 0 <= age < MAX_STALENESS_SECONDS
     )
+    serving.unpersist(False)
     return res
 
 
@@ -207,15 +211,23 @@ def report(spark: SparkSession, paths: PipelinePaths) -> str:
         .limit(50)
         .collect()
     )
+    def fmt(v, spec: str) -> str:
+        # a (city, day) group can legitimately aggregate to NULL —
+        # e.g. every reading null in a non-critical field like
+        # temperature — and ':.2f' on None raises TypeError (review
+        # r06); the report must print, not crash, on sparse groups
+        return format(v, spec) if v is not None else "n/a"
+
     lines = ["DAILY WEATHER SUMMARY", "=" * 60]
     for r in rows:
         lines.append(
             f"{r['summary_date']} {r['city']:>12}: "
-            f"avg {r['avg_temperature']:.2f}C "
-            f"[{r['min_temperature']:.1f}..{r['max_temperature']:.1f}] "
-            f"precip {r['total_precipitation']:.2f}mm "
-            f"alerts {r['alert_percentage']:.2f}% "
-            f"quality {r['avg_quality_score']:.2f} "
+            f"avg {fmt(r['avg_temperature'], '.2f')}C "
+            f"[{fmt(r['min_temperature'], '.1f')}.."
+            f"{fmt(r['max_temperature'], '.1f')}] "
+            f"precip {fmt(r['total_precipitation'], '.2f')}mm "
+            f"alerts {fmt(r['alert_percentage'], '.2f')}% "
+            f"quality {fmt(r['avg_quality_score'], '.2f')} "
             f"({r['reading_count']} readings, "
             f"dominant: {r['dominant_condition']})"
         )

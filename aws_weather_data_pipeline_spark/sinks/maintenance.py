@@ -55,10 +55,17 @@ def compact_path(
 ) -> tuple[int, int]:
     """Rewrite the parquet files under ``path`` into ≈target-size files.
 
-    Returns (files_before, files_after). The rewrite goes to a staging
-    sibling first and swaps in atomically (rename), so a concurrent
-    reader sees either the old file set or the new one — never a
-    partial mix. File count = ceil(bytes/target), with compressed size
+    Returns (files_before, files_after). The rewrite goes to a
+    DOT-PREFIXED staging sibling (hidden from Spark/Hive file
+    listing, so a reader of the parent table never discovers it as a
+    phantom partition), then swaps in via two renames. The swap is
+    NOT atomic: between the two renames the path briefly does not
+    exist, and a query planned against the old file set fails after
+    the cleanup — plain filesystems cannot do better (an atomic
+    multi-file swap needs a table format's metadata commit: Iceberg/
+    Delta, which is what a production deployment puts in front of
+    this). Run it in a write-quiesced maintenance window, per
+    partition. File count = ceil(bytes/target), with compressed size
     as the estimator (both sides of the ratio are parquet, so the
     on-disk estimate is the right one, unlike the common
     rows-per-file guess).
@@ -74,13 +81,16 @@ def compact_path(
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ]
     n_files = max(1, -(-_dir_bytes(path) // target_file_bytes))
-    staging = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
+    parent, base = os.path.split(os.path.normpath(path))
+    staging = os.path.join(
+        parent, f".{base}__compacting_{uuid.uuid4().hex[:8]}"
+    )
     # coalesce, not repartition: compaction must not shuffle — it only
     # concatenates existing partitions into fewer write tasks.
     spark.read.parquet(path).coalesce(n_files).write.mode(
         "overwrite"
     ).parquet(staging)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    old = os.path.join(parent, f".{base}__old_{uuid.uuid4().hex[:8]}")
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

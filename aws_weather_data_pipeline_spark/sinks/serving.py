@@ -125,8 +125,18 @@ def jdbc_append_missing(
     props = properties or {}
     deduped = new_rows.dropDuplicates(keys)
     existing = spark.read.jdbc(url, table, properties=props).select(*keys)
-    to_insert = deduped.join(existing, on=keys, how="left_anti")
-    n = to_insert.count()
-    if n:
-        write_jdbc(to_insert, url, table, mode="append", properties=props)
+    # persist: count-then-write would otherwise run the anti-join —
+    # including the DATABASE read — twice, and rows inserted by a
+    # concurrent writer between the two executions would make the
+    # returned n disagree with what was actually appended (review
+    # r06 TOCTOU).
+    to_insert = deduped.join(existing, on=keys, how="left_anti").persist()
+    try:
+        n = to_insert.count()
+        if n:
+            write_jdbc(
+                to_insert, url, table, mode="append", properties=props
+            )
+    finally:
+        to_insert.unpersist(False)
     return n

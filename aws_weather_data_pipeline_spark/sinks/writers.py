@@ -24,7 +24,27 @@ The reference's sink surface, re-expressed Spark-first:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=dynamic`` to a block, restoring
+    the prior value (or unsetting) even on failure — ONE definition
+    for the three sinks that need it (review r06: the save/set/
+    restore dance was pasted into each)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def with_time_partitions(df: DataFrame, ts_col: str) -> DataFrame:
@@ -71,18 +91,10 @@ def overwrite_partitioned(
     Streaming keeps the append form (micro-batches accumulate within
     an hour); batch loads that may re-run should use this one.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(df.sparkSession):
         with_time_partitions(df, ts_col).write.mode("overwrite").partitionBy(
             "year", "month", "day", "hour"
         ).parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_json(df: DataFrame, path: str) -> None:
@@ -171,15 +183,33 @@ def idempotent_append(
                     "date) or scope_col=None"
                 )
             scopes = [r[0] for r in scope_rows]
-            existing = existing.filter(F.col(scope_col).isin(scopes))
+            # isin() never matches NULL (null-vs-null compares to
+            # null), so a batch containing null-scope rows — e.g. an
+            # unparseable timestamp surviving to a null reading_date —
+            # would exclude the matching EXISTING rows from conflict
+            # detection and re-append duplicates on retry (review
+            # r06). Null scopes need an explicit isNull arm.
+            pred = F.col(scope_col).isin(
+                [v for v in scopes if v is not None]
+            )
+            if any(v is None for v in scopes):
+                pred = pred | F.col(scope_col).isNull()
+            existing = existing.filter(pred)
         to_insert = deduped.join(
             existing.select(*keys), on=keys, how="left_anti"
         )
     else:
         to_insert = deduped
-    n = to_insert.count()
-    if n:
-        to_insert.write.mode("append").parquet(path)
+    # persist: count-then-write would otherwise execute the dedup +
+    # anti-join (and the existing-table scan) twice per load (review
+    # r06)
+    to_insert = to_insert.persist()
+    try:
+        n = to_insert.count()
+        if n:
+            to_insert.write.mode("append").parquet(path)
+    finally:
+        to_insert.unpersist(False)
     return n
 
 
@@ -195,15 +225,7 @@ def upsert_summary_by_partition(
     is idempotent and safely re-runnable (the Airflow retry semantics,
     weather_dag.py:376-457, for free).
     """
-    spark = summary.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(summary.sparkSession):
         summary.write.mode("overwrite").partitionBy(partition_col).parquet(
             path
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -105,21 +105,28 @@ def read_raw_json_with_quarantine(
             "_corrupt_record"
         )
     )
-    # Keep a data column referenced IN THE FILTER: Spark rejects plans
-    # that touch ONLY the internal corrupt-record column
-    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and a
-    # downstream count() prunes the projection — so the filter itself
-    # must reference `readings`. On a corrupt row PERMISSIVE nulls
-    # every data column, so `readings IS NULL` is a no-op conjunct
-    # semantically. The two branches re-parse independently —
-    # deliberately no persist() here, since a library reader must not
-    # leave cache entries behind in a long-lived session; a caller
-    # materializing both frames in one job can wrap the call in its
-    # own persist/unpersist.
+    # Quarantine = EVERY row with the corrupt marker set. Under
+    # partial-results JSON parsing (spark.sql.json.enablePartialResults,
+    # default true since 3.4) a mistyped field sets _corrupt_record
+    # while `readings` still parses — an old `readings IS NULL`
+    # conjunct silently dropped those rows from BOTH branches (review
+    # r06). Spark still rejects plans touching ONLY the internal
+    # corrupt-record column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+    # filter keeps a non-foldable but always-true reference to
+    # `readings`; the projection also surfaces how much of the row
+    # DID parse (the partial-corruption diagnostic). The two branches
+    # re-parse independently — deliberately no persist() here, since
+    # a library reader must not leave cache entries behind in a
+    # long-lived session; a caller materializing both frames in one
+    # job can wrap the call in its own persist/unpersist.
     quarantined = parsed.filter(
         F.col("_corrupt_record").isNotNull()
-        & F.col("readings").isNull()
-    ).select(F.col("_corrupt_record").alias("raw_payload"))
+        & (F.col("readings").isNull() | (F.size("readings") >= 0))
+    ).select(
+        F.col("_corrupt_record").alias("raw_payload"),
+        F.size("readings").alias("n_parsed_readings"),
+    )
     return good, quarantined
 
 

@@ -19,7 +19,7 @@ import json
 import time
 import urllib.request
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schemas import WEATHER_RAW_SCHEMA
 from .readers import flatten_readings
@@ -50,7 +50,18 @@ def poll_to_dataframe(
         if i and interval_seconds:
             time.sleep(interval_seconds)
         envelopes.append(fetch(url))
-    raw = spark.createDataFrame(envelopes, schema=WEATHER_RAW_SCHEMA)
+    # Route through from_json rather than createDataFrame's strict
+    # type verifier: a benign numeric rendering drift from the
+    # endpoint (5.0 for an int field) would CRASH strict
+    # verification, where every other source in the package nulls
+    # bad cells out (P9 semantics; review r06). Serializing the
+    # already-parsed dicts back to JSON is O(bytes) on a tiny
+    # driver-side batch.
+    raw = spark.createDataFrame(
+        [(json.dumps(env),) for env in envelopes], "payload STRING"
+    ).select(
+        F.from_json(F.col("payload"), WEATHER_RAW_SCHEMA).alias("env")
+    ).select("env.*")
     return flatten_readings(raw)
 
 
@@ -68,29 +79,45 @@ def poll_to_landing_dir(
     (streaming/pipeline.py) picks them up. Returns written paths.
     """
     import os
+    import re
+    import tempfile
 
     os.makedirs(landing_dir, exist_ok=True)
     # Continue numbering from whatever is already in the landing dir:
     # Spark's file-stream source tracks seen files by PATH and treats
     # files as immutable, so re-using a name across poller invocations
-    # would silently drop every envelope after the first run.
-    existing = [
-        f
+    # would silently drop every envelope after the first run. The
+    # numeric filter is a strict REGEX (a stray batch_manifest.json
+    # must not crash the poller), and names are claimed with an
+    # atomic os.link so two concurrent pollers can never clobber each
+    # other's files (review r06); content lands via a dot-prefixed
+    # temp file the stream source ignores, so a reader never sees a
+    # half-written envelope.
+    pat = re.compile(r"^batch_(\d+)\.json$")
+    seqs = [
+        int(m.group(1))
         for f in os.listdir(landing_dir)
-        if f.startswith("batch_") and f.endswith(".json")
+        if (m := pat.match(f))
     ]
-    seq = (
-        max(int(f[len("batch_"):-len(".json")]) for f in existing) + 1
-        if existing
-        else 0
-    )
+    seq = max(seqs) + 1 if seqs else 0
     written = []
     for i in range(n_polls):
         if i and interval_seconds:
             time.sleep(interval_seconds)
         env = fetch(url)
-        path = os.path.join(landing_dir, f"batch_{seq + i:06d}.json")
-        with open(path, "w", encoding="utf-8") as f:
+        fd, tmp = tempfile.mkstemp(
+            prefix=".batch_incoming_", suffix=".json", dir=landing_dir
+        )
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
             json.dump(env, f, indent=2)
+        while True:
+            path = os.path.join(landing_dir, f"batch_{seq:06d}.json")
+            try:
+                os.link(tmp, path)  # atomic claim; fails if taken
+                break
+            except FileExistsError:
+                seq += 1
+        os.unlink(tmp)
+        seq += 1
         written.append(path)
     return written

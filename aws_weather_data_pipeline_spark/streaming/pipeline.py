@@ -36,7 +36,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.weather import apply_transformations
 from ..schemas import ALERT_COLUMNS, WEATHER_RAW_SCHEMA
-from ..sinks.writers import with_time_partitions
+from ..sinks.writers import (
+    dynamic_partition_overwrite,
+    with_time_partitions,
+)
 from ..sources.readers import flatten_readings
 
 
@@ -89,29 +92,24 @@ def write_both_sinks(
     The batch frame is written twice from one lineage; caching it
     avoids recomputing the transforms for the second sink.
     """
-    spark = batch_df.sparkSession
     batch_df = batch_df.withColumn("epoch_id", F.lit(epoch_id))
     batch_df.persist()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        with_time_partitions(batch_df, "timestamp_parsed").write.mode(
-            "overwrite"
-        ).partitionBy("year", "month", "day", "hour", "epoch_id").parquet(
-            processed_path
-        )
-        alerts = alerts_view(batch_df.drop("epoch_id")).withColumn(
-            "epoch_id", F.lit(epoch_id)
-        )
-        # T6: cluster alert files by station like the Kinesis partition key.
-        alerts.repartition(F.col("station_id")).write.mode(
-            "overwrite"
-        ).partitionBy("epoch_id").parquet(alerts_path)
+        with dynamic_partition_overwrite(batch_df.sparkSession):
+            with_time_partitions(batch_df, "timestamp_parsed").write.mode(
+                "overwrite"
+            ).partitionBy(
+                "year", "month", "day", "hour", "epoch_id"
+            ).parquet(processed_path)
+            alerts = alerts_view(batch_df.drop("epoch_id")).withColumn(
+                "epoch_id", F.lit(epoch_id)
+            )
+            # T6: cluster alert files by station like the Kinesis
+            # partition key.
+            alerts.repartition(F.col("station_id")).write.mode(
+                "overwrite"
+            ).partitionBy("epoch_id").parquet(alerts_path)
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         batch_df.unpersist()
 
 
@@ -181,18 +179,21 @@ def start_quarantine_stream(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(landing_dir)
-        # The readings-IS-NULL conjunct is semantically a no-op
-        # (PERMISSIVE nulls every data column on a corrupt row) but
-        # keeps a data column referenced even under projection pruning
-        # — Spark rejects plans touching ONLY the internal
-        # corrupt-record column
-        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
-        # Same workaround as sources/readers.read_raw_json_with_quarantine.
+        # Quarantine EVERY corrupt-marked row — under partial-results
+        # parsing a mistyped field sets the marker while `readings`
+        # still parses, and a readings-IS-NULL conjunct dropped those
+        # rows from both branches (review r06). The always-true
+        # readings reference keeps the plan legal (Spark rejects
+        # queries touching ONLY the internal corrupt-record column).
+        # Same shape as sources/readers.read_raw_json_with_quarantine.
         .filter(
             F.col("_corrupt_record").isNotNull()
-            & F.col("readings").isNull()
+            & (F.col("readings").isNull() | (F.size("readings") >= 0))
         )
-        .select(F.col("_corrupt_record").alias("raw_payload"))
+        .select(
+            F.col("_corrupt_record").alias("raw_payload"),
+            F.size("readings").alias("n_parsed_readings"),
+        )
     )
     return (
         corrupt.writeStream.outputMode("append")

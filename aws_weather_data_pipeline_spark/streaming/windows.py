@@ -114,15 +114,27 @@ def _update_user_stats(key, pdf_iter, state: GroupState):
         if pdf.empty:
             continue
         n += len(pdf)
-        batch_max = pdf["value"].max()
-        mx = batch_max if mx is None else max(mx, float(batch_max))
-        idx = pdf.sort_values(["ts", "event_id"]).index[-1]
-        row_ts = pdf.loc[idx, "ts"]
-        row_eid = int(pdf.loc[idx, "event_id"])
+        vals = pdf["value"].dropna()
+        if not vals.empty:
+            batch_max = float(vals.max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        # 'last' resolution only over rows with BOTH tie-break fields:
+        # pandas sorts NaT last, so a null-ts row would be elected the
+        # batch's latest and — NaT comparisons being always False —
+        # freeze last_event_type forever once written to state; a null
+        # event_id at that index crashes int(NaN) (review r06). Such
+        # rows still count toward n_events; they just can't win
+        # "latest".
+        valid = pdf.dropna(subset=["ts", "event_id"])
+        if valid.empty:
+            continue
+        idx = valid.sort_values(["ts", "event_id"]).index[-1]
+        row_ts = valid.loc[idx, "ts"]
+        row_eid = int(valid.loc[idx, "event_id"])
         if last_ts is None or (row_ts, row_eid) >= (last_ts, last_eid):
             last_ts = row_ts
             last_eid = row_eid
-            last_type = pdf.loc[idx, "event_type"]
+            last_type = valid.loc[idx, "event_type"]
     state.update((n, mx, last_ts, last_eid, last_type))
     yield pd.DataFrame(
         {

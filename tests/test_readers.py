@@ -234,3 +234,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     )
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(id" in plan
+
+
+def test_quarantine_captures_partially_corrupt_envelopes(
+    spark, tmp_path
+):
+    """Review r06 (reproduced): under partial-results JSON parsing
+    (default since Spark 3.4) a mistyped FIELD sets _corrupt_record
+    while `readings` still parses — such envelopes failed both the
+    good filter and an old readings-IS-NULL quarantine filter and
+    vanished entirely. They must quarantine, with the partial-parse
+    diagnostic column set."""
+    from aws_weather_data_pipeline_spark.sources.readers import (
+        read_raw_json_with_quarantine,
+    )
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "good.json").write_text(
+        json.dumps({"readings": [_reading(0)]}, indent=2)
+    )
+    partial = json.dumps(
+        {"readings": [dict(_reading(1), uv_index="high")]}, indent=2
+    )
+    (d / "partial.json").write_text(partial)
+    (d / "broken.json").write_text('{"readings": [{')
+
+    good, quarantined = read_raw_json_with_quarantine(spark, str(d))
+    q = {r["raw_payload"]: r["n_parsed_readings"]
+         for r in quarantined.collect()}
+    # good + quarantined covers every file; the partial row carries
+    # its parsed-reading count, the fully-broken one has none
+    assert good.count() == 1
+    assert len(q) == 2
+    assert q[partial] == 1
+    assert q['{"readings": [{'] is None

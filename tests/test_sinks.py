@@ -142,3 +142,32 @@ def test_upsert_summary_overwrites_only_target_partitions(spark, tmp_path):
         ("Mumbai", "2024-01-15"): 30.0,
         ("Delhi", "2024-01-16"): 21.5,
     }
+
+
+def test_idempotent_append_replay_safe_with_null_scope(
+    spark, tmp_path
+):
+    """Review r06: isin() never matches NULL, so existing rows with a
+    null scope value were invisible to conflict detection and a
+    replayed batch re-appended them — the exact duplicate the
+    function exists to prevent."""
+    from aws_weather_data_pipeline_spark.sinks.writers import (
+        idempotent_append,
+    )
+
+    path = str(tmp_path / "serving")
+    batch = spark.createDataFrame(
+        [(1, None), (2, "2024-01-01")],
+        "k LONG, scope STRING",
+    )
+    n1 = idempotent_append(
+        spark, batch, path, keys=["k"], scope_col="scope"
+    )
+    assert n1 == 2
+    # replay the identical batch: nothing may append, including the
+    # null-scope row
+    n2 = idempotent_append(
+        spark, batch, path, keys=["k"], scope_col="scope"
+    )
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == 2
