@@ -396,6 +396,11 @@ def _decode_wav(b: bytes) -> dict:
             f"only 16-bit PCM supported, got format={audio_format} "
             f"bits={bits}"
         )
+    if n_channels < 1:
+        # a 0-channel fmt chunk is parseable but every consumer
+        # divides by the channel count (review r06: ZeroDivisionError
+        # inside mapInPandas kills the stage)
+        raise ValueError(f"invalid channel count {n_channels}")
     if len(data) % 2:
         raise ValueError("odd data-chunk length for 16-bit samples")
     samples = np.frombuffer(data, dtype="<i2")
@@ -742,10 +747,12 @@ def _decode_gif(b: bytes) -> dict:
     pos = 13
     if packed & 0x80:  # global color table
         pos += 3 * (2 << (packed & 0x07))
-    frames: list[bytes] = []
+    frames: list[dict] = []
+    saw_trailer = False
     while pos < len(b):
         block = b[pos]
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension: label + sub-blocks, skip
             pos += 2
@@ -782,7 +789,18 @@ def _decode_gif(b: bytes) -> dict:
                 f"frame decoded to {len(indices)} indices; "
                 f"{fw}x{fh} needs {fw * fh}"
             )
-        frames.append(indices)
+        # each frame keeps its OWN descriptor geometry — optimized
+        # GIFs use sub-rectangle delta frames, and reporting the
+        # logical-screen size for them misdescribes every pixel
+        # position (review r06)
+        frames.append(
+            {"x": fx, "y": fy, "w": fw, "h": fh, "indices": indices}
+        )
+    if not saw_trailer:
+        # a file cut at a block boundary would otherwise return a
+        # silently truncated animation (review r06) — inconsistent
+        # with the loud failure mid-sub-block truncation already gets
+        raise ValueError("GIF missing trailer (truncated file)")
     return {"width": width, "height": height, "frames": frames}
 
 
@@ -857,11 +875,16 @@ def decode_gif_frames(df: DataFrame) -> DataFrame:
             ):
                 gif = decode_media(bytes(payload), ctype)
                 for idx, frame in enumerate(gif["frames"]):
-                    arr = np.frombuffer(frame, dtype=np.uint8)
+                    arr = np.frombuffer(
+                        frame["indices"], dtype=np.uint8
+                    )
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
-                    out["width"].append(gif["width"])
-                    out["height"].append(gif["height"])
+                    # the frame's OWN geometry, not the logical
+                    # screen's — identical for the full-frame fixture
+                    # encoder, different for delta-frame GIFs
+                    out["width"].append(frame["w"])
+                    out["height"].append(frame["h"])
                     out["n_indices"].append(arr.size)
                     out["index_sum"].append(
                         int(arr.sum(dtype=np.int64))

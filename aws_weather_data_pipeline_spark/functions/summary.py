@@ -22,9 +22,18 @@ from .exact import davg, dec
 
 
 def _dominant(df: DataFrame, col: str, out: str) -> DataFrame:
-    """A5: per-(city, date) modal value with deterministic tie-break."""
-    counts = df.groupBy("city", "summary_date", col).agg(
-        F.count(F.lit(1)).alias("_n")
+    """A5: per-(city, date) modal value with deterministic tie-break.
+
+    NULL values are excluded from the candidates — Postgres
+    MODE() WITHIN GROUP ignores NULLs, and without the filter a
+    mostly-null group would elect NULL as its "dominant" value (and
+    the asc tie-break would even prefer NULL on count ties; review
+    r06). An all-null group emits no row and the caller's LEFT join
+    yields NULL, matching mode() over an empty set."""
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy("city", "summary_date", col)
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     w = Window.partitionBy("city", "summary_date").orderBy(
         F.col("_n").desc(), F.col(col).asc()

@@ -79,7 +79,22 @@ def connected_components(
         .persist()
     )
     labels.count()  # materialize edges+labels before iterating
-    retired = labels  # frame whose storage the next round frees
+    # NULL endpoints never equi-join (null != null), so a null edge
+    # would silently STOP label propagation across it and leak a
+    # phantom node=NULL row into the output — violating the no-silent-
+    # split contract. The frames are materialized, so this check reads
+    # the cache, not the source (review r06).
+    if e.filter(
+        F.col("src").isNull() | F.col("dst").isNull()
+    ).limit(1).count():
+        e.unpersist(False)
+        labels.unpersist(False)
+        raise ValueError(
+            "connected_components: edge list contains NULL endpoints; "
+            "drop or repair them upstream — a null edge cannot "
+            "propagate labels and would split components silently"
+        )
+    retired = labels  # frame superseded (and dereferenced) next round
 
     sc = edges.sparkSession.sparkContext
     can_reliable = sc.getCheckpointDir() is not None
@@ -138,8 +153,17 @@ def connected_components(
         changed = (
             jumped.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
         )
-        retired.unpersist()  # previous round's frame (or initial labels)
-        retired = jumped  # checkpoint RDD to free next round
+        # For round 1's `labels` this truly unpersists; for later
+        # rounds `retired` is a checkpoint-backed frame whose blocks
+        # DataFrame.unpersist does NOT free (it only clears
+        # CacheManager entries) — those blocks are released by
+        # ContextCleaner once the superseded frame is garbage
+        # collected, which dropping our reference below enables.
+        # Peak extra footprint is therefore O(a few label frames),
+        # bounded by GC latency, not by round count (review r06
+        # corrected the comment that claimed deterministic freeing).
+        retired.unpersist()
+        retired = jumped
         labels = jumped.select("node", "label")
         if changed == 0:
             converged = True

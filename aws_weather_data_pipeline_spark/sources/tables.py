@@ -31,14 +31,19 @@ TABLE_NAMES = (
 
 
 @lru_cache(maxsize=256)
-def _timestamp_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+def _timestamp_columns(
+    path: str, mtime_ns: int
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
     """``(nanos_cols, ntz_cols)`` for the parquet file at ``path``.
 
     Read from the parquet footer (pyarrow), so the repairs below are
     keyed on each file's actual logical type — not on hardcoded column
     names. ``nanos_cols`` are TIMESTAMP(NANOS) (Spark has no native
     type); ``ntz_cols`` are µs/ms timestamps with isAdjustedToUTC=false,
-    which Spark reads as TIMESTAMP_NTZ.
+    which Spark reads as TIMESTAMP_NTZ. ``mtime_ns`` is part of the
+    cache key so a file REWRITTEN in-process with a different
+    timestamp schema gets a fresh footer read instead of the stale
+    repair plan (review r06).
     """
     import pyarrow.parquet as pq
     import pyarrow.types as pat
@@ -57,7 +62,7 @@ def _timestamp_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
 
 def _read_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos, ntz = _timestamp_columns(path)
+    nanos, ntz = _timestamp_columns(path, os.stat(path).st_mtime_ns)
     if not nanos:
         df = spark.read.parquet(path)
         # Timestamps written without isAdjustedToUTC arrive as

@@ -420,7 +420,14 @@ def test_gif_roundtrip_multiframe():
     ]
     out = decode_media(encode_gif(frames, 5, 4), "image/gif")
     assert (out["width"], out["height"]) == (5, 4)
-    assert out["frames"] == frames
+    assert [f["indices"] for f in out["frames"]] == frames
+    # the fixture encoder writes full-frame descriptors; each decoded
+    # frame carries its OWN geometry (sub-rectangle delta frames in
+    # real GIFs differ from the logical screen — review r06)
+    assert all(
+        (f["x"], f["y"], f["w"], f["h"]) == (0, 0, 5, 4)
+        for f in out["frames"]
+    )
 
 
 def test_gif_decoder_rejects_malformed_input():
@@ -431,8 +438,15 @@ def test_gif_decoder_rejects_malformed_input():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_media(b"\x89PNG\r\n\x1a\n", "image/gif")
     good = encode_gif([bytes(range(12))], 4, 3)
-    with pytest.raises(ValueError, match="terminator|truncated|EOI"):
+    with pytest.raises(
+        ValueError, match="terminator|truncated|EOI|trailer"
+    ):
         decode_media(good[:-3], "image/gif")
+    # a cut exactly at a block boundary (trailer byte removed) must
+    # ALSO fail loudly — it used to return a silently truncated
+    # animation (review r06)
+    with pytest.raises(ValueError, match="trailer"):
+        decode_media(good[:-1], "image/gif")
     # interlace flag on the image descriptor must be refused
     bad = bytearray(good)
     # image descriptor starts after 6 (header) + 7 (LSD) + 768 (GCT)

@@ -1077,3 +1077,24 @@ def test_funnel_survives_degenerate_docs(spark, tmp_path):
     # sane word lengths, no repeated bigram) survives the funnel
     assert rows["length"]["n_failed"] == 3
     assert rows["repetition"]["n_surviving"] == 1
+
+
+def test_documents_fixture_is_ascii(spark, sf_dir):
+    """Every multimodal oracle re-derives payload statistics from TEXT
+    with char arithmetic while the Spark side operates on encoded
+    BYTES — the two agree only while the corpus is pure ASCII (a
+    multi-byte char makes rpad-by-chars produce more bytes than
+    w*h*3, which _decode_ppm then silently truncates; review r06).
+    Pin the assumption at the fixture, where a violation is one clear
+    failure instead of a scattered hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from aws_weather_data_pipeline_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
