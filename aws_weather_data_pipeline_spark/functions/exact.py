@@ -38,3 +38,13 @@ def davg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(dec(c, scale, precision)).cast("double") / F.count(c)
+
+
+def cnt_when(pred: Column) -> Column:
+    """Conditional count as SUM(CASE WHEN pred THEN 1 ELSE 0 END).
+
+    The CASE-sum form (not count(when(...))) is the one whose
+    null-handling matches the SQL oracles' SUM(CASE...) exactly; ONE
+    definition so the convention can't drift between modules.
+    """
+    return F.sum(F.when(pred, 1).otherwise(0))

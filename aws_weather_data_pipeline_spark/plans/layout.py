@@ -20,7 +20,10 @@ from .registry import QueryCatalog
 
 CATALOG = QueryCatalog()
 
-#: Bits per dimension; tiles are (2^ZORDER_TILE_BITS)² codes.
+#: Bits per dimension; shifting the interleaved code right by
+#: ZORDER_TILE_BITS yields 2^ZORDER_TILE_BITS = 256-code tiles
+#: (16×16 in (x, y) — the "≤16 values per dimension" span the audit
+#: pins; review r06 corrected a comment that squared this to 65536).
 ZORDER_BITS = 8
 ZORDER_TILE_BITS = 8
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.exact import davg, dec, dsum
+from ..functions.exact import cnt_when, davg, dec, dsum
 from ..sources.tables import load_tables
 from .registry import QueryCatalog
 
@@ -135,8 +135,7 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
 
-    def cnt(pred):
-        return F.sum(F.when(pred, 1).otherwise(0))
+    cnt = cnt_when
 
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1202,8 +1201,7 @@ def nations_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def validation_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
 
-    def viol(pred) -> F.Column:
-        return F.sum(F.when(pred, 1).otherwise(0))
+    viol = cnt_when
 
     return li.agg(
         F.count(F.lit(1)).alias("total_rows"),
@@ -1346,7 +1344,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cube_type_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
-    bucket = F.col("user_id").__mod__(10).cast("string")
+    bucket = (F.col("user_id") % 10).cast("string")
     return (
         ev.cube(
             F.col("event_type").alias("event_type"),
@@ -1354,7 +1352,7 @@ def cube_type_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("(all)")).alias("event_type"),

@@ -601,8 +601,10 @@ _SESSION_WM = "1 hour"
     ),
     gaps AS (
         SELECT user_id, ts, value,
+               -- strict >: Spark's session_window MERGES an
+               -- exact-gap pair (review r06)
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                         OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM base
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)

@@ -133,7 +133,7 @@ def sliding_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                         OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
@@ -155,7 +155,11 @@ def sliding_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-user session windows, 10-minute inactivity gap "
     "(F.session_window — a new session starts when the gap since the "
-    "previous event is >= the timeout; end = last event + gap). The "
+    "previous event EXCEEDS the timeout: gap == timeout still MERGES, "
+    "verified empirically on Spark 4.1.2, so the oracle's split "
+    "predicate is strict > (review r06 caught a >= rule that would "
+    "split exact-gap pairs the engine merges); end = last event + "
+    "gap). The "
     "oracle is the classic gaps-and-islands: lag → new-session flag → "
     "running sum → group. Spark's native session window is ONE shuffle "
     "on user_id with state merged in the agg — the same shape the "
@@ -249,8 +253,12 @@ def daily_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forward with last(..., ignorenulls) — ONE shuffle on user_id, no "
     "range join, no per-row subquery. The unique event_id tie-break "
     "makes 'most recent' total, so results are deterministic at any "
-    "parallelism (strictly-before semantics fall out of the unique "
-    "ordering: a click never shares (ts, event_id) with a purchase). "
+    "parallelism. Semantics are AT-OR-BEFORE (pandas merge_asof's "
+    "backward-inclusive default): a click sharing the purchase's "
+    "exact timestamp with a smaller event_id counts as prior and "
+    "yields gap_micros = 0 — consumers needing strictly-before must "
+    "filter gap_micros > 0 (review r06 corrected a doc claim of "
+    "strict-before). "
     "gap_micros is exact integer µs arithmetic on both engines.",
     tags=("temporal", "join", "window"),
 )
@@ -342,6 +350,12 @@ def interval_range_join_counts(
 ) -> DataFrame:
     ev = _events(spark, sf_dir)
     days = ev.select(F.to_date("ts").alias("window_date")).distinct()
+    # wins feeds BOTH the broadcast bucket table and the final
+    # empty-window-restoring left join; Spark duplicates the subtree
+    # per reference, so without a persist the full events scan +
+    # distinct-dates shuffle runs twice per execution — an entire
+    # extra fact-table pass at the design point (review r06). The
+    # frame is calendar-sized, so the persist is ~free.
     wins = days.select(
         "window_date",
         (
@@ -355,7 +369,8 @@ def interval_range_join_counts(
                 " MINUTES"
             )
         ).alias("w_end"),
-    )
+    ).persist()
+    wins.count()
     # Bucketize: a window row per overlapped hour bucket; an event joins
     # only its own hour bucket, so each event meets ≤1 row per window.
     win_buckets = wins.select(

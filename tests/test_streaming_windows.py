@@ -339,3 +339,34 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     assert got == want
     # exactly the in-horizon attributions, across micro-batch boundary
     assert got == {(0, 1): 9.0, (4, 5): 7.0}
+
+
+def test_session_window_merges_exact_gap_pair(spark):
+    """Boundary pin (review r06, verified empirically): Spark's
+    session_window MERGES two events exactly one gap apart — the
+    split rule is gap strictly GREATER than the timeout. The oracles'
+    gaps-and-islands twins must use strict > or they split pairs the
+    engine merges, breaking the hash gate on any fixture containing
+    an exact 10-minute gap."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),  # gap == timeout: merges
+            (1, "2024-01-01 00:20:01"),  # gap >  timeout: splits
+        ],
+        "user_id LONG, ts_s STRING",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    sessions = sorted(
+        (str(r["w"]["start"]), r["n"])
+        for r in df.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sessions == [
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 00:20:01", 1),
+    ]
