@@ -146,32 +146,45 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and pins N — the per-node base share then folds into the plan
     # as a literal instead of a per-iteration scalar cross-join.
     edges_deg = edges.join(deg, "src").persist()
-    n = edges_deg.select("src").distinct().count()
-    base = PR_MASS // n
-    ranks = (
-        edges_deg.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.lit(base).cast("bigint").alias("rank_scaled"))
-    )
-    for _ in range(PR_ITERS):
-        inflow = (
-            edges_deg.join(
-                ranks.withColumnRenamed("node", "src"), "src"
-            )
+    try:
+        n = edges_deg.select("src").distinct().count()
+        base = PR_MASS // n
+        ranks = (
+            edges_deg.select(F.col("src").alias("node"))
+            .distinct()
             .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_scaled div outdeg").alias("contrib"),
+                "node", F.lit(base).cast("bigint").alias("rank_scaled")
             )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = inflow.select(
-            "node",
-            (
-                F.lit((15 * base) // 100).cast("bigint")
-                + F.expr("(85 * inflow) div 100")
-            ).alias("rank_scaled"),
+        for _ in range(PR_ITERS):
+            inflow = (
+                edges_deg.join(
+                    ranks.withColumnRenamed("node", "src"), "src"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_scaled div outdeg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("inflow"))
+            )
+            ranks = inflow.select(
+                "node",
+                (
+                    F.lit((15 * base) // 100).cast("bigint")
+                    + F.expr("(85 * inflow) div 100")
+                ).alias("rank_scaled"),
+            )
+        # Eagerly detach the O(nodes) result from the persisted edge
+        # frame (same hygiene as kmeans_lloyd_assignments) so the
+        # finally-block unpersist is real, not a leaked cache entry in
+        # a long-lived multi-query session.
+        return (
+            ranks.select(
+                "node",
+                F.col("rank_scaled").cast("bigint").alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
         )
-    return ranks.select(
-        "node", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
-    )
+    finally:
+        edges_deg.unpersist(False)

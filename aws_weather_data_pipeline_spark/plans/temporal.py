@@ -407,13 +407,26 @@ def interval_range_join_counts(
         F.count("event_id").alias("n_events"),
         dsum("value").alias("sum_value"),
     )
-    return wins.select("window_date").join(
-        counts, "window_date", "left"
-    ).select(
-        "window_date",
-        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
-        "sum_value",
-    )
+    try:
+        # Eagerly detach the calendar-sized result so the persisted
+        # `wins` frame can be released here instead of leaking a cache
+        # entry into the shared session (ADVICE r06) — as written the
+        # returned plan references `wins`, so a bare unpersist would
+        # silently re-run the events scan twice on later actions.
+        return (
+            wins.select("window_date")
+            .join(counts, "window_date", "left")
+            .select(
+                "window_date",
+                F.coalesce("n_events", F.lit(0).cast("long")).alias(
+                    "n_events"
+                ),
+                "sum_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        wins.unpersist(False)
 
 
 # --------------------------------------------------------------------------

@@ -544,7 +544,7 @@ def weather_current_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CASE WHEN json_valid(props)
                      AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-                THEN CAST(props->>'k' AS INTEGER) END AS prop_k
+                THEN TRY_CAST(props->>'k' AS INTEGER) END AS prop_k
     FROM events
     """,
     doc="P1 from_json + struct projection on the events.props JSON "
@@ -554,7 +554,10 @@ def weather_current_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that contract (json_valid guard + integer-json-type check, "
     "since DuckDB's bare ->> ERRORS on malformed JSON and coerces "
     "quoted numbers where Spark's from_json nulls them; review "
-    "r06).",
+    "r06). TRY_CAST, not CAST: a JSON integer outside INT32 range "
+    "passes the BIGINT type guard but overflows the cast — Spark's "
+    "from_json nulls it, so the oracle must too instead of raising "
+    "Out of Range (ADVICE r06).",
     tags=("weather", "json"),
 )
 def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,18 @@ def compact_path(
     on-disk estimate is the right one, unlike the common
     rows-per-file guess).
 
+    Crash recovery (ADVICE r06): because staging/old names are
+    dot-prefixed, a crash between the two renames would otherwise
+    leave NO visible table at ``path`` and no visible clue where the
+    data went. So before the first rename a VISIBLE marker file
+    ``_COMPACTING_{base}`` is written in the parent naming both
+    hidden directories; it is removed only after the swap completes
+    and the old copy is deleted. An operator who finds the marker
+    (with or without ``path`` present) recovers by renaming the
+    directory the marker names — ``old`` if ``path`` is missing
+    (swap half-done), else just deleting ``staging`` (crash before
+    the first rename).
+
     Scope it to ONE partition directory (a day, an hour) and run it
     partition-parallel from the orchestrator — compacting a whole
     100 TB table as one job would shuffle the world; compacting the
@@ -91,9 +103,23 @@ def compact_path(
         "overwrite"
     ).parquet(staging)
     old = os.path.join(parent, f".{base}__old_{uuid.uuid4().hex[:8]}")
+    # Visible crash-recovery breadcrumb: written BEFORE the swap so a
+    # crash mid-swap (path absent, data only in hidden dirs) is
+    # diagnosable from a plain directory listing. See docstring.
+    marker = os.path.join(parent, f"_COMPACTING_{base}")
+    with open(marker, "w") as fh:
+        fh.write(
+            "compaction in progress\n"
+            f"table:   {path}\n"
+            f"old:     {old}\n"
+            f"staging: {staging}\n"
+            "recovery: if the table dir is missing, rename `old` back "
+            "to `table`; otherwise delete `staging`.\n"
+        )
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+    os.remove(marker)
     after = [
         f
         for f in os.listdir(path)
