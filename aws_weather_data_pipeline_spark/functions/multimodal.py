@@ -64,15 +64,18 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     """Decode a media payload to its typed dict.
 
-    Four real decoders, pure Python + stdlib: binary PPM (P6), PNG
-    (8-bit RGB — chunk walk with CRC check, zlib inflate, scanline
-    unfilter for all five filter types), RIFF WAV (16-bit PCM), and
-    GIF89a (multi-frame animation: logical-screen/color-table parse,
-    per-frame image descriptors, REAL LZW decompression with growing
-    code widths and clear-code resets). Every other content type
-    raises ``NotImplementedError``: JPEG/MP3/video codecs need
-    libraries not present in this container; a deployment installs
-    PIL/ffmpeg and adds branches here — the surrounding plumbing
+    Five real decoders, pure Python + numpy/stdlib: binary PPM (P6),
+    PNG (8-bit RGB — chunk walk with CRC check, zlib inflate,
+    scanline unfilter for all five filter types), RIFF WAV (16-bit
+    PCM), GIF89a (multi-frame animation: logical-screen/color-table
+    parse, per-frame image descriptors, REAL LZW decompression with
+    growing code widths and clear-code resets), and baseline-DCT
+    JPEG (SOF0: DQT/DHT/DRI marker walk, canonical Huffman decode,
+    vectorized dequantize + inverse-zigzag + IDCT, grayscale and
+    4:4:4 YCbCr->RGB). Every other content type raises
+    ``NotImplementedError``: MP3/video codecs need libraries not
+    present in this container; a deployment installs ffmpeg and adds
+    branches here — the surrounding plumbing
     (``decode_image_features``) is format-agnostic and unchanged.
     """
     if content_type == "image/x-portable-pixmap":
@@ -83,11 +86,13 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
         return _decode_wav(payload_bytes)
     if content_type == "image/gif":
         return _decode_gif(payload_bytes)
+    if content_type == "image/jpeg":
+        return _decode_jpeg(payload_bytes)
     raise NotImplementedError(
         f"no decoder for {content_type!r} in this environment; "
-        "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, and GIF89a are "
-        "the built-in reference decoders (JPEG/MP3/video need codecs "
-        "absent from this container)"
+        "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, GIF89a, and "
+        "baseline-DCT JPEG are the built-in reference decoders "
+        "(MP3/video need codecs absent from this container)"
     )
 
 
@@ -898,6 +903,542 @@ def decode_gif_frames(df: DataFrame) -> DataFrame:
         "doc_id", "payload",
         F.col("payload_meta.content_type").alias("content_type"),
     ).mapInPandas(gen, schema=GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (ITU T.81): pure-Python Huffman + numpy DCT
+# ---------------------------------------------------------------------------
+
+#: JPEG zigzag scan order (T.81 Figure 5): ZIGZAG[k] = raster index of
+#: the k-th coefficient. Generated, not transcribed — diagonal s=r+c,
+#: odd diagonals walk row-increasing, even diagonals row-decreasing.
+_JPEG_ZIGZAG = [
+    r * 8 + (s - r)
+    for s in range(15)
+    for r in (range(s + 1) if s % 2 else reversed(range(s + 1)))
+    if r < 8 and s - r < 8
+]
+
+# Standard luminance Huffman tables (T.81 Annex K.3): BITS (count of
+# codes per length 1..16) + HUFFVAL. The DECODER never depends on
+# these — it builds its tables from the file's own DHT segments — so
+# they only pin what our encoder emits.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: C[u,x] = c(u)/2 * cos((2x+1)uπ/16)
+    with c(0)=1/√2. Forward: C·B·Cᵀ; inverse: Cᵀ·S·C."""
+    x = np.arange(8)
+    u = np.arange(8).reshape(8, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    c[0] /= np.sqrt(2)
+    return c
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.write(0xFF, 8 - self._n)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    cat = int(abs(v)).bit_length()
+    return cat, v if v > 0 else v + (1 << cat) - 1
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """JFIF RGB -> YCbCr, rounded to integers in [0, 255]; arr is
+    (h, w, 3) float64."""
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.round(out), 0, 255)
+
+
+def encode_jpeg(
+    raster: bytes,
+    width: int,
+    height: int,
+    n_components: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a raster as a baseline-DCT JFIF JPEG (SOF0).
+
+    ``n_components=1``: ``raster`` is ``width*height`` grayscale
+    bytes. ``n_components=3``: interleaved RGB, encoded as 4:4:4
+    YCbCr. Quantization tables are ALL ONES, so the only loss is
+    coefficient rounding — and an image whose every 8x8 block is
+    CONSTANT round-trips bit-exactly in grayscale (the DC coefficient
+    8*(v-128) is an exact integer; every AC is 0), which is what lets
+    a SQL oracle value-check the decoder. Standard Annex K luminance
+    Huffman tables for every component; ``restart_interval`` > 0
+    emits DRI + RSTn markers. Fixture side of the photo codec pair.
+    """
+    import struct
+
+    if len(raster) != width * height * n_components:
+        raise ValueError(
+            f"raster is {len(raster)} bytes; {width}x{height} with "
+            f"{n_components} components needs "
+            f"{width * height * n_components}"
+        )
+    if n_components not in (1, 3):
+        raise ValueError(f"unsupported component count {n_components}")
+    arr = np.frombuffer(raster, dtype=np.uint8).astype(np.float64)
+    if n_components == 3:
+        planes = _rgb_to_ycbcr(arr.reshape(height, width, 3))
+        planes = [planes[..., c] for c in range(3)]
+    else:
+        planes = [arr.reshape(height, width)]
+    bw, bh = -(-width // 8), -(-height // 8)
+    cmat = _jpeg_dct_matrix()
+    # Per-plane forward DCT over all blocks at once: pad by edge
+    # replication to 8-multiples, carve into (n_blocks, 8, 8), then
+    # one einsum per plane — the numpy half of the codec; only
+    # entropy coding is interpreter-side.
+    comp_coefs = []
+    for plane in planes:
+        padded = np.pad(
+            plane - 128.0,
+            ((0, bh * 8 - height), (0, bw * 8 - width)),
+            mode="edge",
+        )
+        blocks = (
+            padded.reshape(bh, 8, bw, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * bw, 8, 8)
+        )
+        coefs = np.einsum("ux,nxy,vy->nuv", cmat, blocks, cmat)
+        comp_coefs.append(
+            np.round(coefs).astype(np.int64)  # quant table is all 1s
+        )
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(
+        [1] * 64
+    )  # DQT: 8-bit table 0, all ones
+    sof = struct.pack(">BHHB", 8, height, width, n_components)
+    for cid in range(1, n_components + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtbl 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([n_components])
+    for cid in range(1, n_components + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approx
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    writer = _BitWriter()
+    preds = [0] * n_components
+    n_mcus = bw * bh
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += writer.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _BitWriter()
+            preds = [0] * n_components
+        for ci in range(n_components):
+            zz = [
+                int(comp_coefs[ci][mcu].ravel()[idx])
+                for idx in _JPEG_ZIGZAG
+            ]
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            cat, val = _jpeg_category(diff)
+            code, length = dc_codes[cat]
+            writer.write(code, length)
+            if cat:
+                writer.write(val, cat)
+            run = 0
+            for coef in zz[1:]:
+                if coef == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    writer.write(code, length)
+                    run -= 16
+                cat, val = _jpeg_category(coef)
+                code, length = ac_codes[(run << 4) | cat]
+                writer.write(code, length)
+                writer.write(val, cat)
+                run = 0
+            if run:
+                code, length = ac_codes[0x00]  # EOB
+                writer.write(code, length)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with byte
+    de-stuffing; stops at any non-RST marker and exposes RST markers
+    to the caller for predictor resets."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data
+        if self.pos >= len(b):
+            raise ValueError("JPEG entropy data truncated")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                raise ValueError(
+                    "marker inside entropy segment without restart"
+                )
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if not self._n:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker at the current byte position and
+        drop any pending padding bits."""
+        self._acc = 0
+        self._n = 0
+        b = self.data
+        if (
+            self.pos + 1 < len(b)
+            and b[self.pos] == 0xFF
+            and 0xD0 <= b[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError(
+                f"expected restart marker at byte {self.pos}"
+            )
+
+
+def _huffman_decode_tree(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map for canonical decoding."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huffman(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    """T.81 EXTEND: map ``cat`` received bits to a signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_jpeg(b: bytes) -> dict:
+    """Decode a baseline-DCT JPEG (SOF0): marker walk, DQT/DHT/DRI
+    parse, per-MCU Huffman decode (pure Python), then one vectorized
+    numpy dequantize + inverse-zigzag + IDCT over all blocks.
+    Grayscale (1 component) and 4:4:4 color (3 components, YCbCr ->
+    RGB with JFIF rounding) are supported; progressive (SOF2),
+    subsampled, and arithmetic-coded files raise ``ValueError``.
+    Returns the PPM-shaped ``{width, height, maxval, pixels}`` —
+    interleaved RGB for color, one byte per pixel for grayscale."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: SOI missing, got {b[:2]!r}")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = b[pos + 1]
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError(f"truncated segment 0x{marker:02x}")
+        if marker == 0xDB:  # DQT: one or more tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                htables[(cls, tid)] = _huffman_decode_tree(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG (non-1x1 factors) unsupported"
+                    )
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"only baseline SOF0 supported, got SOF 0x{marker:02x}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: entropy data follows
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            pos = pos + 2 + seglen
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    if sof is None or scan is None:
+        raise ValueError("missing SOF0 or SOS segment")
+    width, height, comps = sof
+    if len(scan) != len(comps):
+        raise ValueError("SOS component count differs from SOF0")
+    bw, bh = -(-width // 8), -(-height // 8)
+    n_mcus = bw * bh
+    ncomp = len(comps)
+    coefs = np.zeros((ncomp, n_mcus, 64), dtype=np.int64)
+    reader = _BitReader(b, pos)
+    preds = [0] * ncomp
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.sync_restart()
+            preds = [0] * ncomp
+        for ci, (_cid, dc_t, ac_t) in enumerate(scan):
+            dc_table = htables.get((0, dc_t))
+            ac_table = htables.get((1, ac_t))
+            if dc_table is None or ac_table is None:
+                raise ValueError("scan references undefined DHT table")
+            cat = _read_huffman(reader, dc_table)
+            diff = _jpeg_extend(reader.read_bits(cat), cat)
+            preds[ci] += diff
+            coefs[ci, mcu, 0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _read_huffman(reader, ac_table)
+                if rs == 0x00:  # EOB
+                    break
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol 0x{rs:02x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                coefs[ci, mcu, k] = _jpeg_extend(
+                    reader.read_bits(size), size
+                )
+                k += 1
+    # Vectorized reconstruction: dequantize + inverse zigzag + IDCT
+    # for every block of every component in one einsum.
+    cmat = _jpeg_dct_matrix()
+    inv_zz = np.argsort(np.array(_JPEG_ZIGZAG))  # raster -> zigzag pos
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError(f"component references missing DQT {tq}")
+        deq = coefs[ci] * qtables[tq][np.newaxis, :]
+        blocks = deq[:, inv_zz].reshape(n_mcus, 8, 8).astype(np.float64)
+        spatial = np.einsum("ux,nuv,vy->nxy", cmat, blocks, cmat)
+        grid = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        planes.append(grid[:height, :width] + 128.0)
+    if ncomp == 1:
+        pixels = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return {
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "pixels": pixels.tobytes(),
+        }
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=-1)
+    pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixels": pixels.tobytes(),
+    }
+
+
+def with_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a synthetic baseline-JPEG payload derived from
+    ``text_col``.
+
+    Dimensions come from doc_id (1-3 blocks wide x 1-2 blocks high,
+    i.e. 8-24 x 8-16 pixels) and every 8x8 block is CONSTANT gray:
+    block ``i`` (row-major) carries the value of text byte ``i``
+    (padded with 'x'), so after the lossy-in-general DCT round-trip
+    the decode is EXACT (constant blocks quantize losslessly under
+    the all-ones table) and every decoded statistic is SQL-derivable:
+    pixel_byte_sum = 64 * sum(block bytes). The Spark side must
+    survive a real Huffman encode -> decode -> dequantize -> IDCT
+    round-trip to match the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _to_jpeg(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, t in zip(doc_id, text):
+            did = int(did)
+            wb = 1 + did % 3
+            hb = 1 + did % 2
+            nblocks = wb * hb
+            raw = (t or "")[:120].encode("utf-8")
+            raw = raw[:nblocks].ljust(nblocks, b"x")
+            vals = np.frombuffer(raw, dtype=np.uint8).reshape(hb, wb)
+            raster = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            out.append(
+                encode_jpeg(raster.tobytes(), wb * 8, hb * 8)
+            )
+        return pd.Series(out)
+
+    return df.withColumn(
+        "payload", _to_jpeg(F.col("doc_id"), F.col(text_col))
+    ).withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit("image/jpeg").alias("content_type"),
+        ),
+    )
 
 
 def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -479,3 +479,124 @@ def test_gif_payload_decodes_end_to_end(spark):
         assert rows[f]["index_sum"] == sum(fr)
         assert rows[f]["index_max"] == max(fr)
         assert (rows[f]["width"], rows[f]["height"]) == (2, 4)
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    # every 8x8 block constant + all-ones quant table => the DC
+    # coefficient 8*(v-128) is an exact integer and every AC is 0, so
+    # the lossy-in-general pipeline is bit-exact — the property the
+    # oracle-checked catalog query relies on
+    rng = np.random.default_rng(11)
+    for wb, hb in [(1, 1), (3, 2), (2, 1)]:
+        vals = rng.integers(0, 256, (hb, wb), dtype=np.uint8)
+        raster = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        out = decode_media(
+            encode_jpeg(raster.tobytes(), wb * 8, hb * 8), "image/jpeg"
+        )
+        assert (out["width"], out["height"]) == (wb * 8, hb * 8)
+        assert out["maxval"] == 255
+        assert out["pixels"] == raster.tobytes()
+
+
+def test_jpeg_lossy_error_bound_grayscale():
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    # arbitrary rasters (incl. non-multiple-of-8 dims -> edge
+    # replication padding + crop): with all-ones quantization the only
+    # loss is coefficient rounding (<=0.5/coef), bounding per-pixel
+    # error; empirically |err| <= 1, assert the analytic-safe <= 4
+    rng = np.random.default_rng(12)
+    for w, h in [(8, 8), (13, 19), (24, 9)]:
+        raster = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        out = decode_media(
+            encode_jpeg(raster.tobytes(), w, h), "image/jpeg"
+        )
+        dec = np.frombuffer(out["pixels"], np.uint8).reshape(h, w)
+        assert np.abs(dec.astype(int) - raster.astype(int)).max() <= 4
+
+
+def test_jpeg_color_444_roundtrip_bounded():
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    # 3-component 4:4:4: RGB -> YCbCr (rounded) -> DCT -> ... -> RGB;
+    # rounding both ways + coefficient rounding stays within a few
+    # levels per channel
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    out = decode_media(
+        encode_jpeg(rgb.tobytes(), 24, 16, n_components=3), "image/jpeg"
+    )
+    assert len(out["pixels"]) == 24 * 16 * 3
+    dec = np.frombuffer(out["pixels"], np.uint8).reshape(16, 24, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_jpeg_restart_markers_decode_identically():
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(14)
+    raster = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    plain = decode_media(
+        encode_jpeg(raster.tobytes(), 32, 16), "image/jpeg"
+    )
+    restarted = decode_media(
+        encode_jpeg(raster.tobytes(), 32, 16, restart_interval=3),
+        "image/jpeg",
+    )
+    assert plain["pixels"] == restarted["pixels"]
+
+
+def test_jpeg_decoder_rejects_malformed_input():
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_media(b"\x89PNG\r\n\x1a\n", "image/jpeg")
+    raster = np.full((8, 8), 100, dtype=np.uint8)
+    good = encode_jpeg(raster.tobytes(), 8, 8)
+    with pytest.raises(ValueError, match="truncated|marker|SOF|SOS"):
+        decode_media(good[:40], "image/jpeg")
+    # progressive SOF2 must be refused, not mis-decoded
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF0|baseline"):
+        decode_media(bytes(bad), "image/jpeg")
+
+
+def test_jpeg_payload_decodes_end_to_end(spark):
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        PPM_SCHEMA,
+        decode_image_features,
+        with_jpeg_payload,
+    )
+
+    # doc_id=5: wb=1+5%3=3, hb=1+5%2=2 -> 6 blocks of "abcdef"
+    df = spark.createDataFrame([Row(doc_id=5, text="abcdef")])
+    feats = decode_image_features(with_jpeg_payload(df))
+    assert feats.schema == PPM_SCHEMA
+    row = feats.collect()[0]
+    assert (row["width"], row["height"]) == (24, 16)
+    assert row["n_pixel_bytes"] == 6 * 64
+    assert row["pixel_byte_sum"] == 64 * sum(b"abcdef")
