@@ -37,76 +37,86 @@ OPERATOR_MODULES = (
 # round, (b) queries whose SCHEMA or semantics changed this round
 # even if recently green (their old driver rows no longer describe
 # the current shape), then (c) the stalest remainder, oldest driver
-# row first. Round 6's window = the 43 queries whose latest driver
-# row is r03 (they would hit the 3-round limit this round), the new
-# four queries NEW this round (multimodal_decode_gif, scd2_user_state,
-# ann_recall_at_k, pagerank_trade_graph), the two queries whose OUTPUT
-# SCHEMA changed with the r05 ADVICE fixes (sequence_pack_assignment
-# and corpus_build_manifest emit (shard, pack_index) instead of an
-# encoded pack_id — their green r05 rows describe the old shape;
-# value_outliers_exact and exact_substr_removal also changed but only
-# internally, same output contract, so their r05 rows stand), and one
-# r04 fill (dedup_cascade_keep_list, the most composite r04 plan).
-# The remaining 48 r04-latest queries head round 7's window (they hit
-# age 3 there); the r05-latest block fills round 8. All queries stay
-# continuously oracle-checked by tests/test_catalog_oracle.py
-# regardless of window position.
+# row first. All queries stay continuously oracle-checked by
+# tests/test_catalog_oracle.py regardless of window position.
+#
+# Round 8's window (committed BEFORE the r08 driver run — the r07
+# window was never rotated, so r07 burned its slots re-checking the
+# r06 list and left TWO stale generations): multimodal_decode_jpeg
+# (NEW in r07, never driver-checked), the 48 queries whose latest
+# driver row is r04 (age 4 at r08 — already past the limit), and
+# cdc_merge_apply (NEW this round) in the one remaining slot. The
+# 49-query r05-latest block cannot also fit; it reaches age 4 at r09
+# and MUST be round 9's window (49 mandatory + 1 free slot). That is
+# the catch-up schedule for the r07 miss — one generation per round
+# is all a 50-slot window can refresh.
+#
+# Capacity ledger: the sustainability test caps the catalog at
+# 50 * MAX_AGE_ROUNDS = 150 queries. cdc_merge_apply makes 149.
+# misra_gries_heavy_hitters and bpe_train_merges are implemented and
+# pytest/oracle-tested this round (plans/sketch.py, plans/corpus.py)
+# but CANNOT be registered yet — registration requires a window slot
+# at creation time and r08 has exactly one. Plan of record: r09
+# registers both by (a) taking the free slot and (b) replacing
+# bpe_merge_candidates (an r05-block query whose one-round plan
+# bpe_train_merges strictly subsumes), which keeps N at 150 and the
+# r09 window at 48 + 2 new = 50.
 DRIVER_WINDOW = (
-    # --- NEW this round: must be driver-checked at creation time ---
-    "multimodal_decode_gif",
-    "scd2_user_state",
-    "ann_recall_at_k",
-    "pagerank_trade_graph",
-    # --- output schema changed this round (r05 ADVICE fixes):
-    # --- re-evidence the new shapes even though their rows are green
-    "sequence_pack_assignment",
-    "corpus_build_manifest",
-    # --- the 43 queries whose latest driver row is r03 ---
-    "ann_ivf_probe_topk",
-    "asof_last_click_before_purchase",
-    "bm25_topk",
-    "coercion_null_on_error",
-    "conditional_counts",
-    "customers_without_urgent_orders",
-    "dataset_split_assignment",
-    "decontaminate_ngram_overlap",
-    "dedup_exact_content",
-    "dedup_user_event_type",
-    "deterministic_doc_sample",
-    "doc_language_id",
-    "dominant_event_type",
-    "event_type_share",
-    "filter_isin_projection",
-    "global_stats",
-    "hll_distinct_sketch",
-    "knn_cosine_topk",
-    "latest_event_per_user",
-    "multimodal_feature_extract",
-    "nations_sorted",
-    "near_dup_clusters",
-    "near_dup_pairs_minhash",
-    "null_drop_critical",
-    "order_date_arithmetic",
-    "pack_explode_flatten",
-    "parse_props_json",
-    "pivot_status_qty",
-    "pricing_summary",
-    "promo_revenue_ratio",
-    "range_validity_flags",
-    "recent_events_feed",
-    "regional_revenue",
-    "rollup_returnflag_status",
-    "tfidf_top_terms",
-    "top10_orders_by_price",
-    "top_revenue_orders",
-    "tumbling_hourly_by_type",
-    "union_segments",
-    "user_activity_coverage",
-    "user_session_windows",
-    "validation_aggregates",
-    "weather_current_status",
-    # --- r04 fill (the most composite r04 plan) ---
-    "dedup_cascade_keep_list",
+    # --- NEW in r07, never driver-checked: first in line ---
+    "multimodal_decode_jpeg",
+    # --- the 48 queries whose latest driver row is r04 ---
+    # composite multi-stage plans first (most likely to regress),
+    # then the relational/window block, text block, sampling block.
+    "kmeans_lloyd_assignments",
+    "dedup_incremental_near",
+    "dedup_incremental_batch",
+    "interval_range_join_counts",
+    "near_dup_pairs_ngram",
+    "near_dup_pairs_editdist",
+    "near_dup_pairs_simhash",
+    "near_dup_pairs_embedding",
+    "ann_hyperplane_lsh_topk",
+    "label_centroids",
+    "minhash_signatures",
+    "bloom_dedup_probe",
+    "cms_user_activity_sketch",
+    "doc_importance_weights",
+    "doc_bigram_lm_score",
+    "doc_duplicated_spans",
+    "doc_repetition_metrics",
+    "doc_fingerprints",
+    "doc_simhash",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_stopword_filtered",
+    "doc_chunk_tokens",
+    "term_frequencies",
+    "pii_redaction",
+    "multimodal_payload_stats",
+    "multimodal_decode_ppm",
+    "multimodal_frame_sample",
+    "multimodal_distinct_bytes",
+    "corpus_mixture_sample",
+    "stratified_sample_per_lang",
+    "top3_events_per_user",
+    "event_gaps_lag",
+    "user_running_totals",
+    "event_rank_functions",
+    "gap_based_sessions",
+    "grouping_sets_pricing",
+    "customers_with_high_value_orders",
+    "date_range_revenue",
+    "union_distinct_active_users",
+    "cube_type_user_bucket",
+    "intersect_error_purchase_users",
+    "except_users_without_big_events",
+    "events_table_profile",
+    "referential_integrity_audit",
+    "sliding_hourly_activity",
+    "daily_value_rollup",
+    "trailing_hour_user_stats",
+    # --- NEW this round (the one free slot) ---
+    "cdc_merge_apply",
 )
 
 

@@ -525,3 +525,188 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         base.unpersist(False)
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (the top-k-frequent mergeable summary)
+# --------------------------------------------------------------------------
+
+#: Misra-Gries counter budget. The deterministic guarantee: every key
+#: with true frequency > N/(MG_K+1) survives the sketch, and each
+#: surviving counter underestimates its key's true count by at most
+#: N/(MG_K+1). 40 counters over the ~82-key char-pair domain forces
+#: real evictions at fixture scale while keeping a clean margin
+#: around the support threshold.
+MG_K = 40
+
+#: Exact-oracle SQL for mg_heavy_hitter_pairs (DuckDB). The Spark side
+#: runs the 2-pass Misra-Gries plan; its output EQUALS this exact
+#: query by the deterministic MG guarantee (candidates ⊇ true heavy
+#: hitters; pass 2 counts exactly and filters by the same threshold).
+#: Held here unregistered: catalog registration requires a
+#: DRIVER_WINDOW slot at creation time and round 8's one free slot
+#: went to cdc_merge_apply — round 9 registers this query (see the
+#: capacity ledger in plans/catalog.py).
+MG_HEAVY_HITTERS_SQL = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(
+                   range(1, length(token)),
+                   i -> token[i:i+1])) AS pair
+        FROM tok WHERE length(token) >= 2
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM p GROUP BY pair)
+    SELECT pair, n_occurrences FROM c
+    WHERE n_occurrences * {MG_K + 1} > (SELECT SUM(n_occurrences) FROM c)
+    """
+
+
+def misra_gries_partials(
+    df: DataFrame, key_col: str, k: int = MG_K
+) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries summaries, ≤ k rows each.
+
+    Arrow-batched mapInPandas; each partition folds its batches into a
+    bounded dict of ``key -> lower_bound`` using the mergeable-summary
+    combine of Agarwal et al. (Mergeable Summaries, PODS'12): add the
+    batch's exact counts, then subtract the (k+1)-th largest counter
+    from every counter and drop the non-positives. Each fold is a
+    valid MG merge, so the partition summary keeps the guarantee:
+    any key with in-partition frequency > n_p/(k+1) survives with
+    ``true_count - n_p/(k+1) <= lower_bound <= true_count``. The
+    output is at most k rows per partition — the shuffle that follows
+    carries O(k × partitions) rows no matter how large the input.
+    """
+    import pandas as pd
+
+    def fold(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - kth
+                    for key, c in counters.items()
+                    if c > kth
+                }
+        yield pd.DataFrame(
+            {
+                "key": list(counters.keys()),
+                "lower_bound": list(counters.values()),
+            }
+        )
+
+    return df.mapInPandas(fold, "key string, lower_bound long")
+
+
+def misra_gries_merge(partials: DataFrame, k: int = MG_K) -> DataFrame:
+    """Merge per-partition MG summaries into ONE global ≤k summary.
+
+    Counters add by key (SUM is the exact merge of lower bounds), then
+    the (k+1)-th largest combined counter is subtracted from all and
+    non-positives dropped — the same Agarwal et al. combine, applied
+    once over the O(k × partitions)-row partial frame. The result
+    keeps the global guarantee: every key with corpus frequency
+    > N/(k+1) is present. The trim threshold is derived with a
+    row_number over the tiny combined frame and broadcast back — no
+    driver collect.
+    """
+    from pyspark.sql import Window as W
+
+    combined = partials.groupBy("key").agg(
+        F.sum("lower_bound").alias("lower_bound")
+    )
+    ranked = combined.select(
+        "key",
+        "lower_bound",
+        F.row_number()
+        .over(
+            W.orderBy(F.col("lower_bound").desc(), F.col("key"))
+        )
+        .alias("rnk"),
+    )
+    kth = ranked.filter(F.col("rnk") == k + 1).select(
+        F.col("lower_bound").alias("kth")
+    )
+    # Left join against the 0-or-1-row threshold frame; absent row
+    # (≤ k distinct keys survive) means no trim.
+    return (
+        ranked.crossJoin(F.broadcast(kth.limit(1)))
+        .filter(F.col("lower_bound") > F.col("kth"))
+        .select(
+            "key",
+            (F.col("lower_bound") - F.col("kth")).alias("lower_bound"),
+        )
+        .union(
+            # no (k+1)-th counter exists -> keep everything as-is
+            ranked.join(
+                F.broadcast(kth.limit(1)), F.lit(True), "left_anti"
+            ).select("key", "lower_bound")
+        )
+    )
+
+
+def _char_pairs(docs: DataFrame) -> DataFrame:
+    """Adjacent character pairs inside whitespace tokens — the SAME
+    key stream bpe_merge_candidates counts exactly (plans/text.py)."""
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") >= 2)
+    return tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair")
+    )
+
+
+def mg_heavy_hitter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus char-pair stream —
+    every pair with support > 1/(MG_K+1), with EXACT counts.
+
+    The streaming complement to ``term_frequencies`` and
+    ``bpe_merge_candidates``: those shuffle the full key domain; this
+    is the classic 2-pass bounded-memory plan whose shuffle volume is
+    independent of the domain size. Pass 1 folds each partition into
+    a ≤MG_K-counter MG summary (misra_gries_partials) — the
+    deterministic guarantee makes the union of partition survivors a
+    superset of every key with global frequency > N/(MG_K+1). Pass 2
+    re-scans the stream, counts ONLY the O(MG_K × partitions)
+    broadcast candidates exactly, and keeps those above the integer
+    support threshold ``cnt * (MG_K+1) > N``. Output is therefore a
+    pure function of the data — independent of partitioning and batch
+    order, hash-exact against the exact-count oracle
+    (MG_HEAVY_HITTERS_SQL) — even though the intermediate sketch
+    contents are not. At 100 TB: two linear scans, one O(k·P)-row
+    shuffle, one broadcast — vs term_frequencies' full-domain
+    shuffle; this is the only family member whose state stays bounded
+    when the key domain (URLs, n-grams, user agents) does not.
+
+    Not yet catalog-registered — window capacity; see
+    MG_HEAVY_HITTERS_SQL and the plans/catalog.py capacity ledger.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = _char_pairs(docs)
+    candidates = (
+        misra_gries_partials(pairs, "pair", MG_K)
+        .select(F.col("key").alias("pair"))
+        .distinct()
+    )
+    totals = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return (
+        pairs.join(F.broadcast(candidates), "pair")
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("n_occurrences") * (MG_K + 1) > F.col("n_total"))
+        .select("pair", "n_occurrences")
+    )

@@ -306,9 +306,7 @@ RANGE_WIN_START_MIN = 120
 RANGE_WIN_LEN_MIN = 90
 
 
-@CATALOG.add(
-    "interval_range_join_counts",
-    f"""
+_RANGE_JOIN_SQL = f"""
     WITH days AS (
         SELECT DISTINCT CAST(ts AS DATE) AS window_date FROM events
     ),
@@ -329,34 +327,14 @@ RANGE_WIN_LEN_MIN = 90
     FROM wins w
     LEFT JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
     GROUP BY w.window_date
-    """,
-    doc="Interval/range join: count and sum events inside each daily "
-    "maintenance window [02:00, 03:30) — a pure range predicate "
-    "(windows are NOT hour-aligned). Naively this is a "
-    "BroadcastNestedLoopJoin — O(|events|·|windows|) comparisons, the "
-    "classic Spark range-join trap. The engine bucketizes instead: "
-    "each window explodes into the hour buckets it overlaps, events "
-    "map to their own hour bucket, and the join becomes an equi-join "
-    "on bucket with the range as a residual filter — hash join "
-    "mechanics, linear scans, verified NestedLoop-free by plan test. "
-    "The window table is calendar-sized (grows with time, not data "
-    "volume) and broadcast; LEFT join keeps empty windows. Same "
-    "rewrite Databricks' range-join hints automate, expressed "
-    "explicitly.",
-    tags=("temporal", "join"),
-)
-def interval_range_join_counts(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+    """
+
+
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar-sized daily-window frame (lazy, unpersisted)."""
     ev = _events(spark, sf_dir)
     days = ev.select(F.to_date("ts").alias("window_date")).distinct()
-    # wins feeds BOTH the broadcast bucket table and the final
-    # empty-window-restoring left join; Spark duplicates the subtree
-    # per reference, so without a persist the full events scan +
-    # distinct-dates shuffle runs twice per execution — an entire
-    # extra fact-table pass at the design point (review r06). The
-    # frame is calendar-sized, so the persist is ~free.
-    wins = days.select(
+    return days.select(
         "window_date",
         (
             F.col("window_date").cast("timestamp")
@@ -369,8 +347,18 @@ def interval_range_join_counts(
                 " MINUTES"
             )
         ).alias("w_end"),
-    ).persist()
-    wins.count()
+    )
+
+
+def range_join_plan(ev: DataFrame, wins: DataFrame) -> DataFrame:
+    """LAZY bucketized range-join plan — the inspectable contract.
+
+    Factored out of the catalog builder so ``tests/test_plans.py``
+    can assert the BroadcastHashJoin shape on the pre-checkpoint
+    frame (the catalog boundary wraps this in an eager
+    ``localCheckpoint`` to release the persisted ``wins`` cache,
+    which replaces the visible plan with ``Scan ExistingRDD`` —
+    VERDICT r07 #2)."""
     # Bucketize: a window row per overlapped hour bucket; an event joins
     # only its own hour bucket, so each event meets ≤1 row per window.
     win_buckets = wins.select(
@@ -407,24 +395,59 @@ def interval_range_join_counts(
         F.count("event_id").alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+    return (
+        wins.select("window_date")
+        .join(counts, "window_date", "left")
+        .select(
+            "window_date",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+            "sum_value",
+        )
+    )
+
+
+@CATALOG.add(
+    "interval_range_join_counts",
+    _RANGE_JOIN_SQL,
+    doc="Interval/range join: count and sum events inside each daily "
+    "maintenance window [02:00, 03:30) — a pure range predicate "
+    "(windows are NOT hour-aligned). Naively this is a "
+    "BroadcastNestedLoopJoin — O(|events|·|windows|) comparisons, the "
+    "classic Spark range-join trap. The engine bucketizes instead: "
+    "each window explodes into the hour buckets it overlaps, events "
+    "map to their own hour bucket, and the join becomes an equi-join "
+    "on bucket with the range as a residual filter — hash join "
+    "mechanics, linear scans, verified NestedLoop-free by the plan "
+    "test on range_join_plan (the lazy inner builder; the catalog "
+    "boundary adds the eager cache-releasing checkpoint). The window "
+    "table is calendar-sized (grows with time, not data volume) and "
+    "broadcast; LEFT join keeps empty windows. Same rewrite "
+    "Databricks' range-join hints automate, expressed explicitly.",
+    tags=("temporal", "join"),
+)
+def interval_range_join_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # wins feeds BOTH the broadcast bucket table and the final
+    # empty-window-restoring left join; Spark duplicates the subtree
+    # per reference, so without a persist the full events scan +
+    # distinct-dates shuffle runs twice per execution — an entire
+    # extra fact-table pass at the design point (review r06). The
+    # frame is calendar-sized, so the persist is ~free.
+    wins = range_join_windows(ev.sparkSession, sf_dir).persist()
+    wins.count()
     try:
         # Eagerly detach the calendar-sized result so the persisted
         # `wins` frame can be released here instead of leaking a cache
         # entry into the shared session (ADVICE r06) — as written the
         # returned plan references `wins`, so a bare unpersist would
-        # silently re-run the events scan twice on later actions.
-        return (
-            wins.select("window_date")
-            .join(counts, "window_date", "left")
-            .select(
-                "window_date",
-                F.coalesce("n_events", F.lit(0).cast("long")).alias(
-                    "n_events"
-                ),
-                "sum_value",
-            )
-            .localCheckpoint(eager=True)
-        )
+        # silently re-run the events scan twice on later actions. The
+        # eager detach lives HERE (the catalog boundary), not in
+        # range_join_plan, so the plan contract stays inspectable.
+        return range_join_plan(ev, wins).localCheckpoint(eager=True)
     finally:
         wins.unpersist(False)
 
@@ -587,4 +610,138 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(pv).alias("valid_to"),
         F.lead("valid_from").over(pv).isNull().alias("is_current"),
         "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE apply (keyed I/U/D change batch, last-writer-wins)
+# --------------------------------------------------------------------------
+
+#: Change-data-capture cutoff: events strictly before it form the base
+#: snapshot; events at/after it form the change feed. Mid-span of the
+#: synthetic event stream (Jan 1-30) at every SF.
+CDC_CUTOFF = "2024-01-16 00:00:00"
+
+
+@CATALOG.add(
+    "cdc_merge_apply",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_type AS state, value, ts AS updated_at
+        FROM (
+            SELECT user_id, event_type, value, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+        ) WHERE rn = 1
+    ),
+    last_chg AS (
+        SELECT user_id, op, state, value, updated_at
+        FROM (
+            SELECT user_id,
+                   CASE WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+                   event_type AS state, value, ts AS updated_at,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           CASE WHEN c.user_id IS NULL THEN b.state
+                ELSE c.state END AS state,
+           CASE WHEN c.user_id IS NULL THEN b.value
+                ELSE c.value END AS value,
+           CASE WHEN c.user_id IS NULL THEN b.updated_at
+                ELSE c.updated_at END AS updated_at,
+           CASE WHEN c.user_id IS NULL THEN 'kept'
+                WHEN b.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM base b FULL OUTER JOIN last_chg c ON b.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    doc="CDC MERGE apply: reconcile a keyed insert/update/delete change "
+    "batch into a base snapshot with last-writer-wins per key — the "
+    "Delta-/Iceberg-MERGE semantics the reference's per-row "
+    "`ON CONFLICT (city, date) DO UPDATE` upsert "
+    "(/root/reference/airflow/src/load_to_postgres.py:439-444) "
+    "actually needs at scale. The base snapshot is each user's latest "
+    "pre-cutoff state; the change feed is every post-cutoff event "
+    "mapped to an op (error -> D, else U). MERGE proper: (1) the feed "
+    "is deduplicated per key to the LAST change by the total order "
+    "(ts, event_id) — multiple changes per key in one batch collapse "
+    "deterministically, the step naive per-row upserts get wrong "
+    "under reordering; (2) one FULL OUTER reconcile per key: unmatched "
+    "base rows are kept, a last-op delete drops the key (a delete of "
+    "an absent key is a no-op), anything else upserts the change's "
+    "row, tagged kept/inserted/updated for audit. Plan: both sides "
+    "shuffle-sort by user_id for their dedup windows and the join "
+    "REUSES that hashpartitioning(user_id) — one exchange per side, "
+    "no re-shuffle at the join (pinned in tests/test_plans.py). At "
+    "100 TB the change batch is typically <<1% of the base, so the "
+    "real deployment prunes base files by the batch's key range "
+    "(partition/z-order stats, operators/layout.py) before this same "
+    "reconcile; the semantics here are the engine-level contract.",
+    tags=("temporal", "join", "window"),
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "value",
+            F.col("ts").alias("updated_at"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    chg = (
+        ev.filter(F.col("ts") >= cutoff)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("event_type").alias("state"),
+            "value",
+            F.col("ts").alias("updated_at"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    b, c = base.alias("b"), chg.alias("c")
+    merged = b.join(c, F.col("b.user_id") == F.col("c.user_id"), "full")
+    changed = F.col("c.user_id").isNotNull()
+    return merged.filter(
+        F.col("c.op").isNull() | (F.col("c.op") != "D")
+    ).select(
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias(
+            "user_id"
+        ),
+        F.when(changed, F.col("c.state"))
+        .otherwise(F.col("b.state"))
+        .alias("state"),
+        F.when(changed, F.col("c.value"))
+        .otherwise(F.col("b.value"))
+        .alias("value"),
+        F.when(changed, F.col("c.updated_at"))
+        .otherwise(F.col("b.updated_at"))
+        .alias("updated_at"),
+        F.when(~changed, F.lit("kept"))
+        .when(F.col("b.user_id").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
     )

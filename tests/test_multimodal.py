@@ -14,11 +14,14 @@ from aws_weather_data_pipeline_spark.functions.multimodal import (
 
 
 def test_decode_media_unknown_type_still_raises():
-    # JPEG/MP3/video codecs remain unimplemented in this container —
-    # the extension contract (raise, don't guess) is unchanged.
+    # MP3/video codecs remain unimplemented in this container — the
+    # extension contract (raise, don't guess) is unchanged. JPEG now
+    # HAS a decoder: a truncated payload must fail loudly as malformed
+    # input (ValueError), never NotImplementedError — full malformed-
+    # input coverage lives in test_jpeg_decoder_rejects_malformed_input.
     with pytest.raises(NotImplementedError, match="no decoder"):
         decode_media(b"\xff\xfb", "audio/mpeg")
-    with pytest.raises(NotImplementedError, match="no decoder"):
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8", "image/jpeg")
     with pytest.raises(NotImplementedError, match="no decoder"):
         decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")

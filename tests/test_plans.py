@@ -417,13 +417,76 @@ def test_bm25_topk_avoids_global_sort(spark, sf_dir):
 def test_range_join_is_bucketized_not_nested_loop(spark, sf_dir):
     # The whole point of the bucketize rewrite: a raw ts-range join
     # compiles to BroadcastNestedLoopJoin (O(rows × windows) compares);
-    # the bucketized form must be a hash join on the bucket key.
-    df = CATALOG.queries["interval_range_join_counts"].builder(
-        spark, sf_dir
-    )
-    plan = _formatted(df)
+    # the bucketized form must be a hash join on the bucket key. The
+    # registered builder eagerly localCheckpoints (cache hygiene,
+    # ADVICE r06) which hides the plan behind Scan ExistingRDD — the
+    # shape is pinned on the factored-out LAZY plan the builder wraps
+    # (VERDICT r07 #2).
+    from aws_weather_data_pipeline_spark.plans import temporal as tmp
+
+    ev = tmp._events(spark, sf_dir)
+    wins = tmp.range_join_windows(spark, sf_dir)
+    plan = _formatted(tmp.range_join_plan(ev, wins))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_iterations_reuse_persisted_edges(spark, sf_dir):
+    # Every unrolled iteration must scan the SAME persisted edge frame
+    # (InMemoryTableScan), never rebuild the symmetrize+distinct+degree
+    # subtree — at 100 TB a rebuild per iteration re-reads the fact
+    # tables PR_ITERS times. Pinned on the lazy pagerank_plan (the
+    # catalog builder adds the eager cache-releasing checkpoint on top,
+    # which would hide the plan — VERDICT r07 #2).
+    from aws_weather_data_pipeline_spark.plans import graph as g
+
+    edges_deg = g.pagerank_edges_deg(spark, sf_dir).persist()
+    try:
+        edges_deg.count()
+        plan = _formatted(g.pagerank_plan(edges_deg, n=100))
+        # PR_ITERS iteration joins + the initial rank frame all read
+        # the cache; no iteration may fall back to the parquet scans.
+        n_cache_scans = plan.count("InMemoryTableScan")
+        assert n_cache_scans >= g.PR_ITERS + 1, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    finally:
+        edges_deg.unpersist(False)
+
+
+def test_cdc_merge_joins_without_reshuffle(spark, sf_dir):
+    # Both sides dedup with a window on user_id; the full-outer
+    # reconcile must REUSE that hashpartitioning — exactly one
+    # Exchange per side, none at the join. The cutoff predicates must
+    # reach the parquet scans, and the per-key top-1 must push a
+    # WindowGroupLimit below the shuffle (map-side prune: at 100 TB
+    # only ~1 row per key per map task travels, not the whole batch).
+    df = CATALOG.queries["cdc_merge_apply"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(") and ") Exchange" in line
+    )
+    assert n_exchanges == 2, plan
+    assert "LessThan(ts" in plan and "GreaterThanOrEqual(ts" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_scd2_build_is_single_shuffle(spark, sf_dir):
+    # Gaps-and-islands on one key: the change flags, the running
+    # version, the per-run aggregate, and the interval-closing lead()
+    # must all reuse ONE hashpartitioning(user_id) exchange — a second
+    # Exchange means Catalyst stopped recognizing the shared
+    # partitioning and the build costs 2+ full-data shuffles at scale.
+    df = CATALOG.queries["scd2_user_state"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(") and ") Exchange" in line
+    )
+    assert n_exchanges == 1, plan
 
 
 def test_sequence_packing_windows_per_shard_not_globally(spark, sf_dir):
