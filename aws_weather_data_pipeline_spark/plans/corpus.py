@@ -828,8 +828,16 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("failed_idx")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Include a synthetic idx-5 "survived" stage row so the TOTAL can
+    # be derived from this one joined frame with a full-frame window —
+    # the previous shape referenced `counts` twice (stage join + total
+    # crossJoin) and Spark duplicates unpersisted subtrees per
+    # reference, so the O(L²) per-row funnel evaluation ran TWICE per
+    # execution (r07 bench: 1.14 -> 2.06 s min-of-passes with 2x the
+    # host-drift sensitivity). One reference = one documents scan.
     stages = counts.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)],
+        [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)]
+        + [(len(FUNNEL_STAGES) + 1, "survived")],
         "idx INT, stage STRING",
     )
     agg = (
@@ -840,22 +848,26 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_failed"),
         )
-        .crossJoin(
-            F.broadcast(counts.agg(F.sum("n").alias("total")))
-        )
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     w = Window.orderBy("idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    surviving = F.col("total") - F.sum("n_failed").over(w)
-    return agg.select(
-        F.col("idx").cast("int").alias("stage_idx"),
-        "stage",
-        F.col("n_failed").cast("bigint").alias("n_failed"),
-        surviving.cast("bigint").alias("n_surviving"),
-        (surviving.cast("double") * 100 / F.col("total")).alias(
-            "pct_surviving"
-        ),
+    total = F.sum("n_failed").over(w_all)
+    surviving = total - F.sum("n_failed").over(w)
+    return (
+        agg.select(
+            F.col("idx").cast("int").alias("stage_idx"),
+            "stage",
+            F.col("n_failed").cast("bigint").alias("n_failed"),
+            surviving.cast("bigint").alias("n_surviving"),
+            (surviving.cast("double") * 100 / total).alias(
+                "pct_surviving"
+            ),
+        )
+        .filter(F.col("stage_idx") <= len(FUNNEL_STAGES))
     )
 
 

@@ -821,3 +821,196 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE training (tokenizer-training step 2)
+# --------------------------------------------------------------------------
+
+#: Unrolled BPE merge rounds.
+BPE_ROUNDS = 6
+#: Symbol delimiter for the merge-rewrite encoding (see below).
+BPE_D = "\x01"
+
+
+def _bpe_iter_sql(r: int) -> str:
+    d = "chr(1)"
+    return f""",
+    p{r} AS (
+        SELECT p.l AS lhs, p.r AS rhs,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, len(arr)),
+                       i -> {{'l': arr[i], 'r': arr[i + 1]}})) AS p,
+                   freq
+            FROM (
+                SELECT string_split(substr(s, 2, length(s) - 2),
+                                    {d} || {d}) AS arr,
+                       freq
+                FROM w{r - 1}
+            )
+            WHERE len(arr) >= 2
+        )
+        GROUP BY 1, 2
+    ),
+    b{r} AS (
+        SELECT lhs, rhs, cnt FROM p{r}
+        ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    ),
+    w{r} AS (
+        SELECT replace(w.s,
+                       {d} || b.lhs || {d} || {d} || b.rhs || {d},
+                       {d} || b.lhs || b.rhs || {d}) AS s,
+               w.freq
+        FROM w{r - 1} w, b{r} b
+    )"""
+
+
+#: Exact iterative oracle for bpe_train_merges (DuckDB), unrolled like
+#: the pagerank oracle. Held here unregistered: catalog registration
+#: requires a DRIVER_WINDOW slot at creation time and round 8's one
+#: free slot went to cdc_merge_apply — round 9 registers this query in
+#: place of bpe_merge_candidates, whose single round it subsumes (see
+#: the capacity ledger in plans/catalog.py).
+BPE_TRAIN_SQL = (
+    """
+    WITH w0 AS (
+        SELECT array_to_string(list_transform(
+                   range(1, length(token) + 1),
+                   i -> chr(1) || token[i] || chr(1)), '') AS s,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        WHERE length(token) >= 2
+        GROUP BY token
+    )"""
+    + "".join(_bpe_iter_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, lhs, rhs, lhs || rhs AS merged,"
+        f" cnt AS n_occurrences FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+)
+
+
+def bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (symbol-string, freq) word table BPE iterates on — one
+    shuffle over the corpus collapses it to vocabulary size; every
+    merge round after that touches only this table."""
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select(F.explode_outer("tokens").alias("token")).filter(
+        F.length("token") >= 2
+    )
+    words = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    # Every character is wrapped in ITS OWN delimiter pair:
+    # 'ab' -> \x01a\x01\x01b\x01. A merge of (l, r) is then the plain
+    # string replace \x01l\x01\x01r\x01 -> \x01lr\x01, and because
+    # each symbol keeps a private boundary on both sides, the
+    # scan-left skip-after-match semantics shared by Spark and DuckDB
+    # replace() implement EXACTLY textbook leftmost-first
+    # non-overlapping BPE ([a,a,a,a] -> [aa,aa], [a,a,a] -> [aa,a] —
+    # pinned by test; a single shared delimiter would under-merge
+    # runs because the match consumes the boundary).
+    return words.select(
+        F.expr(
+            "concat_ws('', transform(sequence(1, length(token)),"
+            " i -> concat('\x01', substring(token, i, 1), '\x01')))"
+        ).alias("s"),
+        "freq",
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    arr = F.split(
+        F.expr("substring(s, 2, length(s) - 2)"), BPE_D + BPE_D
+    )
+    pairs = (
+        words.select(arr.alias("arr"), "freq")
+        .filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> struct(element_at(arr, i) AS lhs,"
+                    "             element_at(arr, i + 1) AS rhs))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+    )
+    return pairs.groupBy("p.lhs", "p.rhs").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training: BPE_ROUNDS merge rounds, emitting the
+    merge table (merge_round, lhs, rhs, merged, n_occurrences).
+
+    Tokenizer-training step 2 — bpe_merge_candidates is one round of
+    this loop (its top pair IS round 1's row, pinned by test). Each
+    round: (1) weighted adjacent-symbol-pair counts over the
+    vocabulary-sized word table; (2) the argmax pair with the
+    deterministic tie order (cnt DESC, lhs, rhs) — nondeterministic
+    merge order forks the whole downstream vocab; (3) rewrite every
+    word by merging that pair leftmost-first (delimited-string
+    replace, see bpe_words). Fully lazy dataflow: the winner is a
+    1-row TakeOrderedAndProject broadcast into the rewrite — no
+    driver-side collect per round, the whole merge table is ONE job.
+    At 100 TB the corpus is touched ONCE (the word-frequency
+    shuffle); every round after that runs on the vocabulary-sized
+    cached table, which is why BPE trainers at scale iterate on word
+    counts, never on the corpus. The persisted word table is released
+    via the same eager-checkpoint boundary as pagerank
+    (plans/graph.py).
+
+    Not yet catalog-registered — window capacity; see BPE_TRAIN_SQL
+    and the plans/catalog.py capacity ledger.
+    """
+    words0 = bpe_words(spark, sf_dir).persist()
+    words0.count()
+    try:
+        return bpe_train_plan(words0).localCheckpoint(eager=True)
+    finally:
+        words0.unpersist(False)
+
+
+def bpe_train_plan(words0: DataFrame) -> DataFrame:
+    """LAZY unrolled BPE merge-round plan — the inspectable contract
+    (the catalog boundary adds the eager cache-releasing checkpoint,
+    the same split as range_join_plan / pagerank_plan)."""
+    words = words0
+    merge_rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        winner = (
+            _bpe_pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+        )
+        merge_rows.append(
+            winner.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        words = words.crossJoin(F.broadcast(winner)).select(
+            F.expr(
+                "replace(s,"
+                " concat('\x01', lhs, '\x01\x01', rhs, '\x01'),"
+                " concat('\x01', lhs, rhs, '\x01'))"
+            ).alias("s"),
+            "freq",
+        )
+    out = merge_rows[0]
+    for frame in merge_rows[1:]:
+        out = out.unionAll(frame)
+    return out

@@ -85,6 +85,19 @@ BENCH_NOTES = {
         "3 passes x full catalog, adding storage-memory pressure and "
         "GC work to late-catalog timings."
     ),
+    "corpus_filter_funnel": (
+        "r07 flagged 1.14->2.06s min-of-passes with high variance "
+        "([2.13, 3.16, 2.06, 4.35, 3.01]). Root cause found in r08 "
+        "and FIXED: the plan referenced the unpersisted `counts` "
+        "aggregate twice (stage join + total crossJoin), so Spark "
+        "evaluated the O(L^2) per-row funnel TWICE per execution — "
+        "doubling both the baseline cost and the surface exposed to "
+        "host drift (hence the variance). The total is now derived "
+        "from the single 5-row post-aggregate frame with a "
+        "full-frame window: ONE documents scan per execution "
+        "(plan-pinned). Isolated r08 probes: 0.93-1.47s, at/below "
+        "the r06 level."
+    ),
     "streaming_queries": (
         "The 8 streaming_* timings are live micro-batch drains "
         "(readStream, checkpoint I/O, awaitTermination) — their "

@@ -454,6 +454,22 @@ def test_pagerank_iterations_reuse_persisted_edges(spark, sf_dir):
         edges_deg.unpersist(False)
 
 
+def test_filter_funnel_scans_documents_once(spark, sf_dir):
+    # r07 bench regression root cause: referencing the unpersisted
+    # funnel aggregate twice (stage join + total crossJoin) made Spark
+    # evaluate the O(L²) per-row gate expressions TWICE per execution.
+    # The total now derives from the single post-aggregate frame; the
+    # plan must contain exactly ONE parquet scan.
+    df = CATALOG.queries["corpus_filter_funnel"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    n_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(") and ") Scan parquet" in line
+    )
+    assert n_scans == 1, plan
+
+
 def test_cdc_merge_joins_without_reshuffle(spark, sf_dir):
     # Both sides dedup with a window on user_id; the full-outer
     # reconcile must REUSE that hashpartitioning — exactly one

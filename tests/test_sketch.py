@@ -170,3 +170,137 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
         assert r["is_false_positive"] == (
             r["bloom_candidate"] and not r["actual_dup"]
         )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# --------------------------------------------------------------------------
+
+
+def test_mg_heavy_hitters_match_exact_oracle(spark, sf_dir):
+    # The would-be driver row for the r09-registered query: the 2-pass
+    # MG plan must equal the exact-count oracle (MG's deterministic
+    # guarantee makes the candidate pass lossless above the support
+    # threshold). Same compare the driver runs.
+    from tests.oracle import compare
+
+    from aws_weather_data_pipeline_spark.plans.sketch import (
+        MG_HEAVY_HITTERS_SQL,
+        mg_heavy_hitter_pairs,
+    )
+
+    n = compare(
+        spark,
+        sf_dir,
+        mg_heavy_hitter_pairs,
+        MG_HEAVY_HITTERS_SQL,
+        name="mg_heavy_hitter_pairs",
+    )
+    assert n > 0  # the char-pair stream has real heavy hitters
+
+
+def test_mg_result_is_partitioning_invariant(spark, sf_dir):
+    # Sketch CONTENTS depend on partitioning; the 2-pass OUTPUT must
+    # not. Re-run under a hostile layout (1 partition vs many, sorted
+    # so heavy keys cluster) and demand identical results.
+    from aws_weather_data_pipeline_spark.plans.sketch import (
+        MG_K,
+        _char_pairs,
+        misra_gries_partials,
+    )
+    from aws_weather_data_pipeline_spark.sources.tables import load_spread
+    from pyspark.sql import functions as F
+
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = _char_pairs(docs)
+    total = pairs.count()
+
+    def run(stream):
+        cands = [
+            r["key"]
+            for r in misra_gries_partials(stream, "pair", MG_K)
+            .select("key")
+            .distinct()
+            .collect()
+        ]
+        exact = {
+            r["pair"]: r["n"]
+            for r in pairs.filter(F.col("pair").isin(cands))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return {
+            p: n for p, n in exact.items() if n * (MG_K + 1) > total
+        }
+
+    base = run(pairs)
+    assert base == run(pairs.repartition(1))
+    assert base == run(pairs.repartition(16).sortWithinPartitions("pair"))
+
+
+def test_mg_partial_guarantee_and_error_bound(spark):
+    # Classic MG bounds on a planted-skew stream in ONE partition:
+    # every key with freq > n/(k+1) survives, and every surviving
+    # counter satisfies true - n/(k+1) <= lower_bound <= true.
+    from pyspark.sql import Row
+
+    from aws_weather_data_pipeline_spark.plans.sketch import (
+        misra_gries_partials,
+    )
+
+    k = 5
+    # 1000 'hot' + 300 'warm' + 70 distinct cold keys x 10 = 2000 rows
+    stream = (
+        ["hot"] * 1000
+        + ["warm"] * 300
+        + [f"cold{i}" for i in range(70) for _ in range(10)]
+    )
+    n = len(stream)
+    df = spark.createDataFrame(
+        [Row(key=x) for x in stream]
+    ).repartition(1)
+    summary = {
+        r["key"]: r["lower_bound"]
+        for r in misra_gries_partials(df, "key", k).collect()
+    }
+    assert len(summary) <= k
+    true = {"hot": 1000, "warm": 300}
+    err = n / (k + 1)
+    for key, cnt in true.items():
+        if cnt > err:
+            assert key in summary, (key, summary)
+    for key, lb in summary.items():
+        t = true.get(key, 10)
+        assert t - err <= lb <= t, (key, lb, t)
+
+
+def test_mg_merge_keeps_guarantee_and_size(spark):
+    # Merging per-partition summaries (misra_gries_merge) must keep
+    # the global guarantee and the <=k size bound even when no single
+    # partition sees the key as heavy.
+    from pyspark.sql import Row
+
+    from aws_weather_data_pipeline_spark.plans.sketch import (
+        misra_gries_merge,
+        misra_gries_partials,
+    )
+
+    k = 5
+    # 'hot' is spread evenly so each of 8 partitions sees only a
+    # slice of it alongside local noise.
+    stream = ["hot"] * 800 + [f"noise{i % 97}" for i in range(1200)]
+    n = len(stream)
+    df = spark.createDataFrame(
+        [Row(key=x) for x in stream]
+    ).repartition(8)
+    merged = {
+        r["key"]: r["lower_bound"]
+        for r in misra_gries_merge(
+            misra_gries_partials(df, "key", k), k
+        ).collect()
+    }
+    assert len(merged) <= k
+    assert "hot" in merged  # 800 > 2000/6
+    assert merged["hot"] <= 800
+    assert merged["hot"] >= 800 - n / (k + 1)
