@@ -6,16 +6,18 @@ alongside; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` stages so each Python worker sees columnar
 batches, never Python-object rows.
 
-``decode_media`` is a REAL decoder for three formats — binary PPM
+``decode_media`` is a REAL decoder for five formats — binary PPM
 (P6), PNG (8-bit RGB: chunk parsing with CRC verification, zlib
-inflate, full scanline unfiltering incl. the Paeth predictor), and
-RIFF WAV (16-bit PCM chunk walk) — pure Python + stdlib, each
-exercised end-to-end by a catalog query (``multimodal_decode_ppm`` /
-``_png`` / ``_wav``) with an integer-exact oracle. JPEG/MP3/video
-codecs are not in this container; for those content types
-``decode_media`` raises ``NotImplementedError`` and a deployment adds
-a branch (PIL/ffmpeg) without touching the surrounding mapInPandas
-plumbing.
+inflate, full scanline unfiltering incl. the Paeth predictor),
+RIFF WAV (16-bit PCM chunk walk), GIF89a (real LZW), and
+baseline-DCT JPEG (marker walk with T.81 fill-byte handling,
+id-matched SOS/SOF component pairing, canonical Huffman, numpy
+IDCT) — pure Python + numpy/stdlib, each exercised end-to-end by a
+catalog query (``multimodal_decode_ppm`` / ``_png`` / ``_wav`` /
+``_gif`` / ``_jpeg``) with an integer-exact oracle. MP3/video codecs
+are not in this container; for those content types ``decode_media``
+raises ``NotImplementedError`` and a deployment adds a branch
+(PIL/ffmpeg) without touching the surrounding mapInPandas plumbing.
 ``fake_byte_features`` remains the codec-independent byte-stat
 stand-in used by the feature-extract query.
 """
@@ -1262,6 +1264,13 @@ def _decode_jpeg(b: bytes) -> dict:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code — treat a run of 0xFF as one marker prefix
+        # (ADVICE r07: spec-legal padded files were rejected here).
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            break
         marker = b[pos + 1]
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         seg = b[pos + 4 : pos + 2 + seglen]
@@ -1322,6 +1331,18 @@ def _decode_jpeg(b: bytes) -> dict:
     width, height, comps = sof
     if len(scan) != len(comps):
         raise ValueError("SOS component count differs from SOF0")
+    # Pair each SOS component with its SOF entry by COMPONENT ID, not
+    # by position (ADVICE r07): T.81 identifies scan components by
+    # Cs_j = C_i, and libjpeg-compatible robustness means decoding
+    # files whose SOF/SOS component orders differ.
+    tq_by_cid = {cid: tq for cid, tq in comps}
+    if len(tq_by_cid) != len(comps):
+        raise ValueError("duplicate component ids in SOF0")
+    for cid, _dc, _ac in scan:
+        if cid not in tq_by_cid:
+            raise ValueError(
+                f"SOS component id {cid} not declared in SOF0"
+            )
     bw, bh = -(-width // 8), -(-height // 8)
     n_mcus = bw * bh
     ncomp = len(comps)
@@ -1363,8 +1384,13 @@ def _decode_jpeg(b: bytes) -> dict:
     # for every block of every component in one einsum.
     cmat = _jpeg_dct_matrix()
     inv_zz = np.argsort(np.array(_JPEG_ZIGZAG))  # raster -> zigzag pos
-    planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    # Reconstruct in scan order (coefs is scan-indexed), dequantizing
+    # with the id-matched SOF quant table; for color, planes are then
+    # ordered by component id — JFIF assigns ids 1/2/3 to Y/Cb/Cr, so
+    # id order is the YCbCr role order whatever the header order was.
+    planes_by_cid = {}
+    for ci, (cid, _dc_t, _ac_t) in enumerate(scan):
+        tq = tq_by_cid[cid]
         if tq not in qtables:
             raise ValueError(f"component references missing DQT {tq}")
         deq = coefs[ci] * qtables[tq][np.newaxis, :]
@@ -1375,16 +1401,17 @@ def _decode_jpeg(b: bytes) -> dict:
             .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
         )
-        planes.append(grid[:height, :width] + 128.0)
+        planes_by_cid[cid] = grid[:height, :width] + 128.0
     if ncomp == 1:
-        pixels = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        (only_plane,) = planes_by_cid.values()
+        pixels = np.clip(np.round(only_plane), 0, 255).astype(np.uint8)
         return {
             "width": width,
             "height": height,
             "maxval": 255,
             "pixels": pixels.tobytes(),
         }
-    y, cb, cr = planes
+    y, cb, cr = (planes_by_cid[cid] for cid in sorted(planes_by_cid))
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bl = y + 1.772 * (cb - 128.0)

@@ -311,8 +311,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are SQL-derivable from the text, so the oracle value-checks the "
     "full encode→decode round-trip. With PPM, PNG, and WAV the "
     "decode slot now covers raw raster, compressed raster, and PCM "
-    "audio; only JPEG/MP3/video remain behind NotImplementedError "
-    "(codecs absent from this container). Narrow no-shuffle stage, "
+    "audio; only MP3/video remain behind NotImplementedError "
+    "(codecs absent from this container; JPEG gained a real decoder "
+    "in multimodal_decode_jpeg). Narrow no-shuffle stage, "
     "Arrow-batched.",
     tags=("multimodal", "udf"),
 )
@@ -451,8 +452,9 @@ def multimodal_audio_windows(
     "full LZW compress→decompress round-trip per frame from the "
     "text directly. With PPM, PNG, WAV, and GIF the decode slot "
     "covers raw raster, compressed raster, PCM audio, and "
-    "animation; only JPEG/MP3/video remain behind "
-    "NotImplementedError (codecs absent from this container). "
+    "animation; only MP3/video remain behind "
+    "NotImplementedError (codecs absent from this container; JPEG "
+    "gained a real decoder in multimodal_decode_jpeg). "
     "Row expansion through Arrow, narrow no-shuffle stage; "
     "downstream per-frame ops key on (doc_id, frame_idx).",
     tags=("multimodal", "udf"),

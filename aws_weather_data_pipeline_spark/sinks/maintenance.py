@@ -76,11 +76,15 @@ def compact_path(
     data went. So before the first rename a VISIBLE marker file
     ``_COMPACTING_{base}`` is written in the parent naming both
     hidden directories; it is removed only after the swap completes
-    and the old copy is deleted. An operator who finds the marker
-    (with or without ``path`` present) recovers by renaming the
-    directory the marker names — ``old`` if ``path`` is missing
-    (swap half-done), else just deleting ``staging`` (crash before
-    the first rename).
+    and the old copy is deleted. The marker's embedded instructions
+    cover every crash point: ``path`` missing → rename ``old`` back;
+    ``path`` present with ``old`` on disk → the swap completed, the
+    leftover is the hidden old copy, delete ``old``; ``path`` present
+    without ``old`` → crash before the swap, delete ``staging``
+    (ADVICE r07 closed the middle case — previously the note said to
+    delete ``staging``, which no longer exists there, leaking a full
+    table copy). A new run REFUSES to start while a stale marker
+    exists, so a prior crash's pointers are never overwritten.
 
     Scope it to ONE partition directory (a day, an hour) and run it
     partition-parallel from the orchestrator — compacting a whole
@@ -94,6 +98,20 @@ def compact_path(
     ]
     n_files = max(1, -(-_dir_bytes(path) // target_file_bytes))
     parent, base = os.path.split(os.path.normpath(path))
+    # A pre-existing marker means a PRIOR compaction crashed and was
+    # never recovered: its hidden dirs (a leaked full table copy, or
+    # the live data itself) are still pointed to only by this file.
+    # Overwriting it would orphan them silently — refuse and make the
+    # operator run the marker's recovery steps first (ADVICE r07).
+    marker = os.path.join(parent, f"_COMPACTING_{base}")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            prior = fh.read()
+        raise RuntimeError(
+            f"refusing to compact {path}: crash marker {marker} "
+            "already exists from an unrecovered prior run — follow "
+            f"its recovery steps, then delete it:\n{prior}"
+        )
     staging = os.path.join(
         parent, f".{base}__compacting_{uuid.uuid4().hex[:8]}"
     )
@@ -105,16 +123,24 @@ def compact_path(
     old = os.path.join(parent, f".{base}__old_{uuid.uuid4().hex[:8]}")
     # Visible crash-recovery breadcrumb: written BEFORE the swap so a
     # crash mid-swap (path absent, data only in hidden dirs) is
-    # diagnosable from a plain directory listing. See docstring.
-    marker = os.path.join(parent, f"_COMPACTING_{base}")
+    # diagnosable from a plain directory listing. The instructions
+    # cover every crash point, including between the second rename and
+    # the old-copy delete (table present + `old` still on disk —
+    # ADVICE r07). See docstring.
     with open(marker, "w") as fh:
         fh.write(
             "compaction in progress\n"
             f"table:   {path}\n"
             f"old:     {old}\n"
             f"staging: {staging}\n"
-            "recovery: if the table dir is missing, rename `old` back "
-            "to `table`; otherwise delete `staging`.\n"
+            "recovery:\n"
+            "  - table dir MISSING: the swap half-completed — rename "
+            "`old` back to `table`, then delete `staging` if present.\n"
+            "  - table present and `old` exists: the swap COMPLETED "
+            "(the table is the compacted data) — delete `old`.\n"
+            "  - table present, no `old`: crash before the swap — "
+            "delete `staging`.\n"
+            "then delete this marker file.\n"
         )
     os.rename(path, old)
     os.rename(staging, path)

@@ -79,3 +79,53 @@ def test_write_sorted_clusters_row_groups(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 50_000
     assert back.select("key").distinct().count() == 1000
+
+
+def test_compact_path_refuses_stale_crash_marker(spark, tmp_path):
+    # A leftover marker points at hidden dirs from an unrecovered
+    # crash; a new run must refuse rather than overwrite the only
+    # record of where that data went (ADVICE r07).
+    import pytest
+
+    path = str(tmp_path / "hourly")
+    spark.range(100).repartition(4).write.parquet(path)
+    marker = str(tmp_path / "_COMPACTING_hourly")
+    with open(marker, "w") as fh:
+        fh.write("compaction in progress\nold: .hourly__old_dead\n")
+    with pytest.raises(RuntimeError, match="unrecovered prior run"):
+        compact_path(spark, path, target_file_bytes=1 << 30)
+    # marker untouched, table untouched
+    assert open(marker).read().startswith("compaction in progress")
+    assert spark.read.parquet(path).count() == 100
+    os.remove(marker)
+    before, after = compact_path(spark, path, target_file_bytes=1 << 30)
+    assert after == 1
+
+
+def test_compact_marker_covers_completed_swap_case(spark, tmp_path):
+    # The marker text must tell an operator what to do when the crash
+    # hit BETWEEN the second rename and the old-copy delete: table
+    # present, hidden `old` dir still on disk.
+    import aws_weather_data_pipeline_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "t")
+    spark.range(50).repartition(2).write.parquet(path)
+
+    captured = {}
+    real_rename = os.rename
+
+    def spy_rename(src, dst):
+        if "__old_" in dst:
+            captured["text"] = open(
+                str(tmp_path / "_COMPACTING_t")
+            ).read()
+        real_rename(src, dst)
+
+    m.os.rename = spy_rename
+    try:
+        compact_path(spark, path, target_file_bytes=1 << 30)
+    finally:
+        m.os.rename = real_rename
+    text = captured["text"]
+    assert "swap COMPLETED" in text and "delete `old`" in text
+    assert "rename `old` back" in text

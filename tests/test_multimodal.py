@@ -603,3 +603,68 @@ def test_jpeg_payload_decodes_end_to_end(spark):
     assert (row["width"], row["height"]) == (24, 16)
     assert row["n_pixel_bytes"] == 6 * 64
     assert row["pixel_byte_sum"] == 64 * sum(b"abcdef")
+
+
+def test_jpeg_fill_bytes_before_markers_are_legal():
+    # T.81 B.1.1.2: any run of 0xFF bytes may pad the space before a
+    # marker code (ADVICE r07). Inject fill bytes before several
+    # header markers; the decode must be byte-identical.
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    raster = rng.integers(0, 256, size=16 * 8, dtype=np.uint8).tobytes()
+    b = encode_jpeg(raster, 16, 8)
+    ref = decode_media(b, "image/jpeg")
+
+    padded = bytearray()
+    pos = 0
+    n_injected = 0
+    while pos < len(b) - 1:
+        if b[pos] == 0xFF and b[pos + 1] in (0xDB, 0xC0, 0xC4, 0xDA):
+            padded += b"\xff" * (2 + n_injected)  # growing fill runs
+            n_injected += 1
+        padded.append(b[pos])
+        pos += 1
+        if b[pos - 1] == 0xFF and b[pos] == 0xDA:
+            break  # don't touch entropy-coded data
+    padded += b[pos:]
+    assert n_injected >= 3
+    out = decode_media(bytes(padded), "image/jpeg")
+    assert out == ref
+
+
+def test_jpeg_sos_components_matched_to_sof_by_id():
+    # ADVICE r07: component pairing must go through the component ID,
+    # not list position. Swap the first two SOF component entries
+    # (ids 1 and 2) of an encoder-produced color file — the entropy
+    # data and SOS order are untouched, so an id-matching decoder
+    # returns the identical image while position pairing scrambles
+    # the Y/Cb roles.
+    import struct
+
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    raster = rng.integers(
+        0, 256, size=8 * 8 * 3, dtype=np.uint8
+    ).tobytes()
+    b = encode_jpeg(raster, 8, 8, n_components=3)
+    ref = decode_media(b, "image/jpeg")
+
+    # locate SOF0 and swap component entries 0 and 1 (3 bytes each,
+    # after 2 marker + 2 length + 6 fixed header bytes).
+    i = b.index(b"\xff\xc0")
+    comp0 = b[i + 10 : i + 13]
+    comp1 = b[i + 13 : i + 16]
+    assert comp0[0] == 1 and comp1[0] == 2
+    swapped = b[: i + 10] + comp1 + comp0 + b[i + 16 :]
+    out = decode_media(swapped, "image/jpeg")
+    assert out == ref
