@@ -1567,14 +1567,24 @@ PQ_SUBDIM = 16
 PQ_K = 16
 
 
-def _pq_subvectors(e: DataFrame) -> DataFrame:
+def _pq_subvectors(
+    e: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(vec_id, subspace, subvec): each quantized embedding split into
-    PQ_M integer subvectors — the shared front of every PQ query."""
+    PQ_M integer subvectors — the shared front of every PQ query.
+
+    ``extra_cols`` ride along per vec_id (e.g. the IVF cell label) so
+    callers never re-join the embeddings table just to re-attach a
+    column they dropped here — at 100 TB that re-join is a full
+    n-row shuffle (r08 scan audit)."""
     quant = F.expr(
         "transform(embedding, x -> floor(cast(x as double) * 1000))"
     )
-    return e.select(F.col("vec_id"), quant.alias("v")).select(
+    return e.select(
+        F.col("vec_id"), *extra_cols, quant.alias("v")
+    ).select(
         "vec_id",
+        *extra_cols,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {PQ_M - 1}),"
@@ -1584,6 +1594,7 @@ def _pq_subvectors(e: DataFrame) -> DataFrame:
         ).alias("s"),
     ).select(
         "vec_id",
+        *extra_cols,
         F.col("s.subspace").alias("subspace"),
         F.col("s.subvec").alias("subvec"),
     )
@@ -1608,8 +1619,11 @@ def _pq_dist() -> F.Column:
     )
 
 
-def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, subspace, code, sq_dist): nearest-codeword argmin."""
+def _pq_codes(
+    sub: DataFrame, cb: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, subspace, code, sq_dist): nearest-codeword argmin.
+    ``extra_cols`` carried from ``sub`` (constant per vec_id)."""
     d = sub.join(F.broadcast(cb), "subspace").withColumn(
         "sq_dist", _pq_dist()
     )
@@ -1619,6 +1633,7 @@ def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
+            *extra_cols,
             "subspace",
             F.col("cid").alias("code"),
             F.col("sq_dist").cast("bigint").alias("sq_dist"),
@@ -1879,23 +1894,22 @@ IVF_PQ_K = 5
 )
 def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    cells = e.select("vec_id", F.col("label").alias("cell"))
-    sub = _pq_subvectors(e)
+    # The cell label rides THROUGH the subvector explode instead of
+    # being re-joined from the embeddings table afterwards — the old
+    # shape paid a second full scan plus an n-row shuffle join on
+    # vec_id for a column it had just dropped (r08 scan audit).
+    sub = _pq_subvectors(e, extra_cols=("label",))
     cb = _pq_codebook(sub)
     codes = (
-        _pq_codes(sub, cb)
+        _pq_codes(sub, cb, extra_cols=("label",))
         .filter(F.col("vec_id") >= N_QUERY)
-        .join(cells, "vec_id")
+        .withColumnRenamed("label", "cell")
     )
-    q = (
-        sub.filter(F.col("vec_id") < N_QUERY)
-        .join(cells, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cell",
-            "subspace",
-            "subvec",
-        )
+    q = sub.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        "subspace",
+        "subvec",
     )
     ltab = (
         q.join(F.broadcast(cb), "subspace")

@@ -454,6 +454,16 @@ def test_pagerank_iterations_reuse_persisted_edges(spark, sf_dir):
         edges_deg.unpersist(False)
 
 
+def test_ivf_pq_carries_cell_without_rejoin(spark, sf_dir):
+    # The IVF cell label must ride through the subvector explode —
+    # re-joining it from the embeddings table costs a second full
+    # scan plus an n-row shuffle join on vec_id (r08 scan audit).
+    # No sort-merge join anywhere: every join is broadcast.
+    df = CATALOG.queries["ivf_pq_search_topk"].builder(spark, sf_dir)
+    plan = _formatted(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_filter_funnel_scans_documents_once(spark, sf_dir):
     # r07 bench regression root cause: referencing the unpersisted
     # funnel aggregate twice (stage join + total crossJoin) made Spark
