@@ -39,6 +39,10 @@ OPERATOR_MODULES = (
 # the current shape), then (c) the stalest remainder, oldest driver
 # row first. All queries stay continuously oracle-checked by
 # tests/test_catalog_oracle.py regardless of window position.
+# ROUND-START CHECKLIST: run `python tools/rotate_window.py`, paste
+# the emitted tuple here (adjusting only the free-slot choices), and
+# re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
+# step and burned the round's 50 driver slots re-checking green rows.
 #
 # Round 8's window (committed BEFORE the r08 driver run — the r07
 # window was never rotated, so r07 burned its slots re-checking the
