@@ -565,9 +565,18 @@ MG_HEAVY_HITTERS_SQL = f"""
 
 
 def misra_gries_partials(
-    df: DataFrame, key_col: str, k: int = MG_K
+    df: DataFrame,
+    key_col: str,
+    k: int = MG_K,
+    emit_totals: bool = False,
 ) -> DataFrame:
     """Pass 1: per-partition Misra-Gries summaries, ≤ k rows each.
+
+    ``emit_totals=True`` adds ONE sentinel row per partition
+    (``key`` NULL, ``lower_bound`` = the partition's exact row count)
+    so the stream total needed for the support threshold comes out of
+    the same pass — without it the caller pays a third full scan
+    just to COUNT(*) (r08 self-review).
 
     Arrow-batched mapInPandas; each partition folds its batches into a
     bounded dict of ``key -> lower_bound`` using the mergeable-summary
@@ -584,7 +593,9 @@ def misra_gries_partials(
 
     def fold(batches):
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for key, cnt in pdf[key_col].value_counts().items():
                 counters[key] = counters.get(key, 0) + int(cnt)
             if len(counters) > k:
@@ -594,12 +605,12 @@ def misra_gries_partials(
                     for key, c in counters.items()
                     if c > kth
                 }
-        yield pd.DataFrame(
-            {
-                "key": list(counters.keys()),
-                "lower_bound": list(counters.values()),
-            }
-        )
+        keys = list(counters.keys())
+        vals = list(counters.values())
+        if emit_totals:
+            keys.append(None)
+            vals.append(n_rows)
+        yield pd.DataFrame({"key": keys, "lower_bound": vals})
 
     return df.mapInPandas(fold, "key string, lower_bound long")
 
@@ -684,23 +695,32 @@ def mg_heavy_hitter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the data — independent of partitioning and batch
     order, hash-exact against the exact-count oracle
     (MG_HEAVY_HITTERS_SQL) — even though the intermediate sketch
-    contents are not. At 100 TB: two linear scans, one O(k·P)-row
-    shuffle, one broadcast — vs term_frequencies' full-domain
-    shuffle; this is the only family member whose state stays bounded
-    when the key domain (URLs, n-grams, user agents) does not.
+    contents are not. At 100 TB: EXACTLY two linear scans (the stream
+    total rides out of pass 1 as per-partition sentinel rows, and the
+    tiny summary is eagerly checkpointed so neither the candidate
+    list nor the total re-runs the scan — r08 self-review removed a
+    third COUNT(*) pass), one O(k·P)-row shuffle, one broadcast — vs
+    term_frequencies' full-domain shuffle; this is the only family
+    member whose state stays bounded when the key domain (URLs,
+    n-grams, user agents) does not.
 
     Not yet catalog-registered — window capacity; see
     MG_HEAVY_HITTERS_SQL and the plans/catalog.py capacity ledger.
     """
     docs = load_spread(spark, sf_dir, "documents")
     pairs = _char_pairs(docs)
+    # <= (k+1) rows per partition; eager checkpoint so the two readers
+    # below (candidates + totals) don't each re-run the pass-1 scan.
+    summary = misra_gries_partials(
+        pairs, "pair", MG_K, emit_totals=True
+    ).localCheckpoint(eager=True)
     candidates = (
-        misra_gries_partials(pairs, "pair", MG_K)
+        summary.filter(F.col("key").isNotNull())
         .select(F.col("key").alias("pair"))
         .distinct()
     )
-    totals = pairs.groupBy().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    totals = summary.filter(F.col("key").isNull()).agg(
+        F.sum("lower_bound").cast("bigint").alias("n_total")
     )
     return (
         pairs.join(F.broadcast(candidates), "pair")
