@@ -627,7 +627,8 @@ CDC_CUTOFF = "2024-01-16 00:00:00"
     "cdc_merge_apply",
     f"""
     WITH base AS (
-        SELECT user_id, event_type AS state, value, ts AS updated_at
+        SELECT user_id, event_type AS state, value, ts AS updated_at,
+               TRUE AS in_base
         FROM (
             SELECT user_id, event_type, value, ts,
                    ROW_NUMBER() OVER (
@@ -649,15 +650,19 @@ CDC_CUTOFF = "2024-01-16 00:00:00"
             FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
         ) WHERE rn = 1
     )
+    -- c.op (never NULL on a change row) is the matched-change
+    -- discriminator: c.user_id IS NULL would misclassify a NULL-key
+    -- change row as 'kept' (NULL keys never join-match, so a NULL-key
+    -- change lands as its own inserted row, per SQL join semantics).
     SELECT COALESCE(c.user_id, b.user_id) AS user_id,
-           CASE WHEN c.user_id IS NULL THEN b.state
+           CASE WHEN c.op IS NULL THEN b.state
                 ELSE c.state END AS state,
-           CASE WHEN c.user_id IS NULL THEN b.value
+           CASE WHEN c.op IS NULL THEN b.value
                 ELSE c.value END AS value,
-           CASE WHEN c.user_id IS NULL THEN b.updated_at
+           CASE WHEN c.op IS NULL THEN b.updated_at
                 ELSE c.updated_at END AS updated_at,
-           CASE WHEN c.user_id IS NULL THEN 'kept'
-                WHEN b.user_id IS NULL THEN 'inserted'
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN b.in_base IS NULL THEN 'inserted'
                 ELSE 'updated' END AS action
     FROM base b FULL OUTER JOIN last_chg c ON b.user_id = c.user_id
     WHERE c.op IS NULL OR c.op <> 'D'
@@ -687,9 +692,16 @@ CDC_CUTOFF = "2024-01-16 00:00:00"
     tags=("temporal", "join", "window"),
 )
 def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_merge_plan(_events(spark, sf_dir))
+
+
+def cdc_merge_plan(ev: DataFrame) -> DataFrame:
+    """LAZY merge plan over any events-shaped frame — factored out so
+    tests can drive the branches the fixture never exercises (pure
+    inserts, deletes of absent keys, NULL keys: the sf0.01 fixture
+    has 30 deletes-of-existing but 0 of either other class)."""
     from pyspark.sql import Window as W
 
-    ev = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -702,6 +714,7 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("state"),
             "value",
             F.col("ts").alias("updated_at"),
+            F.lit(True).alias("in_base"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") == 1)
@@ -724,7 +737,14 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b, c = base.alias("b"), chg.alias("c")
     merged = b.join(c, F.col("b.user_id") == F.col("c.user_id"), "full")
-    changed = F.col("c.user_id").isNotNull()
+    # op is NOT NULL on every change row even when its key is NULL —
+    # c.user_id would misclassify a NULL-key change as 'kept' (NULL
+    # keys never join-match; such a change lands as its own inserted
+    # row). Same rule in the oracle. The base-side presence marker is
+    # the dedicated in_base flag (literal TRUE on every base row, so
+    # it is NULL exactly when the full outer join found no base
+    # match — no reliance on any data column's nullability).
+    changed = F.col("c.op").isNotNull()
     return merged.filter(
         F.col("c.op").isNull() | (F.col("c.op") != "D")
     ).select(
@@ -741,7 +761,7 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("b.updated_at"))
         .alias("updated_at"),
         F.when(~changed, F.lit("kept"))
-        .when(F.col("b.user_id").isNull(), F.lit("inserted"))
+        .when(F.col("b.in_base").isNull(), F.lit("inserted"))
         .otherwise(F.lit("updated"))
         .alias("action"),
     )

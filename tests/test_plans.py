@@ -1187,3 +1187,84 @@ def test_documents_fixture_is_ascii(spark, sf_dir):
         F.octet_length(F.col("text")) != F.length(F.col("text"))
     ).count()
     assert non_ascii == 0
+
+
+def test_cdc_merge_semantics_on_crafted_changes(spark):
+    # The fixture's change feed has deletes-of-existing only — this
+    # pins the branches the oracle compare never sees: pure INSERT
+    # (key with no base history), DELETE of an absent key (no-op),
+    # last-writer-wins collapse of multiple same-batch changes, an
+    # untouched base row, and NULL keys on both sides (SQL join
+    # semantics: never matched, each side kept independently).
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from aws_weather_data_pipeline_spark.plans.temporal import (
+        cdc_merge_plan,
+    )
+
+    jan = lambda d, eid, uid, et, v: Row(  # noqa: E731
+        event_id=eid,
+        ts=datetime(2024, 1, d, 12, 0, 0),
+        user_id=uid,
+        event_type=et,
+        value=float(v),
+        props="{}",
+    )
+    ev = spark.createDataFrame(
+        [
+            # user 1: base only -> kept
+            jan(5, 1, 1, "view", 10),
+            # user 2: base + two post-cutoff changes -> LWW takes the
+            # later (click), not the earlier (purchase)
+            jan(5, 2, 2, "view", 20),
+            jan(20, 3, 2, "purchase", 21),
+            jan(21, 4, 2, "click", 22),
+            # user 3: base + last change is error -> deleted
+            jan(5, 5, 3, "view", 30),
+            jan(20, 6, 3, "error", 31),
+            # user 4: no base, post-cutoff change -> inserted
+            jan(22, 7, 4, "signup", 40),
+            # user 5: no base, delete of absent key -> no-op (absent)
+            jan(22, 8, 5, "error", 50),
+            # NULL keys: one base row, one change row — join never
+            # matches NULL, so the base NULL row is kept and the
+            # change NULL row inserts
+            jan(5, 9, None, "view", 60),
+            jan(22, 10, None, "click", 61),
+        ]
+    )
+    rows = {
+        (r["user_id"], r["action"]): r
+        for r in cdc_merge_plan(ev).collect()
+    }
+    by_user = {}
+    for (uid, action), r in rows.items():
+        by_user.setdefault(uid, []).append((action, r))
+    assert [a for a, _ in by_user[1]] == ["kept"]
+    ((a2, r2),) = by_user[2]
+    assert a2 == "updated" and r2["state"] == "click"
+    assert r2["value"] == 22.0
+    assert 3 not in by_user  # deleted
+    ((a4, r4),) = by_user[4]
+    assert a4 == "inserted" and r4["state"] == "signup"
+    assert 5 not in by_user  # delete of absent key: no-op
+    null_actions = sorted(a for a, _ in by_user[None])
+    assert null_actions == ["inserted", "kept"]
+
+
+def test_bpe_train_plan_is_broadcast_only(spark, sf_dir):
+    # Every per-round winner is a 1-row frame joined back by
+    # broadcast; the vocabulary-sized word table must never be
+    # shuffle-joined (a SortMergeJoin would mean a winner frame was
+    # estimated large, breaking the rounds-are-cheap scale story).
+    from aws_weather_data_pipeline_spark.plans.text import (
+        bpe_train_plan,
+        bpe_words,
+    )
+
+    words0 = bpe_words(spark, sf_dir)
+    plan = _formatted(bpe_train_plan(words0))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
