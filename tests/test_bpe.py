@@ -111,3 +111,72 @@ def test_bpe_words_encoding_shape(spark, sf_dir):
     assert s.startswith("\x01") and s.endswith("\x01")
     syms = s[1:-1].split("\x01\x01")
     assert all(len(x) == 1 for x in syms)  # pre-merge: single chars
+
+
+def test_bpe_matches_pure_python_reference_on_random_words(spark):
+    """Property: the delimited-string replace() merge equals an
+    independent pure-Python leftmost-first BPE on random word sets —
+    pinning the encoding trick against a direct list implementation
+    (not against the same string machinery it uses)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20240814)
+
+    def ref_bpe(words, rounds):
+        # words: {tuple_of_symbols: freq}
+        merges = []
+        words = dict(words)
+        for _ in range(rounds):
+            counts = {}
+            for syms, f in words.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], p))
+            merges.append((best[0], best[1], counts[best]))
+            out = {}
+            for syms, f in words.items():
+                new = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        new.append(syms[i] + syms[i + 1])
+                        i += 2  # leftmost-first, skip past the merge
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                k = tuple(new)
+                out[k] = out.get(k, 0) + f
+            words = out
+        return merges
+
+    for trial in range(4):
+        n_words = rng.randint(3, 10)
+        rows = []
+        seen = set()
+        for _ in range(n_words):
+            w = "".join(
+                rng.choice("abc") for _ in range(rng.randint(2, 8))
+            )
+            if w in seen:
+                continue
+            seen.add(w)
+            rows.append((w, rng.randint(1, 9)))
+        expected = ref_bpe(
+            {tuple(w): f for w, f in rows}, rounds=6
+        )
+        got = [
+            (r["lhs"], r["rhs"], r["n_occurrences"])
+            for r in sorted(
+                bpe_train_plan(_words(spark, rows)).collect(),
+                key=lambda r: r["merge_round"],
+            )
+        ]
+        assert got == expected, (trial, rows, got, expected)

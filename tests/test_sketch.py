@@ -304,3 +304,54 @@ def test_mg_merge_keeps_guarantee_and_size(spark):
     assert "hot" in merged  # 800 > 2000/6
     assert merged["hot"] <= 800
     assert merged["hot"] >= 800 - n / (k + 1)
+
+
+def test_mg_two_pass_equals_exact_on_random_streams(spark):
+    # Property: for random skewed streams, any k, any partitioning,
+    # the 2-pass plan (candidates from partial summaries + exact
+    # count + threshold) equals a direct exact computation.
+    import random
+
+    from pyspark.sql import Row
+
+    from aws_weather_data_pipeline_spark.plans.sketch import (
+        misra_gries_partials,
+    )
+
+    rng = random.Random(8)
+    for trial in range(3):
+        k = rng.choice([3, 5, 8])
+        n_parts = rng.choice([1, 4, 9])
+        stream = []
+        for key_id in range(rng.randint(5, 40)):
+            stream += [f"k{key_id}"] * rng.randint(1, 120)
+        rng.shuffle(stream)
+        df = spark.createDataFrame(
+            [Row(key=x) for x in stream]
+        ).repartition(n_parts)
+
+        summary = misra_gries_partials(
+            df, "key", k, emit_totals=True
+        ).collect()
+        total = sum(
+            r["lower_bound"] for r in summary if r["key"] is None
+        )
+        assert total == len(stream)
+        cands = {r["key"] for r in summary if r["key"] is not None}
+
+        from collections import Counter
+
+        exact = Counter(stream)
+        expected = {
+            key: c
+            for key, c in exact.items()
+            if c * (k + 1) > len(stream)
+        }
+        # guarantee: every true heavy hitter is a candidate
+        assert set(expected) <= cands, (trial, k, n_parts)
+        got = {
+            key: exact[key]
+            for key in cands
+            if exact[key] * (k + 1) > len(stream)
+        }
+        assert got == expected, (trial, k, n_parts)
