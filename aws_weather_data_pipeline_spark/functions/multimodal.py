@@ -1272,6 +1272,12 @@ def _decode_jpeg(b: bytes) -> dict:
         if pos + 4 > len(b):
             break
         marker = b[pos + 1]
+        # Standalone markers carry NO length segment (T.81 B.1.1.3):
+        # TEM (0x01) and RSTn (0xD0-0xD7) — reading a length here
+        # would swallow arbitrary header bytes. Skip the bare marker.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         seg = b[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:

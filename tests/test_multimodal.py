@@ -668,3 +668,23 @@ def test_jpeg_sos_components_matched_to_sof_by_id():
     swapped = b[: i + 10] + comp1 + comp0 + b[i + 16 :]
     out = decode_media(swapped, "image/jpeg")
     assert out == ref
+
+
+def test_jpeg_standalone_markers_in_header_are_skipped():
+    # TEM (0xFF01) carries no length segment (T.81 B.1.1.3); a walker
+    # that reads two length bytes after it swallows arbitrary header
+    # bytes. Inject TEM between header segments; decode must be
+    # byte-identical.
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    raster = rng.integers(0, 256, size=8 * 8, dtype=np.uint8).tobytes()
+    b = encode_jpeg(raster, 8, 8)
+    ref = decode_media(b, "image/jpeg")
+    i = b.index(b"\xff\xc0")  # before SOF0
+    patched = b[:i] + b"\xff\x01" + b[i:]
+    assert decode_media(patched, "image/jpeg") == ref
