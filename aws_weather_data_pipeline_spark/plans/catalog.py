@@ -64,7 +64,12 @@ OPERATOR_MODULES = (
 # registers both by (a) taking the free slot and (b) replacing
 # bpe_merge_candidates (an r05-block query whose one-round plan
 # bpe_train_merges strictly subsumes), which keeps N at 150 and the
-# r09 window at 48 + 2 new = 50.
+# r09 window at 48 + 2 new = 50. At N=150 every later window is
+# exactly its mandatory block — ZERO slack — so the standing protocol
+# for any future schema/semantics change is: retire (or subsume) one
+# query in the SAME commit, swapping its window slot to the changed
+# query; never grow past 150 and never let a changed query ride on
+# stale driver evidence.
 DRIVER_WINDOW = (
     # --- NEW in r07, never driver-checked: first in line ---
     "multimodal_decode_jpeg",
