@@ -1197,6 +1197,14 @@ class _BitReader:
         self._acc = 0
         self._n = 0
         b = self.data
+        # T.81 B.1.1.2 applies here too: any run of 0xFF fill bytes
+        # may precede the RSTn code (same rule as the header walk).
+        while (
+            self.pos + 1 < len(b)
+            and b[self.pos] == 0xFF
+            and b[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if (
             self.pos + 1 < len(b)
             and b[self.pos] == 0xFF

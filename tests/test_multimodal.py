@@ -688,3 +688,37 @@ def test_jpeg_standalone_markers_in_header_are_skipped():
     i = b.index(b"\xff\xc0")  # before SOF0
     patched = b[:i] + b"\xff\x01" + b[i:]
     assert decode_media(patched, "image/jpeg") == ref
+
+
+def test_jpeg_fill_bytes_before_restart_markers():
+    # Fill bytes are also legal before RSTn codes inside entropy data
+    # (same T.81 B.1.1.2 rule as the header walk). Inject a fill byte
+    # before every RST marker of a restart-interval file; decode must
+    # be byte-identical.
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    raster = rng.integers(
+        0, 256, size=24 * 8, dtype=np.uint8
+    ).tobytes()
+    b = encode_jpeg(raster, 24, 8, restart_interval=1)
+    ref = decode_media(b, "image/jpeg")
+    out = bytearray()
+    i = 0
+    n = 0
+    while i < len(b):
+        if (
+            b[i] == 0xFF
+            and i + 1 < len(b)
+            and 0xD0 <= b[i + 1] <= 0xD7
+        ):
+            out += b"\xff"  # fill byte before the RST marker
+            n += 1
+        out.append(b[i])
+        i += 1
+    assert n >= 2
+    assert decode_media(bytes(out), "image/jpeg") == ref
