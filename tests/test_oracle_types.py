@@ -143,3 +143,52 @@ def test_round_near_zero_signed_zero_diverges_across_engines(spark):
     assert s == d == 0.0  # numerically indistinguishable...
     assert struct.pack("<d", s) == struct.pack("<d", 0.0)  # Spark: +0.0
     assert struct.pack("<d", d) == struct.pack("<d", -0.0)  # DuckDB: -0.0
+
+
+# --------------------------------------------------------------------------
+# Pending r09 registrations (not yet in the catalog — see the
+# plans/catalog.py capacity ledger) get the same audit NOW so their
+# registration can't resurrect the HUGEINT class.
+# --------------------------------------------------------------------------
+
+_PENDING = {
+    "mg_heavy_hitter_pairs": (
+        "aws_weather_data_pipeline_spark.plans.sketch",
+        "mg_heavy_hitter_pairs",
+        "MG_HEAVY_HITTERS_SQL",
+    ),
+    "bpe_train_merges": (
+        "aws_weather_data_pipeline_spark.plans.text",
+        "bpe_train_merges",
+        "BPE_TRAIN_SQL",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PENDING))
+def test_pending_query_oracle_types_match_spark(name, duck, spark):
+    import importlib
+
+    mod_name, fn_name, sql_name = _PENDING[name]
+    mod = importlib.import_module(mod_name)
+    sql = getattr(mod, sql_name)
+    builder = getattr(mod, fn_name)
+
+    desc = duck.sql(f"DESCRIBE {sql}").fetchall()
+    duck_types = {row[0]: row[1] for row in desc}
+    sdf = builder(spark, SF_SMOKE)
+    spark_types = {f.name: _spark_class(f.dataType) for f in sdf.schema}
+
+    assert set(duck_types) == set(spark_types), (
+        f"{name}: column names differ: "
+        f"duck={sorted(duck_types)} spark={sorted(spark_types)}"
+    )
+    for col, dtype in duck_types.items():
+        base = dtype.split("(")[0]
+        dclass = _DUCK_CLASS.get(base, f"other:{dtype}")
+        assert dclass != "FORBIDDEN-int128", (name, col, dtype)
+        if base.startswith("DECIMAL"):
+            dclass = "decimal"
+        assert dclass == spark_types[col], (
+            f"{name}.{col}: duck={dtype} spark={spark_types[col]}"
+        )
