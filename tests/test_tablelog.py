@@ -1,0 +1,173 @@
+"""Manifest-committed table log (sinks/tablelog.py): atomicity,
+snapshot isolation, time travel, optimistic concurrency, idempotent
+retries, crash-orphan invisibility, vacuum safety."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from aws_weather_data_pipeline_spark.sinks import tablelog as tl
+
+
+def _frame(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+
+def _values(df):
+    return sorted(r.v for r in df.collect())
+
+
+def test_append_accumulates_and_read_sees_only_committed(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v0 = tl.append(_frame(spark, 0, 5), table)
+    v1 = tl.append(_frame(spark, 5, 8), table)
+    assert (v0, v1) == (0, 1)
+    assert _values(tl.read_snapshot(spark, table)) == list(range(8))
+    # time travel: version 0 is exactly the first append
+    assert _values(tl.read_snapshot(spark, table, version=0)) == list(range(5))
+
+
+def test_overwrite_replaces_but_history_remains_readable(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)
+    tl.overwrite(_frame(spark, 100, 103), table)
+    assert _values(tl.read_snapshot(spark, table)) == [100, 101, 102]
+    assert _values(tl.read_snapshot(spark, table, version=0)) == list(range(5))
+    ops = [m["op"] for m in tl.history(table)]
+    assert ops == ["append", "overwrite"]
+
+
+def test_uncommitted_files_are_invisible_to_readers(spark, tmp_path):
+    """Crash between data write and publish leaves the table unchanged:
+    readers resolve files from the manifest, never from a listing."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 4), table)
+    tl._write_data_files(_frame(spark, 900, 950), table)  # no commit
+    assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3]
+    # and the orphans are exactly what vacuum sweeps
+    deleted = tl.vacuum(table, retain_last=1)
+    assert len(deleted) > 0
+    assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3]
+
+
+def test_compact_preserves_data_and_old_snapshot_stays_readable(
+    spark, tmp_path
+):
+    table = str(tmp_path / "t")
+    for lo in range(0, 20, 5):
+        tl.append(_frame(spark, lo, lo + 5), table)
+    head = tl.latest_version(table)
+    pre = tl.read_snapshot(spark, table, version=head)
+    v = tl.compact(spark, table, n_files=1)
+    assert v == head + 1
+    manifest = tl.history(table)[-1]
+    assert manifest["op"] == "compact" and len(manifest["files"]) == 1
+    assert _values(tl.read_snapshot(spark, table)) == list(range(20))
+    # snapshot isolation: the pre-compaction frame still evaluates —
+    # its files were not deleted by the compaction commit
+    assert _values(pre) == list(range(20))
+
+
+def test_append_rebases_on_lost_race_and_loses_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """An interleaved commit between head resolution and publish makes
+    the first publish attempt conflict; append must rebase onto the
+    winner so BOTH writers' rows land."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    real_publish = tl._publish
+    raced = {"done": False}
+
+    def racing_publish(tbl, version, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            rival = tl._write_data_files(_frame(spark, 50, 52), tbl)
+            real_publish(
+                tbl,
+                version,
+                {"version": version, "op": "append",
+                 "files": tl._read_manifest(tbl, version - 1)["files"] + rival,
+                 "txn_id": None},
+            )
+        return real_publish(tbl, version, manifest)
+
+    monkeypatch.setattr(tl, "_publish", racing_publish)
+    tl.append(_frame(spark, 3, 6), table)
+    assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3, 4, 5, 50, 51]
+
+
+def test_overwrite_raises_on_lost_race_instead_of_clobbering(
+    spark, tmp_path, monkeypatch
+):
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    real_publish = tl._publish
+    raced = {"done": False}
+
+    def racing_publish(tbl, version, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            rival = tl._write_data_files(_frame(spark, 50, 52), tbl)
+            real_publish(
+                tbl, version,
+                {"version": version, "op": "append",
+                 "files": tl._read_manifest(tbl, version - 1)["files"] + rival,
+                 "txn_id": None},
+            )
+        return real_publish(tbl, version, manifest)
+
+    monkeypatch.setattr(tl, "_publish", racing_publish)
+    with pytest.raises(tl.CommitConflict):
+        tl.overwrite(_frame(spark, 9, 10), table)
+    # the rival's commit is the head; the failed overwrite changed nothing
+    assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 50, 51]
+
+
+def test_txn_id_makes_append_retries_exactly_once(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v_first = tl.append(_frame(spark, 0, 4), table, txn_id="load-2026-08-15")
+    v_retry = tl.append(_frame(spark, 0, 4), table, txn_id="load-2026-08-15")
+    assert v_retry == v_first
+    assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3]
+    # a DIFFERENT txn appends normally
+    tl.append(_frame(spark, 4, 6), table, txn_id="load-2026-08-16")
+    assert _values(tl.read_snapshot(spark, table)) == list(range(6))
+
+
+def test_vacuum_keeps_retained_versions_and_drops_the_rest(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    tl.overwrite(_frame(spark, 10, 13), table)
+    tl.append(_frame(spark, 13, 15), table)
+    deleted = tl.vacuum(table, retain_last=2)
+    # version 0's files are referenced by no retained manifest
+    assert len(deleted) > 0
+    assert _values(tl.read_snapshot(spark, table)) == [10, 11, 12, 13, 14]
+    assert _values(
+        tl.read_snapshot(spark, table, version=1)
+    ) == [10, 11, 12]
+    with pytest.raises(FileNotFoundError):
+        tl._read_manifest(table, 0)
+    with pytest.raises(ValueError):
+        tl.vacuum(table, retain_last=0)
+
+
+def test_manifest_is_the_only_source_of_truth(spark, tmp_path):
+    """Deleting a file NAME from the manifest hides its rows even
+    though the bytes are still on disk — proving reads never fall back
+    to directory listing."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 4), table)
+    path = tl._manifest_path(table, 0)
+    with open(path) as fh:
+        manifest = json.load(fh)
+    manifest["files"] = manifest["files"][:0]
+    os.unlink(path)
+    with open(path, "w") as fh:
+        json.dump(manifest, fh)
+    with pytest.raises(ValueError):  # empty snapshot: no schema source
+        tl.read_snapshot(spark, table)
