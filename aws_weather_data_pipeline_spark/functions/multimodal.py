@@ -11,8 +11,8 @@ batches, never Python-object rows.
 inflate, full scanline unfiltering incl. the Paeth predictor),
 RIFF WAV (16-bit PCM chunk walk), GIF89a (real LZW), and
 baseline-DCT JPEG (marker walk with T.81 fill-byte handling,
-id-matched SOS/SOF component pairing, canonical Huffman, numpy
-IDCT) — pure Python + numpy/stdlib, each exercised end-to-end by a
+id-matched SOS/SOF component pairing, 4:4:4/4:2:2/4:2:0 sampling
+with interleaved-MCU block order, canonical Huffman, numpy IDCT) — pure Python + numpy/stdlib, each exercised end-to-end by a
 catalog query (``multimodal_decode_ppm`` / ``_png`` / ``_wav`` /
 ``_gif`` / ``_jpeg``) with an integer-exact oracle. MP3/video codecs
 are not in this container; for those content types ``decode_media``
@@ -1020,24 +1020,42 @@ def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(out), 0, 255)
 
 
+#: Component sampling factors (h, v) per supported subsampling mode.
+#: "444" carries full-resolution chroma; "422" halves chroma
+#: horizontally; "420" halves it both ways (the overwhelmingly common
+#: camera/libjpeg default — an MCU is 16x16 pixels: 4 Y blocks + Cb
+#: + Cr).
+_JPEG_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
 def encode_jpeg(
     raster: bytes,
     width: int,
     height: int,
     n_components: int = 1,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode a raster as a baseline-DCT JFIF JPEG (SOF0).
 
     ``n_components=1``: ``raster`` is ``width*height`` grayscale
-    bytes. ``n_components=3``: interleaved RGB, encoded as 4:4:4
-    YCbCr. Quantization tables are ALL ONES, so the only loss is
-    coefficient rounding — and an image whose every 8x8 block is
-    CONSTANT round-trips bit-exactly in grayscale (the DC coefficient
-    8*(v-128) is an exact integer; every AC is 0), which is what lets
-    a SQL oracle value-check the decoder. Standard Annex K luminance
-    Huffman tables for every component; ``restart_interval`` > 0
-    emits DRI + RSTn markers. Fixture side of the photo codec pair.
+    bytes. ``n_components=3``: interleaved RGB, encoded as YCbCr with
+    ``subsampling`` in {"444", "422", "420"} — chroma is box-averaged
+    to the component resolution, blocks interleave per MCU in T.81
+    A.2.3 order (all of a component's v x h data units row-major,
+    components in SOF order). Quantization tables are ALL ONES, so
+    the only loss is coefficient rounding (+ chroma averaging when
+    subsampled) — and an image whose every MCU-sized tile is CONSTANT
+    round-trips bit-exactly in any mode (the averaging is exact on
+    constant tiles; the DC coefficient 8*(v-128) is an exact integer;
+    every AC is 0), which is what lets a SQL oracle value-check the
+    decoder. Standard Annex K luminance Huffman tables for every
+    component; ``restart_interval`` > 0 emits DRI + RSTn markers.
+    Fixture side of the photo codec pair.
     """
     import struct
 
@@ -1049,29 +1067,52 @@ def encode_jpeg(
         )
     if n_components not in (1, 3):
         raise ValueError(f"unsupported component count {n_components}")
+    if subsampling not in _JPEG_SAMPLING:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    # grayscale is never subsampled; color takes the mode's factors
+    factors = (
+        ((1, 1),) if n_components == 1 else _JPEG_SAMPLING[subsampling]
+    )
     arr = np.frombuffer(raster, dtype=np.uint8).astype(np.float64)
     if n_components == 3:
         planes = _rgb_to_ycbcr(arr.reshape(height, width, 3))
         planes = [planes[..., c] for c in range(3)]
     else:
         planes = [arr.reshape(height, width)]
-    bw, bh = -(-width // 8), -(-height // 8)
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    mcu_cols, mcu_rows = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     cmat = _jpeg_dct_matrix()
     # Per-plane forward DCT over all blocks at once: pad by edge
-    # replication to 8-multiples, carve into (n_blocks, 8, 8), then
-    # one einsum per plane — the numpy half of the codec; only
-    # entropy coding is interpreter-side.
+    # replication to the MCU grid, box-average subsampled components
+    # to their resolution, carve into (n_blocks, 8, 8) in the
+    # component's own raster order, then one einsum per plane — the
+    # numpy half of the codec; only entropy coding is
+    # interpreter-side.
     comp_coefs = []
-    for plane in planes:
+    for plane, (hi, vi) in zip(planes, factors):
         padded = np.pad(
             plane - 128.0,
-            ((0, bh * 8 - height), (0, bw * 8 - width)),
+            (
+                (0, mcu_rows * vmax * 8 - height),
+                (0, mcu_cols * hmax * 8 - width),
+            ),
             mode="edge",
         )
+        fy, fx = vmax // vi, hmax // hi
+        rows_b, cols_b = mcu_rows * vi, mcu_cols * hi
+        if fy > 1 or fx > 1:
+            # integer box mean, rounded like a real encoder's chroma
+            # downsample — exact whenever the box is constant
+            padded = np.round(
+                padded.reshape(rows_b * 8, fy, cols_b * 8, fx).mean(
+                    axis=(1, 3)
+                )
+            )
         blocks = (
-            padded.reshape(bh, 8, bw, 8)
+            padded.reshape(rows_b, 8, cols_b, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * bw, 8, 8)
+            .reshape(rows_b * cols_b, 8, 8)
         )
         coefs = np.einsum("ux,nxy,vy->nuv", cmat, blocks, cmat)
         comp_coefs.append(
@@ -1089,7 +1130,8 @@ def encode_jpeg(
     )  # DQT: 8-bit table 0, all ones
     sof = struct.pack(">BHHB", 8, height, width, n_components)
     for cid in range(1, n_components + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtbl 0
+        hi, vi = factors[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)  # qtbl 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for cls, bits, vals in (
         (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
@@ -1107,7 +1149,7 @@ def encode_jpeg(
 
     writer = _BitWriter()
     preds = [0] * n_components
-    n_mcus = bw * bh
+    n_mcus = mcu_cols * mcu_rows
     rst = 0
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1116,35 +1158,43 @@ def encode_jpeg(
             rst = (rst + 1) % 8
             writer = _BitWriter()
             preds = [0] * n_components
+        mr, mc = divmod(mcu, mcu_cols)
         for ci in range(n_components):
-            zz = [
-                int(comp_coefs[ci][mcu].ravel()[idx])
-                for idx in _JPEG_ZIGZAG
+            hi, vi = factors[ci]
+            mcu_blocks = [
+                (mr * vi + by) * (mcu_cols * hi) + (mc * hi + bx)
+                for by in range(vi)
+                for bx in range(hi)
             ]
-            diff = zz[0] - preds[ci]
-            preds[ci] = zz[0]
-            cat, val = _jpeg_category(diff)
-            code, length = dc_codes[cat]
-            writer.write(code, length)
-            if cat:
-                writer.write(val, cat)
-            run = 0
-            for coef in zz[1:]:
-                if coef == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    writer.write(code, length)
-                    run -= 16
-                cat, val = _jpeg_category(coef)
-                code, length = ac_codes[(run << 4) | cat]
+            for bidx in mcu_blocks:
+                zz = [
+                    int(comp_coefs[ci][bidx].ravel()[idx])
+                    for idx in _JPEG_ZIGZAG
+                ]
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                cat, val = _jpeg_category(diff)
+                code, length = dc_codes[cat]
                 writer.write(code, length)
-                writer.write(val, cat)
+                if cat:
+                    writer.write(val, cat)
                 run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                writer.write(code, length)
+                for coef in zz[1:]:
+                    if coef == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        writer.write(code, length)
+                        run -= 16
+                    cat, val = _jpeg_category(coef)
+                    code, length = ac_codes[(run << 4) | cat]
+                    writer.write(code, length)
+                    writer.write(val, cat)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]  # EOB
+                    writer.write(code, length)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -1254,9 +1304,11 @@ def _decode_jpeg(b: bytes) -> dict:
     """Decode a baseline-DCT JPEG (SOF0): marker walk, DQT/DHT/DRI
     parse, per-MCU Huffman decode (pure Python), then one vectorized
     numpy dequantize + inverse-zigzag + IDCT over all blocks.
-    Grayscale (1 component) and 4:4:4 color (3 components, YCbCr ->
-    RGB with JFIF rounding) are supported; progressive (SOF2),
-    subsampled, and arithmetic-coded files raise ``ValueError``.
+    Grayscale (1 component) and color (3 components, YCbCr -> RGB
+    with JFIF rounding) at any integer-ratio sampling factors —
+    4:4:4, 4:2:2, 4:2:0, and the rest of the T.81 1..4 range — are
+    supported, with box-replication chroma upsampling; progressive
+    (SOF2) and arithmetic-coded files raise ``ValueError``.
     Returns the PPM-shaped ``{width, height, maxval, pixels}`` —
     interleaved RGB for color, one byte per pixel for grayscale."""
     import struct
@@ -1318,11 +1370,12 @@ def _decode_jpeg(b: bytes) -> dict:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(
-                        "subsampled JPEG (non-1x1 factors) unsupported"
+                        f"sampling factors {hi}x{vi} out of T.81 range"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise ValueError(
@@ -1349,53 +1402,80 @@ def _decode_jpeg(b: bytes) -> dict:
     # by position (ADVICE r07): T.81 identifies scan components by
     # Cs_j = C_i, and libjpeg-compatible robustness means decoding
     # files whose SOF/SOS component orders differ.
-    tq_by_cid = {cid: tq for cid, tq in comps}
-    if len(tq_by_cid) != len(comps):
+    sof_by_cid = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    if len(sof_by_cid) != len(comps):
         raise ValueError("duplicate component ids in SOF0")
     for cid, _dc, _ac in scan:
-        if cid not in tq_by_cid:
+        if cid not in sof_by_cid:
             raise ValueError(
                 f"SOS component id {cid} not declared in SOF0"
             )
-    bw, bh = -(-width // 8), -(-height // 8)
-    n_mcus = bw * bh
     ncomp = len(comps)
-    coefs = np.zeros((ncomp, n_mcus, 64), dtype=np.int64)
+    if ncomp == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved —
+        # the MCU is ONE data unit over the component's full-res
+        # ceil(w/8) x ceil(h/8) grid, whatever factors SOF declares
+        # (some encoders write 2x2 on grayscale).
+        cid0 = comps[0][0]
+        sof_by_cid[cid0] = (1, 1, sof_by_cid[cid0][2])
+    hmax = max(hi for hi, _vi, _tq in sof_by_cid.values())
+    vmax = max(vi for _hi, vi, _tq in sof_by_cid.values())
+    mcu_cols = -(-width // (8 * hmax))
+    mcu_rows = -(-height // (8 * vmax))
+    n_mcus = mcu_cols * mcu_rows
+    # One coef array per SCAN component, sized to that component's
+    # padded block grid (mcu_rows*vi x mcu_cols*hi blocks).
+    scan_factors = [sof_by_cid[cid][:2] for cid, _dc, _ac in scan]
+    coefs = [
+        np.zeros((mcu_rows * vi * mcu_cols * hi, 64), dtype=np.int64)
+        for hi, vi in scan_factors
+    ]
     reader = _BitReader(b, pos)
     preds = [0] * ncomp
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             reader.sync_restart()
             preds = [0] * ncomp
+        mr, mc = divmod(mcu, mcu_cols)
         for ci, (_cid, dc_t, ac_t) in enumerate(scan):
             dc_table = htables.get((0, dc_t))
             ac_table = htables.get((1, ac_t))
             if dc_table is None or ac_table is None:
                 raise ValueError("scan references undefined DHT table")
-            cat = _read_huffman(reader, dc_table)
-            diff = _jpeg_extend(reader.read_bits(cat), cat)
-            preds[ci] += diff
-            coefs[ci, mcu, 0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _read_huffman(reader, ac_table)
-                if rs == 0x00:  # EOB
-                    break
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"bad AC symbol 0x{rs:02x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                coefs[ci, mcu, k] = _jpeg_extend(
-                    reader.read_bits(size), size
-                )
-                k += 1
+            hi, vi = scan_factors[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    bidx = (mr * vi + by) * (mcu_cols * hi) + (
+                        mc * hi + bx
+                    )
+                    cat = _read_huffman(reader, dc_table)
+                    diff = _jpeg_extend(reader.read_bits(cat), cat)
+                    preds[ci] += diff
+                    coefs[ci][bidx, 0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _read_huffman(reader, ac_table)
+                        if rs == 0x00:  # EOB
+                            break
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError(
+                                    f"bad AC symbol 0x{rs:02x}"
+                                )
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        coefs[ci][bidx, k] = _jpeg_extend(
+                            reader.read_bits(size), size
+                        )
+                        k += 1
     # Vectorized reconstruction: dequantize + inverse zigzag + IDCT
-    # for every block of every component in one einsum.
+    # for every block of every component in one einsum, then
+    # nearest-neighbor (box) upsample of subsampled components to
+    # full resolution.
     cmat = _jpeg_dct_matrix()
     inv_zz = np.argsort(np.array(_JPEG_ZIGZAG))  # raster -> zigzag pos
     # Reconstruct in scan order (coefs is scan-indexed), dequantizing
@@ -1404,17 +1484,31 @@ def _decode_jpeg(b: bytes) -> dict:
     # id order is the YCbCr role order whatever the header order was.
     planes_by_cid = {}
     for ci, (cid, _dc_t, _ac_t) in enumerate(scan):
-        tq = tq_by_cid[cid]
+        hi, vi, tq = sof_by_cid[cid]
         if tq not in qtables:
             raise ValueError(f"component references missing DQT {tq}")
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-integer upsampling ratio {hmax}/{hi} x {vmax}/{vi}"
+            )
         deq = coefs[ci] * qtables[tq][np.newaxis, :]
-        blocks = deq[:, inv_zz].reshape(n_mcus, 8, 8).astype(np.float64)
+        rows_b, cols_b = mcu_rows * vi, mcu_cols * hi
+        blocks = deq[:, inv_zz].reshape(-1, 8, 8).astype(np.float64)
         spatial = np.einsum("ux,nuv,vy->nxy", cmat, blocks, cmat)
         grid = (
-            spatial.reshape(bh, bw, 8, 8)
+            spatial.reshape(rows_b, cols_b, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
+            .reshape(rows_b * 8, cols_b * 8)
         )
+        # Crop to the component's T.81 dims, replicate up to full
+        # resolution, crop the padding the MCU grid added.
+        comp_w = -(-width * hi // hmax)
+        comp_h = -(-height * vi // vmax)
+        grid = grid[:comp_h, :comp_w]
+        if hmax // hi > 1 or vmax // vi > 1:
+            grid = np.repeat(
+                np.repeat(grid, vmax // vi, axis=0), hmax // hi, axis=1
+            )
         planes_by_cid[cid] = grid[:height, :width] + 128.0
     if ncomp == 1:
         (only_plane,) = planes_by_cid.values()

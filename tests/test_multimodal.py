@@ -722,3 +722,109 @@ def test_jpeg_fill_bytes_before_restart_markers():
         i += 1
     assert n >= 2
     assert decode_media(bytes(out), "image/jpeg") == ref
+
+
+def test_jpeg_420_constant_mcu_tiles_roundtrip_exactly():
+    # 4:2:0: the MCU is a 16x16 tile (4 Y blocks + Cb + Cr). When
+    # every 16x16 tile is a constant color, the 2x2 chroma box
+    # average is exact, every DC is an exact integer, every AC is 0 —
+    # so even the subsampled pipeline round-trips bit-exactly.
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(21)
+    for tw, th in [(1, 1), (3, 2)]:
+        tiles = rng.integers(0, 256, (th, tw, 3), dtype=np.uint8)
+        rgb = np.repeat(np.repeat(tiles, 16, 0), 16, 1)
+        w, h = tw * 16, th * 16
+        out = decode_media(
+            encode_jpeg(
+                rgb.tobytes(), w, h, n_components=3, subsampling="420"
+            ),
+            "image/jpeg",
+        )
+        assert (out["width"], out["height"]) == (w, h)
+        dec = np.frombuffer(out["pixels"], np.uint8).reshape(h, w, 3)
+        # YCbCr->RGB is float round-trip; constant tiles land within
+        # one count of the original after the double conversion
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_jpeg_420_and_422_bounded_error_on_neutral_chroma():
+    # r=g=b pixels have constant chroma (Cb=Cr=128), so subsampling
+    # loses nothing and the error bound matches the 4:4:4 one — this
+    # isolates the interleaved-MCU block order and upsample path from
+    # genuine chroma loss. Odd dims exercise component-dim cropping.
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(22)
+    for mode, (w, h) in [("420", (24, 16)), ("420", (19, 13)),
+                         ("422", (21, 10))]:
+        gray = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+        rgb = np.repeat(gray, 3, axis=2)
+        out = decode_media(
+            encode_jpeg(
+                rgb.tobytes(), w, h, n_components=3, subsampling=mode
+            ),
+            "image/jpeg",
+        )
+        dec = np.frombuffer(out["pixels"], np.uint8).reshape(h, w, 3)
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_420_restart_markers_decode_identically():
+    # restart intervals count MCUs — under 4:2:0 an MCU is 6 blocks,
+    # and the predictor reset must happen on MCU boundaries, not
+    # block boundaries
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    tiles = rng.integers(0, 256, (2, 4, 3), dtype=np.uint8)
+    rgb = np.repeat(np.repeat(tiles, 16, 0), 16, 1)
+    plain = decode_media(
+        encode_jpeg(rgb.tobytes(), 64, 32, n_components=3,
+                    subsampling="420"),
+        "image/jpeg",
+    )
+    with_rst = decode_media(
+        encode_jpeg(rgb.tobytes(), 64, 32, n_components=3,
+                    subsampling="420", restart_interval=3),
+        "image/jpeg",
+    )
+    assert with_rst == plain
+
+
+def test_jpeg_grayscale_single_scan_ignores_declared_factors():
+    # T.81 A.2.2: a single-component scan is non-interleaved — the
+    # data-unit grid is ceil(w/8) x ceil(h/8) regardless of the SOF
+    # sampling factors (some encoders write 2x2 on grayscale). Patch
+    # the SOF samp byte of an encoder-produced grayscale file from
+    # 0x11 to 0x22: the entropy data is unchanged, so the decode must
+    # be identical.
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(24)
+    raster = rng.integers(0, 256, size=24 * 16, dtype=np.uint8).tobytes()
+    b = encode_jpeg(raster, 24, 16)
+    ref = decode_media(b, "image/jpeg")
+    idx = b.index(b"\xff\xc0")
+    samp_at = idx + 2 + 2 + 6 + 1  # marker, len, prec/h/w/ncomp, cid
+    assert b[samp_at] == 0x11
+    patched = bytearray(b)
+    patched[samp_at] = 0x22
+    assert decode_media(bytes(patched), "image/jpeg") == ref
