@@ -65,6 +65,13 @@ class CommitConflict(Exception):
     """Another writer committed the version this writer targeted."""
 
 
+#: Python types whose parquet footer min/max are JSON-serializable
+#: as-is. Timestamps/decimals/binary are skipped (kept = never
+#: pruned), which is always SAFE: pruning is an optimization over a
+#: superset contract, not a filter.
+_JSONABLE_STATS = (bool, int, float, str)
+
+
 #: Retry budget for rebasable commits (append/compact) losing the
 #: publish race. Conflicts are per-table and resolution is one small
 #: JSON read, so a handful of retries rides out realistic contention;
@@ -131,7 +138,51 @@ def _publish(table: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _write_data_files(df: DataFrame, table: str) -> list[str]:
+def _file_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] zone map from the parquet FOOTER — no
+    data pages are read, so cost is O(columns), not O(rows).
+
+    Columns whose min/max are absent (all-null chunks) or not plainly
+    JSON-serializable (timestamps, decimals, binary) are omitted;
+    omission means "never prune on this column for this file".
+    """
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    skip: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            stats = col.statistics
+            if (
+                name in skip
+                or stats is None
+                or not stats.has_min_max
+                or not isinstance(stats.min, _JSONABLE_STATS)
+            ):
+                # one chunk without usable stats poisons the column
+                # for the whole file — a partial zone map would prune
+                # rows the uncovered chunk might hold
+                skip.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = (
+                stats.min if name not in mins else min(mins[name], stats.min)
+            )
+            maxs[name] = (
+                stats.max if name not in maxs else max(maxs[name], stats.max)
+            )
+    return {name: [mins[name], maxs[name]] for name in mins}
+
+
+def _write_data_files(
+    df: DataFrame, table: str
+) -> tuple[list[str], dict[str, dict]]:
     """Materialize ``df`` as immutable uniquely-named files in data/.
 
     Spark owns its output directory, so write to a throwaway staging
@@ -139,36 +190,40 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
     uuid name (same-filesystem rename — metadata-only; the object-
     store port writes direct to unique keys and skips the move).
     Files are INVISIBLE to every reader until a manifest names them.
+    Returns (names, per-file zone maps) — the stats ride in the
+    manifest so readers can skip files without opening ANY footer.
     """
     os.makedirs(_data_dir(table), exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     names = []
+    stats: dict[str, dict] = {}
     for part in sorted(os.listdir(staging)):
         if not part.endswith(".parquet"):
             continue
         name = f"{uuid.uuid4().hex}.parquet"
-        os.rename(
-            os.path.join(staging, part), os.path.join(_data_dir(table), name)
-        )
+        dest = os.path.join(_data_dir(table), name)
+        os.rename(os.path.join(staging, part), dest)
         names.append(name)
+        stats[name] = _file_stats(dest)
     for leftover in os.listdir(staging):
         os.unlink(os.path.join(staging, leftover))
     os.rmdir(staging)
-    return names
+    return names, stats
 
 
 def _commit(
     table: str,
-    build_files,
+    build,
     op: str,
     txn_id: str | None,
     rebase: bool,
 ) -> int:
     """Run one optimistic commit round: resolve head, build the new
-    file list from it, publish head+1; on a lost race either rebase
-    (re-resolve and retry) or raise. Returns the committed version,
-    or the already-committed version for a replayed ``txn_id``.
+    (files, stats) from the head manifest, publish head+1; on a lost
+    race either rebase (re-resolve and retry) or raise. Returns the
+    committed version, or the already-committed version for a
+    replayed ``txn_id``.
     """
     for _ in range(MAX_COMMIT_RETRIES):
         head = latest_version(table)
@@ -177,13 +232,13 @@ def _commit(
                 m = _read_manifest(table, v)
                 if m.get("txn_id") == txn_id:
                     return v  # replayed retry: already committed
-        prev_files = (
-            _read_manifest(table, head)["files"] if head is not None else []
-        )
+        prev = _read_manifest(table, head) if head is not None else None
+        files, stats = build(prev)
         manifest = {
             "version": (head if head is not None else -1) + 1,
             "op": op,
-            "files": build_files(prev_files),
+            "files": files,
+            "stats": stats,
             "txn_id": txn_id,
         }
         try:
@@ -205,10 +260,14 @@ def append(df: DataFrame, table: str, txn_id: str | None = None) -> int:
     re-targets — the data files are already written and file lists
     merge trivially. ``txn_id`` makes retries exactly-once.
     """
-    new = _write_data_files(df, table)
-    return _commit(
-        table, lambda prev: prev + new, "append", txn_id, rebase=True
-    )
+    new, new_stats = _write_data_files(df, table)
+
+    def build(prev):
+        prev_files = prev["files"] if prev else []
+        prev_stats = prev.get("stats", {}) if prev else {}
+        return prev_files + new, {**prev_stats, **new_stats}
+
+    return _commit(table, build, "append", txn_id, rebase=True)
 
 
 def overwrite(df: DataFrame, table: str, txn_id: str | None = None) -> int:
@@ -219,35 +278,70 @@ def overwrite(df: DataFrame, table: str, txn_id: str | None = None) -> int:
     caller decides (recompute-and-retry is the honest resolution).
     Old versions stay readable until vacuum.
     """
-    new = _write_data_files(df, table)
+    new, new_stats = _write_data_files(df, table)
     return _commit(
-        table, lambda prev: new, "overwrite", txn_id, rebase=False
+        table, lambda prev: (new, new_stats), "overwrite", txn_id,
+        rebase=False,
     )
 
 
-def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
-) -> DataFrame:
-    """Read an exact committed snapshot (latest by default).
+def files_for(
+    table: str,
+    version: int | None = None,
+    where: tuple[str, object, object] | None = None,
+) -> list[str]:
+    """Resolve a snapshot's file names, optionally zone-map-pruned.
 
-    The file list is resolved ONCE, here, from one manifest — the
-    returned frame can be re-evaluated, cached, or joined while any
-    number of commits/compactions land, and it always shows this
-    version's rows. Empty-file-list snapshots need a schema source, so
-    they read the parquet footers of version 0's... there are none:
-    raise instead of guessing a schema.
+    ``where=(col, lo, hi)`` keeps exactly the files whose manifest
+    [min, max] for ``col`` intersects [lo, hi] — plus every file with
+    no recorded stats for ``col`` (absent stats must never prune).
+    The CONTRACT is a superset: every row with ``col`` in [lo, hi] is
+    in the returned files; the caller still applies the real filter.
+    This is the pruning a 100 TB deployment needs BEFORE Spark: the
+    driver skips files from the manifest alone — no file listing, no
+    footer reads, no tasks scheduled for cold files.
     """
     if version is None:
         version = latest_version(table)
         if version is None:
             raise FileNotFoundError(f"no commits in table {table}")
     manifest = _read_manifest(table, version)
-    paths = [
-        os.path.join(_data_dir(table), name) for name in manifest["files"]
-    ]
+    names = manifest["files"]
+    if where is None:
+        return list(names)
+    col, lo, hi = where
+    stats = manifest.get("stats", {})
+    kept = []
+    for name in names:
+        rng = stats.get(name, {}).get(col)
+        if rng is None or (rng[1] >= lo and rng[0] <= hi):
+            kept.append(name)
+    return kept
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    where: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read an exact committed snapshot (latest by default).
+
+    The file list is resolved ONCE, here, from one manifest — the
+    returned frame can be re-evaluated, cached, or joined while any
+    number of commits/compactions land, and it always shows this
+    version's rows. ``where=(col, lo, hi)`` additionally skips files
+    whose zone map excludes the range (see ``files_for`` — superset
+    contract, caller still filters). Empty-file-list snapshots need a
+    schema source there is none of: raise instead of guessing.
+    """
+    names = files_for(table, version, where)
+    paths = [os.path.join(_data_dir(table), name) for name in names]
     if not paths:
         raise ValueError(
-            f"version {version} of {table} is empty; no schema to read"
+            f"snapshot of {table} resolves to zero files"
+            + (" under the given pruning range" if where else "")
+            + "; no schema to read"
         )
     return spark.read.parquet(*paths)
 
@@ -268,13 +362,14 @@ def compact(
         head = latest_version(table)
         if head is None:
             raise FileNotFoundError(f"no commits in table {table}")
-        merged = _write_data_files(
+        merged, merged_stats = _write_data_files(
             read_snapshot(spark, table, head).coalesce(n_files), table
         )
         manifest = {
             "version": head + 1,
             "op": "compact",
             "files": merged,
+            "stats": merged_stats,
             "txn_id": txn_id,
         }
         try:
@@ -283,6 +378,98 @@ def compact(
         except CommitConflict:
             continue  # head moved: orphan `merged`, re-compact new head
     raise CommitConflict(f"compact on {table} kept losing the race")
+
+
+def merge_changes(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    txn_id: str | None = None,
+) -> int:
+    """Apply a keyed I/U/D change batch to the table as ONE atomic
+    commit (transactional Delta-MERGE; the log-level home of the
+    semantics proven query-side in ``plans/temporal.py``
+    ``cdc_merge_plan`` — see its oracle-checked catalog entry
+    ``cdc_merge_apply``).
+
+    ``changes`` carries the table's data columns plus ``op_col`` in
+    {'U', 'D'} ('U' upserts, 'D' deletes; an insert is a 'U' on an
+    absent key, a 'D' on an absent key is a no-op). Multiple changes
+    per key collapse to the LAST by ``order_cols`` (last-writer-wins
+    — deterministic under feed reordering, the step per-row upserts
+    get wrong). The reconcile is one full-outer join per key; the
+    result replaces the snapshot in a single commit, so readers see
+    either the whole batch or none of it, and the previous version
+    remains time-travelable.
+
+    Concurrency: computed against the head snapshot; if another
+    commit lands first, the merge RECOMPUTES against the new head
+    (the rewrite must not discard the interleaved commit) — the
+    orphaned first attempt is vacuum-swept. At 100 TB the rewrite
+    narrows to the files ``files_for`` selects by the batch's key
+    range; the commit protocol is unchanged.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    for _ in range(MAX_COMMIT_RETRIES):
+        head = latest_version(table)
+        if head is None:
+            raise FileNotFoundError(f"no commits in table {table}")
+        if txn_id is not None:
+            for v in reversed(_list_versions(table)):
+                if _read_manifest(table, v).get("txn_id") == txn_id:
+                    return v
+        base = read_snapshot(spark, table, head)
+        data_cols = base.columns
+        missing = [c for c in data_cols + [op_col] if c not in changes.columns]
+        if missing:
+            raise ValueError(f"change batch lacks columns {missing}")
+        w = W.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        last = (
+            changes.select(op_col, *data_cols)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        b = base.alias("b")
+        c = last.alias("c")
+        cond = None
+        for k in keys:
+            eq = F.col(f"b.{k}") == F.col(f"c.{k}")
+            cond = eq if cond is None else cond & eq
+        changed = F.col(f"c.{op_col}").isNotNull()
+        merged = (
+            b.join(c, cond, "full")
+            .filter(~changed | (F.col(f"c.{op_col}") != "D"))
+            .select(
+                *[
+                    F.when(changed, F.col(f"c.{col}"))
+                    .otherwise(F.col(f"b.{col}"))
+                    .alias(col)
+                    for col in data_cols
+                ]
+            )
+        )
+        files, stats = _write_data_files(merged, table)
+        manifest = {
+            "version": head + 1,
+            "op": "merge",
+            "files": files,
+            "stats": stats,
+            "txn_id": txn_id,
+        }
+        try:
+            _publish(table, head + 1, manifest)
+            return head + 1
+        except CommitConflict:
+            continue  # head moved: recompute the merge against it
+    raise CommitConflict(f"merge on {table} kept losing the race")
 
 
 def history(table: str) -> list[dict]:

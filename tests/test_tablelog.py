@@ -45,7 +45,7 @@ def test_uncommitted_files_are_invisible_to_readers(spark, tmp_path):
     readers resolve files from the manifest, never from a listing."""
     table = str(tmp_path / "t")
     tl.append(_frame(spark, 0, 4), table)
-    tl._write_data_files(_frame(spark, 900, 950), table)  # no commit
+    tl._write_data_files(_frame(spark, 900, 950), table)[0]  # no commit
     assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3]
     # and the orphans are exactly what vacuum sweeps
     deleted = tl.vacuum(table, retain_last=1)
@@ -85,7 +85,7 @@ def test_append_rebases_on_lost_race_and_loses_nothing(
     def racing_publish(tbl, version, manifest):
         if not raced["done"]:
             raced["done"] = True
-            rival = tl._write_data_files(_frame(spark, 50, 52), tbl)
+            rival, _ = tl._write_data_files(_frame(spark, 50, 52), tbl)
             real_publish(
                 tbl,
                 version,
@@ -111,7 +111,7 @@ def test_overwrite_raises_on_lost_race_instead_of_clobbering(
     def racing_publish(tbl, version, manifest):
         if not raced["done"]:
             raced["done"] = True
-            rival = tl._write_data_files(_frame(spark, 50, 52), tbl)
+            rival, _ = tl._write_data_files(_frame(spark, 50, 52), tbl)
             real_publish(
                 tbl, version,
                 {"version": version, "op": "append",
@@ -171,3 +171,105 @@ def test_manifest_is_the_only_source_of_truth(spark, tmp_path):
         json.dump(manifest, fh)
     with pytest.raises(ValueError):  # empty snapshot: no schema source
         tl.read_snapshot(spark, table)
+
+
+def test_zone_map_pruning_skips_files_and_keeps_superset(spark, tmp_path):
+    """Manifest stats prune whole files from the driver alone; the
+    contract is a superset of the range, and the pruned read filtered
+    equals the full read filtered."""
+    table = str(tmp_path / "t")
+    # three appends with disjoint value ranges -> disjoint zone maps
+    for lo in (0, 100, 200):
+        tl.append(
+            _frame(spark, lo, lo + 10).coalesce(1), table
+        )
+    all_files = tl.files_for(table)
+    hot = tl.files_for(table, where=("v", 100, 109))
+    assert len(hot) < len(all_files)
+    pruned = tl.read_snapshot(spark, table, where=("v", 100, 109))
+    assert _values(pruned.filter("v BETWEEN 100 AND 109")) == list(
+        range(100, 110)
+    )
+    # a column with no recorded stats never prunes
+    assert tl.files_for(table, where=("no_such_col", 0, 1)) == all_files
+
+
+def test_merge_changes_applies_iud_batch_atomically(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, seq int"
+    )
+    tl.overwrite(base, table)
+    changes = spark.createDataFrame(
+        [
+            ("U", 2, "b2", 40),   # update existing
+            ("U", 4, "d", 41),    # insert new key
+            ("D", 3, None, 42),   # delete existing
+            ("D", 9, None, 43),   # delete absent: no-op
+            ("U", 2, "OLD", 39),  # stale change, loses to seq=40
+        ],
+        "op string, k int, s string, seq int",
+    )
+    v = tl.merge_changes(
+        spark, table, changes, keys=["k"], order_cols=["seq"]
+    )
+    got = {
+        (r.k, r.s)
+        for r in tl.read_snapshot(spark, table, version=v).collect()
+    }
+    assert got == {(1, "a"), (2, "b2"), (4, "d")}
+    # atomic: the pre-merge version is intact
+    assert {
+        r.k for r in tl.read_snapshot(spark, table, version=0).collect()
+    } == {1, 2, 3}
+    # idempotent replay by txn id
+    v2 = tl.merge_changes(
+        spark, table, changes, keys=["k"], order_cols=["seq"],
+        txn_id="batch-7",
+    )
+    v3 = tl.merge_changes(
+        spark, table, changes, keys=["k"], order_cols=["seq"],
+        txn_id="batch-7",
+    )
+    assert v3 == v2
+
+
+def test_merge_changes_recomputes_after_interleaved_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A commit landing between the merge's snapshot read and its
+    publish must not be discarded: the merge recomputes against the
+    new head, so the interleaved append's rows survive."""
+    table = str(tmp_path / "t")
+    tl.overwrite(
+        spark.createDataFrame([(1, "a", 1)], "k int, s string, seq int"),
+        table,
+    )
+    real_publish = tl._publish
+    raced = {"done": False}
+
+    def racing_publish(tbl, version, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            rival, rstats = tl._write_data_files(
+                spark.createDataFrame(
+                    [(7, "mid", 5)], "k int, s string, seq int"
+                ),
+                tbl,
+            )
+            real_publish(
+                tbl, version,
+                {"version": version, "op": "append",
+                 "files": tl._read_manifest(tbl, version - 1)["files"]
+                 + rival,
+                 "stats": rstats, "txn_id": None},
+            )
+        return real_publish(tbl, version, manifest)
+
+    monkeypatch.setattr(tl, "_publish", racing_publish)
+    changes = spark.createDataFrame(
+        [("U", 2, "new", 9)], "op string, k int, s string, seq int"
+    )
+    tl.merge_changes(spark, table, changes, keys=["k"], order_cols=["seq"])
+    got = {r.k for r in tl.read_snapshot(spark, table).collect()}
+    assert got == {1, 2, 7}
