@@ -955,12 +955,21 @@ _JPEG_AC_VALS = [
 
 def _jpeg_dct_matrix() -> np.ndarray:
     """Orthonormal 8x8 DCT-II basis: C[u,x] = c(u)/2 * cos((2x+1)uπ/16)
-    with c(0)=1/√2. Forward: C·B·Cᵀ; inverse: Cᵀ·S·C."""
-    x = np.arange(8)
-    u = np.arange(8).reshape(8, 1)
-    c = np.cos((2 * x + 1) * u * np.pi / 16) / 2
-    c[0] /= np.sqrt(2)
-    return c
+    with c(0)=1/√2. Forward: C·B·Cᵀ; inverse: Cᵀ·S·C. Cached — the
+    fixture images are tiny, so per-call recompute showed up as ~6%
+    of decode in profiling."""
+    global _JPEG_DCT_CACHE
+    if _JPEG_DCT_CACHE is None:
+        x = np.arange(8)
+        u = np.arange(8).reshape(8, 1)
+        c = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+        c[0] /= np.sqrt(2)
+        c.setflags(write=False)
+        _JPEG_DCT_CACHE = c
+    return _JPEG_DCT_CACHE
+
+
+_JPEG_DCT_CACHE: np.ndarray | None = None
 
 
 def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -1030,6 +1039,10 @@ _JPEG_SAMPLING = {
     "422": ((2, 1), (1, 1), (1, 1)),
     "420": ((2, 2), (1, 1), (1, 1)),
 }
+
+#: Lazily-built (dc, ac) canonical code maps for the constant Annex-K
+#: tables the encoder emits.
+_JPEG_ENC_CODES: tuple[dict, dict] | None = None
 
 
 def encode_jpeg(
@@ -1118,8 +1131,14 @@ def encode_jpeg(
         comp_coefs.append(
             np.round(coefs).astype(np.int64)  # quant table is all 1s
         )
-    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    # the encoder always emits the Annex-K tables; build them once
+    global _JPEG_ENC_CODES
+    if _JPEG_ENC_CODES is None:
+        _JPEG_ENC_CODES = (
+            _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+            _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS),
+        )
+    dc_codes, ac_codes = _JPEG_ENC_CODES
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(
@@ -1161,12 +1180,10 @@ def encode_jpeg(
         mr, mc = divmod(mcu, mcu_cols)
         for ci in range(n_components):
             hi, vi = factors[ci]
-            mcu_blocks = [
-                (mr * vi + by) * (mcu_cols * hi) + (mc * hi + bx)
-                for by in range(vi)
-                for bx in range(hi)
-            ]
-            for bidx in mcu_blocks:
+            row_stride = mcu_cols * hi
+            for bofs in range(vi * hi):
+                by, bx = divmod(bofs, hi)
+                bidx = (mr * vi + by) * row_stride + mc * hi + bx
                 zz = [
                     int(comp_coefs[ci][bidx].ravel()[idx])
                     for idx in _JPEG_ZIGZAG
@@ -1270,7 +1287,17 @@ class _BitReader:
 def _huffman_decode_tree(
     bits: list[int], vals: list[int]
 ) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol map for canonical decoding."""
+    """(length, code) -> symbol map for canonical decoding.
+
+    Memoized on the raw table bytes: real corpora reuse a handful of
+    tables (usually the Annex-K set) across millions of images, and
+    rebuilding the map per image was ~14% of decode time in
+    profiling. Bounded cache so adversarial many-table inputs can't
+    grow it without limit."""
+    key = (bytes(bits), bytes(vals))
+    cached = _HUFF_TREE_CACHE.get(key)
+    if cached is not None:
+        return cached
     table: dict[tuple[int, int], int] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -1279,7 +1306,13 @@ def _huffman_decode_tree(
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_TREE_CACHE) >= 64:
+        _HUFF_TREE_CACHE.clear()
+    _HUFF_TREE_CACHE[key] = table
     return table
+
+
+_HUFF_TREE_CACHE: dict[tuple[bytes, bytes], dict] = {}
 
 
 def _read_huffman(reader: _BitReader, table: dict) -> int:
