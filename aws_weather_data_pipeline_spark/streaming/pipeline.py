@@ -203,3 +203,49 @@ def start_quarantine_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def append_epoch_to_tablelog(
+    batch_df: DataFrame, table: str, epoch_id: int
+) -> int:
+    """One micro-batch → one atomic table-log commit, replay-proof.
+
+    Structured Streaming guarantees foreachBatch AT-LEAST-once with a
+    stable ``epoch_id`` per batch; the log's txn-id dedup
+    (sinks/tablelog.py) makes the replay a no-op, which upgrades the
+    sink to EXACTLY-once — without the epoch partition column +
+    dynamic-overwrite dance ``write_both_sinks`` needs on a bare
+    directory sink. The commit is atomic, so a concurrent reader
+    sees each micro-batch entirely or not at all (bare parquet
+    appends expose half-written batches), and batch writers can
+    share the same table: the optimistic-commit protocol serializes
+    them with the stream.
+    """
+    from ..sinks import tablelog
+
+    return tablelog.append(batch_df, table, txn_id=f"epoch-{epoch_id}")
+
+
+def start_tablelog_sink(
+    processed: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming sink into a manifest-committed table.
+
+    Any streaming frame → ``append_epoch_to_tablelog`` per
+    micro-batch. Checkpoint + txn-id together give end-to-end
+    exactly-once across crashes on BOTH sides of the seam: the
+    checkpoint replays unacknowledged epochs, the log ignores
+    already-committed ones.
+    """
+    return (
+        processed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, epoch: append_epoch_to_tablelog(df, table, epoch)
+        )
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -273,3 +273,35 @@ def test_merge_changes_recomputes_after_interleaved_commit(
     tl.merge_changes(spark, table, changes, keys=["k"], order_cols=["seq"])
     got = {r.k for r in tl.read_snapshot(spark, table).collect()}
     assert got == {1, 2, 7}
+
+
+def test_streaming_sink_is_exactly_once_under_epoch_replay(
+    spark, tmp_path
+):
+    """availableNow drain into the log lands every input row once;
+    a crash-replay of an already-committed epoch (the at-least-once
+    case foreachBatch documents) is a no-op thanks to txn-id dedup."""
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        append_epoch_to_tablelog,
+        start_tablelog_sink,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _frame(spark, 0, 50).write.parquet(src)
+    stream = spark.readStream.schema("v bigint").parquet(src)
+    q = start_tablelog_sink(stream, table, ckpt)
+    q.awaitTermination(120)
+    assert _values(tl.read_snapshot(spark, table)) == list(range(50))
+    # epoch ids recorded as txn ids
+    assert tl.history(table)[-1]["txn_id"].startswith("epoch-")
+    # replay the committed epoch: no duplicate rows, no new version
+    head = tl.latest_version(table)
+    epoch = int(tl.history(table)[-1]["txn_id"].split("-")[1])
+    append_epoch_to_tablelog(_frame(spark, 0, 50), table, epoch)
+    assert tl.latest_version(table) == head
+    assert _values(tl.read_snapshot(spark, table)) == list(range(50))
+    # a NEW epoch appends normally
+    append_epoch_to_tablelog(_frame(spark, 50, 60), table, epoch + 1)
+    assert _values(tl.read_snapshot(spark, table)) == list(range(60))
