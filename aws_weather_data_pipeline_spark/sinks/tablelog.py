@@ -425,17 +425,27 @@ def merge_changes(
                     return v
         base = read_snapshot(spark, table, head)
         data_cols = base.columns
-        missing = [c for c in data_cols + [op_col] if c not in changes.columns]
+        missing = [
+            c
+            for c in data_cols + [op_col] + list(order_cols)
+            if c not in changes.columns
+        ]
         if missing:
             raise ValueError(f"change batch lacks columns {missing}")
         w = W.partitionBy(*keys).orderBy(
             *[F.col(c).desc() for c in order_cols]
         )
+        # order_cols may be change-feed metadata (an LSN, a batch
+        # sequence) that is NOT a table column — keep them through the
+        # dedup window, drop them after (caught by the model-based
+        # property test; the original select dropped them first and
+        # the window failed to resolve).
+        extra = [c for c in order_cols if c not in data_cols]
         last = (
-            changes.select(op_col, *data_cols)
+            changes.select(op_col, *data_cols, *extra)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", *extra)
         )
         b = base.alias("b")
         c = last.alias("c")

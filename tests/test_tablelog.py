@@ -305,3 +305,118 @@ def test_streaming_sink_is_exactly_once_under_epoch_replay(
     # a NEW epoch appends normally
     append_epoch_to_tablelog(_frame(spark, 50, 60), table, epoch + 1)
     assert _values(tl.read_snapshot(spark, table)) == list(range(60))
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test: random op sequences vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 99)), min_size=0, max_size=6
+)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _ROWS),
+        st.tuples(st.just("overwrite"), _ROWS),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["U", "D"]),
+                    st.integers(0, 6),
+                    st.integers(0, 99),
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+def _model_merge(base: Counter, changes: list) -> Counter:
+    """Reference semantics of merge_changes: last change per key wins
+    (here: the LAST list entry, via unique ascending seq); D drops
+    every row of the key, U rewrites every base duplicate's value and
+    inserts one row for absent keys."""
+    last = {}
+    for op, k, s in changes:
+        last[k] = (op, s)  # later entries override: seq = list index
+    out: Counter = Counter()
+    for (k, s), n in base.items():
+        if k in last:
+            op, new_s = last[k]
+            if op == "U":
+                out[(k, new_s)] += n
+        else:
+            out[(k, s)] += n
+    base_keys = {k for (k, _s) in base}
+    for k, (op, new_s) in last.items():
+        if op == "U" and k not in base_keys:
+            out[(k, new_s)] += 1
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_OPS)
+def test_tablelog_matches_model_under_random_op_sequences(
+    spark, tmp_path_factory, ops
+):
+    table = str(tmp_path_factory.mktemp("prop") / "t")
+
+    def df_of(rows, with_op=False):
+        if with_op:
+            return spark.createDataFrame(
+                [(op, k, s, i) for i, (op, k, s) in enumerate(rows)],
+                "op string, k int, s int, seq int",
+            )
+        return spark.createDataFrame(list(rows), "k int, s int")
+
+    versions: dict[int, Counter] = {}  # live version -> expected rows
+    for op, arg in ops:
+        head = tl.latest_version(table)
+        if head is None and op in ("compact", "merge", "vacuum"):
+            continue  # these need an existing table
+        if op == "append":
+            v = tl.append(df_of(arg), table)
+            prev = versions.get(v - 1, Counter())
+            versions[v] = prev + Counter(arg)
+        elif op == "overwrite":
+            v = tl.overwrite(df_of(arg), table)
+            versions[v] = Counter(arg)
+        elif op == "compact":
+            v = tl.compact(spark, table, n_files=1)
+            versions[v] = Counter(versions[v - 1])
+        elif op == "merge":
+            v = tl.merge_changes(
+                spark, table, df_of(arg, with_op=True),
+                keys=["k"], order_cols=["seq"],
+            )
+            versions[v] = _model_merge(versions[v - 1], arg)
+        else:  # vacuum
+            tl.vacuum(table, retain_last=arg)
+            live = sorted(versions)[-arg:]
+            versions = {v: c for v, c in versions.items() if v in live}
+    for v, expect in versions.items():
+        if not expect and not tl.files_for(table, v):
+            continue  # empty snapshot with zero files: unreadable by design
+        got = Counter(
+            (r.k, r.s)
+            for r in tl.read_snapshot(spark, table, version=v).collect()
+        )
+        assert got == expect, f"version {v}: {got} != {expect}"
