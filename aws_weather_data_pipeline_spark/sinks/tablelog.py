@@ -492,7 +492,11 @@ def history(table: str) -> list[dict]:
     return [_read_manifest(table, v) for v in _list_versions(table)]
 
 
-def vacuum(table: str, retain_last: int = 1) -> list[str]:
+def vacuum(
+    table: str,
+    retain_last: int = 1,
+    min_age_seconds: float = 3600.0,
+) -> list[str]:
     """Delete data files unreachable from the newest ``retain_last``
     manifests, and the expired manifests themselves.
 
@@ -502,7 +506,24 @@ def vacuum(table: str, retain_last: int = 1) -> list[str]:
     and swept too. Returns deleted data-file names. ``retain_last``
     must keep at least the head: vacuuming the live version is
     nonsense and refused.
+
+    ``min_age_seconds`` protects IN-FLIGHT commits: every writer
+    stages its data files BEFORE publishing the manifest that names
+    them, so an unreferenced file younger than the longest plausible
+    commit duration may belong to a commit about to publish —
+    sweeping it would corrupt that commit's snapshot the moment it
+    lands (the same reason Delta's VACUUM has a retention horizon).
+    Only unreferenced files older than the horizon are deleted; pass
+    0 in tests or maintenance windows with no live writers.
+
+    Retention also bounds txn-id replay protection: the dedup scan
+    reads retained manifests only, so keep ``retain_last`` deeper
+    than any writer's retry horizon — expiring a manifest whose
+    txn id a crashed writer will still replay turns that replay into
+    a duplicate apply.
     """
+    import time
+
     if retain_last < 1:
         raise ValueError("retain_last must keep at least the head version")
     versions = _list_versions(table)
@@ -514,10 +535,16 @@ def vacuum(table: str, retain_last: int = 1) -> list[str]:
         live.update(_read_manifest(table, v)["files"])
     deleted = []
     data = _data_dir(table)
+    cutoff = time.time() - min_age_seconds
     if os.path.isdir(data):
         for name in sorted(os.listdir(data)):
-            if name.endswith(".parquet") and name not in live:
-                os.unlink(os.path.join(data, name))
+            path = os.path.join(data, name)
+            if (
+                name.endswith(".parquet")
+                and name not in live
+                and os.path.getmtime(path) <= cutoff
+            ):
+                os.unlink(path)
                 deleted.append(name)
     for v in versions[:-retain_last]:
         os.unlink(_manifest_path(table, v))

@@ -48,7 +48,7 @@ def test_uncommitted_files_are_invisible_to_readers(spark, tmp_path):
     tl._write_data_files(_frame(spark, 900, 950), table)[0]  # no commit
     assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3]
     # and the orphans are exactly what vacuum sweeps
-    deleted = tl.vacuum(table, retain_last=1)
+    deleted = tl.vacuum(table, retain_last=1, min_age_seconds=0)
     assert len(deleted) > 0
     assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3]
 
@@ -143,7 +143,7 @@ def test_vacuum_keeps_retained_versions_and_drops_the_rest(spark, tmp_path):
     tl.append(_frame(spark, 0, 3), table)
     tl.overwrite(_frame(spark, 10, 13), table)
     tl.append(_frame(spark, 13, 15), table)
-    deleted = tl.vacuum(table, retain_last=2)
+    deleted = tl.vacuum(table, retain_last=2, min_age_seconds=0)
     # version 0's files are referenced by no retained manifest
     assert len(deleted) > 0
     assert _values(tl.read_snapshot(spark, table)) == [10, 11, 12, 13, 14]
@@ -154,6 +154,24 @@ def test_vacuum_keeps_retained_versions_and_drops_the_rest(spark, tmp_path):
         tl._read_manifest(table, 0)
     with pytest.raises(ValueError):
         tl.vacuum(table, retain_last=0)
+
+
+def test_vacuum_age_guard_spares_in_flight_commit_files(spark, tmp_path):
+    """A commit stages data files BEFORE publishing its manifest; a
+    default-horizon vacuum running in that window must not sweep the
+    young unreferenced files (min_age_seconds=0 is the explicit
+    no-live-writers override the other tests use)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 4), table)
+    staged, _ = tl._write_data_files(_frame(spark, 50, 55), table)
+    assert tl.vacuum(table, retain_last=1) == []  # default horizon
+    # the in-flight commit can still publish against its staged files
+    def build(prev):
+        return prev["files"] + staged, prev.get("stats", {})
+    tl._commit(table, build, "append", None, rebase=True)
+    assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2, 3] + list(
+        range(50, 55)
+    )
 
 
 def test_manifest_is_the_only_source_of_truth(spark, tmp_path):
