@@ -1738,6 +1738,72 @@ def decode_image_features(df: DataFrame) -> DataFrame:
 decode_ppm_features = decode_image_features
 
 
+#: ``decode_image_features`` output plus the dead-letter column.
+PPM_QUARANTINE_SCHEMA = T.StructType(
+    list(PPM_SCHEMA.fields)
+    + [T.StructField("decode_error", T.StringType(), True)]
+)
+
+
+def decode_image_features_with_quarantine(df: DataFrame) -> DataFrame:
+    """Dead-letter twin of ``decode_image_features``.
+
+    The strict stage raises on the first malformed payload — correct
+    for oracle-checked fixtures, fatal for a 100 TB scan where one
+    truncated image at row N kills the whole job hours in. This twin
+    applies the reference's quarantine idea (S4 raw-JSON dead letter,
+    ``sources/readers.py read_raw_json_with_quarantine``) to media
+    decode: each row decodes under a per-item guard; failures emit
+    the row with NULL statistics and the exception text in
+    ``decode_error`` (NULL on success), so the caller splits the
+    frame into the clean path and a quarantine sink with one filter.
+    Catches ``ValueError`` (malformed bytes) and
+    ``NotImplementedError`` (codec-less content type) — anything
+    else is a bug and still propagates.
+    """
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            out = {k.name: [] for k in PPM_QUARANTINE_SCHEMA.fields}
+            for doc_id, payload, ctype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_type"]
+            ):
+                try:
+                    img = decode_media(bytes(payload), ctype)
+                except (ValueError, NotImplementedError) as exc:
+                    out["doc_id"].append(doc_id)
+                    for col in (
+                        "width", "height", "maxval",
+                        "n_pixel_bytes", "pixel_byte_sum",
+                        "mean_pixel_value",
+                    ):
+                        out[col].append(None)
+                    out["decode_error"].append(
+                        f"{type(exc).__name__}: {exc}"
+                    )
+                    continue
+                n = len(img["pixels"])
+                s = int(
+                    np.frombuffer(img["pixels"], dtype=np.uint8).sum(
+                        dtype=np.int64
+                    )
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["maxval"].append(img["maxval"])
+                out["n_pixel_bytes"].append(n)
+                out["pixel_byte_sum"].append(s)
+                out["mean_pixel_value"].append(s / n if n else None)
+                out["decode_error"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload",
+        F.col("payload_meta.content_type").alias("content_type"),
+    ).mapInPandas(gen, schema=PPM_QUARANTINE_SCHEMA)
+
+
 def fake_byte_features(pdf_iter: Iterator) -> Iterator:
     """Deterministic per-payload features (the decode stand-in).
 

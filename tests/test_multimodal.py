@@ -828,3 +828,50 @@ def test_jpeg_grayscale_single_scan_ignores_declared_factors():
     patched = bytearray(b)
     patched[samp_at] = 0x22
     assert decode_media(bytes(patched), "image/jpeg") == ref
+
+
+def test_decode_quarantine_splits_bad_rows_without_killing_stage(spark):
+    # the dead-letter twin: corrupt payloads and codec-less content
+    # types become quarantine rows (NULL stats + decode_error);
+    # clean rows match the strict stage's output exactly
+    from pyspark.sql import functions as F
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        PPM_QUARANTINE_SCHEMA,
+        decode_image_features_with_quarantine,
+        decode_ppm_features,
+        with_ppm_payload,
+    )
+
+    clean = with_ppm_payload(
+        spark.createDataFrame(
+            [Row(doc_id=9, text="abcd"), Row(doc_id=3, text="zz")]
+        )
+    ).select("doc_id", "payload", "payload_meta")
+    meta = "named_struct('n_bytes', octet_length(payload), 'content_type', {})"
+    corrupt = spark.createDataFrame(
+        [Row(doc_id=99, payload=b"P6 not really a ppm")]
+    ).select(
+        "doc_id", "payload",
+        F.expr(meta.format("'image/x-portable-pixmap'")).alias(
+            "payload_meta"
+        ),
+    )
+    codecless = clean.limit(1).select(
+        F.lit(98).cast("long").alias("doc_id"), "payload",
+        F.expr(meta.format("'audio/mpeg'")).alias("payload_meta"),
+    )
+    out = decode_image_features_with_quarantine(
+        clean.union(corrupt).union(codecless)
+    )
+    assert out.schema == PPM_QUARANTINE_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[99]["decode_error"].startswith("ValueError")
+    assert rows[99]["width"] is None
+    assert rows[98]["decode_error"].startswith("NotImplementedError")
+    # clean rows identical to the strict stage
+    strict = {r["doc_id"]: r for r in decode_ppm_features(clean).collect()}
+    for did in (9, 3):
+        assert rows[did]["decode_error"] is None
+        for col in ("width", "height", "pixel_byte_sum"):
+            assert rows[did][col] == strict[did][col]
