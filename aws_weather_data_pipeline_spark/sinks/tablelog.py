@@ -324,6 +324,7 @@ def read_snapshot(
     table: str,
     version: int | None = None,
     where: tuple[str, object, object] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read an exact committed snapshot (latest by default).
 
@@ -332,8 +333,14 @@ def read_snapshot(
     number of commits/compactions land, and it always shows this
     version's rows. ``where=(col, lo, hi)`` additionally skips files
     whose zone map excludes the range (see ``files_for`` — superset
-    contract, caller still filters). Empty-file-list snapshots need a
-    schema source there is none of: raise instead of guessing.
+    contract, caller still filters). ``merge_schema=True`` reads a
+    snapshot whose commits evolved the schema additively (a later
+    append introduced a column): new columns NULL-backfill on old
+    files, same semantics as ``sources/tables.py
+    read_parquet_evolving`` — off by default because schema union
+    reads every file's footer up front, a cost a stable-schema table
+    shouldn't pay. Empty-file-list snapshots need a schema source
+    there is none of: raise instead of guessing.
     """
     names = files_for(table, version, where)
     paths = [os.path.join(_data_dir(table), name) for name in names]
@@ -343,7 +350,10 @@ def read_snapshot(
             + (" under the given pruning range" if where else "")
             + "; no schema to read"
         )
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def compact(

@@ -438,3 +438,25 @@ def test_tablelog_matches_model_under_random_op_sequences(
             for r in tl.read_snapshot(spark, table, version=v).collect()
         )
         assert got == expect, f"version {v}: {got} != {expect}"
+
+
+def test_schema_evolution_append_merges_with_null_backfill(spark, tmp_path):
+    """An append that adds a column evolves the snapshot additively:
+    merge_schema=True NULL-backfills the new column on old files, and
+    zone-map pruning still works on the new column (old files have no
+    stats for it, so they are never pruned away)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    evolved = spark.createDataFrame([(10, "x"), (11, "y")], "v long, tag string")
+    tl.append(evolved, table)
+    df = tl.read_snapshot(spark, table, merge_schema=True)
+    assert sorted(df.columns) == ["tag", "v"]
+    rows = {r.v: r.tag for r in df.collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: "x", 11: "y"}
+    # pruning on the NEW column keeps stat-less old files (superset)
+    names = tl.files_for(table, where=("v", 10, 11))
+    pruned = tl.read_snapshot(
+        spark, table, where=("v", 10, 11), merge_schema=True
+    )
+    assert len(names) < len(tl.files_for(table))
+    assert {r.v for r in pruned.filter("v >= 10").collect()} == {10, 11}
