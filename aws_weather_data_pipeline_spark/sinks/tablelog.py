@@ -357,30 +357,52 @@ def read_snapshot(
 
 
 def compact(
-    spark: SparkSession, table: str, n_files: int, txn_id: str | None = None
+    spark: SparkSession,
+    table: str,
+    n_files: int,
+    txn_id: str | None = None,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Rewrite the current snapshot as ``n_files`` files, atomically.
 
-    coalesce (never repartition — compaction concatenates, it must not
-    shuffle), write the merged files, commit them as the new snapshot.
-    Readers of any in-flight version are untouched: their files are
-    still on disk until vacuum. Lost races rebase by RE-COMPACTING the
-    new head (files appended meanwhile must not be dropped), which
-    re-runs the job — correct first, and rare enough not to matter.
+    Plain compaction coalesces (never repartitions — it concatenates,
+    it must not shuffle). ``zorder_by=(a, b)`` instead rewrites the
+    LAYOUT: rows are range-partitioned and sorted by their Morton
+    code (``operators/layout.py zorder_repartition``), so every
+    output file covers a small tile in (a, b) space and the zone maps
+    this module records in the manifest become TIGHT on both columns
+    — manifest-level file skipping on either predicate, the
+    clustered-index read path without an index. The z-order rewrite
+    shuffles by design (one repartitionByRange); that is the price of
+    re-clustering and is paid once per maintenance run, not per
+    query. Readers of any in-flight version are untouched: their
+    files are still on disk until vacuum. Lost races rebase by
+    RE-COMPACTING the new head (files appended meanwhile must not be
+    dropped), which re-runs the job — correct first, and rare enough
+    not to matter.
     """
     for _ in range(MAX_COMMIT_RETRIES):
         head = latest_version(table)
         if head is None:
             raise FileNotFoundError(f"no commits in table {table}")
-        merged, merged_stats = _write_data_files(
-            read_snapshot(spark, table, head).coalesce(n_files), table
-        )
+        snapshot = read_snapshot(spark, table, head)
+        if zorder_by is not None:
+            from ..operators.layout import zorder_repartition
+
+            frame = zorder_repartition(
+                snapshot, zorder_by[0], zorder_by[1], zorder_bits, n_files
+            )
+        else:
+            frame = snapshot.coalesce(n_files)
+        merged, merged_stats = _write_data_files(frame, table)
         manifest = {
             "version": head + 1,
             "op": "compact",
             "files": merged,
             "stats": merged_stats,
             "txn_id": txn_id,
+            "zorder_by": list(zorder_by) if zorder_by else None,
         }
         try:
             _publish(table, head + 1, manifest)

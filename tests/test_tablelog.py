@@ -460,3 +460,39 @@ def test_schema_evolution_append_merges_with_null_backfill(spark, tmp_path):
     )
     assert len(names) < len(tl.files_for(table))
     assert {r.v for r in pruned.filter("v >= 10").collect()} == {10, 11}
+
+
+def test_zorder_compact_tightens_zone_maps_on_both_columns(spark, tmp_path):
+    """After a z-order rewrite every file covers a small (x, y) tile,
+    so manifest pruning skips files for a range predicate on EITHER
+    column — and the rewrite preserves the data exactly."""
+    import random
+
+    table = str(tmp_path / "t")
+    rng = random.Random(5)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(2000)]
+    for i in range(0, 2000, 500):  # four unclustered appends
+        tl.append(
+            spark.createDataFrame(rows[i : i + 500], "x int, y int"),
+            table,
+        )
+    # unclustered: every file spans ~the full x range -> nothing prunes
+    before = tl.files_for(table, where=("x", 0, 127))
+    assert len(before) == len(tl.files_for(table))
+    v = tl.compact(spark, table, n_files=8, zorder_by=("x", "y"))
+    assert tl.history(table)[-1]["zorder_by"] == ["x", "y"]
+    after_all = tl.files_for(table, version=v)
+    after_x = tl.files_for(table, version=v, where=("x", 0, 127))
+    after_y = tl.files_for(table, version=v, where=("y", 0, 127))
+    assert len(after_all) == 8
+    assert len(after_x) < len(after_all)
+    assert len(after_y) < len(after_all)
+    got = sorted(
+        (r.x, r.y) for r in tl.read_snapshot(spark, table, version=v).collect()
+    )
+    assert got == sorted(rows)
+    # pruned read still returns every row in the range (superset)
+    hot = tl.read_snapshot(spark, table, version=v, where=("x", 0, 127))
+    assert sorted(
+        (r.x, r.y) for r in hot.filter("x <= 127").collect()
+    ) == sorted((x, y) for x, y in rows if x <= 127)
