@@ -975,16 +975,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     words0 = bpe_words(spark, sf_dir).persist()
     words0.count()
+    cached: list[DataFrame] = []
     try:
-        return bpe_train_plan(words0).localCheckpoint(eager=True)
+        return bpe_train_plan(words0, cached).localCheckpoint(eager=True)
     finally:
+        for frame in cached:
+            frame.unpersist(False)
         words0.unpersist(False)
 
 
-def bpe_train_plan(words0: DataFrame) -> DataFrame:
+def bpe_train_plan(
+    words0: DataFrame, _cached: list[DataFrame] | None = None
+) -> DataFrame:
     """LAZY unrolled BPE merge-round plan — the inspectable contract
     (the catalog boundary adds the eager cache-releasing checkpoint,
-    the same split as range_join_plan / pagerank_plan)."""
+    the same split as range_join_plan / pagerank_plan).
+
+    Each round's 1-row winner carries a LAZY ``persist`` mark: the
+    winner is referenced twice (its merge-table row + the word-table
+    rewrite) and every later round's subtree contains all earlier
+    rewrites, so without caching the round-r aggregation re-evaluates
+    O(2^(BPE_ROUNDS-r)) times in one execution — the same
+    unpersisted-double-reference defect class as the r08
+    corpus_filter_funnel fix, compounded per round (review r08). The
+    mark keeps the plan fully inspectable and costs nothing until
+    execution, where it collapses the work to exactly BPE_ROUNDS
+    aggregations. Callers that EXECUTE the plan pass ``_cached`` and
+    release the marks afterwards (``bpe_train_merges`` does, inside
+    the same try/finally as the word table).
+    """
     words = words0
     merge_rows = []
     for r in range(1, BPE_ROUNDS + 1):
@@ -992,7 +1011,10 @@ def bpe_train_plan(words0: DataFrame) -> DataFrame:
             _bpe_pair_counts(words)
             .orderBy(F.col("cnt").desc(), "lhs", "rhs")
             .limit(1)
+            .persist()
         )
+        if _cached is not None:
+            _cached.append(winner)
         merge_rows.append(
             winner.select(
                 F.lit(r).cast("int").alias("merge_round"),

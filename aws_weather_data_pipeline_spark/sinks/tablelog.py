@@ -79,6 +79,18 @@ _JSONABLE_STATS = (bool, int, float, str)
 #: fleet on one table) and failing loudly beats spinning.
 MAX_COMMIT_RETRIES = 10
 
+#: How many newest manifests the txn-id replay scan reads. Scanning
+#: ALL retained history would make every commit O(history) — 10k
+#: epochs in, each streaming append would re-open 10k manifests just
+#: to prove a txn id absent (review r08). Real replay sources
+#: (foreachBatch epochs, orchestrator retries) re-apply only recent
+#: work, so a fixed recent-history horizon preserves exactly-once
+#: where replays actually happen and bounds every commit at O(64)
+#: small reads. A replay arriving from deeper than the horizon
+#: applies twice — the same retention trade Delta makes, documented
+#: on ``vacuum``.
+TXN_DEDUP_HORIZON = 64
+
 
 def _log_dir(table: str) -> str:
     return os.path.join(table, "_log")
@@ -112,6 +124,19 @@ def latest_version(table: str) -> int | None:
 def _read_manifest(table: str, version: int) -> dict:
     with open(_manifest_path(table, version)) as fh:
         return json.load(fh)
+
+
+def _replayed_version(table: str, txn_id: str | None) -> int | None:
+    """Version already committed under ``txn_id`` within the dedup
+    horizon, or None. Shared by every committing operation so the
+    exactly-once contract is uniform (review r08: compact recorded
+    txn ids but never checked them)."""
+    if txn_id is None:
+        return None
+    for v in reversed(_list_versions(table)[-TXN_DEDUP_HORIZON:]):
+        if _read_manifest(table, v).get("txn_id") == txn_id:
+            return v
+    return None
 
 
 def _publish(table: str, version: int, manifest: dict) -> None:
@@ -227,11 +252,9 @@ def _commit(
     """
     for _ in range(MAX_COMMIT_RETRIES):
         head = latest_version(table)
-        if txn_id is not None and head is not None:
-            for v in reversed(_list_versions(table)):
-                m = _read_manifest(table, v)
-                if m.get("txn_id") == txn_id:
-                    return v  # replayed retry: already committed
+        replayed = _replayed_version(table, txn_id)
+        if replayed is not None:
+            return replayed  # replayed retry: already committed
         prev = _read_manifest(table, head) if head is not None else None
         files, stats = build(prev)
         manifest = {
@@ -343,12 +366,22 @@ def read_snapshot(
     there is none of: raise instead of guessing.
     """
     names = files_for(table, version, where)
+    if not names and where is not None:
+        # Pruning is an OPTIMIZATION: a range that excludes every
+        # file must behave like the unpruned read + filter — an empty
+        # frame, not an error (review r08). Any file of the snapshot
+        # supplies the schema; limit(0) schedules no scan tasks.
+        all_names = files_for(table, version)
+        if all_names:
+            return (
+                spark.read.parquet(
+                    os.path.join(_data_dir(table), all_names[0])
+                ).limit(0)
+            )
     paths = [os.path.join(_data_dir(table), name) for name in names]
     if not paths:
         raise ValueError(
-            f"snapshot of {table} resolves to zero files"
-            + (" under the given pruning range" if where else "")
-            + "; no schema to read"
+            f"snapshot of {table} has zero files; no schema to read"
         )
     reader = spark.read
     if merge_schema:
@@ -386,7 +419,13 @@ def compact(
         head = latest_version(table)
         if head is None:
             raise FileNotFoundError(f"no commits in table {table}")
-        snapshot = read_snapshot(spark, table, head)
+        replayed = _replayed_version(table, txn_id)
+        if replayed is not None:
+            return replayed  # orchestrator retry: already committed
+        # merge_schema: a rewrite that read only the first file's
+        # schema would silently DROP columns a later append introduced
+        # and make the loss permanent at the next vacuum (review r08)
+        snapshot = read_snapshot(spark, table, head, merge_schema=True)
         if zorder_by is not None:
             from ..operators.layout import zorder_repartition
 
@@ -451,11 +490,12 @@ def merge_changes(
         head = latest_version(table)
         if head is None:
             raise FileNotFoundError(f"no commits in table {table}")
-        if txn_id is not None:
-            for v in reversed(_list_versions(table)):
-                if _read_manifest(table, v).get("txn_id") == txn_id:
-                    return v
-        base = read_snapshot(spark, table, head)
+        replayed = _replayed_version(table, txn_id)
+        if replayed is not None:
+            return replayed
+        # merge_schema: like compact, the rewrite must carry columns
+        # any append has introduced, or the merge commits their loss
+        base = read_snapshot(spark, table, head, merge_schema=True)
         data_cols = base.columns
         missing = [
             c
@@ -578,6 +618,25 @@ def vacuum(
             ):
                 os.unlink(path)
                 deleted.append(name)
+    # Crash leftovers OUTSIDE data/ (review r08): a writer dying
+    # inside _write_data_files leaves a whole _staging-* directory; a
+    # publish dying before its finally leaves _log/.tmp-*.json. Both
+    # are invisible to readers but leak disk forever if never swept —
+    # same age guard, since a live writer may be mid-stage right now.
+    import shutil
+
+    for entry in os.listdir(table):
+        if entry.startswith("_staging-"):
+            path = os.path.join(table, entry)
+            if os.path.getmtime(path) <= cutoff:
+                shutil.rmtree(path)
+    log = _log_dir(table)
+    if os.path.isdir(log):
+        for entry in os.listdir(log):
+            if entry.startswith(".tmp-"):
+                path = os.path.join(log, entry)
+                if os.path.getmtime(path) <= cutoff:
+                    os.unlink(path)
     for v in versions[:-retain_last]:
         os.unlink(_manifest_path(table, v))
     return deleted

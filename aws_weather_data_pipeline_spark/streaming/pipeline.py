@@ -31,6 +31,8 @@ is the optional T6 repartition; sinks write hive-partitioned parquet
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -206,7 +208,7 @@ def start_quarantine_stream(
 
 
 def append_epoch_to_tablelog(
-    batch_df: DataFrame, table: str, epoch_id: int
+    batch_df: DataFrame, table: str, epoch_id: int, query_ns: str
 ) -> int:
     """One micro-batch → one atomic table-log commit, replay-proof.
 
@@ -220,10 +222,18 @@ def append_epoch_to_tablelog(
     appends expose half-written batches), and batch writers can
     share the same table: the optimistic-commit protocol serializes
     them with the stream.
+
+    ``query_ns`` scopes the txn id to ONE logical stream: epoch ids
+    restart at 0 per checkpoint, so a bare ``epoch-{id}`` would make
+    a second stream (or the same stream restarted on a fresh
+    checkpoint) collide with the first stream's ids and silently
+    drop its batches as "replays" (review r08).
     """
     from ..sinks import tablelog
 
-    return tablelog.append(batch_df, table, txn_id=f"epoch-{epoch_id}")
+    return tablelog.append(
+        batch_df, table, txn_id=f"epoch-{query_ns}-{epoch_id}"
+    )
 
 
 def start_tablelog_sink(
@@ -238,13 +248,23 @@ def start_tablelog_sink(
     micro-batch. Checkpoint + txn-id together give end-to-end
     exactly-once across crashes on BOTH sides of the seam: the
     checkpoint replays unacknowledged epochs, the log ignores
-    already-committed ones.
+    already-committed ones. The txn namespace is derived from the
+    checkpoint path — the same identity that makes epoch ids stable —
+    so independent streams (or a checkpoint reset, which legitimately
+    restarts at epoch 0 with NEW data) never collide.
     """
+    import hashlib
+
+    ns = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     return (
         processed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda df, epoch: append_epoch_to_tablelog(df, table, epoch)
+            lambda df, epoch: append_epoch_to_tablelog(
+                df, table, epoch, ns
+            )
         )
         .trigger(**(trigger or {"availableNow": True}))
         .start()

@@ -316,13 +316,23 @@ def test_streaming_sink_is_exactly_once_under_epoch_replay(
     assert tl.history(table)[-1]["txn_id"].startswith("epoch-")
     # replay the committed epoch: no duplicate rows, no new version
     head = tl.latest_version(table)
-    epoch = int(tl.history(table)[-1]["txn_id"].split("-")[1])
-    append_epoch_to_tablelog(_frame(spark, 0, 50), table, epoch)
+    _, ns, epoch = tl.history(table)[-1]["txn_id"].split("-")
+    append_epoch_to_tablelog(_frame(spark, 0, 50), table, int(epoch), ns)
     assert tl.latest_version(table) == head
     assert _values(tl.read_snapshot(spark, table)) == list(range(50))
     # a NEW epoch appends normally
-    append_epoch_to_tablelog(_frame(spark, 50, 60), table, epoch + 1)
+    append_epoch_to_tablelog(
+        _frame(spark, 50, 60), table, int(epoch) + 1, ns
+    )
     assert _values(tl.read_snapshot(spark, table)) == list(range(60))
+    # a DIFFERENT stream reusing epoch 0 is NOT a replay: epoch ids
+    # restart per checkpoint, so only the (namespace, epoch) pair
+    # identifies a batch (review r08 — bare epoch ids silently
+    # dropped the second stream's data)
+    append_epoch_to_tablelog(
+        _frame(spark, 60, 63), table, int(epoch), "otherstream"
+    )
+    assert _values(tl.read_snapshot(spark, table)) == list(range(63))
 
 
 # ---------------------------------------------------------------------------
@@ -496,3 +506,67 @@ def test_zorder_compact_tightens_zone_maps_on_both_columns(spark, tmp_path):
     assert sorted(
         (r.x, r.y) for r in hot.filter("x <= 127").collect()
     ) == sorted((x, y) for x, y in rows if x <= 127)
+
+
+def test_compact_and_merge_preserve_evolved_schema(spark, tmp_path):
+    """A layout rewrite must not silently drop a column a later
+    append introduced (review r08: compact/merge read the snapshot
+    without schema merge, committing the loss permanently)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    tl.append(
+        spark.createDataFrame([(10, "x")], "v long, tag string"), table
+    )
+    tl.compact(spark, table, n_files=1)
+    df = tl.read_snapshot(spark, table)
+    assert sorted(df.columns) == ["tag", "v"]
+    assert {(r.v, r.tag) for r in df.collect()} == {
+        (0, None), (1, None), (2, None), (10, "x")
+    }
+    # merge on the evolved table keeps the evolved column too
+    changes = spark.createDataFrame(
+        [("U", 10, "x2", 1)], "op string, v long, tag string, seq int"
+    )
+    tl.merge_changes(spark, table, changes, keys=["v"], order_cols=["seq"])
+    assert {
+        (r.v, r.tag) for r in tl.read_snapshot(spark, table).collect()
+    } == {(0, None), (1, None), (2, None), (10, "x2")}
+
+
+def test_pruned_to_zero_files_reads_as_empty_frame(spark, tmp_path):
+    """A where range excluding every file is a legitimate empty
+    query, not an error — pruning must stay a pure optimization."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 10).coalesce(1), table)
+    df = tl.read_snapshot(spark, table, where=("v", 500, 600))
+    assert df.columns == ["v"]
+    assert df.count() == 0
+
+
+def test_compact_replay_by_txn_id_is_noop(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for lo in (0, 5):
+        tl.append(_frame(spark, lo, lo + 5), table)
+    v = tl.compact(spark, table, n_files=1, txn_id="maint-42")
+    v2 = tl.compact(spark, table, n_files=1, txn_id="maint-42")
+    assert v2 == v
+    assert tl.latest_version(table) == v
+
+
+def test_vacuum_sweeps_crashed_staging_dirs(spark, tmp_path):
+    import os
+
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    # simulate a writer crash mid-stage: staging dir left behind
+    staging = os.path.join(table, "_staging-deadbeef")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-000.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    tmp_manifest = os.path.join(table, "_log", ".tmp-cafe.json")
+    with open(tmp_manifest, "w") as fh:
+        fh.write("{}")
+    tl.vacuum(table, retain_last=1, min_age_seconds=0)
+    assert not os.path.exists(staging)
+    assert not os.path.exists(tmp_manifest)
+    assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2]

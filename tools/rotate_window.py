@@ -46,7 +46,10 @@ def latest_green() -> tuple[dict[str, int], int]:
                 and row.get("hash_match") is not False
             ):
                 latest[name] = max(latest.get(name, 0), rnd)
-    return latest, max(rounds) + 1
+    # No evidence files at all (fresh checkout): every query is
+    # "never checked" and the next round is 1 — not a ValueError from
+    # max() on an empty list.
+    return latest, (max(rounds) + 1) if rounds else 1
 
 
 def main() -> int:
