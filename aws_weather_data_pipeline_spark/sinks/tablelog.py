@@ -459,6 +459,7 @@ def merge_changes(
     order_cols: list[str],
     op_col: str = "op",
     txn_id: str | None = None,
+    write_changefeed: bool = False,
 ) -> int:
     """Apply a keyed I/U/D change batch to the table as ONE atomic
     commit (transactional Delta-MERGE; the log-level home of the
@@ -482,6 +483,17 @@ def merge_changes(
     orphaned first attempt is vacuum-swept. At 100 TB the rewrite
     narrows to the files ``files_for`` selects by the batch's key
     range; the commit protocol is unchanged.
+
+    ``write_changefeed=True`` additionally materializes the batch's
+    EFFECTIVE row-level changes (``_change_type`` in
+    {'insert','update','delete'}; no-op deletes on absent keys
+    dropped) as extra data files recorded under the manifest's
+    ``cdc_files`` — a merge rewrites every file it touches, so
+    without this record a downstream consumer could only recover the
+    delta by diffing two full snapshots. With it, ``read_changes``
+    serves the merge in O(changed rows). This is the public
+    change-data-feed design (Delta CDF): pay a small write at commit
+    time to make incremental consumption cheap forever after.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -546,12 +558,147 @@ def merge_changes(
             "stats": stats,
             "txn_id": txn_id,
         }
+        if write_changefeed:
+            # Effective changes only: a 'D' on an absent key changed
+            # nothing and must not be replayed downstream; a 'U' is an
+            # update iff the key pre-existed. One semi-join against the
+            # base's distinct keys — the base scan is already paid by
+            # the merge itself.
+            base_keys = base.select(*keys).distinct().withColumn(
+                "__in_base", F.lit(True)
+            )
+            effective = (
+                last.join(base_keys, keys, "left")
+                .filter(
+                    (F.col(op_col) != "D") | F.col("__in_base").isNotNull()
+                )
+                .withColumn(
+                    "_change_type",
+                    F.when(F.col(op_col) == "D", F.lit("delete"))
+                    .when(F.col("__in_base").isNotNull(), F.lit("update"))
+                    .otherwise(F.lit("insert")),
+                )
+                .drop("__in_base", op_col)
+            )
+            cdc_files, _ = _write_data_files(effective, table)
+            manifest["cdc_files"] = cdc_files
         try:
             _publish(table, head + 1, manifest)
             return head + 1
         except CommitConflict:
             continue  # head moved: recompute the merge against it
     raise CommitConflict(f"merge on {table} kept losing the race")
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame | None:
+    """Rows changed by the commits in ``(since_version,
+    until_version]`` (until defaults to the head), tagged with
+    ``_change_type`` ('insert'/'update'/'delete') and
+    ``_commit_version``. Returns None when no commit in the range
+    changed any data (the poll-loop idle signal — there is no schema
+    to fabricate an empty frame from without reading a snapshot).
+
+    Cost is O(changed rows), never O(table): an ``append`` commit is
+    served from exactly the files that commit added (the manifest
+    file-list delta — no CDC write needed); a ``merge`` committed
+    with ``write_changefeed=True`` is served from its recorded
+    ``cdc_files``; a ``compact`` rewrites layout, not data, and
+    contributes nothing. A ``merge`` WITHOUT a change feed or an
+    ``overwrite`` cannot be served incrementally — their row-level
+    delta was never recorded and recovering it means diffing two
+    full snapshots, which at 100 TB is precisely the scan this API
+    exists to avoid — so the walk refuses loudly rather than
+    silently serving a wrong or ruinously expensive answer.
+
+    Additive schema evolution across the range is handled by
+    name-based union with NULL backfill. Versions older than the
+    vacuum horizon raise FileNotFoundError (their manifests are
+    gone); a consumer's cursor must stay within retention, the same
+    contract as the txn-id dedup horizon.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    until = (
+        until_version if until_version is not None else latest_version(table)
+    )
+    if until is None or until <= since_version:
+        return None
+    frames: list[DataFrame] = []
+    for v in range(since_version + 1, until + 1):
+        manifest = _read_manifest(table, v)
+        op = manifest["op"]
+        if op == "compact":
+            continue
+        if v == 0 or op == "append":
+            prev = (
+                set(_read_manifest(table, v - 1)["files"]) if v > 0 else set()
+            )
+            added = [
+                os.path.join(_data_dir(table), name)
+                for name in manifest["files"]
+                if name not in prev
+            ]
+            if not added:
+                continue
+            frames.append(
+                spark.read.parquet(*added)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+        elif op == "merge" and manifest.get("cdc_files"):
+            paths = [
+                os.path.join(_data_dir(table), name)
+                for name in manifest["cdc_files"]
+            ]
+            frames.append(
+                spark.read.parquet(*paths).withColumn(
+                    "_commit_version", F.lit(v).cast("int")
+                )
+            )
+        else:
+            raise ValueError(
+                f"version {v} of {table} is op={op!r} with no recorded "
+                "change feed; its row-level delta cannot be served "
+                "incrementally (commit merges with write_changefeed=True, "
+                "or diff snapshots explicitly)"
+            )
+    if not frames:
+        return None
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+
+
+class ChangefeedCursor:
+    """Incremental consumer position over a table's change feed.
+
+    ``poll`` returns the changes since the last poll (None when idle)
+    and advances — the micro-batch consumption loop for a downstream
+    pipeline. The cursor resolves the head ONCE per poll, so commits
+    landing mid-read are cleanly deferred to the next poll; pairing
+    the returned ``until`` version with the downstream sink's
+    ``txn_id`` gives end-to-end exactly-once across the seam, the
+    same contract as the streaming sink's epoch ids.
+    """
+
+    def __init__(self, table: str, start_after: int = -1) -> None:
+        self.table = table
+        self.position = start_after
+
+    def poll(self, spark: SparkSession) -> DataFrame | None:
+        head = latest_version(self.table)
+        if head is None or head <= self.position:
+            return None
+        changes = read_changes(spark, self.table, self.position, head)
+        self.position = head
+        return changes
 
 
 def history(table: str) -> list[dict]:
@@ -604,7 +751,11 @@ def vacuum(
     keep_versions = versions[-retain_last:]
     live: set[str] = set()
     for v in keep_versions:
-        live.update(_read_manifest(table, v)["files"])
+        manifest = _read_manifest(table, v)
+        live.update(manifest["files"])
+        # a retained merge's change-feed files are part of its
+        # manifest's readable surface (read_changes serves from them)
+        live.update(manifest.get("cdc_files", []))
     deleted = []
     data = _data_dir(table)
     cutoff = time.time() - min_age_seconds

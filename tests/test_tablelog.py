@@ -570,3 +570,152 @@ def test_vacuum_sweeps_crashed_staging_dirs(spark, tmp_path):
     assert not os.path.exists(staging)
     assert not os.path.exists(tmp_manifest)
     assert _values(tl.read_snapshot(spark, table)) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# change feed
+
+
+def test_read_changes_serves_appends_from_file_deltas(spark, tmp_path):
+    """Append commits stream incrementally with no CDC write at all:
+    each commit's rows are exactly the files it added."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    tl.append(_frame(spark, 3, 5), table)
+    tl.compact(spark, table, n_files=1)  # data-identical: contributes 0
+    tl.append(_frame(spark, 5, 6), table)
+    changes = tl.read_changes(spark, table, since_version=-1)
+    rows = {(r.v, r._change_type, r._commit_version) for r in changes.collect()}
+    assert rows == {
+        (0, "insert", 0), (1, "insert", 0), (2, "insert", 0),
+        (3, "insert", 1), (4, "insert", 1),
+        (5, "insert", 3),
+    }
+    # a bounded range reads only its commits
+    tail = tl.read_changes(spark, table, since_version=1)
+    assert {(r.v, r._commit_version) for r in tail.collect()} == {(5, 3)}
+    # an all-compact range is idle, not an error
+    assert tl.read_changes(spark, table, 1, 2) is None
+
+
+def test_merge_changefeed_records_effective_changes_only(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, seq int"
+    )
+    tl.overwrite(base, table)
+    changes = spark.createDataFrame(
+        [
+            ("U", 2, "b2", 40),   # update existing
+            ("U", 4, "d", 41),    # insert new key
+            ("D", 3, None, 42),   # delete existing
+            ("D", 9, None, 43),   # delete absent: NOT an effective change
+        ],
+        "op string, k int, s string, seq int",
+    )
+    v = tl.merge_changes(
+        spark, table, changes, keys=["k"], order_cols=["seq"],
+        write_changefeed=True,
+    )
+    feed = tl.read_changes(spark, table, v - 1, v)
+    got = {(r.k, r.s, r._change_type) for r in feed.collect()}
+    assert got == {
+        (2, "b2", "update"), (4, "d", "insert"), (3, None, "delete")
+    }
+    # the feed files are extra data, not part of the snapshot
+    assert {
+        r.k for r in tl.read_snapshot(spark, table, version=v).collect()
+    } == {1, 2, 4}
+
+
+def test_read_changes_refuses_unrecorded_rewrites(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    changes = spark.createDataFrame(
+        [("U", 0, 1)], "op string, v long, seq int"
+    )
+    tl.merge_changes(spark, table, changes, keys=["v"], order_cols=["seq"])
+    with pytest.raises(ValueError, match="no recorded change feed"):
+        tl.read_changes(spark, table, since_version=0)
+    tl.overwrite(_frame(spark, 50, 52), table)
+    with pytest.raises(ValueError, match="no recorded change feed"):
+        tl.read_changes(spark, table, since_version=1)
+
+
+def test_vacuum_retains_cdc_files_of_retained_manifests(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tl.overwrite(_frame(spark, 0, 3), table)
+    changes = spark.createDataFrame(
+        [("U", 1, 1), ("D", 2, 2)], "op string, v long, seq int"
+    )
+    v = tl.merge_changes(
+        spark, table, changes, keys=["v"], order_cols=["seq"],
+        write_changefeed=True,
+    )
+    tl.vacuum(table, retain_last=1, min_age_seconds=0)
+    feed = tl.read_changes(spark, table, v - 1, v)
+    assert {(r.v, r._change_type) for r in feed.collect()} == {
+        (1, "update"), (2, "delete")
+    }
+
+
+def test_changefeed_cursor_polls_exactly_once(spark, tmp_path):
+    table = str(tmp_path / "t")
+    cursor = tl.ChangefeedCursor(table)
+    assert cursor.poll(spark) is None  # table doesn't exist yet
+    tl.append(_frame(spark, 0, 3), table)
+    tl.append(_frame(spark, 3, 5), table)
+    first = cursor.poll(spark)
+    assert {r.v for r in first.collect()} == {0, 1, 2, 3, 4}
+    assert cursor.poll(spark) is None  # idle between commits
+    tl.append(_frame(spark, 5, 7), table)
+    second = cursor.poll(spark)
+    assert {r.v for r in second.collect()} == {5, 6}
+
+
+def test_read_changes_backfills_evolved_schema(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 2), table)
+    tl.append(
+        spark.createDataFrame([(10, "x")], "v long, tag string"), table
+    )
+    changes = tl.read_changes(spark, table, since_version=-1)
+    assert {(r.v, r.tag) for r in changes.collect()} == {
+        (0, None), (1, None), (10, "x")
+    }
+
+
+def test_changefeed_replay_reconstructs_keyed_snapshot(spark, tmp_path):
+    """A keyed downstream applying the feed in commit order converges
+    to the upstream head snapshot — the contract that makes the feed
+    a safe incremental-sync primitive (deletes included)."""
+    table = str(tmp_path / "t")
+    tl.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"), table
+    )
+    tl.append(
+        spark.createDataFrame([(3, "c")], "k int, s string"), table
+    )
+    tl.merge_changes(
+        spark, table,
+        spark.createDataFrame(
+            [("U", 2, "b2", 1), ("D", 1, None, 2), ("U", 4, "d", 3)],
+            "op string, k int, s string, seq int",
+        ),
+        keys=["k"], order_cols=["seq"], write_changefeed=True,
+    )
+    tl.compact(spark, table, n_files=1)
+    tl.append(
+        spark.createDataFrame([(5, "e")], "k int, s string"), table
+    )
+    state: dict = {}
+    feed = tl.read_changes(spark, table, since_version=-1)
+    for r in sorted(feed.collect(), key=lambda r: r._commit_version):
+        if r._change_type == "delete":
+            state.pop(r.k, None)
+        else:
+            state[r.k] = r.s
+    head = {
+        r.k: r.s for r in tl.read_snapshot(spark, table).collect()
+    }
+    assert state == head == {2: "b2", 3: "c", 4: "d", 5: "e"}
