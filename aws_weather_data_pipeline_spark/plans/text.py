@@ -873,8 +873,7 @@ def _bpe_iter_sql(r: int) -> str:
 #: free slot went to cdc_merge_apply — round 9 registers this query in
 #: place of bpe_merge_candidates, whose single round it subsumes (see
 #: the capacity ledger in plans/catalog.py).
-BPE_TRAIN_SQL = (
-    """
+_BPE_TRAIN_CTES = """
     WITH w0 AS (
         SELECT array_to_string(list_transform(
                    range(1, length(token) + 1),
@@ -886,8 +885,10 @@ BPE_TRAIN_SQL = (
         )
         WHERE length(token) >= 2
         GROUP BY token
-    )"""
-    + "".join(_bpe_iter_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    )""" + "".join(_bpe_iter_sql(r) for r in range(1, BPE_ROUNDS + 1))
+
+BPE_TRAIN_SQL = (
+    _BPE_TRAIN_CTES
     + "\n    "
     + "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_round, lhs, rhs, lhs || rhs AS merged,"
@@ -1036,3 +1037,156 @@ def bpe_train_plan(
     for frame in merge_rows[1:]:
         out = out.unionAll(frame)
     return out
+
+
+# --------------------------------------------------------------------------
+# BPE encoding (tokenizer-training step 3: apply the merge table)
+# --------------------------------------------------------------------------
+
+#: Exact DuckDB oracle for bpe_encode_corpus: train (shared CTE chain
+#: with BPE_TRAIN_SQL), encode the DISTINCT vocabulary by folding the
+#: merge rounds in rank order, rejoin to per-document token positions,
+#: reassemble with an ordered string_agg. Consumed by
+#: tests/test_bpe.py — not catalog-registered (window capacity; see
+#: the plans/catalog.py ledger).
+BPE_ENCODE_SQL = (
+    _BPE_TRAIN_CTES
+    + """,
+    tok AS (
+        SELECT doc_id, pt['pos'] AS pos, pt['token'] AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) + 1),
+                       i -> {'pos': i, 'token': toks[i]})) AS pt
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            )
+        )
+    ),
+    e0 AS (
+        SELECT token,
+               array_to_string(list_transform(
+                   range(1, length(token) + 1),
+                   i -> chr(1) || token[i] || chr(1)), '') AS s
+        FROM (SELECT DISTINCT token FROM tok)
+    )"""
+    + "".join(
+        f""",
+    e{r} AS (
+        SELECT e.token,
+               replace(e.s,
+                       chr(1) || b.lhs || chr(1) || chr(1) || b.rhs || chr(1),
+                       chr(1) || b.lhs || b.rhs || chr(1)) AS s
+        FROM e{r - 1} e, b{r} b
+    )"""
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    + f""",
+    enc AS (
+        SELECT token,
+               string_split(substr(s, 2, greatest(length(s) - 2, 0)),
+                            chr(1) || chr(1)) AS bpe
+        FROM e{BPE_ROUNDS}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(e.bpe)) AS BIGINT) AS n_bpe_tokens,
+           string_agg(array_to_string(e.bpe, '|'), '|' ORDER BY t.pos)
+               AS bpe_tokens
+    FROM tok t JOIN enc e ON t.token = e.token
+    GROUP BY t.doc_id
+    """
+)
+
+
+def bpe_encode_vocab(
+    vocab: DataFrame, merges: DataFrame, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Encode distinct words with a trained merge table: fold the
+    rounds IN RANK ORDER over the delimited symbol string (the order
+    is the algorithm — BPE applies earlier merges before later ones,
+    and each round's rewrite is the exact leftmost-first replace the
+    trainer used, so encode(train(w)) reproduces the trainer's final
+    word states). ``vocab`` is (token) distinct; ``merges`` is
+    bpe_train_plan output with rounds 1..``rounds`` present once
+    each. Returns (token, bpe array<string>).
+
+    Scale shape: encoding is VOCABULARY-sized work, not corpus-sized
+    — each round is a broadcast of one 1-row merge into a per-row
+    string replace, no shuffle at all; the corpus rejoin happens
+    outside (bpe_encode_corpus). Single-character words (excluded
+    from training, which needs pairs) encode to themselves.
+    """
+    enc = vocab.select(
+        "token",
+        F.expr(
+            "concat_ws('', transform(sequence(1, length(token)),"
+            " i -> concat('\x01', substring(token, i, 1), '\x01')))"
+        ).alias("s"),
+    )
+    for r in range(1, rounds + 1):
+        m = merges.filter(F.col("merge_round") == r).select("lhs", "rhs")
+        enc = enc.join(F.broadcast(m), F.lit(True), "left").select(
+            "token",
+            F.when(F.col("lhs").isNull(), F.col("s"))
+            .otherwise(
+                F.expr(
+                    "replace(s,"
+                    " concat('\x01', lhs, '\x01\x01', rhs, '\x01'),"
+                    " concat('\x01', lhs, rhs, '\x01'))"
+                )
+            )
+            .alias("s"),
+        )
+    return enc.select(
+        "token",
+        F.split(
+            F.expr("substring(s, 2, greatest(length(s) - 2, 0))"),
+            BPE_D + BPE_D,
+        ).alias("bpe"),
+    )
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the merge table trained on the
+    same corpus (train -> encode, the full tokenizer loop). Returns
+    (doc_id, n_words, n_bpe_tokens, bpe_tokens) where bpe_tokens is
+    the document's complete BPE token sequence in word order,
+    '|'-joined.
+
+    Scale shape: the merge table is trained once on the word-frequency
+    table (corpus touched once), the DISTINCT vocabulary is encoded
+    once (broadcast folds, no shuffle), and the corpus rejoin is one
+    hash join on token followed by one per-doc aggregation — the
+    sort_array(collect_list(struct(pos, bpe))) reassembly keeps word
+    order without a global sort. A production pipeline would persist
+    the exploded token table across the train and encode scans; at
+    fixture scale the second scan is cheaper than the cache write.
+    """
+    merges = bpe_train_merges(spark, sf_dir)
+    d = _tokens(_docs(spark, sf_dir))
+    tok = d.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    enc = bpe_encode_vocab(tok.select("token").distinct(), merges)
+    return (
+        tok.join(enc, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.size("bpe")).cast("bigint").alias("n_bpe_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "bpe"))
+                        ),
+                        lambda x: x["bpe"],
+                    )
+                ),
+                "|",
+            ).alias("bpe_tokens"),
+        )
+    )

@@ -180,3 +180,94 @@ def test_bpe_matches_pure_python_reference_on_random_words(spark):
             )
         ]
         assert got == expected, (trial, rows, got, expected)
+
+
+# ---------------------------------------------------------------------------
+# Encoding (tokenizer-training step 3)
+
+
+def test_bpe_encode_matches_iterative_oracle(spark, sf_dir):
+    from tests.oracle import compare
+
+    from aws_weather_data_pipeline_spark.plans.text import (
+        BPE_ENCODE_SQL,
+        bpe_encode_corpus,
+    )
+
+    n = compare(
+        spark, sf_dir, bpe_encode_corpus, BPE_ENCODE_SQL,
+        name="bpe_encode_corpus",
+    )
+    assert n > 0
+
+
+def test_bpe_encode_reproduces_trainer_word_states(spark):
+    """encode(train(w)) on the training vocabulary must land every
+    word exactly where the trainer left it — encoding is the same
+    rank-ordered leftmost-first fold the trainer applied."""
+    from aws_weather_data_pipeline_spark.plans.text import (
+        bpe_encode_vocab,
+        bpe_train_plan,
+    )
+
+    rows = [("abab", 5), ("abc", 3), ("bab", 2), ("cab", 1)]
+    merges = bpe_train_plan(_words(spark, rows)).localCheckpoint(
+        eager=True
+    )
+    vocab = spark.createDataFrame(
+        [(t,) for t, _f in rows], "token string"
+    )
+    got = {
+        r.token: list(r.bpe)
+        for r in bpe_encode_vocab(vocab, merges).collect()
+    }
+    # independent reference: replay the merge list left-to-right
+    ref_merges = [
+        (r.lhs, r.rhs)
+        for r in sorted(merges.collect(), key=lambda r: r.merge_round)
+    ]
+
+    def ref_encode(word):
+        syms = list(word)
+        for lhs, rhs in ref_merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for token, _f in rows:
+        assert got[token] == ref_encode(token), token
+
+
+def test_bpe_encode_is_lossless_and_handles_short_words(spark):
+    """Concatenating a word's BPE symbols reconstructs the word, and
+    single-char words (excluded from training) encode to themselves."""
+    from aws_weather_data_pipeline_spark.plans.text import (
+        bpe_encode_vocab,
+        bpe_train_plan,
+    )
+
+    merges = bpe_train_plan(
+        _words(spark, [("aaab", 4), ("ab", 2)])
+    ).localCheckpoint(eager=True)
+    vocab = spark.createDataFrame(
+        [("aaab",), ("ab",), ("a",), ("zzz",)], "token string"
+    )
+    for r in bpe_encode_vocab(vocab, merges).collect():
+        assert "".join(r.bpe) == r.token
+    got = {
+        r.token: list(r.bpe)
+        for r in bpe_encode_vocab(vocab, merges).collect()
+    }
+    assert got["a"] == ["a"]  # too short to train on, still encodable
+    assert got["zzz"] == ["z", "z", "z"]  # no merge applies
