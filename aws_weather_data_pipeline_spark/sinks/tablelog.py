@@ -676,6 +676,107 @@ def read_changes(
     )
 
 
+#: txn-id namespace for sync_changes commits; the source version the
+#: batch covered rides after the colon, which is what makes the
+#: consumer position recoverable from the destination log alone.
+SYNC_TXN_PREFIX = "changefeed-sync"
+
+
+def sync_position(dst_table: str) -> int:
+    """Last source version a ``sync_changes`` commit applied to
+    ``dst_table``, or -1 if never synced. Read from the destination's
+    own manifests (newest-first within the dedup horizon) — the
+    consumer offset is committed WITH the data it covers, so a crash
+    anywhere between poll and commit resumes exactly where the
+    destination actually is, with no external cursor state to lose."""
+    for v in reversed(_list_versions(dst_table)[-TXN_DEDUP_HORIZON:]):
+        txn = _read_manifest(dst_table, v).get("txn_id") or ""
+        if txn.startswith(SYNC_TXN_PREFIX + ":"):
+            return int(txn.rsplit(":", 1)[1])
+    return -1
+
+
+def sync_changes(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    keys: list[str] | None = None,
+) -> int | None:
+    """Apply one micro-batch of ``src_table``'s change feed to
+    ``dst_table``, exactly-once and resumable from the destination
+    alone. Returns the destination version committed, or None when
+    the source has nothing new.
+
+    ``keys=None`` declares the source insert-only: the batch is a
+    plain append. The declaration is VERIFIED against the source
+    manifests' ops before any data moves — a merge or overwrite in
+    the range would silently duplicate rows under blind append, so it
+    raises instead (pass ``keys`` for keyed sources). With ``keys``,
+    the feed's insert/update/delete rows drive ``merge_changes``
+    ordered by ``_commit_version`` (later commits win), bootstrapping
+    an empty destination from the non-delete rows.
+
+    Exactly-once shape: the destination commit's txn id encodes the
+    source version range it covers, so a replay of the same batch —
+    crash before acknowledging, orchestrator retry, two workers
+    racing — is recognized by the log and returns the
+    already-committed version. This is the table-log equivalent of
+    the streaming sink's epoch contract, for log-to-log pipelines.
+    """
+    position = sync_position(dst_table)
+    head = latest_version(src_table)
+    if head is None or head <= position:
+        return None
+    changes = read_changes(spark, src_table, position, head)
+    if changes is None:  # e.g. only compactions landed: nothing to move
+        return None
+    txn = f"{SYNC_TXN_PREFIX}:{head}"
+    from pyspark.sql import functions as F
+
+    if keys is None:
+        rewrite_ops = [
+            _read_manifest(src_table, v)["op"]
+            for v in range(position + 1, head + 1)
+            if _read_manifest(src_table, v)["op"] not in ("append", "compact")
+        ]
+        if rewrite_ops:
+            raise ValueError(
+                f"sync of {src_table} declared insert-only (keys=None) "
+                f"but the range has rewrite commits {rewrite_ops}; pass "
+                "keys= to apply updates/deletes correctly"
+            )
+        return append(
+            changes.drop("_change_type", "_commit_version"), dst_table,
+            txn_id=txn,
+        )
+    if latest_version(dst_table) is None:
+        # Bootstrap must collapse the range per key FIRST: a key
+        # inserted at v1 and deleted at v2 is absent from the source
+        # head, and filtering deletes without the collapse would
+        # resurrect its v1 row.
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+        bootstrap = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(
+                (F.col("__rn") == 1) & (F.col("_change_type") != "delete")
+            )
+            .drop("__rn", "_change_type", "_commit_version")
+        )
+        return append(bootstrap, dst_table, txn_id=txn)
+    batch = changes.withColumn(
+        "op",
+        F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    ).drop("_change_type")
+    return merge_changes(
+        spark, dst_table, batch, keys=keys,
+        order_cols=["_commit_version"], txn_id=txn,
+    )
+
+
 class ChangefeedCursor:
     """Incremental consumer position over a table's change feed.
 

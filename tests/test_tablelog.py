@@ -719,3 +719,84 @@ def test_changefeed_replay_reconstructs_keyed_snapshot(spark, tmp_path):
         r.k: r.s for r in tl.read_snapshot(spark, table).collect()
     }
     assert state == head == {2: "b2", 3: "c", 4: "d", 5: "e"}
+
+
+# ---------------------------------------------------------------------------
+# log-to-log incremental sync
+
+
+def test_sync_changes_insert_only_is_incremental_and_replay_safe(
+    spark, tmp_path
+):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), src)
+    tl.append(_frame(spark, 3, 5), src)
+    v = tl.sync_changes(spark, src, dst)
+    assert v == 0
+    assert _values(tl.read_snapshot(spark, dst)) == list(range(5))
+    # idle: nothing new at the source
+    assert tl.sync_changes(spark, src, dst) is None
+    # a fresh process resumes from the destination's own manifests
+    assert tl.sync_position(dst) == 1
+    tl.append(_frame(spark, 5, 7), src)
+    tl.sync_changes(spark, src, dst)
+    assert _values(tl.read_snapshot(spark, dst)) == list(range(7))
+    # replayed batch (orchestrator retry covering the same source
+    # range → same txn id) is recognized and commits nothing new
+    head_dst = tl.latest_version(dst)
+    tl.append(
+        _frame(spark, 5, 7), dst,
+        txn_id=f"{tl.SYNC_TXN_PREFIX}:{tl.latest_version(src)}",
+    )
+    assert tl.latest_version(dst) == head_dst
+    assert _values(tl.read_snapshot(spark, dst)) == list(range(7))
+
+
+def test_sync_changes_keyed_converges_dst_to_src(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"), src
+    )
+    tl.merge_changes(
+        spark, src,
+        spark.createDataFrame(
+            [("U", 2, "b2", 1), ("D", 1, None, 2), ("U", 3, "c", 3)],
+            "op string, k int, s string, seq int",
+        ),
+        keys=["k"], order_cols=["seq"], write_changefeed=True,
+    )
+    # bootstrap on an empty destination: insert-then-delete keys must
+    # NOT resurrect
+    tl.sync_changes(spark, src, dst, keys=["k"])
+    assert {
+        (r.k, r.s) for r in tl.read_snapshot(spark, dst).collect()
+    } == {(2, "b2"), (3, "c")}
+    # subsequent keyed batches apply as merges
+    tl.merge_changes(
+        spark, src,
+        spark.createDataFrame(
+            [("D", 3, None, 4), ("U", 4, "d", 5)],
+            "op string, k int, s string, seq int",
+        ),
+        keys=["k"], order_cols=["seq"], write_changefeed=True,
+    )
+    tl.sync_changes(spark, src, dst, keys=["k"])
+    src_rows = {
+        (r.k, r.s) for r in tl.read_snapshot(spark, src).collect()
+    }
+    dst_rows = {
+        (r.k, r.s) for r in tl.read_snapshot(spark, dst).collect()
+    }
+    assert dst_rows == src_rows == {(2, "b2"), (4, "d")}
+
+
+def test_sync_changes_insert_only_refuses_rewrites(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), src)
+    tl.merge_changes(
+        spark, src,
+        spark.createDataFrame([("D", 0, 1)], "op string, v long, seq int"),
+        keys=["v"], order_cols=["seq"], write_changefeed=True,
+    )
+    with pytest.raises(ValueError, match="insert-only"):
+        tl.sync_changes(spark, src, dst)
