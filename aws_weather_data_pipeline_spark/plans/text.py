@@ -1012,9 +1012,15 @@ def bpe_train_plan(
             _bpe_pair_counts(words)
             .orderBy(F.col("cnt").desc(), "lhs", "rhs")
             .limit(1)
-            .persist()
         )
+        # persist marks ONLY when the caller will release them —
+        # otherwise a direct executor of this plan (tests, ad-hoc use)
+        # would leak BPE_ROUNDS cache entries per call (review r08);
+        # the unreleased path pays the exponential re-evaluation,
+        # which is fine at inspection/test scale and never happens at
+        # corpus scale (bpe_train_merges always threads _cached)
         if _cached is not None:
+            winner = winner.persist()
             _cached.append(winner)
         merge_rows.append(
             winner.select(
@@ -1075,11 +1081,16 @@ BPE_ENCODE_SQL = (
     + "".join(
         f""",
     e{r} AS (
+        -- LEFT JOIN, not cross: an exhausted training round (empty
+        -- b{r} on a degenerate corpus) must pass words through
+        -- unchanged, exactly like the Spark side's null-guarded fold
         SELECT e.token,
-               replace(e.s,
-                       chr(1) || b.lhs || chr(1) || chr(1) || b.rhs || chr(1),
-                       chr(1) || b.lhs || b.rhs || chr(1)) AS s
-        FROM e{r - 1} e, b{r} b
+               CASE WHEN b.lhs IS NULL THEN e.s
+                    ELSE replace(e.s,
+                         chr(1) || b.lhs || chr(1) || chr(1) || b.rhs
+                             || chr(1),
+                         chr(1) || b.lhs || b.rhs || chr(1)) END AS s
+        FROM e{r - 1} e LEFT JOIN b{r} b ON TRUE
     )"""
         for r in range(1, BPE_ROUNDS + 1)
     )
@@ -1119,12 +1130,19 @@ def bpe_encode_vocab(
     outside (bpe_encode_corpus). Single-character words (excluded
     from training, which needs pairs) encode to themselves.
     """
+    # the empty-token guard matters: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (not empty like DuckDB's range(1, 1)), which
+    # would encode '' as two empty symbols instead of one (review r08)
     enc = vocab.select(
         "token",
-        F.expr(
-            "concat_ws('', transform(sequence(1, length(token)),"
-            " i -> concat('\x01', substring(token, i, 1), '\x01')))"
-        ).alias("s"),
+        F.when(F.length("token") == 0, F.lit(""))
+        .otherwise(
+            F.expr(
+                "concat_ws('', transform(sequence(1, length(token)),"
+                " i -> concat('\x01', substring(token, i, 1), '\x01')))"
+            )
+        )
+        .alias("s"),
     )
     for r in range(1, rounds + 1):
         m = merges.filter(F.col("merge_round") == r).select("lhs", "rhs")

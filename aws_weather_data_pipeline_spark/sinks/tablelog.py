@@ -243,18 +243,31 @@ def _commit(
     op: str,
     txn_id: str | None,
     rebase: bool,
+    require_head: int | None = None,
 ) -> int:
     """Run one optimistic commit round: resolve head, build the new
     (files, stats) from the head manifest, publish head+1; on a lost
     race either rebase (re-resolve and retry) or raise. Returns the
     committed version, or the already-committed version for a
-    replayed ``txn_id``.
+    replayed ``txn_id``. ``require_head`` turns the commit into a
+    compare-and-set: it only lands if the head is still exactly that
+    version (head-sentinel -1 for "table must not exist yet"), else
+    CommitConflict — the primitive for read-modify-write callers
+    whose WRITE depends on what they READ (sync_changes), where a
+    blind rebase would double-apply.
     """
     for _ in range(MAX_COMMIT_RETRIES):
         head = latest_version(table)
         replayed = _replayed_version(table, txn_id)
         if replayed is not None:
             return replayed  # replayed retry: already committed
+        if require_head is not None and (
+            head if head is not None else -1
+        ) != require_head:
+            raise CommitConflict(
+                f"{op} on {table} required head {require_head} but found "
+                f"{head}; re-read and retry"
+            )
         prev = _read_manifest(table, head) if head is not None else None
         files, stats = build(prev)
         manifest = {
@@ -276,12 +289,21 @@ def _commit(
     )
 
 
-def append(df: DataFrame, table: str, txn_id: str | None = None) -> int:
+def append(
+    df: DataFrame,
+    table: str,
+    txn_id: str | None = None,
+    require_head: int | None = None,
+) -> int:
     """Commit ``df`` as new files added to the current snapshot.
 
     Rebasable: losing the publish race just re-reads the head and
     re-targets — the data files are already written and file lists
     merge trivially. ``txn_id`` makes retries exactly-once.
+    ``require_head`` (-1 for "not created yet") makes the append a
+    compare-and-set that fails with CommitConflict instead of
+    rebasing — for callers whose batch was DERIVED from the head they
+    read (see ``sync_changes``).
     """
     new, new_stats = _write_data_files(df, table)
 
@@ -290,7 +312,10 @@ def append(df: DataFrame, table: str, txn_id: str | None = None) -> int:
         prev_stats = prev.get("stats", {}) if prev else {}
         return prev_files + new, {**prev_stats, **new_stats}
 
-    return _commit(table, build, "append", txn_id, rebase=True)
+    return _commit(
+        table, build, "append", txn_id, rebase=True,
+        require_head=require_head,
+    )
 
 
 def overwrite(df: DataFrame, table: str, txn_id: str | None = None) -> int:
@@ -369,15 +394,23 @@ def read_snapshot(
     if not names and where is not None:
         # Pruning is an OPTIMIZATION: a range that excludes every
         # file must behave like the unpruned read + filter — an empty
-        # frame, not an error (review r08). Any file of the snapshot
-        # supplies the schema; limit(0) schedules no scan tasks.
-        all_names = files_for(table, version)
-        if all_names:
-            return (
-                spark.read.parquet(
-                    os.path.join(_data_dir(table), all_names[0])
-                ).limit(0)
-            )
+        # frame, not an error (review r08). The schema must be the
+        # SAME schema the unpruned read would produce — under
+        # merge_schema that is the union across all files, not an
+        # arbitrary first file's subset (review r08 #2: an evolved
+        # column must not vanish because a range excluded every
+        # file); limit(0) schedules no scan tasks either way.
+        names = files_for(table, version)
+        if names and not merge_schema:
+            names = names[:1]
+        if names:
+            paths = [
+                os.path.join(_data_dir(table), name) for name in names
+            ]
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*paths).limit(0)
     paths = [os.path.join(_data_dir(table), name) for name in names]
     if not paths:
         raise ValueError(
@@ -460,6 +493,7 @@ def merge_changes(
     op_col: str = "op",
     txn_id: str | None = None,
     write_changefeed: bool = False,
+    evolve_schema: bool = False,
 ) -> int:
     """Apply a keyed I/U/D change batch to the table as ONE atomic
     commit (transactional Delta-MERGE; the log-level home of the
@@ -493,7 +527,17 @@ def merge_changes(
     delta by diffing two full snapshots. With it, ``read_changes``
     serves the merge in O(changed rows). This is the public
     change-data-feed design (Delta CDF): pay a small write at commit
-    time to make incremental consumption cheap forever after.
+    time to make incremental consumption cheap forever after. Both
+    outputs derive from ONE persisted full-outer join, so the base
+    snapshot is scanned once per attempt, not once per output
+    (review r08: the first cut re-ran the table scan and the change
+    dedup for the CDC frame).
+
+    ``evolve_schema=True`` treats batch data columns the table lacks
+    as ADDITIVE evolution: the base is NULL-backfilled and the new
+    columns join the rewrite (the merge-level twin of
+    ``read_snapshot(merge_schema=True)``). Off by default: in plain
+    merges, unknown batch columns are feed metadata and stay ignored.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -509,6 +553,19 @@ def merge_changes(
         # any append has introduced, or the merge commits their loss
         base = read_snapshot(spark, table, head, merge_schema=True)
         data_cols = base.columns
+        if evolve_schema:
+            meta_cols = {op_col, *order_cols}
+            new_cols = [
+                c
+                for c in changes.columns
+                if c not in data_cols and c not in meta_cols
+            ]
+            for cname in new_cols:
+                base = base.withColumn(
+                    cname,
+                    F.lit(None).cast(changes.schema[cname].dataType),
+                )
+            data_cols = data_cols + new_cols
         missing = [
             c
             for c in data_cols + [op_col] + list(order_cols)
@@ -531,17 +588,28 @@ def merge_changes(
             .filter(F.col("__rn") == 1)
             .drop("__rn", *extra)
         )
-        b = base.alias("b")
+        # a literal marker (not key-null-ness) tells the CDC
+        # classifier whether a base row matched: NULL keys never
+        # equi-join, and a data column could legitimately be NULL
+        b = (
+            base.withColumn("__b", F.lit(True)) if write_changefeed
+            else base
+        ).alias("b")
         c = last.alias("c")
         cond = None
         for k in keys:
             eq = F.col(f"b.{k}") == F.col(f"c.{k}")
             cond = eq if cond is None else cond & eq
         changed = F.col(f"c.{op_col}").isNotNull()
-        merged = (
-            b.join(c, cond, "full")
-            .filter(~changed | (F.col(f"c.{op_col}") != "D"))
-            .select(
+        joined = b.join(c, cond, "full")
+        if write_changefeed:
+            # both outputs (rewrite + CDC) read this one join: persist
+            # so the base snapshot and the change dedup run once
+            joined = joined.persist()
+        try:
+            merged = joined.filter(
+                ~changed | (F.col(f"c.{op_col}") != "D")
+            ).select(
                 *[
                     F.when(changed, F.col(f"c.{col}"))
                     .otherwise(F.col(f"b.{col}"))
@@ -549,39 +617,34 @@ def merge_changes(
                     for col in data_cols
                 ]
             )
-        )
-        files, stats = _write_data_files(merged, table)
-        manifest = {
-            "version": head + 1,
-            "op": "merge",
-            "files": files,
-            "stats": stats,
-            "txn_id": txn_id,
-        }
-        if write_changefeed:
-            # Effective changes only: a 'D' on an absent key changed
-            # nothing and must not be replayed downstream; a 'U' is an
-            # update iff the key pre-existed. One semi-join against the
-            # base's distinct keys — the base scan is already paid by
-            # the merge itself.
-            base_keys = base.select(*keys).distinct().withColumn(
-                "__in_base", F.lit(True)
-            )
-            effective = (
-                last.join(base_keys, keys, "left")
-                .filter(
-                    (F.col(op_col) != "D") | F.col("__in_base").isNotNull()
+            files, stats = _write_data_files(merged, table)
+            manifest = {
+                "version": head + 1,
+                "op": "merge",
+                "files": files,
+                "stats": stats,
+                "txn_id": txn_id,
+            }
+            if write_changefeed:
+                # Effective changes only: a 'D' on an absent key
+                # changed nothing and must not be replayed downstream;
+                # a 'U' is an update iff a base row matched.
+                b_present = F.col("b.__b").isNotNull()
+                effective = joined.filter(
+                    changed
+                    & ((F.col(f"c.{op_col}") != "D") | b_present)
+                ).select(
+                    *[F.col(f"c.{col}").alias(col) for col in data_cols],
+                    F.when(F.col(f"c.{op_col}") == "D", F.lit("delete"))
+                    .when(b_present, F.lit("update"))
+                    .otherwise(F.lit("insert"))
+                    .alias("_change_type"),
                 )
-                .withColumn(
-                    "_change_type",
-                    F.when(F.col(op_col) == "D", F.lit("delete"))
-                    .when(F.col("__in_base").isNotNull(), F.lit("update"))
-                    .otherwise(F.lit("insert")),
-                )
-                .drop("__in_base", op_col)
-            )
-            cdc_files, _ = _write_data_files(effective, table)
-            manifest["cdc_files"] = cdc_files
+                cdc_files, _ = _write_data_files(effective, table)
+                manifest["cdc_files"] = cdc_files
+        finally:
+            if write_changefeed:
+                joined.unpersist(False)
         try:
             _publish(table, head + 1, manifest)
             return head + 1
@@ -685,11 +748,17 @@ SYNC_TXN_PREFIX = "changefeed-sync"
 def sync_position(dst_table: str) -> int:
     """Last source version a ``sync_changes`` commit applied to
     ``dst_table``, or -1 if never synced. Read from the destination's
-    own manifests (newest-first within the dedup horizon) — the
-    consumer offset is committed WITH the data it covers, so a crash
-    anywhere between poll and commit resumes exactly where the
-    destination actually is, with no external cursor state to lose."""
-    for v in reversed(_list_versions(dst_table)[-TXN_DEDUP_HORIZON:]):
+    own manifests, newest-first — the consumer offset is committed
+    WITH the data it covers, so a crash anywhere between poll and
+    commit resumes exactly where the destination actually is, with no
+    external cursor state to lose. The scan walks ALL retained
+    manifests (not the txn dedup horizon): a horizon-bounded scan
+    would silently reset to -1 whenever 64+ other commits landed
+    between syncs and the next sync would re-append the whole feed
+    (review r08). Losing the position entirely — vacuum expired every
+    sync manifest — still resets; keep ``retain_last`` deeper than
+    the sync cadence, as documented on ``vacuum``."""
+    for v in reversed(_list_versions(dst_table)):
         txn = _read_manifest(dst_table, v).get("txn_id") or ""
         if txn.startswith(SYNC_TXN_PREFIX + ":"):
             return int(txn.rsplit(":", 1)[1])
@@ -717,63 +786,89 @@ def sync_changes(
     an empty destination from the non-delete rows.
 
     Exactly-once shape: the destination commit's txn id encodes the
-    source version range it covers, so a replay of the same batch —
-    crash before acknowledging, orchestrator retry, two workers
-    racing — is recognized by the log and returns the
-    already-committed version. This is the table-log equivalent of
-    the streaming sink's epoch contract, for log-to-log pipelines.
+    source version the batch ran to, and the appending paths
+    compare-and-set against the destination head the position was
+    read from — two workers racing (even with DIFFERENT source heads,
+    where txn ids alone would not collide) resolve to one winner and
+    one retry that re-reads the advanced position and applies only
+    the remainder (review r08). The keyed merge path converges
+    without the CAS: re-applying an overlapping range is idempotent
+    under last-commit-wins. This is the table-log equivalent of the
+    streaming sink's epoch contract, for log-to-log pipelines.
     """
-    position = sync_position(dst_table)
-    head = latest_version(src_table)
-    if head is None or head <= position:
-        return None
-    changes = read_changes(spark, src_table, position, head)
-    if changes is None:  # e.g. only compactions landed: nothing to move
-        return None
-    txn = f"{SYNC_TXN_PREFIX}:{head}"
     from pyspark.sql import functions as F
 
-    if keys is None:
-        rewrite_ops = [
-            _read_manifest(src_table, v)["op"]
-            for v in range(position + 1, head + 1)
-            if _read_manifest(src_table, v)["op"] not in ("append", "compact")
-        ]
-        if rewrite_ops:
-            raise ValueError(
-                f"sync of {src_table} declared insert-only (keys=None) "
-                f"but the range has rewrite commits {rewrite_ops}; pass "
-                "keys= to apply updates/deletes correctly"
-            )
-        return append(
-            changes.drop("_change_type", "_commit_version"), dst_table,
-            txn_id=txn,
-        )
-    if latest_version(dst_table) is None:
-        # Bootstrap must collapse the range per key FIRST: a key
-        # inserted at v1 and deleted at v2 is absent from the source
-        # head, and filtering deletes without the collapse would
-        # resurrect its v1 row.
-        from pyspark.sql import Window as W
+    for _ in range(MAX_COMMIT_RETRIES):
+        position = sync_position(dst_table)
+        dst_head = latest_version(dst_table)
+        head = latest_version(src_table)
+        if head is None or head <= position:
+            return None
+        changes = read_changes(spark, src_table, position, head)
+        if changes is None:  # only compactions landed: nothing to move
+            return None
+        txn = f"{SYNC_TXN_PREFIX}:{head}"
+        cas = dst_head if dst_head is not None else -1
+        try:
+            if keys is None:
+                # v0 is served as plain inserts whatever its op (the
+                # bootstrap commit of an empty table) — only LATER
+                # rewrites falsify the insert-only declaration
+                rewrite_ops = [
+                    _read_manifest(src_table, v)["op"]
+                    for v in range(max(position + 1, 1), head + 1)
+                    if _read_manifest(src_table, v)["op"]
+                    not in ("append", "compact")
+                ]
+                if rewrite_ops:
+                    raise ValueError(
+                        f"sync of {src_table} declared insert-only "
+                        f"(keys=None) but the range has rewrite commits "
+                        f"{rewrite_ops}; pass keys= to apply "
+                        "updates/deletes correctly"
+                    )
+                return append(
+                    changes.drop("_change_type", "_commit_version"),
+                    dst_table, txn_id=txn, require_head=cas,
+                )
+            if dst_head is None:
+                # Bootstrap must collapse the range per key FIRST: a
+                # key inserted at v1 and deleted at v2 is absent from
+                # the source head, and filtering deletes without the
+                # collapse would resurrect its v1 row.
+                from pyspark.sql import Window as W
 
-        w = W.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
-        bootstrap = (
-            changes.withColumn("__rn", F.row_number().over(w))
-            .filter(
-                (F.col("__rn") == 1) & (F.col("_change_type") != "delete")
+                w = W.partitionBy(*keys).orderBy(
+                    F.col("_commit_version").desc()
+                )
+                bootstrap = (
+                    changes.withColumn("__rn", F.row_number().over(w))
+                    .filter(
+                        (F.col("__rn") == 1)
+                        & (F.col("_change_type") != "delete")
+                    )
+                    .drop("__rn", "_change_type", "_commit_version")
+                )
+                return append(
+                    bootstrap, dst_table, txn_id=txn, require_head=-1
+                )
+            batch = changes.withColumn(
+                "op",
+                F.when(
+                    F.col("_change_type") == "delete", F.lit("D")
+                ).otherwise(F.lit("U")),
+            ).drop("_change_type")
+            # evolve_schema: additively-evolved source columns must
+            # reach the destination, not be silently projected away
+            return merge_changes(
+                spark, dst_table, batch, keys=keys,
+                order_cols=["_commit_version"], txn_id=txn,
+                evolve_schema=True,
             )
-            .drop("__rn", "_change_type", "_commit_version")
-        )
-        return append(bootstrap, dst_table, txn_id=txn)
-    batch = changes.withColumn(
-        "op",
-        F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
-            F.lit("U")
-        ),
-    ).drop("_change_type")
-    return merge_changes(
-        spark, dst_table, batch, keys=keys,
-        order_cols=["_commit_version"], txn_id=txn,
+        except CommitConflict:
+            continue  # another sync/writer landed: re-read and retry
+    raise CommitConflict(
+        f"sync {src_table} -> {dst_table} kept losing the race"
     )
 
 

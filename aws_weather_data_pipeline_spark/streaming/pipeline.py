@@ -236,6 +236,26 @@ def append_epoch_to_tablelog(
     )
 
 
+def _checkpoint_namespace(checkpoint_dir: str) -> str:
+    """The txn namespace bound to this checkpoint's LIFETIME: a uuid
+    minted once per checkpoint and stored in it. os.O_EXCL makes
+    concurrent first-starts converge on one winner's uuid."""
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, ".tablelog-namespace")
+    try:
+        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        try:
+            os.write(fd, uuid.uuid4().hex[:12].encode())
+        finally:
+            os.close(fd)
+    except FileExistsError:
+        pass
+    with open(marker) as fh:
+        return fh.read().strip()
+
+
 def start_tablelog_sink(
     processed: DataFrame,
     table: str,
@@ -248,16 +268,17 @@ def start_tablelog_sink(
     micro-batch. Checkpoint + txn-id together give end-to-end
     exactly-once across crashes on BOTH sides of the seam: the
     checkpoint replays unacknowledged epochs, the log ignores
-    already-committed ones. The txn namespace is derived from the
-    checkpoint path — the same identity that makes epoch ids stable —
-    so independent streams (or a checkpoint reset, which legitimately
-    restarts at epoch 0 with NEW data) never collide.
+    already-committed ones. The txn namespace is a uuid marker file
+    INSIDE the checkpoint directory — the namespace lives and dies
+    with the checkpoint state itself, so independent streams never
+    collide, a restart on the same checkpoint keeps its namespace
+    (epoch replay dedup keeps working), and a checkpoint RESET
+    (wiping the dir to reprocess, which legitimately restarts at
+    epoch 0 with NEW data) rotates the namespace instead of silently
+    dropping the first batches as replays of the old run (review
+    r08: a path-derived namespace survived the wipe).
     """
-    import hashlib
-
-    ns = hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    ns = _checkpoint_namespace(checkpoint_dir)
     return (
         processed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

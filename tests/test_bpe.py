@@ -271,3 +271,56 @@ def test_bpe_encode_is_lossless_and_handles_short_words(spark):
     }
     assert got["a"] == ["a"]  # too short to train on, still encodable
     assert got["zzz"] == ["z", "z", "z"]  # no merge applies
+
+
+def test_bpe_encode_empty_token_matches_oracle_shape(spark):
+    """Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — the
+    empty-token guard keeps '' encoding to one empty symbol, the
+    DuckDB shape (review r08)."""
+    from aws_weather_data_pipeline_spark.plans.text import (
+        bpe_encode_vocab,
+        bpe_train_plan,
+    )
+
+    merges = bpe_train_plan(_words(spark, [("ab", 2)])).localCheckpoint(
+        eager=True
+    )
+    vocab = spark.createDataFrame([("",), ("ab",)], "token string")
+    got = {
+        r.token: list(r.bpe)
+        for r in bpe_encode_vocab(vocab, merges).collect()
+    }
+    assert got[""] == [""]
+    assert got["ab"] == ["ab"]
+
+
+def test_bpe_train_plan_direct_execution_leaks_no_cache(spark):
+    """Without the _cached out-param the plan must carry NO persist
+    marks — a direct executor (tests, ad-hoc use) would leak them for
+    the session's lifetime (review r08)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    bpe_train_plan(_words(spark, [("abab", 3), ("abc", 1)])).collect()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_bpe_encode_oracle_survives_exhausted_merge_rounds():
+    """A corpus whose pairs run out before BPE_ROUNDS must still
+    encode every document in the ORACLE: the per-round LEFT JOIN
+    passes words through an empty b{r} instead of annihilating the
+    vocabulary (review r08)."""
+    import duckdb
+
+    from aws_weather_data_pipeline_spark.plans.text import BPE_ENCODE_SQL
+
+    con = duckdb.connect()
+    # one distinct 2-char word: round 1 merges it whole, rounds 2..6
+    # have no adjacent pairs left anywhere
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT 'd1' AS doc_id, 'ab ab ab' AS text "
+        "UNION ALL SELECT 'd2', 'ab'"
+    )
+    rows = con.execute(BPE_ENCODE_SQL).fetchall()
+    got = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    assert got == {"d1": (3, 3, "ab|ab|ab"), "d2": (1, 1, "ab")}

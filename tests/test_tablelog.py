@@ -800,3 +800,109 @@ def test_sync_changes_insert_only_refuses_rewrites(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="insert-only"):
         tl.sync_changes(spark, src, dst)
+
+
+# ---------------------------------------------------------------------------
+# review r08 regressions
+
+
+def test_append_require_head_is_compare_and_set(spark, tmp_path):
+    table = str(tmp_path / "t")
+    assert tl.append(_frame(spark, 0, 3), table, require_head=-1) == 0
+    # stale expectation (another writer landed meanwhile) conflicts
+    # instead of rebasing — the sync primitive
+    with pytest.raises(tl.CommitConflict, match="required head"):
+        tl.append(_frame(spark, 3, 5), table, require_head=-1)
+    assert tl.append(_frame(spark, 3, 5), table, require_head=0) == 1
+    assert _values(tl.read_snapshot(spark, table)) == list(range(5))
+
+
+def test_sync_insert_only_accepts_overwrite_bootstrapped_source(
+    spark, tmp_path
+):
+    """v0 is served as plain inserts whatever its op — an
+    overwrite-created source must not be refused (review r08)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.overwrite(_frame(spark, 0, 3), src)
+    tl.append(_frame(spark, 3, 5), src)
+    tl.sync_changes(spark, src, dst)
+    assert _values(tl.read_snapshot(spark, dst)) == list(range(5))
+
+
+def test_sync_position_survives_many_interleaved_commits(
+    spark, tmp_path, monkeypatch
+):
+    """The position scan walks all retained manifests, not the txn
+    dedup horizon — otherwise 64+ foreign commits between syncs would
+    silently reset to -1 and re-append the whole feed (review r08)."""
+    monkeypatch.setattr(tl, "TXN_DEDUP_HORIZON", 2)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), src)
+    tl.sync_changes(spark, src, dst)
+    for lo in (100, 104, 108):  # other writers on dst push the sync
+        tl.append(_frame(spark, lo, lo + 2), dst)  # commit past horizon
+    assert tl.sync_position(dst) == 0
+    tl.append(_frame(spark, 3, 5), src)
+    tl.sync_changes(spark, src, dst)
+    got = _values(tl.read_snapshot(spark, dst))
+    assert got == list(range(5)) + [100, 101, 104, 105, 108, 109]
+
+
+def test_sync_keyed_propagates_evolved_source_columns(spark, tmp_path):
+    """A column added upstream must reach the destination through the
+    keyed merge path, not be silently projected away (review r08)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(
+        spark.createDataFrame([(1, "a")], "k int, s string"), src
+    )
+    tl.sync_changes(spark, src, dst, keys=["k"])
+    # upstream evolves: appends rows carrying a new column
+    tl.append(
+        spark.createDataFrame(
+            [(2, "b", "fresh")], "k int, s string, tag string"
+        ),
+        src,
+    )
+    tl.sync_changes(spark, src, dst, keys=["k"])
+    rows = {
+        (r.k, r.s, r.tag)
+        for r in tl.read_snapshot(spark, dst, merge_schema=True).collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", "fresh")}
+
+
+def test_pruned_to_zero_respects_merge_schema(spark, tmp_path):
+    """The empty pruned read must expose the SAME schema as the
+    unpruned merge_schema read — evolved columns included (review
+    r08)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    tl.append(
+        spark.createDataFrame([(10, "x")], "v long, tag string"), table
+    )
+    df = tl.read_snapshot(
+        spark, table, where=("v", 500, 600), merge_schema=True
+    )
+    assert sorted(df.columns) == ["tag", "v"]
+    assert df.count() == 0
+
+
+def test_checkpoint_reset_rotates_txn_namespace(tmp_path):
+    """Wiping a checkpoint to reprocess restarts epochs at 0 with NEW
+    data; the namespace must rotate with the checkpoint's lifetime or
+    the new run's first batches would be dropped as replays of the
+    old one (review r08 — a path-derived namespace survived the
+    wipe). A restart WITHOUT a wipe keeps the namespace, or epoch
+    replay dedup would stop working."""
+    import shutil
+
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        _checkpoint_namespace,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    ns1 = _checkpoint_namespace(ckpt)
+    assert _checkpoint_namespace(ckpt) == ns1  # restart: stable
+    shutil.rmtree(ckpt)  # reset: reprocess from scratch
+    ns2 = _checkpoint_namespace(ckpt)
+    assert ns2 != ns1
