@@ -27,6 +27,7 @@ OPERATOR_MODULES = (
     "streaming_equiv",
     "layout",
     "graph",
+    "tablelog_queries",
 )
 
 # The driver's correctness harness checks only the FIRST 50 catalog
@@ -44,88 +45,88 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 8's window (committed BEFORE the r08 driver run — the r07
-# window was never rotated, so r07 burned its slots re-checking the
-# r06 list and left TWO stale generations): multimodal_decode_jpeg
-# (NEW in r07, never driver-checked), the 48 queries whose latest
-# driver row is r04 (age 4 at r08 — already past the limit), and
-# cdc_merge_apply (NEW this round) in the one remaining slot. The
-# 49-query r05-latest block cannot also fit; it reaches age 4 at r09
-# and MUST be round 9's window (49 mandatory + 1 free slot). That is
-# the catch-up schedule for the r07 miss — one generation per round
-# is all a 50-slot window can refresh.
+# Round 9's window (committed at round start, per the checklist):
+# the 47 remaining queries whose latest driver row is r05 (age 4 at
+# r09 — the second half of the r07-miss catch-up; round 8 refreshed
+# the r04 generation), plus three NEW registrations, each slotted by
+# the zero-slack swap protocol: bpe_train_merges takes the window
+# slot of the retired bpe_merge_candidates (an r05-block query whose
+# single round the trainer strictly subsumes — round 1 of the merge
+# table IS its top pair, pinned by tests/test_bpe.py);
+# mg_heavy_hitter_pairs takes the one free slot (r08's committed
+# plan of record); tablelog_time_travel_prune takes the slot of the
+# retired split_leakage_audit_simhash (a one-line composition of
+# split_leakage_audit's aggregation and near_dup_pairs_simhash's
+# pairs, both independently driver-checked). 47 + 3 = 50.
 #
 # Capacity ledger: the sustainability test caps the catalog at
-# 50 * MAX_AGE_ROUNDS = 150 queries. cdc_merge_apply makes 149.
-# misra_gries_heavy_hitters and bpe_train_merges are implemented and
-# pytest/oracle-tested this round (plans/sketch.py, plans/corpus.py)
-# but CANNOT be registered yet — registration requires a window slot
-# at creation time and r08 has exactly one. Plan of record: r09
-# registers both by (a) taking the free slot and (b) replacing
-# bpe_merge_candidates (an r05-block query whose one-round plan
-# bpe_train_merges strictly subsumes), which keeps N at 150 and the
-# r09 window at 48 + 2 new = 50. At N=150 every later window is
-# exactly its mandatory block — ZERO slack — so the standing protocol
-# for any future schema/semantics change is: retire (or subsume) one
-# query in the SAME commit, swapping its window slot to the changed
-# query; never grow past 150 and never let a changed query ride on
-# stale driver evidence.
+# 50 * MAX_AGE_ROUNDS = 150 queries. r08 ended at 149; r09 retires
+# bpe_merge_candidates and split_leakage_audit_simhash (-2) and
+# registers bpe_train_merges, mg_heavy_hitter_pairs, and
+# tablelog_time_travel_prune (+3) → N = 150, the cap. At N=150 every
+# later window is exactly its mandatory block — ZERO slack — so the
+# standing protocol for any future schema/semantics change is: retire
+# (or subsume) one query in the SAME commit, swapping its window slot
+# to the changed query; never grow past 150 and never let a changed
+# query ride on stale driver evidence. After r09 the catch-up debt is
+# cleared: every query's latest row will be r07/r08/r09 and the
+# steady-state 3-round cycle (r10 re-checks the r07 generation, …)
+# resumes.
 DRIVER_WINDOW = (
-    # --- NEW in r07, never driver-checked: first in line ---
-    "multimodal_decode_jpeg",
-    # --- the 48 queries whose latest driver row is r04 ---
+    # --- NEW in r09, never driver-checked: first in line ---
+    "bpe_train_merges",
+    "mg_heavy_hitter_pairs",
+    "tablelog_time_travel_prune",
+    # --- the 48 queries whose latest driver row is r05 ---
     # composite multi-stage plans first (most likely to regress),
-    # then the relational/window block, text block, sampling block.
-    "kmeans_lloyd_assignments",
-    "dedup_incremental_near",
-    "dedup_incremental_batch",
-    "interval_range_join_counts",
-    "near_dup_pairs_ngram",
-    "near_dup_pairs_editdist",
-    "near_dup_pairs_simhash",
-    "near_dup_pairs_embedding",
-    "ann_hyperplane_lsh_topk",
-    "label_centroids",
-    "minhash_signatures",
-    "bloom_dedup_probe",
-    "cms_user_activity_sketch",
-    "doc_importance_weights",
-    "doc_bigram_lm_score",
-    "doc_duplicated_spans",
-    "doc_repetition_metrics",
-    "doc_fingerprints",
-    "doc_simhash",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_stopword_filtered",
-    "doc_chunk_tokens",
-    "term_frequencies",
-    "pii_redaction",
-    "multimodal_payload_stats",
-    "multimodal_decode_ppm",
-    "multimodal_frame_sample",
-    "multimodal_distinct_bytes",
-    "corpus_mixture_sample",
-    "stratified_sample_per_lang",
-    "top3_events_per_user",
-    "event_gaps_lag",
-    "user_running_totals",
-    "event_rank_functions",
-    "gap_based_sessions",
-    "grouping_sets_pricing",
-    "customers_with_high_value_orders",
-    "date_range_revenue",
-    "union_distinct_active_users",
-    "cube_type_user_bucket",
-    "intersect_error_purchase_users",
-    "except_users_without_big_events",
-    "events_table_profile",
-    "referential_integrity_audit",
-    "sliding_hourly_activity",
-    "daily_value_rollup",
-    "trailing_hour_user_stats",
-    # --- NEW this round (the one free slot) ---
-    "cdc_merge_apply",
+    # then streaming, weather, sampling/relational blocks.
+    "semantic_dedup_keep_list",
+    "corpus_filter_funnel",
+    "corpus_relative_quality_filter",
+    "exact_substr_removal",
+    "dedup_attrition_by_source",
+    "near_dup_pairs_winnow",
+    "hard_negative_mining",
+    "split_leakage_audit",
+    "leakage_safe_split_assignment",
+    "ann_multiprobe_lsh_topk",
+    "pq_code_assignment",
+    "pq_adc_topk",
+    "ivf_pq_search_topk",
+    "doc_winnowing_fingerprints",
+    "doc_simpson_diversity",
+    "quantile_sketch_estimates",
+    "multimodal_image_tiles",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_audio_windows",
+    "multimodal_resize_stats",
+    "streaming_batch_equivalence",
+    "streaming_windowed_alert_counts",
+    "streaming_running_user_stats",
+    "streaming_session_windows",
+    "streaming_attributed_purchases",
+    "streaming_static_enrichment",
+    "streaming_attribution_with_timeouts",
+    "streaming_dedup_replay",
+    "weather_conversions",
+    "weather_comfort_heat_index",
+    "weather_severity_class",
+    "weather_alert_feed",
+    "weather_time_features",
+    "weather_quality_flags",
+    "weather_daily_summary",
+    "temperature_mixture_sample",
+    "length_weighted_doc_sample",
+    "fixed_size_doc_sample",
+    "salted_hot_key_join",
+    "salted_user_event_lists",
+    "value_histogram",
+    "value_outliers_exact",
+    "small_quantity_order_revenue",
+    "lineitem_unpivot_measures",
+    "price_percentiles_by_flag",
+    "zorder_layout_audit",
 )
 
 

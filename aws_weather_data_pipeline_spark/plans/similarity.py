@@ -2328,24 +2328,21 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@CATALOG.add(
-    "split_leakage_audit_simhash",
-    None,  # oracle attached below (embeds the simhash pairs SQL)
-    doc="The leakage audit re-run over the SimHash detector's pairs — "
-    "one line of composition now that leakage_audit takes pairs= "
-    "(VERDICT r04 #6): different detectors surface different "
-    "near-dup populations (SimHash catches token-permuted twins "
-    "MinHash banding can miss and vice versa), so a thorough "
-    "pre-training audit runs the same split-cell aggregation over "
-    "each pairs pipeline the corpus already computes. Identical "
-    "scale shape: pairs are banded (no all-pairs), the split "
-    "expression is a per-row hash, and the audit joins are "
-    "pair-frame-sized.",
-    tags=("similarity", "dedup", "sampling"),
-)
 def split_leakage_audit_simhash(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """The leakage audit re-run over the SimHash detector's pairs.
+
+    RETIRED from the catalog in r09 (zero-slack ledger,
+    plans/catalog.py): it is a one-line composition of two queries
+    that each keep independent driver rows — the audit aggregation
+    (``split_leakage_audit``, MinHash pairs) and the SimHash pair
+    pipeline (``near_dup_pairs_simhash``) — so its slot transferred
+    to ``tablelog_time_travel_prune``, giving the r08 table log its
+    first driver-grade evidence. Kept as a building block: different
+    detectors surface different near-dup populations, so a thorough
+    pre-training audit still runs this composition per detector.
+    """
     return leakage_audit(
         spark, sf_dir, near_dup_pairs_simhash(spark, sf_dir)
     )
@@ -2356,7 +2353,7 @@ def _attach_split_leakage_oracle() -> None:
 
     for name, pairs_query in (
         ("split_leakage_audit", "near_dup_pairs_minhash"),
-        ("split_leakage_audit_simhash", "near_dup_pairs_simhash"),
+        # split_leakage_audit_simhash retired r09 (see its docstring)
     ):
         CATALOG.queries[name].oracle = _SPLIT_LEAKAGE_SQL.format(
             pairs=CATALOG.queries[pairs_query].oracle,

@@ -543,10 +543,8 @@ MG_K = 40
 #: runs the 2-pass Misra-Gries plan; its output EQUALS this exact
 #: query by the deterministic MG guarantee (candidates ⊇ true heavy
 #: hitters; pass 2 counts exactly and filters by the same threshold).
-#: Held here unregistered: catalog registration requires a
-#: DRIVER_WINDOW slot at creation time and round 8's one free slot
-#: went to cdc_merge_apply — round 9 registers this query (see the
-#: capacity ledger in plans/catalog.py).
+#: Registered in r09 via the window's free slot (capacity ledger,
+#: plans/catalog.py).
 MG_HEAVY_HITTERS_SQL = f"""
     WITH tok AS (
         SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -678,6 +676,23 @@ def _char_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+@CATALOG.add(
+    "mg_heavy_hitter_pairs",
+    MG_HEAVY_HITTERS_SQL,
+    doc=f"Misra-Gries heavy hitters over the corpus char-pair stream — "
+    f"every pair with support > 1/{MG_K + 1}, with EXACT counts. The "
+    "bounded-memory complement to term_frequencies: pass 1 folds each "
+    "partition into a ≤MG_K-counter mergeable summary (Arrow-batched "
+    "mapInPandas, vectorized value_counts), pass 2 counts only the "
+    "broadcast candidate superset exactly. Shuffle volume is "
+    "O(MG_K × partitions) regardless of the key domain — the only "
+    "family member whose state stays bounded when the domain (URLs, "
+    "n-grams) does not. Output is a pure function of the data (the "
+    "deterministic MG guarantee makes partition-union candidates a "
+    "superset of every global heavy hitter), hash-exact vs the "
+    "exact-count oracle despite nondeterministic sketch internals.",
+    tags=("sketch", "text"),
+)
 def mg_heavy_hitter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters over the corpus char-pair stream —
     every pair with support > 1/(MG_K+1), with EXACT counts.
@@ -703,9 +718,6 @@ def mg_heavy_hitter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_frequencies' full-domain shuffle; this is the only family
     member whose state stays bounded when the key domain (URLs,
     n-grams, user agents) does not.
-
-    Not yet catalog-registered — window capacity; see
-    MG_HEAVY_HITTERS_SQL and the plans/catalog.py capacity ledger.
     """
     docs = load_spread(spark, sf_dir, "documents")
     pairs = _char_pairs(docs)

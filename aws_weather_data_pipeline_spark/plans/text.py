@@ -765,44 +765,16 @@ def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TOP_PAIRS = 20
 
 
-@CATALOG.add(
-    "bpe_merge_candidates",
-    f"""
-    SELECT pair, n_occurrences
-    FROM (
-        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-        FROM (
-            SELECT unnest(list_transform(
-                       range(1, length(token)),
-                       i -> token[i:i+1])) AS pair
-            FROM (
-                SELECT unnest(string_split(text, ' ')) AS token
-                FROM documents
-            )
-            WHERE length(token) >= 2
-        )
-        GROUP BY pair
-    )
-    ORDER BY n_occurrences DESC, pair
-    LIMIT {BPE_TOP_PAIRS}
-    """,
-    doc=f"BPE merge candidates — the first step of tokenizer training: "
-    "every adjacent CHARACTER pair inside every token occurrence is "
-    "counted corpus-wide and the top-"
-    f"{BPE_TOP_PAIRS} become the first merge-table entries (ties "
-    "break lexicographically so the merge order is deterministic — "
-    "nondeterministic merge order forks the whole downstream vocab). "
-    "Pair extraction is an in-row generator over the token stream "
-    "(length-1 pairs per token), the count is one hash-shuffle on a "
-    "small key domain (alphabet², heavy map-side combine), and the "
-    "top-k is TakeOrderedAndProject — never a global sort. This is "
-    "the word-count plan with a 2-char key: at 100 TB it is "
-    "I/O-bound, and iterating BPE means re-running this count on the "
-    "re-tokenized stream per merge round — each round this same "
-    "linear job.",
-    tags=("text", "agg"),
-)
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates — the top-{BPE_TOP_PAIRS} adjacent
+    character pairs corpus-wide (one round of the trainer's loop).
+
+    RETIRED from the catalog in r09: ``bpe_train_merges`` strictly
+    subsumes it (round 1's merge-table row IS this query's top pair —
+    pinned by tests/test_bpe.py), so its window slot transferred to
+    the trainer per the zero-slack protocol in plans/catalog.py.
+    Kept as the documented one-round building block.
+    """
     d = _tokens(_docs(spark, sf_dir))
     tok = d.select(F.explode_outer("tokens").alias("token")).filter(
         F.length("token") >= 2
@@ -868,10 +840,8 @@ def _bpe_iter_sql(r: int) -> str:
 
 
 #: Exact iterative oracle for bpe_train_merges (DuckDB), unrolled like
-#: the pagerank oracle. Held here unregistered: catalog registration
-#: requires a DRIVER_WINDOW slot at creation time and round 8's one
-#: free slot went to cdc_merge_apply — round 9 registers this query in
-#: place of bpe_merge_candidates, whose single round it subsumes (see
+#: the pagerank oracle. Registered in r09 in place of
+#: bpe_merge_candidates, whose single round the trainer subsumes (see
 #: the capacity ledger in plans/catalog.py).
 _BPE_TRAIN_CTES = """
     WITH w0 AS (
@@ -950,6 +920,23 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+@CATALOG.add(
+    "bpe_train_merges",
+    BPE_TRAIN_SQL,
+    doc=f"Iterative BPE tokenizer training — {BPE_ROUNDS} merge rounds "
+    "emitting the merge table (merge_round, lhs, rhs, merged, "
+    "n_occurrences). ONE corpus shuffle collapses the token stream to "
+    "a vocabulary-sized (word, freq) table; every round after that is "
+    "a weighted pair count over that small table, a 1-row "
+    "TakeOrderedAndProject argmax (deterministic tie order: cnt DESC, "
+    "lhs, rhs — nondeterministic merge order forks the downstream "
+    "vocab), and a broadcast leftmost-first rewrite. No driver-side "
+    "collect per round; the whole merge table is one job. At 100 TB "
+    "the corpus is touched exactly once — BPE trainers at scale "
+    "iterate on word counts, never the corpus. Subsumes the retired "
+    "bpe_merge_candidates (round 1's row is its top pair, pinned).",
+    tags=("text", "iterative"),
+)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE training: BPE_ROUNDS merge rounds, emitting the
     merge table (merge_round, lhs, rhs, merged, n_occurrences).
@@ -970,9 +957,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, never on the corpus. The persisted word table is released
     via the same eager-checkpoint boundary as pagerank
     (plans/graph.py).
-
-    Not yet catalog-registered — window capacity; see BPE_TRAIN_SQL
-    and the plans/catalog.py capacity ledger.
     """
     words0 = bpe_words(spark, sf_dir).persist()
     words0.count()

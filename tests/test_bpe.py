@@ -1,9 +1,8 @@
 """Iterative BPE training: oracle parity, run semantics, tie order.
 
-bpe_train_merges is implemented but NOT catalog-registered yet —
-round 8's one free DRIVER_WINDOW slot went to cdc_merge_apply; round 9
-registers it in place of bpe_merge_candidates (capacity ledger,
-plans/catalog.py). These tests run the exact compare the driver will.
+bpe_train_merges is catalog-registered as of r09, in place of the
+retired bpe_merge_candidates (capacity ledger, plans/catalog.py).
+These tests run the exact compare the driver runs.
 """
 
 from __future__ import annotations
@@ -31,19 +30,15 @@ def test_bpe_train_matches_iterative_oracle(spark, sf_dir):
 
 
 def test_bpe_round1_equals_merge_candidates_top1(spark, sf_dir):
-    # bpe_merge_candidates is one round of this loop: its top pair
-    # (same tie order) must be exactly round 1's merge-table row.
-    from aws_weather_data_pipeline_spark.plans.catalog import (
-        build_catalog,
+    # bpe_merge_candidates (retired from the catalog in r09, kept as
+    # the one-round building block) is one round of this loop: its
+    # top pair (same tie order) must be exactly round 1's
+    # merge-table row.
+    from aws_weather_data_pipeline_spark.plans.text import (
+        bpe_merge_candidates,
     )
 
-    cand = (
-        build_catalog()
-        .queries["bpe_merge_candidates"]
-        .builder(spark, sf_dir)
-        .limit(1)
-        .collect()[0]
-    )
+    cand = bpe_merge_candidates(spark, sf_dir).limit(1).collect()[0]
     r1 = (
         bpe_train_merges(spark, sf_dir)
         .filter(F.col("merge_round") == 1)

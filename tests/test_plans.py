@@ -70,6 +70,10 @@ ALLOWED_HINTS = {
     # ≤N_QUERY×(planes+1) exploded probe signatures — still the
     # bounded query side.
     "ann_multiprobe_lsh_topk": 1,
+    # the MG candidate superset (≤ (MG_K+1) × partitions rows — the
+    # sketch's whole point is that this is bounded regardless of the
+    # key domain) + the 1-row stream total.
+    "mg_heavy_hitter_pairs": 2,
 }
 
 
@@ -1268,3 +1272,39 @@ def test_bpe_train_plan_is_broadcast_only(spark, sf_dir):
     plan = _formatted(bpe_train_plan(words0))
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_encode_vocab_is_broadcast_fold_without_shuffle(spark):
+    # Encoding is VOCABULARY-sized work: each merge round must apply
+    # as a broadcast of the 1-row winner into a per-row string
+    # replace — zero hash-shuffle Exchanges in the whole fold. A
+    # hashpartitioning Exchange here means a round regressed into a
+    # shuffle join, which at corpus scale re-shuffles the vocabulary
+    # once per merge round (the defect class the trainer's pin
+    # guards; this is the encoder's twin, VERDICT r08 #6).
+    from aws_weather_data_pipeline_spark.plans.text import (
+        bpe_encode_vocab,
+    )
+
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("aa",)], "token string"
+    )
+    merges = spark.createDataFrame(
+        [(1, "a", "a"), (2, "aa", "l"), (3, "b", "e")],
+        "merge_round int, lhs string, rhs string",
+    )
+    df = bpe_encode_vocab(vocab, merges, rounds=3)
+    plan = _formatted(df)
+    assert "hashpartitioning" not in plan, plan
+    n_bnlj = sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(")
+        and ") BroadcastNestedLoopJoin" in line
+    )
+    assert n_bnlj == 3, plan
+    # and the fold is semantically right: rank order, leftmost-first
+    out = {r["token"]: list(r["bpe"]) for r in df.collect()}
+    assert out["aa"] == ["aa"]  # round 1 merges, round 2 needs an 'l'
+    assert out["alpha"] == ["a", "l", "p", "h", "a"]  # no adjacent a,a
+    assert out["beta"] == ["be", "t", "a"]  # round 3 applies
