@@ -24,6 +24,8 @@ stand-in used by the feature-extract query.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,6 +65,20 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: The malformed-input exception surface of the pure-Python codecs:
+#: what truncating or bit-flipping a valid payload actually raises
+#: (fuzz-verified, ADVICE r08). decode_media normalizes these to
+#: ValueError so every per-row quarantine guard has ONE contract.
+_MALFORMED_INPUT_ERRORS = (
+    struct.error,
+    zlib.error,
+    IndexError,
+    KeyError,
+    OverflowError,
+    EOFError,
+)
+
+
 def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     """Decode a media payload to its typed dict.
 
@@ -80,16 +96,32 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     branches here — the surrounding plumbing
     (``decode_image_features``) is format-agnostic and unchanged.
     """
-    if content_type == "image/x-portable-pixmap":
-        return _decode_ppm(payload_bytes)
-    if content_type == "image/png":
-        return _decode_png(payload_bytes)
-    if content_type == "audio/wav":
-        return _decode_wav(payload_bytes)
-    if content_type == "image/gif":
-        return _decode_gif(payload_bytes)
-    if content_type == "image/jpeg":
-        return _decode_jpeg(payload_bytes)
+    decoders = {
+        "image/x-portable-pixmap": _decode_ppm,
+        "image/png": _decode_png,
+        "audio/wav": _decode_wav,
+        "image/gif": _decode_gif,
+        "image/jpeg": _decode_jpeg,
+    }
+    decoder = decoders.get(content_type)
+    if decoder is not None:
+        try:
+            return decoder(payload_bytes)
+        except ValueError:
+            raise
+        except _MALFORMED_INPUT_ERRORS as exc:
+            # Normalize the full malformed-input surface to ValueError
+            # so per-row guards (the quarantine twins) need exactly one
+            # exception contract. Truncated or bit-flipped payloads
+            # legitimately escape the decoders as struct.error /
+            # zlib.error (short PNG/GIF chunks), IndexError / KeyError
+            # (corrupt JPEG Huffman tables), OverflowError / EOFError
+            # (malformed lengths) — at a 100 TB scan these ARE data
+            # errors, not bugs (ADVICE r08, fuzz-verified).
+            raise ValueError(
+                f"malformed {content_type} payload: "
+                f"{type(exc).__name__}: {exc}"
+            ) from exc
     raise NotImplementedError(
         f"no decoder for {content_type!r} in this environment; "
         "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, GIF89a, and "
@@ -1757,9 +1789,11 @@ def decode_image_features_with_quarantine(df: DataFrame) -> DataFrame:
     the row with NULL statistics and the exception text in
     ``decode_error`` (NULL on success), so the caller splits the
     frame into the clean path and a quarantine sink with one filter.
-    Catches ``ValueError`` (malformed bytes) and
-    ``NotImplementedError`` (codec-less content type) — anything
-    else is a bug and still propagates.
+    Catches ``ValueError`` (malformed bytes — ``decode_media``
+    normalizes the codecs' whole malformed-input surface to it, see
+    ``_MALFORMED_INPUT_ERRORS``) and ``NotImplementedError``
+    (codec-less content type) — anything else is a bug and still
+    propagates.
     """
 
     def gen(pdf_iter: Iterator) -> Iterator:

@@ -126,16 +126,81 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _checkpoint_path(table: str) -> str:
+    return os.path.join(_log_dir(table), "_checkpoint.json")
+
+
+def _read_checkpoint(table: str) -> dict | None:
+    try:
+        with open(_checkpoint_path(table)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def write_checkpoint(table: str, upto: int | None = None) -> int:
+    """Fold manifests <= ``upto`` (default: the head) into
+    ``_log/_checkpoint.json`` — the standard log-checkpoint growth
+    path past ~1e5 commits (see ``history``).
+
+    The fold records what the WALKS over old manifests need so those
+    manifests can be deleted without losing correctness: the txn-id →
+    version map (exactly-once replay dedup, which also covers
+    ``sync_position``'s consumer offsets — they are txn ids). Each
+    manifest is already a self-contained snapshot, so version
+    RESOLUTION never needed the old files; the checkpoint makes the
+    O(commits) walks start at the fold instead of version 0, and it
+    is consulted as an O(1) dict lookup. ``vacuum`` folds before it
+    deletes expired manifests, so expiring a manifest no longer
+    weakens the dedup horizon (the caveat previously documented on
+    ``vacuum`` — now closed).
+
+    Incremental: a fold starts from the previous checkpoint and reads
+    only manifests in (prev_version, upto]. Like ``vacuum``, this is
+    a maintenance operation assumed to run without a concurrent
+    checkpointer (concurrent COMMITS are fine — they only add
+    manifests above ``upto``); the file is replaced atomically so
+    readers always see a complete fold.
+    """
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits in table {table}")
+    if upto is None:
+        upto = versions[-1]
+    prev = _read_checkpoint(table) or {"version": -1, "txns": {}}
+    if upto <= prev["version"]:
+        return prev["version"]  # already folded this far
+    txns = dict(prev["txns"])
+    for v in versions:
+        if prev["version"] < v <= upto:
+            txn = _read_manifest(table, v).get("txn_id")
+            if txn:
+                txns[txn] = v
+    tmp = os.path.join(
+        _log_dir(table), f".tmp-ckpt-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as fh:
+        json.dump({"version": upto, "txns": txns}, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _checkpoint_path(table))
+    return upto
+
+
 def _replayed_version(table: str, txn_id: str | None) -> int | None:
     """Version already committed under ``txn_id`` within the dedup
     horizon, or None. Shared by every committing operation so the
     exactly-once contract is uniform (review r08: compact recorded
-    txn ids but never checked them)."""
+    txn ids but never checked them). The checkpoint fold extends the
+    horizon past vacuumed manifests as one O(1) dict lookup."""
     if txn_id is None:
         return None
     for v in reversed(_list_versions(table)[-TXN_DEDUP_HORIZON:]):
         if _read_manifest(table, v).get("txn_id") == txn_id:
             return v
+    ckpt = _read_checkpoint(table)
+    if ckpt is not None:
+        return ckpt["txns"].get(txn_id)
     return None
 
 
@@ -269,7 +334,7 @@ def _commit(
                 f"{head}; re-read and retry"
             )
         prev = _read_manifest(table, head) if head is not None else None
-        files, stats = build(prev)
+        files, stats, *rest = build(prev)
         manifest = {
             "version": (head if head is not None else -1) + 1,
             "op": op,
@@ -277,6 +342,8 @@ def _commit(
             "stats": stats,
             "txn_id": txn_id,
         }
+        if rest:  # optional extra manifest fields (e.g. append "added")
+            manifest.update(rest[0])
         try:
             _publish(table, manifest["version"], manifest)
             return manifest["version"]
@@ -310,7 +377,15 @@ def append(
     def build(prev):
         prev_files = prev["files"] if prev else []
         prev_stats = prev.get("stats", {}) if prev else {}
-        return prev_files + new, {**prev_stats, **new_stats}
+        # "added" makes the commit's row-level delta SELF-CONTAINED:
+        # read_changes serves this version from its own manifest, so
+        # the change feed works on the oldest retained version even
+        # after vacuum expired version-1's manifest (ADVICE r08).
+        return (
+            prev_files + new,
+            {**prev_stats, **new_stats},
+            {"added": new},
+        )
 
     return _commit(
         table, build, "append", txn_id, rebase=True,
@@ -667,8 +742,11 @@ def read_changes(
     to fabricate an empty frame from without reading a snapshot).
 
     Cost is O(changed rows), never O(table): an ``append`` commit is
-    served from exactly the files that commit added (the manifest
-    file-list delta — no CDC write needed); a ``merge`` committed
+    served from exactly the files that commit added — recorded in the
+    commit's OWN manifest (``added``), so the delta is self-contained
+    and polling the oldest retained version works even after vacuum
+    expired its predecessor's manifest (ADVICE r08; manifests written
+    before the field fall back to diffing version-1) — a ``merge`` committed
     with ``write_changefeed=True`` is served from its recorded
     ``cdc_files``; a ``compact`` rewrites layout, not data, and
     contributes nothing. A ``merge`` WITHOUT a change feed or an
@@ -681,7 +759,8 @@ def read_changes(
     Additive schema evolution across the range is handled by
     name-based union with NULL backfill. Versions older than the
     vacuum horizon raise FileNotFoundError (their manifests are
-    gone); a consumer's cursor must stay within retention, the same
+    gone); a consumer's cursor must stay within retention — any
+    RETAINED version is servable (see ``added`` above), the same
     contract as the txn-id dedup horizon.
     """
     from functools import reduce
@@ -700,13 +779,21 @@ def read_changes(
         if op == "compact":
             continue
         if v == 0 or op == "append":
-            prev = (
-                set(_read_manifest(table, v - 1)["files"]) if v > 0 else set()
-            )
+            if "added" in manifest:
+                # self-contained delta recorded at commit time — no
+                # dependence on version v-1's manifest, which vacuum
+                # may have expired even though v itself is retained
+                # (ADVICE r08)
+                names = manifest["added"]
+            else:  # legacy manifest: diff against the previous version
+                prev = (
+                    set(_read_manifest(table, v - 1)["files"])
+                    if v > 0
+                    else set()
+                )
+                names = [n for n in manifest["files"] if n not in prev]
             added = [
-                os.path.join(_data_dir(table), name)
-                for name in manifest["files"]
-                if name not in prev
+                os.path.join(_data_dir(table), name) for name in names
             ]
             if not added:
                 continue
@@ -745,7 +832,7 @@ def read_changes(
 SYNC_TXN_PREFIX = "changefeed-sync"
 
 
-def sync_position(dst_table: str) -> int:
+def sync_position(dst_table: str, upto: int | None = None) -> int:
     """Last source version a ``sync_changes`` commit applied to
     ``dst_table``, or -1 if never synced. Read from the destination's
     own manifests, newest-first — the consumer offset is committed
@@ -757,11 +844,37 @@ def sync_position(dst_table: str) -> int:
     between syncs and the next sync would re-append the whole feed
     (review r08). Losing the position entirely — vacuum expired every
     sync manifest — still resets; keep ``retain_last`` deeper than
-    the sync cadence, as documented on ``vacuum``."""
-    for v in reversed(_list_versions(dst_table)):
+    the sync cadence, as documented on ``vacuum``.
+
+    ``upto`` bounds the scan to manifests <= that version:
+    ``sync_changes`` reads the destination HEAD first and derives the
+    position from that same snapshot, so a competing sync committing
+    between the two reads (with a different source head, where txn-id
+    dedup cannot collide) is excluded from the position — its commit
+    moved the head past the CAS target, so the stale worker's append
+    fails and retries instead of double-applying the overlapping
+    range (ADVICE r08)."""
+    versions = _list_versions(dst_table)
+    if upto is not None:
+        versions = [v for v in versions if v <= upto]
+    for v in reversed(versions):
         txn = _read_manifest(dst_table, v).get("txn_id") or ""
         if txn.startswith(SYNC_TXN_PREFIX + ":"):
             return int(txn.rsplit(":", 1)[1])
+    # No live sync manifest: the offset may have been folded into the
+    # checkpoint when vacuum expired its manifest — the fold keeps
+    # deep-vacuumed destinations resumable instead of resetting to -1
+    # and re-appending the whole feed.
+    ckpt = _read_checkpoint(dst_table)
+    if ckpt is not None:
+        folded = [
+            (v, int(txn.rsplit(":", 1)[1]))
+            for txn, v in ckpt["txns"].items()
+            if txn.startswith(SYNC_TXN_PREFIX + ":")
+            and (upto is None or v <= upto)
+        ]
+        if folded:  # latest DESTINATION commit wins, as in the walk
+            return max(folded)[1]
     return -1
 
 
@@ -799,8 +912,13 @@ def sync_changes(
     from pyspark.sql import functions as F
 
     for _ in range(MAX_COMMIT_RETRIES):
-        position = sync_position(dst_table)
+        # Head FIRST, then the position derived only from manifests
+        # <= that head (one consistent snapshot): a racer committing
+        # after the head read cannot leave a stale position paired
+        # with a CAS target that already covers its commit — the CAS
+        # fails and this worker re-reads (ADVICE r08).
         dst_head = latest_version(dst_table)
+        position = sync_position(dst_table, upto=dst_head)
         head = latest_version(src_table)
         if head is None or head <= position:
             return None
@@ -898,11 +1016,13 @@ class ChangefeedCursor:
 
 
 def history(table: str) -> list[dict]:
-    """All committed manifests, oldest first (the audit/debug view).
+    """All retained manifests, oldest first (the audit/debug view).
 
-    O(commits) small-file reads; the >1e5-commit growth path is the
-    standard log checkpoint — fold a prefix of manifests into one and
-    let this walk start there.
+    O(retained commits) small-file reads. The >1e5-commit growth path
+    is ``write_checkpoint`` + ``vacuum``: folding lets vacuum delete
+    old manifests without losing the replay-dedup/offset state the
+    walks need, which keeps ``_log/`` (and therefore every listing
+    and walk) bounded by the vacuum cadence instead of table age.
     """
     return [_read_manifest(table, v) for v in _list_versions(table)]
 
@@ -931,11 +1051,12 @@ def vacuum(
     Only unreferenced files older than the horizon are deleted; pass
     0 in tests or maintenance windows with no live writers.
 
-    Retention also bounds txn-id replay protection: the dedup scan
-    reads retained manifests only, so keep ``retain_last`` deeper
-    than any writer's retry horizon — expiring a manifest whose
-    txn id a crashed writer will still replay turns that replay into
-    a duplicate apply.
+    Txn-id replay protection SURVIVES retention: expired manifests'
+    txn ids are folded into the log checkpoint (``write_checkpoint``)
+    before deletion, so a crashed writer replaying a vacuumed commit's
+    txn id is still recognized as a no-op. What retention does bound
+    is time travel and the change feed — versions whose manifests are
+    gone cannot be read.
     """
     import time
 
@@ -984,6 +1105,13 @@ def vacuum(
                 path = os.path.join(log, entry)
                 if os.path.getmtime(path) <= cutoff:
                     os.unlink(path)
-    for v in versions[:-retain_last]:
+    expired = versions[:-retain_last]
+    if expired:
+        # Fold BEFORE deleting: the expired manifests' txn ids (and
+        # with them sync_position's consumer offsets) move into the
+        # checkpoint, so expiry no longer weakens replay dedup — a
+        # crashed writer replaying a folded txn id is still a no-op.
+        write_checkpoint(table, upto=expired[-1])
+    for v in expired:
         os.unlink(_manifest_path(table, v))
     return deleted

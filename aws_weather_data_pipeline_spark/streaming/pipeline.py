@@ -238,22 +238,35 @@ def append_epoch_to_tablelog(
 
 def _checkpoint_namespace(checkpoint_dir: str) -> str:
     """The txn namespace bound to this checkpoint's LIFETIME: a uuid
-    minted once per checkpoint and stored in it. os.O_EXCL makes
-    concurrent first-starts converge on one winner's uuid."""
+    minted once per checkpoint and stored in it. The marker appears
+    ATOMICALLY with its contents — written to a tmp name and
+    os.link'd into place — so concurrent first-starts converge on one
+    winner's uuid and a loser can never read a created-but-not-yet-
+    written marker as an empty namespace (ADVICE r08: O_EXCL-create
+    followed by a separate write left that window, and two drivers
+    with different namespaces break epoch replay dedup silently)."""
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, ".tablelog-namespace")
-    try:
-        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    if not os.path.exists(marker):
+        tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex[:12])
         try:
-            os.write(fd, uuid.uuid4().hex[:12].encode())
+            os.link(tmp, marker)  # atomic publish: EEXIST = lost race
+        except FileExistsError:
+            pass
         finally:
-            os.close(fd)
-    except FileExistsError:
-        pass
+            os.unlink(tmp)
     with open(marker) as fh:
-        return fh.read().strip()
+        content = fh.read().strip()
+    if not content:
+        raise RuntimeError(
+            f"corrupt empty namespace marker {marker}; remove it (or "
+            "reset the checkpoint) before restarting the stream"
+        )
+    return content
 
 
 def start_tablelog_sink(

@@ -875,3 +875,47 @@ def test_decode_quarantine_splits_bad_rows_without_killing_stage(spark):
         assert rows[did]["decode_error"] is None
         for col in ("width", "height", "pixel_byte_sum"):
             assert rows[did][col] == strict[did][col]
+
+
+def test_decode_media_malformed_input_contract_under_fuzz():
+    """The quarantine guard's whole contract is that a corrupt payload
+    raises ValueError from decode_media — truncations and bit flips
+    escaped as struct.error/zlib.error/IndexError/OverflowError before
+    r09 normalized the codec surface (ADVICE r08), so one bad image
+    would kill a 100 TB scan despite the dead-letter stage. Fuzz every
+    codec: each mutation either decodes (some flips land in pixel
+    data) or raises exactly ValueError."""
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+    )
+
+    raster = bytes(range(64))  # one 8x8 grayscale block
+    rgb = bytes(np.repeat(np.frombuffer(raster, np.uint8), 3))
+    payloads = {
+        "image/x-portable-pixmap": b"P6\n8 8\n255\n" + rgb,
+        "image/png": encode_png(rgb, 8, 8),
+        "audio/wav": encode_wav(list(range(-32, 32)), 8000, 1),
+        "image/gif": encode_gif([raster], 8, 8),
+        "image/jpeg": encode_jpeg(raster, 8, 8),
+    }
+    rng = np.random.default_rng(7)
+    for ctype, payload in payloads.items():
+        assert decode_media(payload, ctype)  # the clean baseline
+        mutations = [payload[:k] for k in range(0, len(payload), 7)]
+        for _ in range(150):
+            flipped = bytearray(payload)
+            i = int(rng.integers(len(flipped)))
+            flipped[i] ^= int(rng.integers(1, 256))
+            mutations.append(bytes(flipped))
+        for mut in mutations:
+            try:
+                decode_media(mut, ctype)
+            except ValueError:
+                pass  # the one exception the per-row guard handles
+            # anything else (struct.error, zlib.error, IndexError,
+            # OverflowError, ...) fails the test as an escape

@@ -906,3 +906,150 @@ def test_checkpoint_reset_rotates_txn_namespace(tmp_path):
     shutil.rmtree(ckpt)  # reset: reprocess from scratch
     ns2 = _checkpoint_namespace(ckpt)
     assert ns2 != ns1
+
+
+def test_catalog_query_fixture_prunes_files_and_isolates_snapshot(
+    spark, sf_dir
+):
+    """The driver's tablelog_time_travel_prune query certifies that
+    pruning never DROPS a row (oracle hash compare); this pins that
+    on its range-clustered fixture the zone map actually SKIPS files
+    (not a no-op) and that version 1 excludes the head commit."""
+    from aws_weather_data_pipeline_spark.plans.tablelog_queries import (
+        PRUNE_HI,
+        PRUNE_LO,
+        build_events_log,
+    )
+
+    table = build_events_log(spark, sf_dir)
+    assert tl.latest_version(table) == 2
+    all_files = tl.files_for(table, version=1)
+    pruned = tl.files_for(
+        table, version=1, where=("user_id", PRUNE_LO, PRUNE_HI)
+    )
+    assert len(pruned) < len(all_files), (
+        "range-clustered commits must give the zone map files to skip"
+    )
+    # snapshot isolation through the same read path the query uses:
+    # v1 rows = slices 0+1 exactly, v2 adds slice 2
+    from pyspark.sql import functions as F
+
+    v1 = tl.read_snapshot(spark, table, version=1)
+    assert v1.filter(F.col("event_id") % 3 == 2).count() == 0
+    head = tl.read_snapshot(spark, table)
+    assert head.count() > v1.count()
+
+
+def test_sync_position_snapshot_consistent_read_blocks_racer(
+    spark, tmp_path
+):
+    """ADVICE r08: two workers syncing the same pair race. Worker A
+    reads the destination head; worker B's sync (covering a NEWER
+    source head, so txn-id dedup cannot collide) commits; worker A
+    must NOT be able to pair its stale position with B's advanced
+    head — deriving the position from manifests <= the head A read
+    keeps A's CAS targeting the head it actually saw, so the append
+    fails instead of double-applying B's range."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), src)
+    tl.sync_changes(spark, src, dst)  # dst v0 covers src v0
+
+    # worker A's snapshot: head first, position bounded by it
+    a_head = tl.latest_version(dst)
+    tl.append(_frame(spark, 3, 5), src)  # src advances to v1
+
+    # worker B syncs the new range first (the race winner)
+    tl.sync_changes(spark, src, dst)
+    assert tl.sync_position(dst) == 1
+
+    # A's bounded position ignores B's commit — stale but CONSISTENT
+    a_position = tl.sync_position(dst, upto=a_head)
+    assert a_position == 0
+    # src advances AGAIN so A's batch covers (0, 2] under txn :2 —
+    # a DIFFERENT source head than B's :1, the case txn-id replay
+    # dedup cannot catch; only the CAS stands between A and
+    # double-applying B's (0, 1] range
+    tl.append(_frame(spark, 5, 7), src)
+    changes = tl.read_changes(spark, src, a_position)
+    with pytest.raises(tl.CommitConflict):
+        tl.append(
+            changes.drop("_change_type", "_commit_version"),
+            dst,
+            txn_id=f"{tl.SYNC_TXN_PREFIX}:2",
+            require_head=a_head,
+        )
+    # the retry path (what sync_changes' loop does) applies ONLY the
+    # remainder: no duplicated rows from B's range
+    tl.sync_changes(spark, src, dst)
+    assert _values(tl.read_snapshot(spark, dst)) == list(range(7))
+
+
+def test_read_changes_serves_oldest_retained_version_after_vacuum(
+    spark, tmp_path
+):
+    """ADVICE r08: appends used to serve their delta by diffing the
+    PREVIOUS manifest, so polling the oldest retained version blew up
+    with FileNotFoundError once vacuum expired its predecessor — a
+    version squarely inside the documented retention horizon. The
+    delta is now recorded in the commit's own manifest."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)   # v0
+    tl.append(_frame(spark, 3, 5), table)   # v1
+    tl.append(_frame(spark, 5, 9), table)   # v2
+    tl.vacuum(table, retain_last=2, min_age_seconds=0)  # v0 expired
+    # cursor at v0: the range (0, 2] starts at v1, whose predecessor
+    # manifest is gone — must still serve exactly v1+v2's rows
+    changes = tl.read_changes(spark, table, since_version=0)
+    assert _values(changes) == list(range(3, 9))
+    versions = sorted(
+        r["_commit_version"] for r in changes.collect()
+    )
+    assert versions == [1, 1, 2, 2, 2, 2]
+
+
+def test_checkpoint_folds_txn_dedup_past_vacuum(spark, tmp_path):
+    """The growth path: vacuum folds expired manifests' txn ids into
+    _log/_checkpoint.json before deleting them, so exactly-once
+    replay dedup survives manifest expiry (previously a documented
+    caveat) and _log stays bounded by the vacuum cadence."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table, txn_id="batch-A")
+    tl.append(_frame(spark, 3, 5), table, txn_id="batch-B")
+    tl.append(_frame(spark, 5, 6), table, txn_id="batch-C")
+    tl.vacuum(table, retain_last=1, min_age_seconds=0)
+    # batch-A and batch-B's manifests are GONE...
+    assert tl._list_versions(table) == [2]
+    with pytest.raises(FileNotFoundError):
+        tl._read_manifest(table, 0)
+    # ...but their replay is still recognized from the fold
+    assert tl.append(_frame(spark, 0, 3), table, txn_id="batch-A") == 0
+    assert tl.append(_frame(spark, 3, 5), table, txn_id="batch-B") == 1
+    assert _values(tl.read_snapshot(spark, table)) == list(range(6))
+    # incremental re-fold: only manifests above the previous fold read
+    assert tl.write_checkpoint(table) == tl.latest_version(table)
+
+
+def test_checkpoint_preserves_sync_position_past_vacuum(
+    spark, tmp_path
+):
+    """A deep vacuum on the destination used to reset sync_position
+    to -1 (every sync manifest expired) and the next sync re-appended
+    the whole feed; the fold keeps the consumer offset."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), src)
+    tl.sync_changes(spark, src, dst)
+    tl.append(_frame(spark, 3, 5), src)
+    tl.sync_changes(spark, src, dst)
+    # bury the sync manifests under non-sync commits, then expire them
+    tl.append(_frame(spark, 100, 101), dst)
+    tl.append(_frame(spark, 101, 102), dst)
+    tl.vacuum(dst, retain_last=2, min_age_seconds=0)
+    assert tl.sync_position(dst) == 1  # folded, not reset to -1
+    # idle source: nothing re-applied
+    assert tl.sync_changes(spark, src, dst) is None
+    # new source data: only the remainder moves
+    tl.append(_frame(spark, 5, 7), src)
+    tl.sync_changes(spark, src, dst)
+    assert _values(tl.read_snapshot(spark, dst)) == sorted(
+        list(range(7)) + [100, 101]
+    )
