@@ -98,6 +98,26 @@ BENCH_NOTES = {
         "(plan-pinned). Isolated r08 probes: 0.93-1.47s, at/below "
         "the r06 level."
     ),
+    "python_worker_cluster_r08": (
+        "r08 flagged an unannotated regression cluster concentrated "
+        "in Python-worker-heavy (mapInPandas / Arrow) queries: "
+        "near_dup_pairs_embedding 0.46->1.77s, "
+        "multimodal_feature_extract 0.43->1.12s, "
+        "multimodal_audio_windows 0.61->1.53s; none of their plans "
+        "changed in r08. r09 isolated probes (tools/bench_probe.py, "
+        "5 runs each, idle session, same bench confs): "
+        "near_dup_pairs_embedding min 0.647s, "
+        "multimodal_feature_extract min 0.554s, "
+        "multimodal_audio_windows min 0.893s — all recovering to "
+        "near their r07 levels, with first-sample outliers of 14.1s "
+        "and 9.9s on the two multimodal queries (daemon spawning 32 "
+        "Python workers under host contention). The inflated "
+        "catalog-run minimums are therefore worker-spawn/host-drift "
+        "variance hitting all 3 interleaved passes, not plan cost: "
+        "the drift class established in r05-r07 (see host_drift, "
+        "multimodal_decode_ppm), now landing on Python-worker "
+        "startup rather than JVM throughput."
+    ),
     "streaming_queries": (
         "The 8 streaming_* timings are live micro-batch drains "
         "(readStream, checkpoint I/O, awaitTermination) — their "
