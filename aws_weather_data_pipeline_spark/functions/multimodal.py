@@ -82,19 +82,23 @@ _MALFORMED_INPUT_ERRORS = (
 def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     """Decode a media payload to its typed dict.
 
-    Five real decoders, pure Python + numpy/stdlib: binary PPM (P6),
+    Six real decoders, pure Python + numpy/stdlib: binary PPM (P6),
     PNG (8-bit RGB — chunk walk with CRC check, zlib inflate,
     scanline unfilter for all five filter types), RIFF WAV (16-bit
     PCM), GIF89a (multi-frame animation: logical-screen/color-table
     parse, per-frame image descriptors, REAL LZW decompression with
-    growing code widths and clear-code resets), and baseline-DCT
+    growing code widths and clear-code resets), baseline-DCT
     JPEG (SOF0: DQT/DHT/DRI marker walk, canonical Huffman decode,
     vectorized dequantize + inverse-zigzag + IDCT, grayscale and
-    4:4:4 YCbCr->RGB). Every other content type raises
-    ``NotImplementedError``: MP3/video codecs need libraries not
-    present in this container; a deployment installs ffmpeg and adds
+    4:4:4 YCbCr->RGB), and RIFF AVI video (uncompressed RGB24 DIB
+    frames: hdrl/strl header walk, movi frame chunks, bottom-up
+    BGR stride-padded rows back to top-down RGB). Every other
+    content type raises ``NotImplementedError``: compressed
+    audio/video codecs (MP3, H.264, ...) need libraries not present
+    in this container; a deployment installs ffmpeg and adds
     branches here — the surrounding plumbing
-    (``decode_image_features``) is format-agnostic and unchanged.
+    (``decode_image_features``, ``decode_avi_frames``) is
+    format-agnostic and unchanged.
     """
     decoders = {
         "image/x-portable-pixmap": _decode_ppm,
@@ -102,6 +106,7 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
         "audio/wav": _decode_wav,
         "image/gif": _decode_gif,
         "image/jpeg": _decode_jpeg,
+        "video/x-msvideo": _decode_avi,
     }
     decoder = decoders.get(content_type)
     if decoder is not None:
@@ -124,9 +129,10 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
             ) from exc
     raise NotImplementedError(
         f"no decoder for {content_type!r} in this environment; "
-        "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, GIF89a, and "
-        "baseline-DCT JPEG are the built-in reference decoders "
-        "(MP3/video need codecs absent from this container)"
+        "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, GIF89a, "
+        "baseline-DCT JPEG, and uncompressed RGB24 AVI are the "
+        "built-in reference decoders (MP3 and compressed video "
+        "need codecs absent from this container)"
     )
 
 
@@ -937,6 +943,296 @@ def decode_gif_frames(df: DataFrame) -> DataFrame:
         "doc_id", "payload",
         F.col("payload_meta.content_type").alias("content_type"),
     ).mapInPandas(gen, schema=GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# AVI video container (RIFF, uncompressed RGB24 'DIB ' frames)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encode RGB24 frames as an uncompressed RIFF AVI.
+
+    Each input frame is ``width*height*3`` top-down RGB bytes; the
+    container stores them the DIB way (bottom-up rows, BGR order,
+    row stride padded to 4 bytes) inside ``00db`` chunks under the
+    ``movi`` list, with the standard ``hdrl`` headers (``avih`` main
+    header, one ``vids``/``DIB `` stream with ``strh``+``strf``
+    BITMAPINFOHEADER) and an ``idx1`` keyframe index. Storage is
+    lossless, so encode→decode round-trips bit-exactly — the same
+    fixture-pinned exactness discipline as PPM/PNG/WAV/GIF."""
+    if any(len(f) != width * height * 3 for f in frames):
+        raise ValueError("every frame must be width*height*3 RGB bytes")
+    stride = (width * 3 + 3) & ~3
+    size_image = stride * height
+
+    def dib(frame: bytes) -> bytes:
+        arr = np.frombuffer(frame, dtype=np.uint8).reshape(
+            height, width, 3
+        )
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(
+            height, width * 3
+        )
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        size_image * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        size_image + 8,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4h",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,  # dwFlags, wPriority, wLanguage, dwInitialFrames
+        1, fps,  # dwScale, dwRate: fps = rate/scale
+        0, len(frames),  # dwStart, dwLength (frames)
+        size_image + 8, 0, 0,  # dwSuggestedBufferSize, quality, sampleSize
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0,  # BI_RGB
+        size_image, 0, 0, 0, 0,
+    )
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_chunks, idx_entries, offset = [], [], 4
+    for frame in frames:
+        data = chunk(b"00db", dib(frame))
+        movi_chunks.append(data)
+        idx_entries.append(
+            struct.pack("<4sIII", b"00db", 0x10, offset, size_image)
+        )
+        offset += len(data)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _avi_chunks(b: bytes, pos: int, end: int):
+    """Walk RIFF chunks in b[pos:end], yielding (fourcc, start, size).
+    Chunks are word-aligned: an odd size is followed by a pad byte."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"truncated RIFF chunk header at {pos}")
+        fourcc = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError(
+                f"chunk {fourcc!r} at {pos} claims {size} bytes past "
+                "the container end (truncated file)"
+            )
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _decode_avi(b: bytes) -> dict:
+    """Decode an uncompressed RGB24 AVI: RIFF walk (hdrl: avih + one
+    vids stream's strh/strf; movi: 00db/00dc frame chunks; idx1
+    ignored), DIB rows (bottom-up, BGR, 4-byte stride) converted back
+    to top-down RGB per frame. Returns {width, height, rate, scale,
+    frames} with frames as top-down RGB byte strings. Compressed
+    streams (biCompression != 0), non-24-bit DIBs, and multi-stream
+    files raise ValueError — this is the uncompressed reference
+    decoder; a deployment adds codec branches via ffmpeg."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError(
+            f"not a RIFF AVI: magic={b[:4]!r}/{b[8:12]!r}"
+        )
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    end = min(8 + riff_size, len(b))
+    if 8 + riff_size > len(b):
+        raise ValueError("RIFF size field exceeds file length")
+    width = height = rate = scale = declared = None
+    bitcount = compression = None
+    frames: list[bytes] = []
+    for fourcc, start, size in _avi_chunks(b, 12, end):
+        if fourcc != b"LIST":
+            continue  # idx1 / JUNK at top level
+        kind = b[start : start + 4]
+        if kind == b"hdrl":
+            for f2, s2, z2 in _avi_chunks(b, start + 4, start + size):
+                if f2 == b"avih":
+                    if z2 < 40:
+                        raise ValueError("avih header too short")
+                    declared = struct.unpack("<I", b[s2 + 16 : s2 + 20])[0]
+                elif f2 == b"LIST" and b[s2 : s2 + 4] == b"strl":
+                    for f3, s3, z3 in _avi_chunks(b, s2 + 4, s2 + z2):
+                        if f3 == b"strh":
+                            if z3 < 48:
+                                raise ValueError("strh too short")
+                            fcc_type = b[s3 : s3 + 4]
+                            if fcc_type != b"vids":
+                                raise ValueError(
+                                    "only single-video-stream AVIs "
+                                    f"supported; got {fcc_type!r}"
+                                )
+                            scale, rate = struct.unpack(
+                                "<II", b[s3 + 20 : s3 + 28]
+                            )
+                        elif f3 == b"strf":
+                            if z3 < 40:
+                                raise ValueError(
+                                    "BITMAPINFOHEADER too short"
+                                )
+                            (
+                                _bisize, width, height, _planes,
+                                bitcount, compression,
+                            ) = struct.unpack("<IiiHHI", b[s3 : s3 + 20])
+        elif kind == b"movi":
+            for f2, s2, z2 in _avi_chunks(b, start + 4, start + size):
+                if f2[2:4] in (b"db", b"dc"):
+                    frames.append(b[s2 : s2 + z2])
+    if width is None or bitcount is None:
+        raise ValueError("AVI missing strf BITMAPINFOHEADER")
+    if compression != 0 or bitcount != 24:
+        raise ValueError(
+            f"only uncompressed 24-bit DIB frames supported; got "
+            f"biCompression={compression} biBitCount={bitcount}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if declared is not None and declared != len(frames):
+        raise ValueError(
+            f"avih declares {declared} frames; movi has {len(frames)}"
+        )
+    stride = (width * 3 + 3) & ~3
+    rgb_frames = []
+    for i, data in enumerate(frames):
+        if len(data) != stride * height:
+            raise ValueError(
+                f"frame {i}: {len(data)} bytes, DIB {width}x{height} "
+                f"needs {stride * height}"
+            )
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(
+            height, stride
+        )
+        rgb = (
+            rows[:, : width * 3]
+            .reshape(height, width, 3)[::-1, :, ::-1]
+            .tobytes()
+        )
+        rgb_frames.append(rgb)
+    return {
+        "width": width,
+        "height": height,
+        "rate": rate,
+        "scale": scale,
+        "frames": rgb_frames,
+    }
+
+
+def with_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a synthetic uncompressed-AVI payload derived from
+    ``text_col``.
+
+    Frame geometry and count come from doc_id (width 1-4, height 1-3,
+    2-5 frames); frame ``f``'s RGB bytes are the text bytes at offset
+    f*w*h*3, right-padded to n_frames*w*h*3 with 'x'. SQL-derivable,
+    so an oracle re-derives every decoded frame statistic while the
+    Spark side must survive the full RIFF/DIB container round-trip
+    (bottom-up BGR rows, 4-byte stride padding)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _to_avi(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, t in zip(doc_id, text):
+            did = int(did)
+            w = 1 + did % 4
+            h = 1 + did % 3
+            n_frames = 2 + did % 4
+            total = n_frames * w * h * 3
+            raw = (t or "")[:180].encode("utf-8")
+            raw = raw[:total].ljust(total, b"x")
+            frames = [
+                raw[f * w * h * 3 : (f + 1) * w * h * 3]
+                for f in range(n_frames)
+            ]
+            out.append(encode_avi(frames, w, h))
+        return pd.Series(out)
+
+    return df.withColumn(
+        "payload", _to_avi(F.col("doc_id"), F.col(text_col))
+    ).withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit("video/x-msvideo").alias("content_type"),
+        ),
+    )
+
+
+#: Video decode-stage output: one row per SAMPLED decoded frame.
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixel_bytes", T.LongType(), True),
+        T.StructField("pixel_byte_sum", T.LongType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_avi_frames(df: DataFrame, stride: int = 1) -> DataFrame:
+    """Video decode + keyframe-style sampling: decode the container,
+    keep every ``stride``-th frame, emit exact per-frame statistics
+    and the frame's md5 (SQL-checkable — the decoded RGB bytes ARE
+    the construction rule's text bytes). Row expansion through Arrow,
+    narrow no-shuffle stage; downstream per-frame ops key on
+    (doc_id, frame_idx). Subsumes ``sample_frames``' fixed-window
+    stand-in once registered: same plumbing shape, real container."""
+    import hashlib
+
+    def gen(pdf_iter: Iterator) -> Iterator:
+        for pdf in pdf_iter:
+            out = {k.name: [] for k in AVI_FRAME_SCHEMA.fields}
+            for doc_id, payload, ctype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_type"]
+            ):
+                vid = decode_media(bytes(payload), ctype)
+                for idx in range(0, len(vid["frames"]), stride):
+                    rgb = vid["frames"][idx]
+                    arr = np.frombuffer(rgb, dtype=np.uint8)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(vid["width"])
+                    out["height"].append(vid["height"])
+                    out["n_pixel_bytes"].append(arr.size)
+                    out["pixel_byte_sum"].append(
+                        int(arr.sum(dtype=np.int64))
+                    )
+                    out["frame_md5"].append(
+                        hashlib.md5(rgb).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload",
+        F.col("payload_meta.content_type").alias("content_type"),
+    ).mapInPandas(gen, schema=AVI_FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

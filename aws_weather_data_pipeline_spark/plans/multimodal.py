@@ -3,10 +3,10 @@
 Every stage of a media pipeline has a catalog query: payload/metadata
 accounting, Arrow-batched mapInPandas feature extraction, frame
 sampling (row expansion), a scalar pandas_udf scorer slot, REAL decode
-(pure-Python binary PPM and zlib-inflated PNG through
-functions/multimodal.decode_media — JPEG/audio codecs would drop into
-the same branch; they are absent from this container), and
-resize/downsampling. Everything emits
+(pure-Python PPM, PNG, WAV, GIF, JPEG, and uncompressed AVI video
+through functions/multimodal.decode_media — compressed audio/video
+codecs would drop into the same branch; they are absent from this
+container), and resize/downsampling. Everything emits
 deterministic byte statistics, so even the Python stages are
 oracle-checkable — DuckDB recomputes the same statistics in SQL.
 """
@@ -635,3 +635,83 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload_meta.n_bytes").cast("int").alias("resized_bytes"),
         F.md5("payload").alias("resized_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# AVI video decode + frame sampling (tokenizer: r11 registration)
+# --------------------------------------------------------------------------
+
+#: Frame-sampling stride for the video query (keep every 2nd frame).
+AVI_SAMPLE_STRIDE = 2
+
+#: Exact oracle for multimodal_decode_avi (DuckDB). Held here
+#: UNREGISTERED: the catalog sits at the 150-query cap and every
+#: window through r10 is exactly its mandatory aged block (capacity
+#: ledger, plans/catalog.py). Plan of record: r11 registers this
+#: query in place of multimodal_frame_sample, which it strictly
+#: subsumes — same Arrow row-expansion + stride sampling + SQL-md5
+#: check, but over REAL container frames (multimodal_frame_sample's
+#: own doc calls its fixed windows "the ffmpeg-keyframe stand-in ...
+#: the container has no codecs"; it now does). frame_sample's latest
+#: driver row is r08, so it enters the mandatory window exactly at
+#: r11 and the swap transfers its slot. tests/test_multimodal.py
+#: runs the identical compare the driver will.
+AVI_FRAMES_SQL = f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               1 + doc_id % 4 AS w,
+               1 + doc_id % 3 AS h,
+               2 + doc_id % 4 AS n_frames
+        FROM documents
+    ),
+    img AS (
+        SELECT doc_id, w, h, n_frames,
+               rpad(substr(text, 1, 180),
+                    CAST(n_frames * w * h * 3 AS INTEGER), 'x') AS raw
+        FROM dims
+    ),
+    fr AS (
+        SELECT doc_id, w, h, raw,
+               unnest(range(0, n_frames, {AVI_SAMPLE_STRIDE}))
+                   AS frame_idx
+        FROM img
+    ),
+    v AS (
+        SELECT doc_id, frame_idx, w, h,
+               substr(raw, CAST(frame_idx * w * h * 3 + 1 AS INTEGER),
+                      CAST(w * h * 3 AS INTEGER)) AS fb
+        FROM fr
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(length(fb) AS BIGINT) AS n_pixel_bytes,
+           CAST(list_sum(list_transform(
+                    range(1, CAST(length(fb) + 1 AS BIGINT)),
+                    i -> ascii(substr(fb, CAST(i AS INTEGER), 1))))
+                AS BIGINT) AS pixel_byte_sum,
+           md5(fb) AS frame_md5
+    FROM v
+    """
+
+
+def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode + keyframe-style sampling through
+    the mapInPandas slot: each document carries an actual RIFF AVI
+    (hdrl/avih/strh/strf headers, uncompressed RGB24 DIB frames in
+    movi 00db chunks — bottom-up BGR rows with 4-byte stride padding
+    — and an idx1 keyframe index) built by
+    functions/multimodal.encode_avi; decode_media's _decode_avi walks
+    the container and reassembles every frame's top-down RGB bytes,
+    and the stage keeps every AVI_SAMPLE_STRIDE-th frame with exact
+    byte statistics and the frame md5. Storage is lossless, so the
+    oracle re-derives every statistic from the text construction rule
+    directly. Narrow no-shuffle Arrow stage, row expansion keyed on
+    (doc_id, frame_idx) downstream — the same plumbing contract as
+    multimodal_frame_sample, which this query subsumes at
+    registration (see AVI_FRAMES_SQL).
+    """
+    from ..functions.multimodal import decode_avi_frames, with_avi_payload
+
+    d = with_avi_payload(_docs(spark, sf_dir))
+    return decode_avi_frames(d, stride=AVI_SAMPLE_STRIDE)

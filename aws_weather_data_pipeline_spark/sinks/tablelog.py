@@ -932,11 +932,13 @@ def sync_changes(
                 # v0 is served as plain inserts whatever its op (the
                 # bootstrap commit of an empty table) — only LATER
                 # rewrites falsify the insert-only declaration
-                rewrite_ops = [
+                range_ops = [
                     _read_manifest(src_table, v)["op"]
                     for v in range(max(position + 1, 1), head + 1)
-                    if _read_manifest(src_table, v)["op"]
-                    not in ("append", "compact")
+                ]
+                rewrite_ops = [
+                    op for op in range_ops
+                    if op not in ("append", "compact")
                 ]
                 if rewrite_ops:
                     raise ValueError(

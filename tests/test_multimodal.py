@@ -888,6 +888,7 @@ def test_decode_media_malformed_input_contract_under_fuzz():
     import numpy as np
 
     from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_avi,
         encode_gif,
         encode_jpeg,
         encode_png,
@@ -902,6 +903,7 @@ def test_decode_media_malformed_input_contract_under_fuzz():
         "audio/wav": encode_wav(list(range(-32, 32)), 8000, 1),
         "image/gif": encode_gif([raster], 8, 8),
         "image/jpeg": encode_jpeg(raster, 8, 8),
+        "video/x-msvideo": encode_avi([rgb, rgb], 8, 8),
     }
     rng = np.random.default_rng(7)
     for ctype, payload in payloads.items():
@@ -919,3 +921,91 @@ def test_decode_media_malformed_input_contract_under_fuzz():
                 pass  # the one exception the per-row guard handles
             # anything else (struct.error, zlib.error, IndexError,
             # OverflowError, ...) fails the test as an escape
+
+
+def test_avi_roundtrip_property():
+    """Property: any RGB24 frame train at any geometry/fps survives
+    the RIFF AVI encode→decode round-trip exactly (storage is
+    uncompressed — the container adds headers, BGR order, bottom-up
+    rows, and stride padding, all of which must invert)."""
+    from hypothesis import given, settings, strategies as st
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_avi,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        n=st.integers(1, 6),
+        fps=st.sampled_from([1, 10, 24, 30]),
+        data=st.data(),
+    )
+    def check(w, h, n, fps, data):
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * 3,
+                        max_size=w * h * 3,
+                    )
+                )
+            )
+            for _ in range(n)
+        ]
+        out = decode_media(encode_avi(frames, w, h, fps), "video/x-msvideo")
+        assert (out["width"], out["height"]) == (w, h)
+        assert (out["rate"], out["scale"]) == (fps, 1)
+        assert out["frames"] == frames
+
+    check()
+
+
+def test_avi_decoder_rejects_malformed_input():
+    import struct
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_avi,
+    )
+
+    good = encode_avi([bytes(range(12))], 2, 2)
+    cases = {
+        "not riff": b"XXXX" + good[4:],
+        "not avi": good[:8] + b"WAVE" + good[12:],
+        "truncated": good[:30],
+        "size overruns": good[:4] + b"\xff\xff\xff\x7f" + good[8:],
+        "audio stream": good.replace(b"vids", b"auds"),
+        # flip strf's biCompression 0 -> 1 (planes=1, bitcount=24
+        # prefix makes the pattern unique to the BITMAPINFOHEADER)
+        "compressed": good.replace(
+            struct.pack("<HHI", 1, 24, 0),
+            struct.pack("<HHI", 1, 24, 1),
+            1,
+        ),
+        "frame count lies": good.replace(b"00db", b"00xx", 1),
+    }
+    for desc, mut in cases.items():
+        with pytest.raises(ValueError):
+            decode_media(mut, "video/x-msvideo")
+        # (desc kept for failure readability)
+        assert desc
+
+
+def test_avi_frames_match_oracle_and_driver_compare(spark, sf_dir):
+    """The exact compare the driver will run when r11 registers
+    multimodal_decode_avi in place of multimodal_frame_sample
+    (plan of record: plans/multimodal.py AVI_FRAMES_SQL)."""
+    from tests.oracle import compare
+
+    from aws_weather_data_pipeline_spark.plans.multimodal import (
+        AVI_FRAMES_SQL,
+        multimodal_decode_avi,
+    )
+
+    n = compare(
+        spark, sf_dir, multimodal_decode_avi, AVI_FRAMES_SQL,
+        name="multimodal_decode_avi",
+    )
+    assert n > 0

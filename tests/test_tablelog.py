@@ -416,12 +416,15 @@ def test_tablelog_matches_model_under_random_op_sequences(
         return spark.createDataFrame(list(rows), "k int, s int")
 
     versions: dict[int, Counter] = {}  # live version -> expected rows
-    for op, arg in ops:
+    txns: dict[str, tuple[int, list]] = {}  # txn -> (version, rows)
+    for i, (op, arg) in enumerate(ops):
         head = tl.latest_version(table)
         if head is None and op in ("compact", "merge", "vacuum"):
             continue  # these need an existing table
         if op == "append":
-            v = tl.append(df_of(arg), table)
+            txn = f"model-append-{i}"
+            v = tl.append(df_of(arg), table, txn_id=txn)
+            txns[txn] = (v, arg)
             prev = versions.get(v - 1, Counter())
             versions[v] = prev + Counter(arg)
         elif op == "overwrite":
@@ -448,6 +451,13 @@ def test_tablelog_matches_model_under_random_op_sequences(
             for r in tl.read_snapshot(spark, table, version=v).collect()
         )
         assert got == expect, f"version {v}: {got} != {expect}"
+    # exactly-once under the model: replaying ANY earlier append txn
+    # — including ones whose manifests vacuum expired and folded into
+    # the checkpoint — commits nothing and returns its version
+    head = tl.latest_version(table)
+    for txn, (v, rows) in txns.items():
+        assert tl.append(df_of(rows), table, txn_id=txn) == v, txn
+    assert tl.latest_version(table) == head
 
 
 def test_schema_evolution_append_merges_with_null_backfill(spark, tmp_path):
