@@ -100,15 +100,7 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     (``decode_image_features``, ``decode_avi_frames``) is
     format-agnostic and unchanged.
     """
-    decoders = {
-        "image/x-portable-pixmap": _decode_ppm,
-        "image/png": _decode_png,
-        "audio/wav": _decode_wav,
-        "image/gif": _decode_gif,
-        "image/jpeg": _decode_jpeg,
-        "video/x-msvideo": _decode_avi,
-    }
-    decoder = decoders.get(content_type)
+    decoder = _DECODERS.get(content_type)
     if decoder is not None:
         try:
             return decoder(payload_bytes)
@@ -2363,3 +2355,16 @@ def ppm_tile_stats(
         "doc_id", "payload",
         F.col("payload_meta.content_type").alias("content_type"),
     ).mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+#: decode_media's dispatch table, built once at import (the function
+#: runs once per ROW inside mapInPandas hot loops — review r09).
+#: Defined at module end because the decoders are defined above.
+_DECODERS = {
+    "image/x-portable-pixmap": _decode_ppm,
+    "image/png": _decode_png,
+    "audio/wav": _decode_wav,
+    "image/gif": _decode_gif,
+    "image/jpeg": _decode_jpeg,
+    "video/x-msvideo": _decode_avi,
+}

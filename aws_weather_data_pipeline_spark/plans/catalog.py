@@ -77,7 +77,7 @@ DRIVER_WINDOW = (
     "bpe_train_merges",
     "mg_heavy_hitter_pairs",
     "tablelog_time_travel_prune",
-    # --- the 48 queries whose latest driver row is r05 ---
+    # --- the 47 queries whose latest driver row is r05 ---
     # composite multi-stage plans first (most likely to regress),
     # then streaming, weather, sampling/relational blocks.
     "semantic_dedup_keep_list",

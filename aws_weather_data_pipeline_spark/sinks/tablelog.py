@@ -86,9 +86,14 @@ MAX_COMMIT_RETRIES = 10
 #: (foreachBatch epochs, orchestrator retries) re-apply only recent
 #: work, so a fixed recent-history horizon preserves exactly-once
 #: where replays actually happen and bounds every commit at O(64)
-#: small reads. A replay arriving from deeper than the horizon
-#: applies twice — the same retention trade Delta makes, documented
-#: on ``vacuum``.
+#: small reads PLUS one cached O(1) checkpoint-fold lookup. The
+#: precise contract: a replay is recognized if its commit is within
+#: the horizon of head OR at/below the last checkpoint fold — fold
+#: (vacuum, or ``write_checkpoint`` directly) at least every
+#: TXN_DEDUP_HORIZON commits and the guarantee is total; a replay
+#: arriving from the uncovered middle gap applies twice (review r09
+#: closed the previous, larger gap: vacuum now folds to HEAD, not
+#: just to the expired prefix).
 TXN_DEDUP_HORIZON = 64
 
 
@@ -130,12 +135,30 @@ def _checkpoint_path(table: str) -> str:
     return os.path.join(_log_dir(table), "_checkpoint.json")
 
 
+#: (path -> (mtime_ns, parsed)) cache for _read_checkpoint: the fold
+#: is consulted on every txn-bearing commit, and re-parsing a
+#: multi-MB fold per commit at the 1e5-commit scale it exists for
+#: would defeat it. mtime-keyed: a vacuum's atomic os.replace bumps
+#: the mtime and invalidates (review r09).
+_CKPT_CACHE: dict[str, tuple[int, dict]] = {}
+
+
 def _read_checkpoint(table: str) -> dict | None:
+    path = _checkpoint_path(table)
     try:
-        with open(_checkpoint_path(table)) as fh:
-            return json.load(fh)
+        mtime = os.stat(path).st_mtime_ns
     except FileNotFoundError:
         return None
+    cached = _CKPT_CACHE.get(path)
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
+    try:
+        with open(path) as fh:
+            parsed = json.load(fh)
+    except FileNotFoundError:  # raced a first-ever... replace is
+        return None  # atomic, but the stat itself may have raced
+    _CKPT_CACHE[path] = (mtime, parsed)
+    return parsed
 
 
 def write_checkpoint(table: str, upto: int | None = None) -> int:
@@ -160,7 +183,12 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     a maintenance operation assumed to run without a concurrent
     checkpointer (concurrent COMMITS are fine — they only add
     manifests above ``upto``); the file is replaced atomically so
-    readers always see a complete fold.
+    readers always see a complete fold. Fold at least every
+    TXN_DEDUP_HORIZON commits (vacuum does this automatically) to
+    keep the replay-dedup contract gap-free. The txns map grows
+    O(txn-bearing commits) — that is the price of permanent replay
+    protection; readers pay one mtime-cached parse per rewrite, not
+    per commit (_read_checkpoint).
     """
     versions = _list_versions(table)
     if not versions:
@@ -1053,12 +1081,17 @@ def vacuum(
     Only unreferenced files older than the horizon are deleted; pass
     0 in tests or maintenance windows with no live writers.
 
-    Txn-id replay protection SURVIVES retention: expired manifests'
-    txn ids are folded into the log checkpoint (``write_checkpoint``)
-    before deletion, so a crashed writer replaying a vacuumed commit's
-    txn id is still recognized as a no-op. What retention does bound
-    is time travel and the change feed — versions whose manifests are
-    gone cannot be read.
+    Txn-id replay protection SURVIVES retention: before deleting,
+    vacuum folds all manifests' txn ids (expired AND retained — fold
+    target is the head) into the log checkpoint, so a crashed writer
+    replaying a vacuumed commit's txn id is still recognized as a
+    no-op, and any txn at/below the fold is covered forever. The only
+    uncovered case is a replay from deeper than TXN_DEDUP_HORIZON
+    live commits AND above the last fold — vacuum (or
+    ``write_checkpoint``) at least every TXN_DEDUP_HORIZON commits
+    makes the guarantee total. What retention does bound is time
+    travel and the change feed — versions whose manifests are gone
+    cannot be read.
     """
     import time
 
@@ -1109,11 +1142,14 @@ def vacuum(
                     os.unlink(path)
     expired = versions[:-retain_last]
     if expired:
-        # Fold BEFORE deleting: the expired manifests' txn ids (and
-        # with them sync_position's consumer offsets) move into the
-        # checkpoint, so expiry no longer weakens replay dedup — a
-        # crashed writer replaying a folded txn id is still a no-op.
-        write_checkpoint(table, upto=expired[-1])
+        # Fold BEFORE deleting, and fold to HEAD (not just the expired
+        # prefix): the expired manifests' txn ids (and with them
+        # sync_position's consumer offsets) move into the checkpoint,
+        # so expiry never weakens replay dedup, and folding the
+        # retained ones too means the dedup contract (horizon scan +
+        # fold lookup) stays gap-free as long as folds happen at least
+        # every TXN_DEDUP_HORIZON commits (review r09).
+        write_checkpoint(table, upto=versions[-1])
     for v in expired:
         os.unlink(_manifest_path(table, v))
     return deleted

@@ -247,6 +247,9 @@ def _checkpoint_namespace(checkpoint_dir: str) -> str:
     with different namespaces break epoch replay dedup silently)."""
     import uuid
 
+    import errno
+    import time
+
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, ".tablelog-namespace")
     if not os.path.exists(marker):
@@ -257,16 +260,37 @@ def _checkpoint_namespace(checkpoint_dir: str) -> str:
             os.link(tmp, marker)  # atomic publish: EEXIST = lost race
         except FileExistsError:
             pass
+        except OSError as exc:
+            # Filesystems without hard links (some FUSE/object-store
+            # checkpoint mounts). Fall back to O_EXCL create+write;
+            # the created-empty window is handled by the reader's
+            # retry below (review r09 — os.rename is NOT a safe
+            # fallback: last-writer-wins would let two starters each
+            # read a different namespace).
+            if exc.errno not in (errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP):
+                raise
+            try:
+                fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                try:
+                    with open(tmp) as src:
+                        os.write(fd, src.read().encode())
+                finally:
+                    os.close(fd)
+            except FileExistsError:
+                pass
         finally:
             os.unlink(tmp)
-    with open(marker) as fh:
-        content = fh.read().strip()
-    if not content:
-        raise RuntimeError(
-            f"corrupt empty namespace marker {marker}; remove it (or "
-            "reset the checkpoint) before restarting the stream"
-        )
-    return content
+    content = ""
+    for _ in range(50):  # a racing winner writes within microseconds
+        with open(marker) as fh:
+            content = fh.read().strip()
+        if content:
+            return content
+        time.sleep(0.02)
+    raise RuntimeError(
+        f"namespace marker {marker} stayed empty; remove it (or "
+        "reset the checkpoint) before restarting the stream"
+    )
 
 
 def start_tablelog_sink(

@@ -1063,3 +1063,34 @@ def test_checkpoint_preserves_sync_position_past_vacuum(
     assert _values(tl.read_snapshot(spark, dst)) == sorted(
         list(range(7)) + [100, 101]
     )
+
+
+def test_dedup_contract_horizon_plus_fold_has_no_gap(
+    spark, tmp_path, monkeypatch
+):
+    """The exactly-once contract: a replay is recognized if its commit
+    is within TXN_DEDUP_HORIZON of head OR at/below the last
+    checkpoint fold. Vacuum folds to HEAD (review r09 — folding only
+    the expired prefix left live-but-deeper-than-horizon commits
+    uncovered), and write_checkpoint alone provides the same cover
+    between vacuums."""
+    monkeypatch.setattr(tl, "TXN_DEDUP_HORIZON", 2)
+    table = str(tmp_path / "t")
+    for i in range(5):
+        tl.append(_frame(spark, i * 2, i * 2 + 2), table, txn_id=f"b{i}")
+    # b0 is 5 commits deep, horizon is 2, no fold yet: uncovered
+    # (the documented middle-gap case) — write_checkpoint covers it
+    tl.write_checkpoint(table)
+    head = tl.latest_version(table)
+    for i in range(5):
+        assert tl.append(
+            _frame(spark, i * 2, i * 2 + 2), table, txn_id=f"b{i}"
+        ) == i
+    assert tl.latest_version(table) == head
+    # vacuum folds to head too: deep replays stay covered afterwards
+    tl.append(_frame(spark, 50, 52), table, txn_id="b5")
+    tl.vacuum(table, retain_last=2, min_age_seconds=0)
+    for i in range(6):
+        tl.append(_frame(spark, 0, 1), table, txn_id=f"b{i}")
+    assert tl.latest_version(table) == head + 1
+    assert _values(tl.read_snapshot(spark, table)) == list(range(10)) + [50, 51]

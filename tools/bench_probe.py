@@ -21,10 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 5
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    names, runs = [], 5
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--runs":
+            if i + 1 >= len(argv):
+                print("--runs needs a value", file=sys.stderr)
+                return 2
+            runs = int(argv[i + 1])
+            i += 2
+        else:
+            names.append(argv[i])
+            i += 1
     if not names:
         print(__doc__)
         return 2
