@@ -1,0 +1,122 @@
+"""Incremental aggregate maintenance (sinks/incremental.py):
+convergence to the from-scratch GROUP BY, exactly-once replay,
+insert-only refusal, crash-resume from the destination alone."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_weather_data_pipeline_spark.sinks import incremental as inc
+from aws_weather_data_pipeline_spark.sinks import tablelog as tl
+
+
+def _events(spark, rows):
+    # (user, value) pairs
+    return spark.createDataFrame(rows, "user int, value double")
+
+
+def _recompute(spark, src):
+    return {
+        (r["user"],): (r["n_rows"], r["sum_value"])
+        for r in tl.read_snapshot(spark, src)
+        .groupBy("user")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+
+
+def _folded(spark, dst):
+    return {
+        (r["user"],): (r["n_rows"], r["sum_value"])
+        for r in tl.read_snapshot(spark, dst).collect()
+    }
+
+
+def test_aggregate_converges_to_full_recompute_across_batches(
+    spark, tmp_path
+):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    batches = [
+        [(1, 10.0), (1, 2.5), (2, 7.0)],
+        [(2, 1.0), (3, 4.25)],
+        [(1, 0.25), (3, 4.25), (3, 100.0)],
+    ]
+    for batch in batches:
+        tl.append(_events(spark, batch), src)
+        v = inc.sync_aggregate(
+            spark, src, dst, group_cols=["user"], sum_cols=["value"]
+        )
+        assert v is not None
+        assert _folded(spark, dst) == _recompute(spark, src)
+    # exact decimals, not float drift
+    assert _folded(spark, dst)[(1,)] == (3, Decimal("12.75"))
+
+
+def test_aggregate_sync_is_idle_and_replay_safe(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0), (2, 2.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    head = tl.latest_version(dst)
+    # idle source: nothing committed
+    assert inc.sync_aggregate(spark, src, dst, ["user"], ["value"]) is None
+    assert tl.latest_version(dst) == head
+    # an orchestrator retry covering the same source range replays
+    # the txn id and folds nothing twice
+    tl.overwrite(
+        tl.read_snapshot(spark, dst), dst,
+        txn_id=f"{inc.AGG_TXN_PREFIX}:{tl.latest_version(src)}",
+    )
+    assert tl.latest_version(dst) == head
+    assert _folded(spark, dst) == _recompute(spark, src)
+
+
+def test_aggregate_position_recovers_from_destination_alone(
+    spark, tmp_path
+):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    tl.append(_events(spark, [(1, 3.0), (4, 4.0)]), src)
+    # a "fresh process" (no state beyond the logs) resumes exactly
+    assert inc.aggregate_position(dst) == 0
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    assert inc.aggregate_position(dst) == 1
+    assert _folded(spark, dst) == _recompute(spark, src)
+    # and survives vacuum via the checkpoint fold
+    tl.append(_events(spark, [(9, 9.0)]), dst, txn_id=None)
+    tl.append(_events(spark, [(9, 9.0)]), dst, txn_id=None)
+    tl.vacuum(dst, retain_last=1, min_age_seconds=0)
+    assert inc.aggregate_position(dst) == 1
+
+
+def test_aggregate_refuses_rewritten_source_range(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    tl.overwrite(_events(spark, [(1, 99.0)]), src)
+    with pytest.raises(ValueError, match="insert-only"):
+        inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+
+
+def test_aggregate_count_only_and_compaction_transparent(
+    spark, tmp_path
+):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0), (1, 2.0), (2, 3.0)]), src)
+    inc.sync_aggregate(spark, src, dst, group_cols=["user"])
+    tl.compact(spark, src, n_files=1)  # rewrites layout, not data
+    tl.append(_events(spark, [(2, 4.0)]), src)
+    inc.sync_aggregate(spark, src, dst, group_cols=["user"])
+    got = {
+        r["user"]: r["n_rows"]
+        for r in tl.read_snapshot(spark, dst).collect()
+    }
+    assert got == {1: 2, 2: 2}
