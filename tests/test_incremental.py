@@ -120,3 +120,42 @@ def test_aggregate_count_only_and_compaction_transparent(
         for r in tl.read_snapshot(spark, dst).collect()
     }
     assert got == {1: 2, 2: 2}
+
+
+def test_stream_to_log_to_aggregate_end_to_end(spark, tmp_path):
+    """The full incremental pipeline: Structured Streaming drains
+    into the table log exactly-once (start_tablelog_sink), and the
+    aggregate maintainer folds each appended epoch — the downstream
+    serving table equals a from-scratch GROUP BY of everything the
+    stream delivered, with no component ever rescanning the source."""
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        start_tablelog_sink,
+    )
+
+    landing = str(tmp_path / "landing")
+    log = str(tmp_path / "log")
+    agg = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+
+    _events(spark, [(1, 1.0), (2, 2.0), (1, 3.0)]).write.parquet(landing)
+    stream = spark.readStream.schema("user int, value double").parquet(
+        landing
+    )
+    q = start_tablelog_sink(stream, log, ckpt)
+    q.awaitTermination(120)
+    inc.sync_aggregate(spark, log, agg, ["user"], ["value"])
+    assert _folded(spark, agg) == _recompute(spark, log)
+
+    # second micro-batch: new landing file, same checkpoint
+    _events(spark, [(2, 5.0), (3, 7.0)]).write.mode("append").parquet(
+        landing
+    )
+    stream = spark.readStream.schema("user int, value double").parquet(
+        landing
+    )
+    q = start_tablelog_sink(stream, log, ckpt)
+    q.awaitTermination(120)
+    inc.sync_aggregate(spark, log, agg, ["user"], ["value"])
+    folded = _folded(spark, agg)
+    assert folded == _recompute(spark, log)
+    assert folded[(2,)] == (2, Decimal("7.00"))
