@@ -587,6 +587,100 @@ def compact(
     raise CommitConflict(f"compact on {table} kept losing the race")
 
 
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    prune: tuple[str, object, object] | None = None,
+    txn_id: str | None = None,
+    write_changefeed: bool = False,
+) -> int:
+    """Row-level DELETE as one atomic copy-on-write commit: rewrite
+    only the files that can contain matches, keep every other file
+    (and its manifest zone map) untouched.
+
+    ``condition`` is a SQL boolean expression over the table's
+    columns — rows where it is TRUE are deleted. ``prune=(col, lo,
+    hi)`` narrows the rewrite set with the manifest zone maps first:
+    at 100 TB, deleting one user's rows from a user-clustered table
+    rewrites a handful of files, not the table — the same driver-side
+    skip the read path gets, now on the write path. Correctness does
+    not depend on the prune (it only selects WHICH files are
+    rewritten; the condition is applied inside them), but the prune
+    range must cover every row the condition can match — the caller
+    owns that pairing, e.g. condition="user_id = 7",
+    prune=("user_id", 7, 7).
+
+    ``write_changefeed=True`` records the deleted rows as
+    ``cdc_files`` (``_change_type`` = 'delete'), so ``read_changes``
+    serves this commit incrementally like a merge; without it the
+    commit is a rewrite whose row-level delta was never recorded and
+    the change feed refuses it loudly.
+
+    Concurrency: computed against the head snapshot and recomputed on
+    a lost race (a rewrite must not discard the interleaved commit);
+    replayed ``txn_id`` is a no-op. Old versions stay readable until
+    vacuum — DELETE here is logical removal from the new snapshot,
+    not data destruction, which is exactly what GDPR-style physical
+    erasure needs to follow up with: ``vacuum`` after retention
+    expires the old versions that still contain the rows.
+    """
+    from pyspark.sql import functions as F
+
+    for _ in range(MAX_COMMIT_RETRIES):
+        head = latest_version(table)
+        if head is None:
+            raise FileNotFoundError(f"no commits in table {table}")
+        replayed = _replayed_version(table, txn_id)
+        if replayed is not None:
+            return replayed
+        manifest_prev = _read_manifest(table, head)
+        all_names = manifest_prev["files"]
+        candidates = set(files_for(table, head, prune))
+        kept = [n for n in all_names if n not in candidates]
+        new_files: list[str] = []
+        new_stats: dict[str, dict] = {}
+        # [] (not None) when the feed is requested but the prune left
+        # nothing to rewrite: the commit must still be SERVABLE by
+        # read_changes as an explicit no-op, not refused as an
+        # unrecorded rewrite
+        cdc_files: list[str] | None = [] if write_changefeed else None
+        if candidates:
+            paths = [
+                os.path.join(_data_dir(table), n)
+                for n in all_names
+                if n in candidates
+            ]
+            scanned = spark.read.parquet(*paths)
+            survivors = scanned.filter(~F.expr(condition))
+            new_files, new_stats = _write_data_files(survivors, table)
+            if write_changefeed:
+                deleted_rows = scanned.filter(F.expr(condition)).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                cdc_files, _ = _write_data_files(deleted_rows, table)
+        prev_stats = manifest_prev.get("stats", {})
+        manifest = {
+            "version": head + 1,
+            "op": "delete",
+            "files": kept + new_files,
+            "stats": {
+                **{n: prev_stats[n] for n in kept if n in prev_stats},
+                **new_stats,
+            },
+            "txn_id": txn_id,
+            "condition": condition,
+        }
+        if cdc_files is not None:
+            manifest["cdc_files"] = cdc_files
+        try:
+            _publish(table, head + 1, manifest)
+            return head + 1
+        except CommitConflict:
+            continue  # head moved: recompute against the new snapshot
+    raise CommitConflict(f"delete on {table} kept losing the race")
+
+
 def merge_changes(
     spark: SparkSession,
     table: str,
@@ -830,7 +924,9 @@ def read_changes(
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v).cast("int"))
             )
-        elif op == "merge" and manifest.get("cdc_files"):
+        elif "cdc_files" in manifest:  # merge/delete with a feed
+            if not manifest["cdc_files"]:
+                continue  # recorded no-op (e.g. fully-pruned delete)
             paths = [
                 os.path.join(_data_dir(table), name)
                 for name in manifest["cdc_files"]
@@ -844,8 +940,8 @@ def read_changes(
             raise ValueError(
                 f"version {v} of {table} is op={op!r} with no recorded "
                 "change feed; its row-level delta cannot be served "
-                "incrementally (commit merges with write_changefeed=True, "
-                "or diff snapshots explicitly)"
+                "incrementally (commit merges/deletes with "
+                "write_changefeed=True, or diff snapshots explicitly)"
             )
     if not frames:
         return None

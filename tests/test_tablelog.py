@@ -1094,3 +1094,85 @@ def test_dedup_contract_horizon_plus_fold_has_no_gap(
         tl.append(_frame(spark, 0, 1), table, txn_id=f"b{i}")
     assert tl.latest_version(table) == head + 1
     assert _values(tl.read_snapshot(spark, table)) == list(range(10)) + [50, 51]
+
+
+def test_delete_where_rewrites_only_pruned_files(spark, tmp_path):
+    """Copy-on-write DELETE: the zone-map prune selects the rewrite
+    set, untouched files (and their manifest stats) carry over
+    unchanged, and the old version stays time-travelable."""
+    table = str(tmp_path / "t")
+    # range-clustered commit: files get disjoint v-ranges
+    tl.append(
+        _frame(spark, 0, 100).repartitionByRange(5, "v"), table
+    )
+    before = tl._read_manifest(table, 0)
+    candidates = set(tl.files_for(table, where=("v", 10, 19)))
+    assert 0 < len(candidates) < len(before["files"])
+    v = tl.delete_where(
+        spark, table, "v BETWEEN 10 AND 19", prune=("v", 10, 19)
+    )
+    assert v == 1
+    after = tl._read_manifest(table, 1)
+    assert after["op"] == "delete"
+    # every non-candidate file survived with its stats
+    kept = set(before["files"]) - candidates
+    assert kept <= set(after["files"])
+    for name in kept:
+        assert after["stats"][name] == before["stats"][name]
+    assert candidates.isdisjoint(after["files"])
+    assert _values(tl.read_snapshot(spark, table)) == (
+        list(range(10)) + list(range(20, 100))
+    )
+    # time travel: the pre-delete snapshot is intact (GDPR erasure =
+    # this logical delete + vacuum once retention passes)
+    assert _values(tl.read_snapshot(spark, table, version=0)) == list(
+        range(100)
+    )
+    tl.vacuum(table, retain_last=1, min_age_seconds=0)
+    with pytest.raises(Exception):
+        tl.read_snapshot(spark, table, version=0).collect()
+
+
+def test_delete_where_changefeed_and_downstream_sync(spark, tmp_path):
+    """A delete committed with write_changefeed=True is served
+    incrementally by read_changes and applied downstream by a KEYED
+    sync; without the feed the change feed refuses the rewrite."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 6), src)
+    tl.sync_changes(spark, src, dst, keys=["v"])
+    tl.delete_where(
+        spark, src, "v >= 4", prune=("v", 4, 1 << 60),
+        write_changefeed=True,
+    )
+    changes = tl.read_changes(spark, src, 0)
+    assert {
+        (r.v, r["_change_type"]) for r in changes.collect()
+    } == {(4, "delete"), (5, "delete")}
+    tl.sync_changes(spark, src, dst, keys=["v"])
+    assert _values(tl.read_snapshot(spark, dst)) == [0, 1, 2, 3]
+    # insert-only sync must refuse the delete range
+    dst2 = str(tmp_path / "dst2")
+    with pytest.raises(ValueError, match="rewrite"):
+        tl.sync_changes(spark, src, dst2)
+    # and WITHOUT the feed, read_changes refuses loudly
+    tl.delete_where(spark, src, "v = 0")
+    with pytest.raises(ValueError, match="no recorded"):
+        tl.read_changes(spark, src, 1)
+
+
+def test_delete_where_noop_replay_and_empty_prune(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5).repartitionByRange(2, "v"), table)
+    # prune excludes every file: commit is an explicit servable no-op
+    v = tl.delete_where(
+        spark, table, "v > 1000", prune=("v", 2000, 3000),
+        write_changefeed=True, txn_id="del-1",
+    )
+    assert _values(tl.read_snapshot(spark, table)) == list(range(5))
+    assert tl.read_changes(spark, table, 0) is None  # no-op serves idle
+    # replay: recognized, no new commit
+    assert tl.delete_where(
+        spark, table, "v > 1000", prune=("v", 2000, 3000),
+        txn_id="del-1",
+    ) == v
+    assert tl.latest_version(table) == v
