@@ -587,6 +587,39 @@ def compact(
     raise CommitConflict(f"compact on {table} kept losing the race")
 
 
+def maybe_compact(
+    spark: SparkSession,
+    table: str,
+    max_files: int,
+    target_files: int = 1,
+    zorder_by: tuple[str, str] | None = None,
+    txn_id: str | None = None,
+) -> int | None:
+    """Compact only when the head snapshot exceeds ``max_files`` live
+    files — the maintenance policy that pairs with the streaming sink.
+
+    Per-epoch appends are the classic small-file generator: a
+    minute-trigger stream writes ~1,440 commits/day, and every one
+    adds files sized by the trigger interval, not by what scans want.
+    An orchestrator calls this after (or alongside) the stream; below
+    the threshold it is a free no-op (one manifest read — no listing
+    of data/, no Spark job), above it it runs one ``compact`` (with
+    optional z-order re-clustering) whose atomic swap resets the file
+    count to ``target_files`` without ever blocking readers or the
+    stream's own commits (a lost race rebases by re-compacting).
+    Returns the committed version or None when below threshold.
+    """
+    head = latest_version(table)
+    if head is None:
+        return None
+    if len(files_for(table, head)) <= max_files:
+        return None
+    return compact(
+        spark, table, n_files=target_files, txn_id=txn_id,
+        zorder_by=zorder_by,
+    )
+
+
 def delete_where(
     spark: SparkSession,
     table: str,
