@@ -53,31 +53,23 @@ COUNT_COL = "n_rows"
 def aggregate_position(dst_table: str) -> int:
     """Last source version folded into ``dst_table``, or -1 if never.
 
-    Same recovery contract as ``tablelog.sync_position``: the offset
-    is read from the destination's own manifests (newest first, then
-    the checkpoint fold), so there is no external cursor to lose."""
-    versions = tablelog._list_versions(dst_table)
-    for v in reversed(versions):
-        txn = tablelog._read_manifest(dst_table, v).get("txn_id") or ""
-        if txn.startswith(AGG_TXN_PREFIX + ":"):
-            return int(txn.rsplit(":", 1)[1])
-    ckpt = tablelog._read_checkpoint(dst_table)
-    if ckpt is not None:
-        folded = [
-            (v, int(txn.rsplit(":", 1)[1]))
-            for txn, v in ckpt["txns"].items()
-            if txn.startswith(AGG_TXN_PREFIX + ":")
-        ]
-        if folded:
-            return max(folded)[1]
-    return -1
+    Same recovery contract as ``tablelog.sync_position`` (shared
+    walk: newest live manifest first, then the checkpoint fold), so
+    there is no external cursor to lose."""
+    return tablelog.txn_position(dst_table, AGG_TXN_PREFIX)
 
 
 def _delta_agg(
     changes: DataFrame, group_cols: list[str], sum_cols: list[str]
 ) -> DataFrame:
+    # sums cast BACK to the declared decimal(28,2): F.sum widens
+    # decimal by 10 digits, and the bootstrap commit writes this
+    # frame directly — the table schema must not change width between
+    # version 0 and every later fold (review r09)
     aggs = [F.count(F.lit(1)).cast("bigint").alias(COUNT_COL)] + [
-        F.sum(F.col(c).cast("decimal(28,2)")).alias(f"sum_{c}")
+        F.sum(F.col(c).cast("decimal(28,2)"))
+        .cast("decimal(28,2)")
+        .alias(f"sum_{c}")
         for c in sum_cols
     ]
     return changes.groupBy(*group_cols).agg(*aggs)
@@ -112,22 +104,10 @@ def sync_aggregate(
     head = tablelog.latest_version(src_table)
     if head is None or head <= position:
         return None
-    # insert-only declaration, verified before any data moves (v0 is
-    # the bootstrap commit of the source and serves as inserts)
-    range_ops = [
-        tablelog._read_manifest(src_table, v)["op"]
-        for v in range(max(position + 1, 1), head + 1)
-    ]
-    rewrite_ops = [
-        op for op in range_ops if op not in ("append", "compact")
-    ]
-    if rewrite_ops:
-        raise ValueError(
-            f"aggregate maintenance over {src_table} requires an "
-            f"insert-only source but the range has rewrite commits "
-            f"{rewrite_ops}; counts/sums cannot be maintained without "
-            "before-images — recompute the aggregate instead"
-        )
+    # insert-only declaration, verified before any data moves (the
+    # shared check — counts/sums cannot be maintained without
+    # before-images; recompute the aggregate for rewritten sources)
+    tablelog.verify_insert_only(src_table, position, head)
     changes = tablelog.read_changes(spark, src_table, position, head)
     if changes is None:  # only compactions landed
         return None
@@ -141,8 +121,16 @@ def sync_aggregate(
         return tablelog.append(delta, dst_table, txn_id=txn)
     current = tablelog.read_snapshot(spark, dst_table)
     measure_cols = [COUNT_COL] + [f"sum_{c}" for c in sum_cols]
+    # NULL-SAFE join keys: GROUP BY puts all NULL keys in one group,
+    # but an equi-join would never match the existing NULL-group row,
+    # appending a duplicate per batch instead of folding (review r09
+    # — the same pitfall merge_changes documents for its keys)
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+        cond = eq if cond is None else cond & eq
     combined = current.alias("a").join(
-        F.broadcast(delta).alias("b"), group_cols, "full_outer"
+        F.broadcast(delta).alias("b"), cond, "full_outer"
     ).select(
         *[F.coalesce(f"a.{g}", f"b.{g}").alias(g) for g in group_cols],
         *[

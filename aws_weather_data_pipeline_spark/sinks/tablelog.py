@@ -207,11 +207,22 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     tmp = os.path.join(
         _log_dir(table), f".tmp-ckpt-{uuid.uuid4().hex}.json"
     )
+    folded = {"version": upto, "txns": txns}
     with open(tmp, "w") as fh:
-        json.dump({"version": upto, "txns": txns}, fh, sort_keys=True)
+        json.dump(folded, fh, sort_keys=True)
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(tmp, _checkpoint_path(table))
+    path = _checkpoint_path(table)
+    os.replace(tmp, path)
+    # Update the cache with what was just written rather than relying
+    # on the mtime alone: two folds inside one coarse-timestamp tick
+    # would otherwise leave THIS process on the stale fold, reopening
+    # the dedup gap the cache serves (review r09; other processes
+    # still key off mtime — the single-maintainer assumption covers
+    # concurrent writers, not concurrent readers, who at worst see
+    # the older of two folds that are both valid supersets of every
+    # manifest <= their version).
+    _CKPT_CACHE[path] = (os.stat(path).st_mtime_ns, folded)
     return upto
 
 
@@ -684,14 +695,51 @@ def delete_where(
                 for n in all_names
                 if n in candidates
             ]
-            scanned = spark.read.parquet(*paths)
-            survivors = scanned.filter(~F.expr(condition))
-            new_files, new_stats = _write_data_files(survivors, table)
+            # mergeSchema: a rewrite reading one arbitrary file's
+            # schema would silently DROP columns a later append
+            # introduced — the same evolved-column loss compact and
+            # merge_changes already guard against (review r09)
+            scanned = spark.read.option("mergeSchema", "true").parquet(
+                *paths
+            )
+            # SQL DELETE semantics under three-valued logic: only
+            # rows where the condition is TRUE are deleted; a
+            # NULL-condition row must SURVIVE (filter(~expr) alone
+            # would silently drop it without ever recording a delete
+            # — review r09)
+            is_match = F.coalesce(F.expr(condition), F.lit(False))
             if write_changefeed:
-                deleted_rows = scanned.filter(F.expr(condition)).withColumn(
-                    "_change_type", F.lit("delete")
+                # both outputs read this one scan: persist so the
+                # candidates are read once, not twice (the same
+                # double-scan guard merge_changes has)
+                scanned = scanned.persist()
+            try:
+                new_files, new_stats = _write_data_files(
+                    scanned.filter(~is_match), table
                 )
-                cdc_files, _ = _write_data_files(deleted_rows, table)
+                if write_changefeed:
+                    deleted_rows = scanned.filter(is_match).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                    written, _ = _write_data_files(deleted_rows, table)
+                    # a delete matching ZERO rows must record an
+                    # EMPTY feed, not 0-row files: read_changes'
+                    # idle signal (None) is what stops a downstream
+                    # keyed sync from a pointless full rewrite. Row
+                    # counts come from parquet footers — driver-side,
+                    # metadata-only (review r09).
+                    import pyarrow.parquet as pq
+
+                    n_deleted = sum(
+                        pq.ParquetFile(
+                            os.path.join(_data_dir(table), name)
+                        ).metadata.num_rows
+                        for name in written
+                    )
+                    cdc_files = written if n_deleted else []
+            finally:
+                if write_changefeed:
+                    scanned.unpersist(False)
         prev_stats = manifest_prev.get("stats", {})
         manifest = {
             "version": head + 1,
@@ -1011,28 +1059,61 @@ def sync_position(dst_table: str, upto: int | None = None) -> int:
     moved the head past the CAS target, so the stale worker's append
     fails and retries instead of double-applying the overlapping
     range (ADVICE r08)."""
+    return txn_position(dst_table, SYNC_TXN_PREFIX, upto)
+
+
+def txn_position(
+    dst_table: str, prefix: str, upto: int | None = None
+) -> int:
+    """Generic consumer-offset recovery for ``<prefix>:<position>``
+    txn ids: newest live manifest first (optionally bounded to
+    manifests <= ``upto`` — the head-first consistent-snapshot read),
+    then the checkpoint fold (so deep-vacuumed destinations resume
+    instead of resetting to -1). Shared by ``sync_position`` and
+    ``sinks/incremental.aggregate_position`` (review r09 — two
+    hand-copies of this walk would drift)."""
     versions = _list_versions(dst_table)
     if upto is not None:
         versions = [v for v in versions if v <= upto]
     for v in reversed(versions):
         txn = _read_manifest(dst_table, v).get("txn_id") or ""
-        if txn.startswith(SYNC_TXN_PREFIX + ":"):
+        if txn.startswith(prefix + ":"):
             return int(txn.rsplit(":", 1)[1])
-    # No live sync manifest: the offset may have been folded into the
-    # checkpoint when vacuum expired its manifest — the fold keeps
-    # deep-vacuumed destinations resumable instead of resetting to -1
-    # and re-appending the whole feed.
     ckpt = _read_checkpoint(dst_table)
     if ckpt is not None:
         folded = [
             (v, int(txn.rsplit(":", 1)[1]))
             for txn, v in ckpt["txns"].items()
-            if txn.startswith(SYNC_TXN_PREFIX + ":")
+            if txn.startswith(prefix + ":")
             and (upto is None or v <= upto)
         ]
         if folded:  # latest DESTINATION commit wins, as in the walk
             return max(folded)[1]
     return -1
+
+
+def verify_insert_only(src_table: str, position: int, head: int) -> None:
+    """Raise unless every commit in ``(position, head]`` is an
+    append/compact (v0, the bootstrap commit, serves as inserts
+    whatever its op). The declaration check shared by insert-only
+    consumers — ``sync_changes(keys=None)`` and
+    ``sinks/incremental.sync_aggregate`` — so a merge/overwrite/
+    delete in the range fails loudly BEFORE any data moves instead
+    of silently duplicating or losing rows downstream."""
+    rewrite_ops = [
+        op
+        for op in (
+            _read_manifest(src_table, v)["op"]
+            for v in range(max(position + 1, 1), head + 1)
+        )
+        if op not in ("append", "compact")
+    ]
+    if rewrite_ops:
+        raise ValueError(
+            f"consumer of {src_table} declared insert-only but the "
+            f"range has rewrite commits {rewrite_ops}; rows cannot "
+            "be applied incrementally without keys/before-images"
+        )
 
 
 def sync_changes(
@@ -1086,24 +1167,7 @@ def sync_changes(
         cas = dst_head if dst_head is not None else -1
         try:
             if keys is None:
-                # v0 is served as plain inserts whatever its op (the
-                # bootstrap commit of an empty table) — only LATER
-                # rewrites falsify the insert-only declaration
-                range_ops = [
-                    _read_manifest(src_table, v)["op"]
-                    for v in range(max(position + 1, 1), head + 1)
-                ]
-                rewrite_ops = [
-                    op for op in range_ops
-                    if op not in ("append", "compact")
-                ]
-                if rewrite_ops:
-                    raise ValueError(
-                        f"sync of {src_table} declared insert-only "
-                        f"(keys=None) but the range has rewrite commits "
-                        f"{rewrite_ops}; pass keys= to apply "
-                        "updates/deletes correctly"
-                    )
+                verify_insert_only(src_table, position, head)
                 return append(
                     changes.drop("_change_type", "_commit_version"),
                     dst_table, txn_id=txn, require_head=cas,

@@ -159,3 +159,44 @@ def test_stream_to_log_to_aggregate_end_to_end(spark, tmp_path):
     folded = _folded(spark, agg)
     assert folded == _recompute(spark, log)
     assert folded[(2,)] == (2, Decimal("7.00"))
+
+
+def test_aggregate_folds_null_group_keys(spark, tmp_path):
+    """GROUP BY puts all NULL keys in one group; the fold join must
+    be null-safe or the NULL group accumulates one duplicate row per
+    batch (review r09)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(
+        spark.createDataFrame(
+            [(None, 1.0), (1, 2.0)], "user int, value double"
+        ),
+        src,
+    )
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    tl.append(
+        spark.createDataFrame(
+            [(None, 3.0), (None, 4.0)], "user int, value double"
+        ),
+        src,
+    )
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    rows = tl.read_snapshot(spark, dst).collect()
+    assert len(rows) == 2  # exactly ONE NULL-group row
+    folded = _folded(spark, dst)
+    assert folded == _recompute(spark, src)
+    assert folded[(None,)] == (3, Decimal("8.00"))
+
+
+def test_aggregate_bootstrap_schema_matches_fold_schema(spark, tmp_path):
+    """The v0 bootstrap and every later fold must write the same
+    decimal width — F.sum widens decimal(28,2) to (38,2) and the raw
+    delta used to leak that into version 0 (review r09)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    v0 = dict(tl.read_snapshot(spark, dst, version=0).dtypes)
+    tl.append(_events(spark, [(1, 2.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    v1 = dict(tl.read_snapshot(spark, dst).dtypes)
+    assert v0 == v1
+    assert v0["sum_value"] == "decimal(28,2)"

@@ -1196,3 +1196,79 @@ def test_maybe_compact_triggers_only_above_threshold(spark, tmp_path):
     assert tl.maybe_compact(spark, table, max_files=n_live - 1) is None
     # feed consumers skip the compaction commit entirely
     assert tl.read_changes(spark, table, v - 1) is None
+
+
+def test_delete_where_null_condition_rows_survive(spark, tmp_path):
+    """SQL DELETE three-valued logic: only condition=TRUE rows go;
+    a NULL-condition row survives (review r09 — filter(~expr) alone
+    silently dropped it without recording a delete)."""
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0)], "k int, temp double"
+    )
+    tl.append(df, table)
+    tl.delete_where(spark, table, "temp > 100", write_changefeed=True)
+    rows = {
+        (r.k, r.temp)
+        for r in tl.read_snapshot(spark, table).collect()
+    }
+    assert rows == {(1, 10.0), (2, None)}
+    feed = tl.read_changes(spark, table, 0)
+    assert [(r.k, r["_change_type"]) for r in feed.collect()] == [
+        (3, "delete")
+    ]
+
+
+def test_delete_where_preserves_evolved_columns(spark, tmp_path):
+    """The rewrite reads candidates with mergeSchema: an evolved
+    column must not vanish because the scan inferred one old file's
+    schema (review r09 — the same loss compact guards against)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    tl.append(
+        spark.createDataFrame([(10, "x"), (11, "y")], "v long, tag string"),
+        table,
+    )
+    tl.delete_where(spark, table, "v = 1")  # no prune: rewrites all
+    df = tl.read_snapshot(spark, table, merge_schema=True)
+    assert sorted(df.columns) == ["tag", "v"]
+    rows = {r.v: r.tag for r in df.collect()}
+    assert rows == {0: None, 2: None, 10: "x", 11: "y"}
+
+
+def test_delete_where_zero_match_changefeed_stays_idle(spark, tmp_path):
+    """A changefeed delete matching zero rows must record an EMPTY
+    feed (idle signal), not 0-row cdc files — otherwise a downstream
+    keyed sync runs a pointless full rewrite (review r09)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)
+    tl.delete_where(spark, table, "v = 999", write_changefeed=True)
+    assert tl._read_manifest(table, 1)["cdc_files"] == []
+    assert tl.read_changes(spark, table, 0) is None
+    assert _values(tl.read_snapshot(spark, table)) == list(range(5))
+
+
+def test_concurrent_threaded_appenders_all_land(spark, tmp_path):
+    """REAL concurrency (not a monkeypatched race): 8 threads append
+    simultaneously; optimistic rebase must serialize them into 8
+    contiguous versions with every writer's rows in the final
+    snapshot and one manifest per version."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = str(tmp_path / "t")
+    ranges = [(i * 10, i * 10 + 10) for i in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(
+            pool.map(
+                lambda r: tl.append(_frame(spark, r[0], r[1]), table),
+                ranges,
+            )
+        )
+    assert sorted(versions) == list(range(8))
+    assert _values(tl.read_snapshot(spark, table)) == list(range(80))
+    # every intermediate snapshot is internally consistent: version k
+    # holds exactly k+1 writers' disjoint ranges
+    for v in range(8):
+        vals = _values(tl.read_snapshot(spark, table, version=v))
+        assert len(vals) == (v + 1) * 10
+        assert len(set(vals)) == len(vals)
