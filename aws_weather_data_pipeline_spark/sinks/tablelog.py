@@ -322,6 +322,8 @@ def _write_data_files(
     Returns (names, per-file zone maps) — the stats ride in the
     manifest so readers can skip files without opening ANY footer.
     """
+    import pyarrow.parquet as pq
+
     os.makedirs(_data_dir(table), exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
@@ -335,6 +337,11 @@ def _write_data_files(
         os.rename(os.path.join(staging, part), dest)
         names.append(name)
         stats[name] = _file_stats(dest)
+        # exact footer row count under a reserved key (a real column
+        # named __rows would shadow it — documented on
+        # snapshot_row_count): lets COUNT(*) and pruned counts answer
+        # from the manifest alone, zero file I/O (Delta's numRecords)
+        stats[name]["__rows"] = pq.ParquetFile(dest).metadata.num_rows
     for leftover in os.listdir(staging):
         os.unlink(os.path.join(staging, leftover))
     os.rmdir(staging)
@@ -476,6 +483,8 @@ def files_for(
     kept = []
     for name in names:
         rng = stats.get(name, {}).get(col)
+        if not isinstance(rng, (list, tuple)):
+            rng = None  # absent, or the reserved scalar __rows entry
         if rng is None or (rng[1] >= lo and rng[0] <= hi):
             kept.append(name)
     return kept
@@ -596,6 +605,70 @@ def compact(
         except CommitConflict:
             continue  # head moved: orphan `merged`, re-compact new head
     raise CommitConflict(f"compact on {table} kept losing the race")
+
+
+def snapshot_row_count(
+    table: str, version: int | None = None
+) -> int | None:
+    """Exact COUNT(*) of a snapshot from the manifest alone — zero
+    file I/O, zero Spark jobs, O(live files) driver arithmetic.
+
+    Row counts are recorded per file at commit time from the parquet
+    footer (the ``__rows`` stats entry, Delta's numRecords idea); at
+    100 TB this turns the most common dashboard query into a
+    millisecond manifest read. Returns None when any file predates
+    the feature (legacy manifest without counts) or the table has a
+    real column named ``__rows`` shadowing the reserved key — the
+    caller falls back to an actual scan; a metadata path must refuse
+    rather than guess.
+    """
+    if version is None:
+        version = latest_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no commits in table {table}")
+    manifest = _read_manifest(table, version)
+    stats = manifest.get("stats", {})
+    total = 0
+    for name in manifest["files"]:
+        n = stats.get(name, {}).get("__rows")
+        if not isinstance(n, int):
+            return None
+        total += n
+    return total
+
+
+def column_minmax(
+    table: str, col: str, version: int | None = None
+) -> tuple[object, object] | None:
+    """Exact global MIN/MAX of ``col`` from the manifest zone maps —
+    zero file I/O (per-file footer min/max are exact, and min-of-mins
+    / max-of-maxes is exact over their union).
+
+    Returns None when any file lacks stats for ``col`` (all-null
+    chunks, non-JSONable types, or legacy manifests): those rows are
+    invisible to the zone maps, so the metadata answer would be
+    wrong — refuse and let the caller scan. NOTE: files whose column
+    is entirely NULL also omit stats, so a None here does not mean
+    the scan-side MIN/MAX differs — it means metadata cannot prove
+    it. Empty snapshots return None for the same reason.
+    """
+    if version is None:
+        version = latest_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no commits in table {table}")
+    manifest = _read_manifest(table, version)
+    stats = manifest.get("stats", {})
+    lo = hi = None
+    for name in manifest["files"]:
+        fstats = stats.get(name, {})
+        if fstats.get("__rows") == 0:
+            continue  # provably empty file: contributes nothing
+        rng = fstats.get(col)
+        if not isinstance(rng, (list, tuple)):
+            return None
+        lo = rng[0] if lo is None else min(lo, rng[0])
+        hi = rng[1] if hi is None else max(hi, rng[1])
+    return None if lo is None else (lo, hi)
 
 
 def maybe_compact(

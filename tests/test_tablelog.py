@@ -1272,3 +1272,39 @@ def test_concurrent_threaded_appenders_all_land(spark, tmp_path):
         vals = _values(tl.read_snapshot(spark, table, version=v))
         assert len(vals) == (v + 1) * 10
         assert len(set(vals)) == len(vals)
+
+
+def test_metadata_only_count_and_minmax(spark, tmp_path):
+    """COUNT(*) and global MIN/MAX answered from the manifest alone
+    (footer-derived per-file stats recorded at commit time) — exact,
+    zero file I/O, and honest Nones where metadata cannot prove the
+    answer."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 30).repartitionByRange(3, "v"), table)
+    tl.append(_frame(spark, 100, 110), table)
+    assert tl.snapshot_row_count(table) == 40
+    assert tl.snapshot_row_count(table, version=0) == 30
+    assert tl.column_minmax(table, "v") == (0, 109)
+    assert tl.column_minmax(table, "v", version=0) == (0, 29)
+    # deletes keep the carried-over counts consistent
+    tl.delete_where(spark, table, "v >= 100", prune=("v", 100, 1 << 40))
+    assert tl.snapshot_row_count(table) == 30
+    # refuse rather than guess: unknown column
+    assert tl.column_minmax(table, "nope") is None
+    # legacy manifest without counts: strip them and expect None
+    head = tl.latest_version(table)
+    path = tl._manifest_path(table, head)
+    manifest = json.load(open(path))
+    for fstats in manifest["stats"].values():
+        fstats.pop("__rows", None)
+    os.unlink(path)
+    json.dump(manifest, open(path, "w"))
+    assert tl.snapshot_row_count(table) is None
+    # an all-null column in ANY file poisons minmax to None
+    t2 = str(tmp_path / "t2")
+    tl.append(
+        spark.createDataFrame([(1, None), (2, None)], "k int, s string"),
+        t2,
+    )
+    assert tl.column_minmax(t2, "s") is None
+    assert tl.column_minmax(t2, "k") == (1, 2)
