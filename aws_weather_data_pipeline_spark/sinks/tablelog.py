@@ -402,6 +402,41 @@ def _commit(
     )
 
 
+def _schema_fields(schema_json: dict | None) -> dict[str, object]:
+    if not schema_json:
+        return {}
+    return {f["name"]: f["type"] for f in schema_json.get("fields", [])}
+
+
+def _check_schema_compatible(
+    table: str, prev: dict | None, new_schema: dict
+) -> None:
+    """Schema-on-write: an append may ADD columns (additive evolution,
+    NULL-backfilled on merge-schema reads) or OMIT columns, but a
+    column present in both the table and the batch must keep its
+    type — a silently-retyped column poisons every later read of the
+    snapshot (parquet schema-merge fails, or worse, coerces). Legacy
+    manifests without a recorded schema skip the check (nothing to
+    enforce against). Nullability and field metadata are deliberately
+    NOT compared — appending a nullable batch into a non-null column
+    is parquet-legal and loses nothing."""
+    prev_fields = _schema_fields((prev or {}).get("schema"))
+    if not prev_fields:
+        return
+    conflicts = {
+        name: (prev_fields[name], typ)
+        for name, typ in _schema_fields(new_schema).items()
+        if name in prev_fields and prev_fields[name] != typ
+    }
+    if conflicts:
+        raise ValueError(
+            f"append to {table} would retype columns "
+            f"{ {n: f'{a} -> {b}' for n, (a, b) in conflicts.items()} }; "
+            "schema evolution is additive-only — use overwrite to "
+            "declare a genuinely new schema"
+        )
+
+
 def append(
     df: DataFrame,
     table: str,
@@ -416,13 +451,28 @@ def append(
     ``require_head`` (-1 for "not created yet") makes the append a
     compare-and-set that fails with CommitConflict instead of
     rebasing — for callers whose batch was DERIVED from the head they
-    read (see ``sync_changes``).
+    read (see ``sync_changes``). Schema-on-write: retyping an
+    existing column is refused (``_check_schema_compatible``); adding
+    columns is allowed and recorded, so the manifest always carries
+    the snapshot's evolved column union.
     """
     new, new_stats = _write_data_files(df, table)
+    batch_schema = df.schema.jsonValue()
 
     def build(prev):
+        _check_schema_compatible(table, prev, batch_schema)
         prev_files = prev["files"] if prev else []
         prev_stats = prev.get("stats", {}) if prev else {}
+        # the recorded schema is the UNION of the previous schema and
+        # the batch (order: previous first), so merge-schema readers
+        # and the next append's check both see every evolved column
+        prev_fields = ((prev or {}).get("schema") or {}).get("fields", [])
+        seen = {f["name"] for f in prev_fields}
+        fields = list(prev_fields) + [
+            f
+            for f in batch_schema.get("fields", [])
+            if f["name"] not in seen
+        ]
         # "added" makes the commit's row-level delta SELF-CONTAINED:
         # read_changes serves this version from its own manifest, so
         # the change feed works on the oldest retained version even
@@ -430,7 +480,7 @@ def append(
         return (
             prev_files + new,
             {**prev_stats, **new_stats},
-            {"added": new},
+            {"added": new, "schema": {"type": "struct", "fields": fields}},
         )
 
     return _commit(
@@ -445,11 +495,17 @@ def overwrite(df: DataFrame, table: str, txn_id: str | None = None) -> int:
     NOT rebasable: a blind overwrite that lost a race would silently
     discard the interleaved commit, so the conflict propagates and the
     caller decides (recompute-and-retry is the honest resolution).
-    Old versions stay readable until vacuum.
+    Old versions stay readable until vacuum. An overwrite REPLACES the
+    table's contents, so it declares a fresh schema unchecked (the
+    escape hatch append's additive-only enforcement points to).
     """
     new, new_stats = _write_data_files(df, table)
+    schema = df.schema.jsonValue()
     return _commit(
-        table, lambda prev: (new, new_stats), "overwrite", txn_id,
+        table,
+        lambda prev: (new, new_stats, {"schema": schema}),
+        "overwrite",
+        txn_id,
         rebase=False,
     )
 

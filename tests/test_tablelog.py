@@ -1308,3 +1308,47 @@ def test_metadata_only_count_and_minmax(spark, tmp_path):
     )
     assert tl.column_minmax(t2, "s") is None
     assert tl.column_minmax(t2, "k") == (1, 2)
+
+
+def test_schema_on_write_refuses_retyped_columns(spark, tmp_path):
+    """Schema enforcement: adding columns is additive evolution,
+    omitting columns NULL-backfills on read — but RETYPING an
+    existing column is refused, because it poisons every later
+    merge-schema read of the snapshot. Overwrite is the declared
+    escape hatch, and legacy manifests (no recorded schema) skip the
+    check."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)  # v bigint
+    # additive: new column OK; the recorded schema is the union
+    tl.append(
+        spark.createDataFrame([(7, "x")], "v long, tag string"), table
+    )
+    assert [
+        f["name"]
+        for f in tl._read_manifest(table, 1)["schema"]["fields"]
+    ] == ["v", "tag"]
+    # column subset OK (tag null-backfills on merge-schema reads)
+    tl.append(_frame(spark, 3, 5), table)
+    # retype refused — BOTH a v0 column and an evolved column
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(
+            spark.createDataFrame([("nope",)], "v string"), table
+        )
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(
+            spark.createDataFrame([(1, 2)], "v long, tag int"), table
+        )
+    # overwrite declares a new schema unchecked; append then enforces
+    # against IT
+    tl.overwrite(spark.createDataFrame([("s",)], "v string"), table)
+    tl.append(spark.createDataFrame([("t",)], "v string"), table)
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(_frame(spark, 0, 1), table)
+    # legacy manifest without a schema: enforcement skips
+    head = tl.latest_version(table)
+    path = tl._manifest_path(table, head)
+    manifest = json.load(open(path))
+    manifest.pop("schema")
+    os.unlink(path)
+    json.dump(manifest, open(path, "w"))
+    tl.append(_frame(spark, 0, 1), table)  # no error
