@@ -273,7 +273,11 @@ def _file_stats(path: str) -> dict[str, list]:
 
     Columns whose min/max are absent (all-null chunks) or not plainly
     JSON-serializable (timestamps, decimals, binary) are omitted;
-    omission means "never prune on this column for this file".
+    omission means "never prune on this column for this file". The
+    exact footer row count rides under the reserved ``__rows`` key
+    (recorded here so the footer is opened ONCE per file — a real
+    column named ``__rows`` loses its zone map to the reserved key,
+    see ``snapshot_row_count``).
     """
     import pyarrow.parquet as pq
 
@@ -306,7 +310,11 @@ def _file_stats(path: str) -> dict[str, list]:
             maxs[name] = (
                 stats.max if name not in maxs else max(maxs[name], stats.max)
             )
-    return {name: [mins[name], maxs[name]] for name in mins}
+    stats: dict[str, object] = {
+        name: [mins[name], maxs[name]] for name in mins
+    }
+    stats["__rows"] = meta.num_rows
+    return stats
 
 
 def _write_data_files(
@@ -322,8 +330,6 @@ def _write_data_files(
     Returns (names, per-file zone maps) — the stats ride in the
     manifest so readers can skip files without opening ANY footer.
     """
-    import pyarrow.parquet as pq
-
     os.makedirs(_data_dir(table), exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
@@ -336,12 +342,10 @@ def _write_data_files(
         dest = os.path.join(_data_dir(table), name)
         os.rename(os.path.join(staging, part), dest)
         names.append(name)
+        # one footer open per file: zone maps + the exact __rows
+        # count (lets COUNT(*) and pruned counts answer from the
+        # manifest alone — Delta's numRecords idea)
         stats[name] = _file_stats(dest)
-        # exact footer row count under a reserved key (a real column
-        # named __rows would shadow it — documented on
-        # snapshot_row_count): lets COUNT(*) and pruned counts answer
-        # from the manifest alone, zero file I/O (Delta's numRecords)
-        stats[name]["__rows"] = pq.ParquetFile(dest).metadata.num_rows
     for leftover in os.listdir(staging):
         os.unlink(os.path.join(staging, leftover))
     os.rmdir(staging)
@@ -456,8 +460,24 @@ def append(
     columns is allowed and recorded, so the manifest always carries
     the snapshot's evolved column union.
     """
-    new, new_stats = _write_data_files(df, table)
     batch_schema = df.schema.jsonValue()
+    # Replay short-circuit FIRST: an already-committed txn must be a
+    # no-op even if the table's schema has since legitimately changed
+    # (overwrite), and it should not pay a data write that only
+    # orphans files. _commit re-checks under the retry loop.
+    replayed = _replayed_version(table, txn_id)
+    if replayed is not None:
+        return replayed
+    # Pre-write check against the CURRENT head: a doomed 100 GB batch
+    # is rejected from one manifest read before any Spark write runs
+    # (review r09). The in-build check below stays — it is the one
+    # that holds under a rebase race, where the head may have moved.
+    head_now = latest_version(table)
+    if head_now is not None:
+        _check_schema_compatible(
+            table, _read_manifest(table, head_now), batch_schema
+        )
+    new, new_stats = _write_data_files(df, table)
 
     def build(prev):
         _check_schema_compatible(table, prev, batch_schema)
@@ -654,6 +674,10 @@ def compact(
             "stats": merged_stats,
             "txn_id": txn_id,
             "zorder_by": list(zorder_by) if zorder_by else None,
+            # the rewrite's merge-schema frame IS the column union —
+            # a maintenance op must not erase the recorded schema or
+            # it silently disables append's enforcement (review r09)
+            "schema": snapshot.schema.jsonValue(),
         }
         try:
             _publish(table, head + 1, manifest)
@@ -673,10 +697,11 @@ def snapshot_row_count(
     footer (the ``__rows`` stats entry, Delta's numRecords idea); at
     100 TB this turns the most common dashboard query into a
     millisecond manifest read. Returns None when any file predates
-    the feature (legacy manifest without counts) or the table has a
-    real column named ``__rows`` shadowing the reserved key — the
-    caller falls back to an actual scan; a metadata path must refuse
-    rather than guess.
+    the feature (legacy manifest without counts) — the caller falls
+    back to an actual scan; a metadata path must refuse rather than
+    guess. A real column named ``__rows`` loses its zone map to the
+    reserved key (the count is still exact; pruning and
+    ``column_minmax`` on that one column just never engage).
     """
     if version is None:
         version = latest_version(table)
@@ -722,8 +747,13 @@ def column_minmax(
         rng = fstats.get(col)
         if not isinstance(rng, (list, tuple)):
             return None
-        lo = rng[0] if lo is None else min(lo, rng[0])
-        hi = rng[1] if hi is None else max(hi, rng[1])
+        try:
+            lo = rng[0] if lo is None else min(lo, rng[0])
+            hi = rng[1] if hi is None else max(hi, rng[1])
+        except TypeError:
+            # mixed-type zone maps (legacy pre-enforcement tables):
+            # metadata cannot order them — refuse, don't crash
+            return None
     return None if lo is None else (lo, hi)
 
 
@@ -850,19 +880,17 @@ def delete_where(
                     deleted_rows = scanned.filter(is_match).withColumn(
                         "_change_type", F.lit("delete")
                     )
-                    written, _ = _write_data_files(deleted_rows, table)
+                    written, w_stats = _write_data_files(
+                        deleted_rows, table
+                    )
                     # a delete matching ZERO rows must record an
                     # EMPTY feed, not 0-row files: read_changes'
                     # idle signal (None) is what stops a downstream
-                    # keyed sync from a pointless full rewrite. Row
-                    # counts come from parquet footers — driver-side,
-                    # metadata-only (review r09).
-                    import pyarrow.parquet as pq
-
+                    # keyed sync from a pointless full rewrite. The
+                    # counts are already in the write's own stats
+                    # (review r09 — no second footer pass).
                     n_deleted = sum(
-                        pq.ParquetFile(
-                            os.path.join(_data_dir(table), name)
-                        ).metadata.num_rows
+                        w_stats[name].get("__rows", 0)
                         for name in written
                     )
                     cdc_files = written if n_deleted else []
@@ -880,6 +908,9 @@ def delete_where(
             },
             "txn_id": txn_id,
             "condition": condition,
+            # deletion changes rows, never columns: carry the schema
+            # so enforcement survives the maintenance op (review r09)
+            "schema": manifest_prev.get("schema"),
         }
         if cdc_files is not None:
             manifest["cdc_files"] = cdc_files
@@ -1031,6 +1062,10 @@ def merge_changes(
                 "files": files,
                 "stats": stats,
                 "txn_id": txn_id,
+                # the merged frame's schema is the post-merge column
+                # union (base + evolved change columns): record it so
+                # enforcement survives the rewrite (review r09)
+                "schema": merged.schema.jsonValue(),
             }
             if write_changefeed:
                 # Effective changes only: a 'D' on an absent key

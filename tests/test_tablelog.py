@@ -1352,3 +1352,34 @@ def test_schema_on_write_refuses_retyped_columns(spark, tmp_path):
     os.unlink(path)
     json.dump(manifest, open(path, "w"))
     tl.append(_frame(spark, 0, 1), table)  # no error
+
+
+def test_schema_enforcement_survives_maintenance_ops(spark, tmp_path):
+    """compact/merge/delete rewrite files but not the column
+    contract: each must carry the recorded schema forward, or the
+    first maintenance op silently disables append's enforcement
+    (review r09). Also: a replayed txn append is a no-op even when
+    the schema has since legitimately changed, and pays no data
+    write."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 4), table, txn_id="first")
+    tl.compact(spark, table, n_files=1)
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(spark.createDataFrame([("x",)], "v string"), table)
+    tl.delete_where(spark, table, "v = 0")
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(spark.createDataFrame([("x",)], "v string"), table)
+    tl.merge_changes(
+        spark, table,
+        spark.createDataFrame([("U", 9, 0)], "op string, v long, seq int")
+        .select("op", "v"),
+        keys=["v"], order_cols=["v"],
+    )
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(spark.createDataFrame([("x",)], "v string"), table)
+    # replay after a legitimate overwrite-retype: no-op, no error,
+    # and no orphan data files written
+    tl.overwrite(spark.createDataFrame([("s",)], "v string"), table)
+    n_data = len(os.listdir(tl._data_dir(table)))
+    assert tl.append(_frame(spark, 0, 4), table, txn_id="first") == 0
+    assert len(os.listdir(tl._data_dir(table))) == n_data
