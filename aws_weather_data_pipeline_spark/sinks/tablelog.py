@@ -687,6 +687,52 @@ def compact(
     raise CommitConflict(f"compact on {table} kept losing the race")
 
 
+def restore(table: str, version: int, txn_id: str | None = None) -> int:
+    """Make an earlier version's contents the new HEAD as one commit —
+    the undo for a bad write that keeps history linear (nothing is
+    deleted; the bad commit stays time-travelable and auditable, the
+    restore is just a new manifest pointing at the old file list, so
+    it commits in milliseconds whatever the table size).
+
+    Requires the target version's manifest AND files to still be
+    retained (vacuum may have expired either); data files are
+    immutable, so the restored snapshot is byte-identical to the
+    original — stats, schema, and metadata-only aggregates carry
+    over. NOT rebasable: restoring over a concurrent commit would
+    silently discard it, so a lost race raises like overwrite's.
+    Change-feed note: a restore is a rewrite whose row-level delta
+    was never recorded — insert-only consumers refuse the range and
+    keyed consumers should resync from a snapshot, the same contract
+    as overwrite.
+    """
+    target = _read_manifest(table, version)  # raises if expired
+    replayed = _replayed_version(table, txn_id)
+    if replayed is not None:
+        return replayed
+    head = latest_version(table)
+    missing = [
+        n
+        for n in target["files"]
+        if not os.path.exists(os.path.join(_data_dir(table), n))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table} to v{version}: {len(missing)} of "
+            f"its files were vacuumed (e.g. {missing[0]})"
+        )
+    manifest = {
+        "version": head + 1,
+        "op": "restore",
+        "files": list(target["files"]),
+        "stats": target.get("stats", {}),
+        "txn_id": txn_id,
+        "restored_from": version,
+        "schema": target.get("schema"),
+    }
+    _publish(table, head + 1, manifest)
+    return head + 1
+
+
 def snapshot_row_count(
     table: str, version: int | None = None
 ) -> int | None:

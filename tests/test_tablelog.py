@@ -1383,3 +1383,39 @@ def test_schema_enforcement_survives_maintenance_ops(spark, tmp_path):
     n_data = len(os.listdir(tl._data_dir(table)))
     assert tl.append(_frame(spark, 0, 4), table, txn_id="first") == 0
     assert len(os.listdir(tl._data_dir(table))) == n_data
+
+
+def test_restore_rolls_back_bad_commit_keeping_history(spark, tmp_path):
+    """RESTORE: an earlier version becomes the head as one manifest
+    commit — byte-identical contents (stats/schema/counts carry
+    over), history stays linear and auditable, feed consumers refuse
+    the unrecorded rewrite, replays are no-ops, and a vacuumed
+    target is refused loudly."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)              # v0: good
+    tl.overwrite(_frame(spark, 900, 903), table)       # v1: bad write
+    v = tl.restore(table, 0, txn_id="undo-1")
+    assert v == 2
+    assert _values(tl.read_snapshot(spark, table)) == list(range(5))
+    assert tl.snapshot_row_count(table) == 5
+    assert tl.column_minmax(table, "v") == (0, 4)
+    m = tl._read_manifest(table, 2)
+    assert m["op"] == "restore" and m["restored_from"] == 0
+    # the bad commit is still auditable/time-travelable
+    assert _values(tl.read_snapshot(spark, table, version=1)) == [
+        900, 901, 902,
+    ]
+    # replay: no new commit
+    assert tl.restore(table, 0, txn_id="undo-1") == 2
+    assert tl.latest_version(table) == 2
+    # schema enforcement continues against the restored schema
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(spark.createDataFrame([("x",)], "v string"), table)
+    # change feed refuses the unrecorded rewrite
+    with pytest.raises(ValueError, match="no recorded"):
+        tl.read_changes(spark, table, 1)
+    # vacuumed target: refuse, don't resurrect half a snapshot
+    tl.append(_frame(spark, 5, 6), table)
+    tl.vacuum(table, retain_last=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        tl.restore(table, 1)
