@@ -561,7 +561,14 @@ def files_for(
         rng = stats.get(name, {}).get(col)
         if not isinstance(rng, (list, tuple)):
             rng = None  # absent, or the reserved scalar __rows entry
-        if rng is None or (rng[1] >= lo and rng[0] <= hi):
+        try:
+            keep = rng is None or (rng[1] >= lo and rng[0] <= hi)
+        except TypeError:
+            # mixed-type zone map (legacy pre-enforcement table):
+            # unorderable means unprovable — keep the file, the
+            # superset contract over crashing (review r09)
+            keep = True
+        if keep:
             kept.append(name)
     return kept
 
@@ -674,10 +681,12 @@ def compact(
             "stats": merged_stats,
             "txn_id": txn_id,
             "zorder_by": list(zorder_by) if zorder_by else None,
-            # the rewrite's merge-schema frame IS the column union —
-            # a maintenance op must not erase the recorded schema or
-            # it silently disables append's enforcement (review r09)
-            "schema": snapshot.schema.jsonValue(),
+            # a maintenance op must not erase the recorded schema
+            # (silently disables append's enforcement) — NOR create
+            # one on a legacy table (silently ENABLES enforcement
+            # against a parquet-round-trip schema the writers never
+            # declared; review r09). Carry the declared contract.
+            "schema": _read_manifest(table, head).get("schema"),
         }
         try:
             _publish(table, head + 1, manifest)
@@ -704,33 +713,41 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     was never recorded — insert-only consumers refuse the range and
     keyed consumers should resync from a snapshot, the same contract
     as overwrite.
+
+    Vacuum safety: the target's files may be unreferenced by the
+    CURRENT head (that is the point of restoring), so a concurrent
+    vacuum could sweep them between our existence check and the
+    publish. Restore therefore TOUCHES each target file before
+    committing, re-entering the same ``min_age_seconds`` young-file
+    guard that protects every writer's staged-but-unpublished files —
+    the age invariant vacuum's concurrency contract rests on
+    (review r09).
     """
-    target = _read_manifest(table, version)  # raises if expired
-    replayed = _replayed_version(table, txn_id)
-    if replayed is not None:
-        return replayed
-    head = latest_version(table)
-    missing = [
-        n
-        for n in target["files"]
-        if not os.path.exists(os.path.join(_data_dir(table), n))
-    ]
-    if missing:
-        raise FileNotFoundError(
-            f"cannot restore {table} to v{version}: {len(missing)} of "
-            f"its files were vacuumed (e.g. {missing[0]})"
+
+    def build(prev):
+        # inside _commit: the replay check has already run, so a
+        # retried restore whose TARGET manifest vacuum expired is a
+        # no-op instead of FileNotFoundError (review r09)
+        target = _read_manifest(table, version)  # raises if expired
+        missing = []
+        for n in target["files"]:
+            path = os.path.join(_data_dir(table), n)
+            try:
+                os.utime(path)  # young again: vacuum's age guard
+            except FileNotFoundError:
+                missing.append(n)
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {table} to v{version}: {len(missing)} "
+                f"of its files were vacuumed (e.g. {missing[0]})"
+            )
+        return (
+            list(target["files"]),
+            target.get("stats", {}),
+            {"restored_from": version, "schema": target.get("schema")},
         )
-    manifest = {
-        "version": head + 1,
-        "op": "restore",
-        "files": list(target["files"]),
-        "stats": target.get("stats", {}),
-        "txn_id": txn_id,
-        "restored_from": version,
-        "schema": target.get("schema"),
-    }
-    _publish(table, head + 1, manifest)
-    return head + 1
+
+    return _commit(table, build, "restore", txn_id, rebase=False)
 
 
 def snapshot_row_count(
@@ -1110,8 +1127,15 @@ def merge_changes(
                 "txn_id": txn_id,
                 # the merged frame's schema is the post-merge column
                 # union (base + evolved change columns): record it so
-                # enforcement survives the rewrite (review r09)
-                "schema": merged.schema.jsonValue(),
+                # enforcement survives the rewrite — but only for
+                # tables that DECLARED a schema; a maintenance-shaped
+                # op must not enable enforcement on a legacy table
+                # (review r09, same rule as compact/delete)
+                "schema": (
+                    merged.schema.jsonValue()
+                    if _read_manifest(table, head).get("schema")
+                    else None
+                ),
             }
             if write_changefeed:
                 # Effective changes only: a 'D' on an absent key

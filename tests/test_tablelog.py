@@ -1414,8 +1414,59 @@ def test_restore_rolls_back_bad_commit_keeping_history(spark, tmp_path):
     # change feed refuses the unrecorded rewrite
     with pytest.raises(ValueError, match="no recorded"):
         tl.read_changes(spark, table, 1)
-    # vacuumed target: refuse, don't resurrect half a snapshot
+    # vacuumed target: refuse, don't resurrect half a snapshot —
+    # but a REPLAY of the committed restore stays a no-op even after
+    # its target manifest expired (review r09: the replay check runs
+    # before the target read)
     tl.append(_frame(spark, 5, 6), table)
     tl.vacuum(table, retain_last=1, min_age_seconds=0)
+    assert tl.restore(table, 0, txn_id="undo-1") == 2
     with pytest.raises(FileNotFoundError):
         tl.restore(table, 1)
+
+
+def test_maintenance_ops_do_not_enable_enforcement_on_legacy_tables(
+    spark, tmp_path
+):
+    """A legacy table (no recorded schema) must stay legacy through
+    compact/delete: a maintenance op silently ENABLING enforcement
+    against a parquet-round-trip schema the writers never declared is
+    as wrong as erasing a declared one (review r09)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 4), table)
+    path = tl._manifest_path(table, 0)
+    manifest = json.load(open(path))
+    manifest.pop("schema")
+    os.unlink(path)
+    json.dump(manifest, open(path, "w"))
+    tl.compact(spark, table, n_files=1)
+    assert tl._read_manifest(table, 1).get("schema") is None
+    tl.delete_where(spark, table, "v = 0")
+    assert tl._read_manifest(table, 2).get("schema") is None
+    # legacy contract: the retyped append is (still) not refused
+    tl.append(spark.createDataFrame([("x",)], "v string"), table)
+
+
+def test_files_for_keeps_files_with_unorderable_zone_maps(
+    spark, tmp_path
+):
+    """Mixed-type zone maps (legacy pre-enforcement retype) must keep
+    the file under the superset contract, not crash the prune
+    (review r09 — column_minmax already refused with None)."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 4), table)
+    head = tl.latest_version(table)
+    path = tl._manifest_path(table, head)
+    manifest = json.load(open(path))
+    name = manifest["files"][0]
+    manifest["stats"][name]["v"] = ["a", "b"]  # retyped zone map
+    os.unlink(path)
+    json.dump(manifest, open(path, "w"))
+    kept = tl.files_for(table, where=("v", 0, 10))
+    assert name in kept  # unprovable -> kept
+    assert tl.column_minmax(table, "v") is None
+    assert _values(
+        tl.read_snapshot(spark, table, where=("v", 0, 10)).filter(
+            "v <= 10"
+        )
+    ) == [0, 1, 2, 3]
