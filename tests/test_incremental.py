@@ -200,3 +200,39 @@ def test_aggregate_bootstrap_schema_matches_fold_schema(spark, tmp_path):
     v1 = dict(tl.read_snapshot(spark, dst).dtypes)
     assert v0 == v1
     assert v0["sum_value"] == "decimal(28,2)"
+
+
+def test_stream_compact_aggregate_composition(spark, tmp_path):
+    """The full operational loop on one table: stream drains epochs
+    into the log, maybe_compact collapses the small files mid-stream,
+    the stream keeps appending, and the aggregate maintainer folds
+    across the whole history — compaction is invisible to both the
+    feed position and the folded numbers."""
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        start_tablelog_sink,
+    )
+
+    landing = str(tmp_path / "landing")
+    log, agg = str(tmp_path / "log"), str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+
+    _events(spark, [(1, 1.0), (2, 2.0)]).write.parquet(landing)
+    q = start_tablelog_sink(
+        spark.readStream.schema("user int, value double").parquet(landing),
+        log, ckpt,
+    )
+    q.awaitTermination(120)
+    inc.sync_aggregate(spark, log, agg, ["user"], ["value"])
+    # maintenance collapses the per-epoch files
+    assert tl.maybe_compact(spark, log, max_files=0) is not None
+    assert len(tl.files_for(log)) == 1
+    # stream continues on the same checkpoint after the compaction
+    _events(spark, [(1, 5.0)]).write.mode("append").parquet(landing)
+    q = start_tablelog_sink(
+        spark.readStream.schema("user int, value double").parquet(landing),
+        log, ckpt,
+    )
+    q.awaitTermination(120)
+    inc.sync_aggregate(spark, log, agg, ["user"], ["value"])
+    assert _folded(spark, agg) == _recompute(spark, log)
+    assert _folded(spark, agg)[(1,)] == (2, Decimal("6.00"))
