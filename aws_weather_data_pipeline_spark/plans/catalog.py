@@ -45,88 +45,78 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 9's window (committed at round start, per the checklist):
-# the 47 remaining queries whose latest driver row is r05 (age 4 at
-# r09 — the second half of the r07-miss catch-up; round 8 refreshed
-# the r04 generation), plus three NEW registrations, each slotted by
-# the zero-slack swap protocol: bpe_train_merges takes the window
-# slot of the retired bpe_merge_candidates (an r05-block query whose
-# single round the trainer strictly subsumes — round 1 of the merge
-# table IS its top pair, pinned by tests/test_bpe.py);
-# mg_heavy_hitter_pairs takes the one free slot (r08's committed
-# plan of record); tablelog_time_travel_prune takes the slot of the
-# retired split_leakage_audit_simhash (a one-line composition of
-# split_leakage_audit's aggregation and near_dup_pairs_simhash's
-# pairs, both independently driver-checked). 47 + 3 = 50.
+# Round 10's window (committed at round start, per the checklist):
+# the steady-state 3-round cycle's first full turn — the 50 queries
+# whose latest driver row is r07 (age 3 at r10, the mandatory block;
+# tools/rotate_window.py emitted exactly this set, zero free slots).
+# Any r10 registration must ride the zero-slack swap protocol below.
 #
 # Capacity ledger: the sustainability test caps the catalog at
-# 50 * MAX_AGE_ROUNDS = 150 queries. r08 ended at 149; r09 retires
-# bpe_merge_candidates and split_leakage_audit_simhash (-2) and
-# registers bpe_train_merges, mg_heavy_hitter_pairs, and
-# tablelog_time_travel_prune (+3) → N = 150, the cap. At N=150 every
-# later window is exactly its mandatory block — ZERO slack — so the
-# standing protocol for any future schema/semantics change is: retire
-# (or subsume) one query in the SAME commit, swapping its window slot
-# to the changed query; never grow past 150 and never let a changed
-# query ride on stale driver evidence. After r09 the catch-up debt is
-# cleared: every query's latest row will be r07/r08/r09 and the
-# steady-state 3-round cycle (r10 re-checks the r07 generation, …)
-# resumes.
+# 50 * MAX_AGE_ROUNDS = 150 queries. r09 ended AT the cap (150 =
+# 50 r07-latest + 50 r08-latest + 50 r09-latest). At N=150 every
+# round's window is exactly its mandatory aged block — ZERO slack —
+# so the standing protocol for any new query or schema/semantics
+# change is: retire (or subsume) one query in the SAME commit,
+# swapping its window slot to the new/changed query; never grow past
+# 150 and never let a changed query ride on stale driver evidence.
+# Committed plan of record for r11: retire multimodal_frame_sample
+# (latest row r08, mandatory at r11) and register
+# multimodal_decode_avi in its slot — see plans/multimodal.py above
+# AVI_FRAMES_SQL.
 DRIVER_WINDOW = (
-    # --- NEW in r09, never driver-checked: first in line ---
-    "bpe_train_merges",
-    "mg_heavy_hitter_pairs",
-    "tablelog_time_travel_prune",
-    # --- the 47 queries whose latest driver row is r05 ---
+    # --- the 50 queries whose latest driver row is r07 ---
     # composite multi-stage plans first (most likely to regress),
-    # then streaming, weather, sampling/relational blocks.
-    "semantic_dedup_keep_list",
-    "corpus_filter_funnel",
-    "corpus_relative_quality_filter",
-    "exact_substr_removal",
-    "dedup_attrition_by_source",
-    "near_dup_pairs_winnow",
-    "hard_negative_mining",
-    "split_leakage_audit",
-    "leakage_safe_split_assignment",
-    "ann_multiprobe_lsh_topk",
-    "pq_code_assignment",
-    "pq_adc_topk",
-    "ivf_pq_search_topk",
-    "doc_winnowing_fingerprints",
-    "doc_simpson_diversity",
-    "quantile_sketch_estimates",
-    "multimodal_image_tiles",
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "multimodal_audio_windows",
-    "multimodal_resize_stats",
-    "streaming_batch_equivalence",
-    "streaming_windowed_alert_counts",
-    "streaming_running_user_stats",
-    "streaming_session_windows",
-    "streaming_attributed_purchases",
-    "streaming_static_enrichment",
-    "streaming_attribution_with_timeouts",
-    "streaming_dedup_replay",
-    "weather_conversions",
-    "weather_comfort_heat_index",
-    "weather_severity_class",
-    "weather_alert_feed",
-    "weather_time_features",
-    "weather_quality_flags",
-    "weather_daily_summary",
-    "temperature_mixture_sample",
-    "length_weighted_doc_sample",
-    "fixed_size_doc_sample",
-    "salted_hot_key_join",
-    "salted_user_event_lists",
-    "value_histogram",
-    "value_outliers_exact",
-    "small_quantity_order_revenue",
-    "lineitem_unpivot_measures",
-    "price_percentiles_by_flag",
-    "zorder_layout_audit",
+    # then similarity/text, multimodal, relational/window blocks.
+    "corpus_build_manifest",
+    "dedup_cascade_keep_list",
+    "near_dup_pairs_minhash",
+    "near_dup_clusters",
+    "dedup_exact_content",
+    "decontaminate_ngram_overlap",
+    "dataset_split_assignment",
+    "deterministic_doc_sample",
+    "sequence_pack_assignment",
+    "pagerank_trade_graph",
+    "scd2_user_state",
+    "asof_last_click_before_purchase",
+    "ann_ivf_probe_topk",
+    "ann_recall_at_k",
+    "knn_cosine_topk",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "doc_language_id",
+    "hll_distinct_sketch",
+    "multimodal_decode_gif",
+    "multimodal_feature_extract",
+    "user_session_windows",
+    "tumbling_hourly_by_type",
+    "user_activity_coverage",
+    "pricing_summary",
+    "regional_revenue",
+    "promo_revenue_ratio",
+    "rollup_returnflag_status",
+    "pivot_status_qty",
+    "order_date_arithmetic",
+    "top_revenue_orders",
+    "top10_orders_by_price",
+    "customers_without_urgent_orders",
+    "union_segments",
+    "global_stats",
+    "conditional_counts",
+    "event_type_share",
+    "dominant_event_type",
+    "latest_event_per_user",
+    "dedup_user_event_type",
+    "recent_events_feed",
+    "nations_sorted",
+    "filter_isin_projection",
+    "parse_props_json",
+    "pack_explode_flatten",
+    "null_drop_critical",
+    "range_validity_flags",
+    "coercion_null_on_error",
+    "validation_aggregates",
+    "weather_current_status",
 )
 
 
