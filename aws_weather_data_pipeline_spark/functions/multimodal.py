@@ -1056,6 +1056,7 @@ def _decode_avi(b: bytes) -> dict:
         raise ValueError("RIFF size field exceeds file length")
     width = height = rate = scale = declared = None
     bitcount = compression = None
+    saw_vids = False
     frames: list[bytes] = []
     for fourcc, start, size in _avi_chunks(b, 12, end):
         if fourcc != b"LIST":
@@ -1078,6 +1079,18 @@ def _decode_avi(b: bytes) -> dict:
                                     "only single-video-stream AVIs "
                                     f"supported; got {fcc_type!r}"
                                 )
+                            # A SECOND vids strl must be rejected
+                            # here, explicitly: without this, its
+                            # frames would interleave into the single
+                            # frame list, caught only incidentally by
+                            # the avih frame-count check — which a
+                            # malformed file can omit (review r10).
+                            if saw_vids:
+                                raise ValueError(
+                                    "only single-video-stream AVIs "
+                                    "supported; got a second vids strl"
+                                )
+                            saw_vids = True
                             scale, rate = struct.unpack(
                                 "<II", b[s3 + 20 : s3 + 28]
                             )
@@ -1092,7 +1105,10 @@ def _decode_avi(b: bytes) -> dict:
                             ) = struct.unpack("<IiiHHI", b[s3 : s3 + 20])
         elif kind == b"movi":
             for f2, s2, z2 in _avi_chunks(b, start + 4, start + size):
-                if f2[2:4] in (b"db", b"dc"):
+                # stream 00 only — the single declared vids stream;
+                # chunks for any other stream number belong to a strl
+                # the header walk already rejected (review r10)
+                if f2[:2] == b"00" and f2[2:4] in (b"db", b"dc"):
                     frames.append(b[s2 : s2 + z2])
     if width is None or bitcount is None:
         raise ValueError("AVI missing strf BITMAPINFOHEADER")

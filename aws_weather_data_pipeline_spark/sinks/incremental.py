@@ -23,11 +23,14 @@ Semantics and their limits, stated honestly:
   version>``), committed atomically WITH the folded aggregate, so a
   crashed or retried maintainer resumes from the destination alone
   and a replayed batch is a no-op.
-- Single maintainer per (src, dst) pair, like ``vacuum`` and
-  ``write_checkpoint``: the fold reads the destination snapshot and
-  commits a derived overwrite, a read-modify-write that two
-  concurrent maintainers could interleave. Concurrent SOURCE writers
-  are fine (they only move the head the next batch will cover).
+- Single maintainer per (src, dst) pair — ENFORCED, not assumed
+  (review r10): the fold is a read-modify-write, so each overwrite
+  carries ``require_head`` (the destination head the snapshot was
+  read at) and each bootstrap append carries ``require_head=-1``;
+  a racing maintainer loses with CommitConflict instead of silently
+  dropping the other's fold, and a retry re-reads the position and
+  folds exactly once. Concurrent SOURCE writers are fine (they only
+  move the head the next batch will cover).
 
 Reference parity: the reference maintains its Postgres serving
 aggregates by re-running full INSERT ... SELECT loads with ON
@@ -94,10 +97,10 @@ def sync_aggregate(
     convergence property the tests pin).
 
     Plan shape per batch: the delta aggregation is a partial-agg
-    shuffle over O(batch) rows; the fold is one outer join of the
-    group-cardinality-sized destination against the (usually tiny,
-    auto-broadcast) delta, committed as one atomic overwrite. The
-    source is never rescanned.
+    shuffle over O(batch) rows; the fold unions the
+    group-cardinality-sized destination with the delta and
+    re-aggregates — one partial-agg hash shuffle, no join — committed
+    as one atomic overwrite. The source is never rescanned.
     """
     sum_cols = list(sum_cols or [])
     position = aggregate_position(dst_table)
@@ -117,38 +120,46 @@ def sync_aggregate(
         sum_cols,
     )
     txn = f"{AGG_TXN_PREFIX}:{head}"
-    if tablelog.latest_version(dst_table) is None:
-        return tablelog.append(delta, dst_table, txn_id=txn)
+    # Compare-and-set on the destination head (review r10): the fold
+    # is a read-modify-write, and two concurrent maintainers at
+    # DIFFERENT source heads carry distinct txn ids, so replay dedup
+    # alone cannot catch the interleave — without the CAS the second
+    # overwrite would silently discard the first fold. require_head
+    # turns that into a CommitConflict; the retry re-reads position
+    # and head, so the surviving maintainer folds the union exactly
+    # once. (Same shape as sync_changes' cas; the single-maintainer
+    # convention is now enforced, not assumed.)
+    dst_head = tablelog.latest_version(dst_table)
+    if dst_head is None:
+        return tablelog.append(delta, dst_table, txn_id=txn, require_head=-1)
     current = tablelog.read_snapshot(spark, dst_table)
+    # Fold = union + re-aggregate, NOT a join (review r10: the old
+    # full-outer join could never broadcast — Spark rejects the hint
+    # for full outer — so it silently ran as a sort-merge join; the
+    # union re-aggregate is one partial-agg hash shuffle over
+    # |aggregate| + |delta| rows, the plan a 100 TB fold wants). The
+    # semantics fall out of SUM itself: NULL group keys collapse to
+    # one group (no null-safe-join condition needed), an all-NULL
+    # sum stays NULL (SUM over NULLs is NULL — coalescing to 0 would
+    # diverge from the from-scratch GROUP BY the convergence contract
+    # promises), and a NULL side against a value adds as SUM's
+    # ignore-NULLs. Sums cast back to the declared decimal(28,2)
+    # (SUM widens by 10 digits; the table schema must stay stable).
     measure_cols = [COUNT_COL] + [f"sum_{c}" for c in sum_cols]
-    # NULL-SAFE join keys: GROUP BY puts all NULL keys in one group,
-    # but an equi-join would never match the existing NULL-group row,
-    # appending a duplicate per batch instead of folding (review r09
-    # — the same pitfall merge_changes documents for its keys)
-    cond = None
-    for g in group_cols:
-        eq = F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
-        cond = eq if cond is None else cond & eq
-    combined = current.alias("a").join(
-        F.broadcast(delta).alias("b"), cond, "full_outer"
-    ).select(
-        *[F.coalesce(f"a.{g}", f"b.{g}").alias(g) for g in group_cols],
-        *[
-            (
-                F.coalesce(F.col(f"a.{m}"), F.lit(0))
-                + F.coalesce(F.col(f"b.{m}"), F.lit(0))
-            ).alias(m)
-            for m in measure_cols
-        ],
+    combined = (
+        current.select(*group_cols, *measure_cols)
+        .unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(COUNT_COL).cast("bigint").alias(COUNT_COL),
+            *[
+                F.sum(f"sum_{c}")
+                .cast("decimal(28,2)")
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
     )
-    # cast sums back to the declared exact type (coalesce+add can
-    # widen decimal precision; the table schema must stay stable)
-    combined = combined.select(
-        *group_cols,
-        F.col(COUNT_COL).cast("bigint").alias(COUNT_COL),
-        *[
-            F.col(f"sum_{c}").cast("decimal(28,2)").alias(f"sum_{c}")
-            for c in sum_cols
-        ],
+    return tablelog.overwrite(
+        combined, dst_table, txn_id=txn, require_head=dst_head
     )
-    return tablelog.overwrite(combined, dst_table, txn_id=txn)

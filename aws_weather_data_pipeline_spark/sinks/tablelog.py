@@ -509,7 +509,12 @@ def append(
     )
 
 
-def overwrite(df: DataFrame, table: str, txn_id: str | None = None) -> int:
+def overwrite(
+    df: DataFrame,
+    table: str,
+    txn_id: str | None = None,
+    require_head: int | None = None,
+) -> int:
     """Commit ``df`` as the table's entire new contents.
 
     NOT rebasable: a blind overwrite that lost a race would silently
@@ -518,6 +523,12 @@ def overwrite(df: DataFrame, table: str, txn_id: str | None = None) -> int:
     Old versions stay readable until vacuum. An overwrite REPLACES the
     table's contents, so it declares a fresh schema unchecked (the
     escape hatch append's additive-only enforcement points to).
+    ``require_head`` makes it a compare-and-set for read-modify-write
+    callers whose new contents were DERIVED from the head they read
+    (``sync_aggregate``): losing the race raises CommitConflict even
+    against a commit that landed before ours was built — without it a
+    version-racing writer is only caught when the publish itself
+    collides (review r10).
     """
     new, new_stats = _write_data_files(df, table)
     schema = df.schema.jsonValue()
@@ -527,6 +538,7 @@ def overwrite(df: DataFrame, table: str, txn_id: str | None = None) -> int:
         "overwrite",
         txn_id,
         rebase=False,
+        require_head=require_head,
     )
 
 
@@ -717,11 +729,23 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     Vacuum safety: the target's files may be unreferenced by the
     CURRENT head (that is the point of restoring), so a concurrent
     vacuum could sweep them between our existence check and the
-    publish. Restore therefore TOUCHES each target file before
-    committing, re-entering the same ``min_age_seconds`` young-file
-    guard that protects every writer's staged-but-unpublished files —
-    the age invariant vacuum's concurrency contract rests on
-    (review r09).
+    publish. Restore TOUCHES each target file before committing,
+    re-entering the same ``min_age_seconds`` young-file guard that
+    protects every writer's staged-but-unpublished files — but the
+    utime NARROWS the race, it does not close it: vacuum stats mtime
+    per file before unlinking, so a vacuum that stat'd a target
+    (old) before our utime may unlink it after we publish
+    (review r10; the check-then-delete is not atomic with our
+    touch). Restore therefore RE-VERIFIES every restored file after
+    the commit lands; if any vanished, it rolls the head forward to
+    the pre-restore snapshot (whose files the losing vacuum kept —
+    they were head-referenced throughout) and raises, so the race
+    loses loudly instead of leaving a head that names deleted files.
+    The detection window is bounded by the verify itself; for a hard
+    no-race guarantee run restore outside vacuum maintenance windows
+    (like compact/vacuum's own single-maintainer convention) or keep
+    ``min_age_seconds`` at the production horizon, which makes the
+    lose-then-unlink interleave require an hour-stalled vacuum.
     """
 
     def build(prev):
@@ -747,7 +771,53 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
             {"restored_from": version, "schema": target.get("schema")},
         )
 
-    return _commit(table, build, "restore", txn_id, rebase=False)
+    committed = _commit(table, build, "restore", txn_id, rebase=False)
+    # Post-commit verification (review r10): the utime guard is a
+    # narrowing, not a lock — an in-flight vacuum that stat'd a target
+    # file before our touch may unlink it after our publish. Verify
+    # only when OUR commit is still the head: a replayed txn or a
+    # concurrent later commit means the current head no longer depends
+    # on this file list (and a replayed commit's files may have been
+    # legitimately compacted away since).
+    if latest_version(table) == committed:
+        data = _data_dir(table)
+        manifest = _read_manifest(table, committed)
+        gone = [
+            n
+            for n in manifest["files"]
+            if not os.path.exists(os.path.join(data, n))
+        ]
+        if gone and latest_version(table) == committed:
+            # Roll the head forward to the pre-restore snapshot: its
+            # files were head-referenced while the vacuum ran, so they
+            # survived. Best-effort — if this too loses a race the
+            # raise below still surfaces the corruption.
+            prev_v = committed - 1
+            try:
+                prev_m = _read_manifest(table, prev_v)
+                _commit(
+                    table,
+                    lambda _p: (
+                        list(prev_m["files"]),
+                        prev_m.get("stats", {}),
+                        {
+                            "restored_from": prev_v,
+                            "schema": prev_m.get("schema"),
+                        },
+                    ),
+                    "restore",
+                    None,
+                    rebase=False,
+                )
+            except (CommitConflict, FileNotFoundError):
+                pass
+            raise FileNotFoundError(
+                f"restore of {table} to v{version} lost the race with a "
+                f"concurrent vacuum: {len(gone)} restored files were "
+                f"deleted after publish (e.g. {gone[0]}); the head was "
+                f"rolled back to the pre-restore snapshot v{prev_v}"
+            )
+    return committed
 
 
 def snapshot_row_count(
@@ -1568,15 +1638,18 @@ def vacuum(
                 if os.path.getmtime(path) <= cutoff:
                     os.unlink(path)
     expired = versions[:-retain_last]
-    if expired:
-        # Fold BEFORE deleting, and fold to HEAD (not just the expired
-        # prefix): the expired manifests' txn ids (and with them
-        # sync_position's consumer offsets) move into the checkpoint,
-        # so expiry never weakens replay dedup, and folding the
-        # retained ones too means the dedup contract (horizon scan +
-        # fold lookup) stays gap-free as long as folds happen at least
-        # every TXN_DEDUP_HORIZON commits (review r09).
-        write_checkpoint(table, upto=versions[-1])
+    # Fold UNCONDITIONALLY (not only when something expired), BEFORE
+    # deleting, and fold to HEAD (not just the expired prefix): the
+    # expired manifests' txn ids (and with them sync_position's
+    # consumer offsets) move into the checkpoint, so expiry never
+    # weakens replay dedup — and a deep ``retain_last`` with no expiry
+    # must still advance the fold, or a replay from deeper than
+    # TXN_DEDUP_HORIZON retained-but-unfolded commits would go
+    # unrecognized, breaking the "vacuum at least every
+    # TXN_DEDUP_HORIZON commits makes the guarantee total" contract
+    # (review r09/r10). write_checkpoint is incremental (mtime-cached
+    # fold + only the manifests above it), so the no-op case is cheap.
+    write_checkpoint(table, upto=versions[-1])
     for v in expired:
         os.unlink(_manifest_path(table, v))
     return deleted

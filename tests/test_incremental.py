@@ -236,3 +236,72 @@ def test_stream_compact_aggregate_composition(spark, tmp_path):
     inc.sync_aggregate(spark, log, agg, ["user"], ["value"])
     assert _folded(spark, agg) == _recompute(spark, log)
     assert _folded(spark, agg)[(1,)] == (2, Decimal("6.00"))
+
+
+def test_aggregate_preserves_all_null_sums(spark, tmp_path):
+    """SQL SUM over an all-NULL group is NULL; the fold must keep it
+    NULL across batches (coalescing to 0 at fold time would diverge
+    from the from-scratch GROUP BY the moment a later batch touches
+    the group — review r10), while one-sided NULLs add as SUM's
+    ignore-NULL semantics."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    batches = [
+        [(1, None), (2, 2.0)],
+        [(1, None), (2, None), (3, None)],
+        [(3, 1.5)],
+    ]
+    for batch in batches:
+        tl.append(
+            spark.createDataFrame(batch, "user int, value double"), src
+        )
+        inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+        assert _folded(spark, dst) == _recompute(spark, src)
+    folded = _folded(spark, dst)
+    assert folded[(1,)] == (2, None)           # all-NULL stays NULL
+    assert folded[(2,)] == (2, Decimal("2.00"))  # NULL side adds as 0
+    assert folded[(3,)] == (2, Decimal("1.50"))  # NULL-first, value later
+
+
+def test_concurrent_maintainer_conflicts_instead_of_silent_lost_fold(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: two maintainers at DIFFERENT source heads carry
+    distinct txn ids, so replay dedup cannot catch the interleave —
+    the destination-head compare-and-set must turn the second
+    read-modify-write into a CommitConflict, never a silent lost
+    fold."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    tl.append(_events(spark, [(1, 2.0)]), src)
+
+    real = tl.read_snapshot
+    fired = []
+
+    def interleave(spark_, table, *a, **k):
+        out = real(spark_, table, *a, **k)
+        if table == dst and not fired:
+            fired.append(True)
+            # a concurrent writer lands on dst between A's read and
+            # A's overwrite (a second maintainer at a different head,
+            # a manual correction — any commit A's snapshot missed)
+            tl.append(
+                spark.createDataFrame(
+                    [(7, 1, Decimal("7.00"))],
+                    "user int, n_rows bigint, sum_value decimal(28,2)",
+                ),
+                dst,
+            )
+        return out
+
+    monkeypatch.setattr(tl, "read_snapshot", interleave)
+    with pytest.raises(tl.CommitConflict):
+        inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    monkeypatch.undo()
+    # the losing maintainer retries from fresh reads and converges —
+    # the interloper row is part of the destination it folds onto
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    assert inc.aggregate_position(dst) == tl.latest_version(src)
+    folded = _folded(spark, dst)
+    assert folded[(1,)] == (2, Decimal("3.00"))
+    assert folded[(7,)] == (1, Decimal("7.00"))

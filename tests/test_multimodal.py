@@ -993,6 +993,56 @@ def test_avi_decoder_rejects_malformed_input():
         assert desc
 
 
+def test_avi_decoder_rejects_second_vids_stream_and_ignores_foreign_chunks():
+    """Review r10: a second vids strl must be rejected EXPLICITLY (the
+    avih frame-count mismatch that used to catch it incidentally can
+    be absent in a malformed file), and movi chunks for any stream
+    other than 00 must not interleave into the frame list."""
+    import struct
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_avi,
+    )
+
+    good = encode_avi([bytes(range(12)), bytes(range(12, 24))], 2, 2)
+
+    # --- duplicate the strl LIST inside hdrl: two vids streams ---
+    strl_at = good.find(b"strl") - 8  # back up over LIST header
+    (strl_size,) = struct.unpack("<I", good[strl_at + 4 : strl_at + 8])
+    strl_end = strl_at + 8 + strl_size
+    strl_bytes = good[strl_at:strl_end]
+    hdrl_at = good.find(b"hdrl") - 8
+    (hdrl_size,) = struct.unpack("<I", good[hdrl_at + 4 : hdrl_at + 8])
+    (riff_size,) = struct.unpack("<I", good[4:8])
+    two_streams = (
+        good[:4]
+        + struct.pack("<I", riff_size + len(strl_bytes))
+        + good[8 : hdrl_at + 4]
+        + struct.pack("<I", hdrl_size + len(strl_bytes))
+        + good[hdrl_at + 8 : strl_end]
+        + strl_bytes
+        + good[strl_end:]
+    )
+    with pytest.raises(ValueError, match="second vids"):
+        decode_media(two_streams, "video/x-msvideo")
+
+    # --- rename frame 2's movi chunk to stream 01: ignored, not
+    # appended (declared count patched 2 -> 1 so the old incidental
+    # catch cannot fire) ---
+    first = good.find(b"00db")
+    second = good.find(b"00db", first + 4)
+    foreign = good[:second] + b"01db" + good[second + 4 :]
+    avih_data = foreign.find(b"avih") + 8
+    foreign = (
+        foreign[: avih_data + 16]
+        + struct.pack("<I", 1)
+        + foreign[avih_data + 20 :]
+    )
+    out = decode_media(foreign, "video/x-msvideo")
+    assert len(out["frames"]) == 1
+    assert out["frames"][0] == bytes(range(12))
+
+
 def test_avi_frames_match_oracle_and_driver_compare(spark, sf_dir):
     """The exact compare the driver will run when r11 registers
     multimodal_decode_avi in place of multimodal_frame_sample

@@ -1470,3 +1470,55 @@ def test_files_for_keeps_files_with_unorderable_zone_maps(
             "v <= 10"
         )
     ) == [0, 1, 2, 3]
+
+
+def test_vacuum_folds_checkpoint_even_when_nothing_expires(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: with deep retain_last and no expiry, vacuum must
+    still advance the checkpoint fold — otherwise a replay from
+    deeper than TXN_DEDUP_HORIZON retained-but-never-folded commits
+    goes unrecognized and double-commits."""
+    monkeypatch.setattr(tl, "TXN_DEDUP_HORIZON", 4)
+    table = str(tmp_path / "t")
+    for i in range(6):
+        tl.append(_frame(spark, i, i + 1), table, txn_id=f"t{i}")
+    # nothing expires: retain everything
+    assert tl.vacuum(table, retain_last=100, min_age_seconds=0) == []
+    # t0 is 6 commits deep, past the 4-manifest scan horizon; only
+    # the fold vacuum just wrote can recognize the replay
+    assert tl.append(_frame(spark, 0, 1), table, txn_id="t0") == 0
+    assert tl.latest_version(table) == 5
+    assert _values(tl.read_snapshot(spark, table)) == list(range(6))
+
+
+def test_restore_lost_vacuum_race_detected_and_rolled_back(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: restore's utime narrows but cannot close the race
+    with vacuum's per-file check-then-delete. Simulate the losing
+    interleave (a vacuum unlink landing AFTER the restore publishes):
+    restore must detect the vanished file, roll the head forward to
+    the pre-restore snapshot, and raise — never leave a head naming
+    deleted files."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(FileNotFoundError, match="lost the race"):
+        tl.restore(table, 0)
+    # the compensating commit restored the pre-restore snapshot: the
+    # table is readable at head and nothing of v1's contents was lost
+    assert _values(tl.read_snapshot(spark, table)) == [900, 901, 902]
+    last = tl.history(table)[-1]
+    assert last["op"] == "restore" and last["restored_from"] == 1
