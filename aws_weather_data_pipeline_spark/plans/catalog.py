@@ -49,7 +49,14 @@ OPERATOR_MODULES = (
 # the steady-state 3-round cycle's first full turn — the 50 queries
 # whose latest driver row is r07 (age 3 at r10, the mandatory block;
 # tools/rotate_window.py emitted exactly this set, zero free slots).
-# Any r10 registration must ride the zero-slack swap protocol below.
+# One zero-slack swap executed mid-round: top10_orders_by_price
+# retired (its O4 top-k semantics and TakeOrderedAndProject plan pin
+# are strictly covered by recent_events_feed — identical single-table
+# ORDER BY measure DESC + key tie-break + LIMIT shape — and by
+# top_revenue_orders for the over-an-aggregate form), its window slot
+# transferred to the NEW incremental_agg_maintenance
+# (plans/tablelog_queries.py: driver-grade evidence for
+# sinks/incremental.py, the r09 O(delta) materialized-view sink).
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. r09 ended AT the cap (150 =
@@ -98,7 +105,9 @@ DRIVER_WINDOW = (
     "pivot_status_qty",
     "order_date_arithmetic",
     "top_revenue_orders",
-    "top10_orders_by_price",
+    # NEW r10, never driver-checked (slot from the retired
+    # top10_orders_by_price per the zero-slack swap protocol)
+    "incremental_agg_maintenance",
     "customers_without_urgent_orders",
     "union_segments",
     "global_stats",

@@ -973,7 +973,7 @@ def lineitem_unpivot_measures(
     "Bernoulli form has binomial size jitter). Spark executes it as "
     "TakeOrderedAndProject: per-partition top-k heaps merged at the "
     "driver, O(k) memory, no global sort — the same plan shape as "
-    "top10_orders_by_price, pointed at a hash instead of a metric. "
+    "recent_events_feed, pointed at a hash instead of a metric. "
     "Stable under re-partitioning; ties impossible (hash of unique "
     "key, plus doc_id tie-break).",
     tags=("sampling", "sort"),
@@ -1107,28 +1107,12 @@ def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.unionByName(big)
 
 
-@CATALOG.add(
-    "top10_orders_by_price",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-    doc="Order-by-measure-desc + limit (top-k). Reference: ORDER BY "
-    "count DESC / avg_temp DESC sample queries at "
-    "sql/create_tables.sql:242-262 and head-k caps (SURVEY O1-O4). "
-    "Physical plan is TakeOrderedAndProject: per-partition heaps, no "
-    "global sort.",
-    tags=("topk",),
-)
-def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")["orders"]
-    return (
-        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-    )
+# top10_orders_by_price retired r10 (zero-slack swap: its slot went to
+# incremental_agg_maintenance). Its O4 semantics — single-table
+# projection + ORDER BY measure DESC with key tie-break + LIMIT,
+# physical plan TakeOrderedAndProject — are strictly covered by
+# recent_events_feed (identical shape over events; same plan pin, now
+# in tests/test_plans.py) and top_revenue_orders (top-k over an agg).
 
 
 @CATALOG.add(

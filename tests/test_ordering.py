@@ -27,11 +27,14 @@ def test_recent_events_feed_descending(spark, sf_dir):
     assert len(rows) == 100
 
 
-def test_top10_orders_descending(spark, sf_dir):
+def test_top_revenue_orders_descending(spark, sf_dir):
+    # carries the ORDER-BY-aggregate-DESC assertion after r10 retired
+    # top10_orders_by_price (recent_events_feed covers the raw-measure
+    # descending form above)
     rows = (
-        CATALOG.queries["top10_orders_by_price"]
+        CATALOG.queries["top_revenue_orders"]
         .builder(spark, sf_dir)
         .collect()
     )
-    prices = [r["o_totalprice"] for r in rows]
-    assert prices == sorted(prices, reverse=True)
+    revenues = [r["revenue"] for r in rows]
+    assert revenues == sorted(revenues, reverse=True)

@@ -134,7 +134,9 @@ def test_alert_feed_prunes_event_columns(spark, sf_dir):
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
-    df = CATALOG.queries["top10_orders_by_price"].builder(spark, sf_dir)
+    # recent_events_feed carries the O4 plan pin since r10 (it
+    # absorbed the retired top10_orders_by_price's top-k shape)
+    df = CATALOG.queries["recent_events_feed"].builder(spark, sf_dir)
     plan = _formatted(df)
     assert "TakeOrderedAndProject" in plan
 

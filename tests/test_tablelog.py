@@ -364,6 +364,12 @@ _OPS = st.lists(
             ),
         ),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        # copy-on-write DELETE with a zone-map prune pinned to the
+        # condition (prune must cover every matching row)
+        st.tuples(st.just("delete"), st.integers(0, 6)),
+        # restore to a retained version, chosen by index into the
+        # live set at execution time
+        st.tuples(st.just("restore"), st.integers(0, 9)),
     ),
     min_size=1,
     max_size=7,
@@ -419,7 +425,9 @@ def test_tablelog_matches_model_under_random_op_sequences(
     txns: dict[str, tuple[int, list]] = {}  # txn -> (version, rows)
     for i, (op, arg) in enumerate(ops):
         head = tl.latest_version(table)
-        if head is None and op in ("compact", "merge", "vacuum"):
+        if head is None and op in (
+            "compact", "merge", "vacuum", "delete", "restore",
+        ):
             continue  # these need an existing table
         if op == "append":
             txn = f"model-append-{i}"
@@ -439,6 +447,19 @@ def test_tablelog_matches_model_under_random_op_sequences(
                 keys=["k"], order_cols=["seq"],
             )
             versions[v] = _model_merge(versions[v - 1], arg)
+        elif op == "delete":
+            v = tl.delete_where(
+                spark, table, f"k = {arg}", prune=("k", arg, arg)
+            )
+            versions[v] = Counter(
+                {(k, s): n for (k, s), n in versions[v - 1].items()
+                 if k != arg}
+            )
+        elif op == "restore":
+            live = sorted(versions)
+            target = live[arg % len(live)]
+            v = tl.restore(table, target)
+            versions[v] = Counter(versions[target])
         else:  # vacuum
             tl.vacuum(table, retain_last=arg)
             live = sorted(versions)[-arg:]
@@ -1522,3 +1543,38 @@ def test_restore_lost_vacuum_race_detected_and_rolled_back(
     assert _values(tl.read_snapshot(spark, table)) == [900, 901, 902]
     last = tl.history(table)[-1]
     assert last["op"] == "restore" and last["restored_from"] == 1
+
+
+def test_concurrent_delete_append_vacuum_interleave(spark, tmp_path):
+    """REAL threads: four appenders, a copy-on-write deleter, and a
+    default-horizon vacuum all racing on one table. delete_where
+    recomputes on every lost race, so no interleaved append's rows
+    are discarded by the rewrite; vacuum's age guard spares the
+    writers' staged files. The appended ranges are disjoint from the
+    delete condition, so the final snapshot is exactly determined
+    whatever the interleave order (review r10: the delete/vacuum
+    write paths had race reasoning but only single-writer tests)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 10), table)
+
+    def appender(lo):
+        tl.append(_frame(spark, lo, lo + 10), table)
+
+    def deleter():
+        tl.delete_where(spark, table, "v < 5", prune=("v", -1, 4))
+
+    def vac():
+        tl.vacuum(table, retain_last=1)  # default min_age horizon
+
+    jobs = [lambda lo=lo: appender(lo) for lo in (10, 20, 30, 40)]
+    jobs += [deleter, vac]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()  # propagate any thread's failure
+    # delete landed exactly once somewhere in the interleave; every
+    # appended row (all >= 10) survived it
+    assert _values(tl.read_snapshot(spark, table)) == list(range(5, 50))
+    # versions are contiguous: 1 seed + 4 appends + 1 delete
+    assert tl.latest_version(table) == 5
