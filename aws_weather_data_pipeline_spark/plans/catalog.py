@@ -49,14 +49,22 @@ OPERATOR_MODULES = (
 # the steady-state 3-round cycle's first full turn — the 50 queries
 # whose latest driver row is r07 (age 3 at r10, the mandatory block;
 # tools/rotate_window.py emitted exactly this set, zero free slots).
-# One zero-slack swap executed mid-round: top10_orders_by_price
-# retired (its O4 top-k semantics and TakeOrderedAndProject plan pin
-# are strictly covered by recent_events_feed — identical single-table
-# ORDER BY measure DESC + key tie-break + LIMIT shape — and by
-# top_revenue_orders for the over-an-aggregate form), its window slot
-# transferred to the NEW incremental_agg_maintenance
-# (plans/tablelog_queries.py: driver-grade evidence for
-# sinks/incremental.py, the r09 O(delta) materialized-view sink).
+# Two zero-slack swaps executed mid-round:
+# (1) top10_orders_by_price retired (its O4 top-k semantics and
+# TakeOrderedAndProject plan pin are strictly covered by
+# recent_events_feed — identical single-table ORDER BY measure DESC +
+# key tie-break + LIMIT shape — and by top_revenue_orders for the
+# over-an-aggregate form), its window slot transferred to the NEW
+# incremental_agg_maintenance (plans/tablelog_queries.py:
+# driver-grade evidence for sinks/incremental.py, the r09 O(delta)
+# materialized-view sink).
+# (2) filter_isin_projection retired (P4 isin + P5 projection are
+# strictly covered by weather_alert_feed's isin + 9-column select,
+# green r09 row; pushdown pins live on promo_revenue_ratio /
+# date_range_revenue), its slot transferred to the NEW
+# tablelog_manifest_stats (plans/tablelog_queries.py: the
+# manifest-only COUNT/MIN/MAX zero-task fast path, driver-checked —
+# VERDICT r09 task 7).
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. r09 ended AT the cap (150 =
@@ -118,7 +126,9 @@ DRIVER_WINDOW = (
     "dedup_user_event_type",
     "recent_events_feed",
     "nations_sorted",
-    "filter_isin_projection",
+    # NEW r10, never driver-checked (slot from the retired
+    # filter_isin_projection per the zero-slack swap protocol)
+    "tablelog_manifest_stats",
     "parse_props_json",
     "pack_explode_flatten",
     "null_drop_critical",

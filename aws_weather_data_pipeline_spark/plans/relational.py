@@ -832,24 +832,13 @@ def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFr
 # --------------------------------------------------------------------------
 
 
-@CATALOG.add(
-    "filter_isin_projection",
-    """
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
-    FROM orders
-    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-    """,
-    doc="Set-membership filter + column-subset projection. Reference: the "
-    "alerts feed filter(col('alert_level').isin(['WARNING','CRITICAL'])) + "
-    "14-of-31-column select at scripts/glue_weather_etl.py:503-523 "
-    "(SURVEY P4/P5). Both filter and projection push to the parquet scan.",
-    tags=("filter",),
-)
-def filter_isin_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")["orders"]
-    return orders.filter(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+# filter_isin_projection retired r10 (zero-slack swap: its slot went
+# to tablelog_manifest_stats). Its P4/P5 semantics — set-membership
+# filter + column-subset projection (glue_weather_etl.py:503-523) —
+# are strictly covered by weather_alert_feed (isin on the alert level
+# + 9-column projection, green r09 row) and the scan-level pushdown
+# shape by date_range_revenue / promo_revenue_ratio (whose
+# PushedFilters pin lives in tests/test_plans.py).
 
 
 @CATALOG.add(

@@ -112,6 +112,69 @@ def tablelog_time_travel_prune(
 
 
 @CATALOG.add(
+    "tablelog_manifest_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           CAST(MIN(user_id) AS BIGINT) AS min_user_id,
+           CAST(MAX(user_id) AS BIGINT) AS max_user_id,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    """,
+    doc="Metadata-only aggregates through the table log "
+    "(sinks/tablelog.py snapshot_row_count / column_minmax): commit "
+    "events as three range-clustered snapshots, then answer exact "
+    "COUNT(*) and global MIN/MAX of event_id/user_id/value from the "
+    "MANIFEST ALONE — per-file footer row counts (the reserved "
+    "__rows stats key) and min-of-mins/max-of-maxes over the zone "
+    "maps; zero file I/O, zero Spark jobs, O(live files) driver "
+    "arithmetic. The oracle is a from-scratch COUNT/MIN/MAX scan of "
+    "the source rows, so a hash match certifies the metadata path is "
+    "EXACT, not approximate — one miscounted footer or one file's "
+    "zone map dropped by compaction/carry-over breaks the compare. "
+    "Refuses (raises) rather than guessing if any file lacks stats. "
+    "At 100 TB this is the dashboard fast path: the most common "
+    "queries against a petabyte table are answered by one manifest "
+    "read without scheduling a single task.",
+    tags=("tablelog", "agg", "metadata"),
+)
+def tablelog_manifest_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = build_events_log(spark, sf_dir)
+    n = tablelog.snapshot_row_count(table)
+    ranges = {
+        c: tablelog.column_minmax(table, c)
+        for c in ("event_id", "user_id", "value")
+    }
+    if n is None or any(r is None for r in ranges.values()):
+        # the fixture writes stats for every file; a None here means
+        # the metadata path regressed — fail loudly, never scan-fallback
+        # silently inside a correctness query
+        raise ValueError(f"manifest stats missing: n={n} ranges={ranges}")
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                ranges["event_id"][0],
+                ranges["event_id"][1],
+                ranges["user_id"][0],
+                ranges["user_id"][1],
+                float(ranges["value"][0]),
+                float(ranges["value"][1]),
+            )
+        ],
+        schema=(
+            "n_rows bigint, min_event_id bigint, max_event_id bigint, "
+            "min_user_id bigint, max_user_id bigint, "
+            "min_value double, max_value double"
+        ),
+    )
+
+
+@CATALOG.add(
     "incremental_agg_maintenance",
     """
     SELECT event_type,
