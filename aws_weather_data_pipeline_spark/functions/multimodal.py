@@ -90,9 +90,11 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     growing code widths and clear-code resets), baseline-DCT
     JPEG (SOF0: DQT/DHT/DRI marker walk, canonical Huffman decode,
     vectorized dequantize + inverse-zigzag + IDCT, grayscale and
-    4:4:4 YCbCr->RGB), and RIFF AVI video (uncompressed RGB24 DIB
-    frames: hdrl/strl header walk, movi frame chunks, bottom-up
-    BGR stride-padded rows back to top-down RGB). Every other
+    4:4:4 YCbCr->RGB), and RIFF AVI video (hdrl/strl header walk,
+    movi frame chunks — uncompressed RGB24 DIB frames with bottom-up
+    BGR stride-padded rows back to top-down RGB, OR motion-JPEG
+    'MJPG' streams decoded per-frame through the JPEG codec). Every
+    other
     content type raises ``NotImplementedError``: compressed
     audio/video codecs (MP3, H.264, ...) need libraries not present
     in this container; a deployment installs ffmpeg and adds
@@ -122,9 +124,10 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     raise NotImplementedError(
         f"no decoder for {content_type!r} in this environment; "
         "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, GIF89a, "
-        "baseline-DCT JPEG, and uncompressed RGB24 AVI are the "
-        "built-in reference decoders (MP3 and compressed video "
-        "need codecs absent from this container)"
+        "baseline-DCT JPEG, and RGB24 AVI (uncompressed DIB or "
+        "motion-JPEG) are the built-in reference decoders (MP3 and "
+        "inter-frame video codecs need libraries absent from this "
+        "container)"
     )
 
 
@@ -942,33 +945,60 @@ def decode_gif_frames(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def encode_avi(
-    frames: list[bytes], width: int, height: int, fps: int = 10
-) -> bytes:
-    """Encode RGB24 frames as an uncompressed RIFF AVI.
+#: 'MJPG' as the little-endian u32 a BITMAPINFOHEADER stores it as.
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
-    Each input frame is ``width*height*3`` top-down RGB bytes; the
-    container stores them the DIB way (bottom-up rows, BGR order,
-    row stride padded to 4 bytes) inside ``00db`` chunks under the
-    ``movi`` list, with the standard ``hdrl`` headers (``avih`` main
-    header, one ``vids``/``DIB `` stream with ``strh``+``strf``
-    BITMAPINFOHEADER) and an ``idx1`` keyframe index. Storage is
-    lossless, so encode→decode round-trips bit-exactly — the same
-    fixture-pinned exactness discipline as PPM/PNG/WAV/GIF."""
+
+def encode_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    codec: str = "DIB",
+) -> bytes:
+    """Encode RGB24 frames as a RIFF AVI.
+
+    Each input frame is ``width*height*3`` top-down RGB bytes.
+    ``codec="DIB"`` stores them uncompressed the DIB way (bottom-up
+    rows, BGR order, row stride padded to 4 bytes) inside ``00db``
+    chunks — lossless, so encode→decode round-trips bit-exactly.
+    ``codec="MJPG"`` stores each frame as a standalone baseline-DCT
+    JPEG (``encode_jpeg``, 4:4:4, all-ones quant tables) inside
+    ``00dc`` chunks — the motion-JPEG layout real capture hardware
+    emits. The CONTAINER layer is exact either way: an MJPG
+    round-trip equals the per-frame JPEG round-trip, and a frame
+    whose every 8x8 tile is constant survives bit-exactly (the JPEG
+    fixture discipline) — which is what lets a SQL oracle check the
+    composed video decode. Both variants carry the standard ``hdrl``
+    headers (``avih`` main header, one ``vids`` stream with
+    ``strh``+``strf`` BITMAPINFOHEADER) and an ``idx1`` keyframe
+    index."""
     if any(len(f) != width * height * 3 for f in frames):
         raise ValueError("every frame must be width*height*3 RGB bytes")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"codec must be 'DIB' or 'MJPG', got {codec!r}")
     stride = (width * 3 + 3) & ~3
-    size_image = stride * height
+    if codec == "MJPG":
+        payloads = [
+            encode_jpeg(f, width, height, n_components=3) for f in frames
+        ]
+        size_image = max((len(p) for p in payloads), default=0)
+        handler, compression, chunk_cc = b"MJPG", _MJPG_FOURCC, b"00dc"
+    else:
+        size_image = stride * height
+        handler, compression, chunk_cc = b"DIB ", 0, b"00db"
 
-    def dib(frame: bytes) -> bytes:
-        arr = np.frombuffer(frame, dtype=np.uint8).reshape(
-            height, width, 3
-        )
-        rows = np.zeros((height, stride), dtype=np.uint8)
-        rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(
-            height, width * 3
-        )
-        return rows.tobytes()
+        def dib(frame: bytes) -> bytes:
+            arr = np.frombuffer(frame, dtype=np.uint8).reshape(
+                height, width, 3
+            )
+            rows = np.zeros((height, stride), dtype=np.uint8)
+            rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(
+                height, width * 3
+            )
+            return rows.tobytes()
+
+        payloads = [dib(f) for f in frames]
 
     avih = struct.pack(
         "<IIIIIIIIII4I",
@@ -986,7 +1016,7 @@ def encode_avi(
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIi4h",
-        b"vids", b"DIB ",
+        b"vids", handler,
         0, 0, 0, 0,  # dwFlags, wPriority, wLanguage, dwInitialFrames
         1, fps,  # dwScale, dwRate: fps = rate/scale
         0, len(frames),  # dwStart, dwLength (frames)
@@ -995,12 +1025,16 @@ def encode_avi(
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0,  # BI_RGB
+        40, width, height, 1, 24, compression,
         size_image, 0, 0, 0, 0,
     )
 
     def chunk(fourcc: bytes, data: bytes) -> bytes:
-        return fourcc + struct.pack("<I", len(data)) + data
+        # RIFF word alignment: an odd-sized chunk is followed by one
+        # pad byte the size field does NOT count (JPEG payloads can be
+        # odd; DIB frames never were — their stride is 4-aligned)
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
 
     def lst(fourcc: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", fourcc + data)
@@ -1008,11 +1042,11 @@ def encode_avi(
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
     movi_chunks, idx_entries, offset = [], [], 4
-    for frame in frames:
-        data = chunk(b"00db", dib(frame))
+    for payload in payloads:
+        data = chunk(chunk_cc, payload)
         movi_chunks.append(data)
         idx_entries.append(
-            struct.pack("<4sIII", b"00db", 0x10, offset, size_image)
+            struct.pack("<4sIII", chunk_cc, 0x10, offset, len(payload))
         )
         offset += len(data)
     movi = lst(b"movi", b"".join(movi_chunks))
@@ -1038,14 +1072,17 @@ def _avi_chunks(b: bytes, pos: int, end: int):
 
 
 def _decode_avi(b: bytes) -> dict:
-    """Decode an uncompressed RGB24 AVI: RIFF walk (hdrl: avih + one
-    vids stream's strh/strf; movi: 00db/00dc frame chunks; idx1
-    ignored), DIB rows (bottom-up, BGR, 4-byte stride) converted back
-    to top-down RGB per frame. Returns {width, height, rate, scale,
-    frames} with frames as top-down RGB byte strings. Compressed
-    streams (biCompression != 0), non-24-bit DIBs, and multi-stream
-    files raise ValueError — this is the uncompressed reference
-    decoder; a deployment adds codec branches via ffmpeg."""
+    """Decode an RGB24 AVI: RIFF walk (hdrl: avih + one vids stream's
+    strh/strf; movi: 00db/00dc frame chunks; idx1 ignored), then per
+    ``biCompression`` either DIB rows (0 = BI_RGB: bottom-up, BGR,
+    4-byte stride, converted back to top-down RGB) or motion-JPEG
+    ('MJPG': each frame chunk is a standalone baseline-DCT JPEG,
+    decoded by ``_decode_jpeg``, dimensions cross-checked against the
+    stream header). Returns {width, height, rate, scale, frames} with
+    frames as top-down RGB byte strings. Other compressions (H.264,
+    ...), non-24-bit streams, and multi-stream files raise
+    ValueError — DIB and MJPG are the reference decoders; a
+    deployment adds codec branches via ffmpeg."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError(
             f"not a RIFF AVI: magic={b[:4]!r}/{b[8:12]!r}"
@@ -1112,9 +1149,9 @@ def _decode_avi(b: bytes) -> dict:
                     frames.append(b[s2 : s2 + z2])
     if width is None or bitcount is None:
         raise ValueError("AVI missing strf BITMAPINFOHEADER")
-    if compression != 0 or bitcount != 24:
+    if compression not in (0, _MJPG_FOURCC) or bitcount != 24:
         raise ValueError(
-            f"only uncompressed 24-bit DIB frames supported; got "
+            f"only 24-bit DIB or MJPG frames supported; got "
             f"biCompression={compression} biBitCount={bitcount}"
         )
     if width <= 0 or height <= 0:
@@ -1123,23 +1160,38 @@ def _decode_avi(b: bytes) -> dict:
         raise ValueError(
             f"avih declares {declared} frames; movi has {len(frames)}"
         )
-    stride = (width * 3 + 3) & ~3
-    rgb_frames = []
-    for i, data in enumerate(frames):
-        if len(data) != stride * height:
-            raise ValueError(
-                f"frame {i}: {len(data)} bytes, DIB {width}x{height} "
-                f"needs {stride * height}"
+    rgb_frames: list[bytes] = []
+    if compression == _MJPG_FOURCC:
+        for i, data in enumerate(frames):
+            img = _decode_jpeg(data)
+            if (img["width"], img["height"]) != (width, height):
+                raise ValueError(
+                    f"frame {i}: JPEG is {img['width']}x{img['height']}, "
+                    f"stream header says {width}x{height}"
+                )
+            if len(img["pixels"]) != width * height * 3:
+                raise ValueError(
+                    f"frame {i}: MJPG stream must be RGB; got a "
+                    "grayscale JPEG"
+                )
+            rgb_frames.append(bytes(img["pixels"]))
+    else:
+        stride = (width * 3 + 3) & ~3
+        for i, data in enumerate(frames):
+            if len(data) != stride * height:
+                raise ValueError(
+                    f"frame {i}: {len(data)} bytes, DIB {width}x{height} "
+                    f"needs {stride * height}"
+                )
+            rows = np.frombuffer(data, dtype=np.uint8).reshape(
+                height, stride
             )
-        rows = np.frombuffer(data, dtype=np.uint8).reshape(
-            height, stride
-        )
-        rgb = (
-            rows[:, : width * 3]
-            .reshape(height, width, 3)[::-1, :, ::-1]
-            .tobytes()
-        )
-        rgb_frames.append(rgb)
+            rgb = (
+                rows[:, : width * 3]
+                .reshape(height, width, 3)[::-1, :, ::-1]
+                .tobytes()
+            )
+            rgb_frames.append(rgb)
     return {
         "width": width,
         "height": height,

@@ -1059,3 +1059,161 @@ def test_avi_frames_match_oracle_and_driver_compare(spark, sf_dir):
         name="multimodal_decode_avi",
     )
     assert n > 0
+
+
+def test_avi_mjpeg_container_is_lossless_wrt_jpeg_codec():
+    """The MJPG contract: the CONTAINER layer adds no loss — decoding
+    an MJPG AVI yields exactly the per-frame baseline-JPEG round-trip
+    (whatever coefficient rounding the JPEG codec itself pins). One
+    compare certifies chunk framing, word alignment of odd-length
+    JPEG payloads, and the strf 'MJPG' dispatch."""
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        _decode_jpeg,
+        encode_avi,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(31)
+    for w, h, n in [(16, 8, 4), (5, 3, 2), (13, 19, 1)]:
+        frames = [
+            rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        out = decode_media(
+            encode_avi(frames, w, h, codec="MJPG"), "video/x-msvideo"
+        )
+        assert (out["width"], out["height"]) == (w, h)
+        expect = [
+            bytes(
+                _decode_jpeg(
+                    encode_jpeg(f, w, h, n_components=3)
+                )["pixels"]
+            )
+            for f in frames
+        ]
+        assert out["frames"] == expect
+
+
+def test_avi_mjpeg_gray_constant_blocks_roundtrip_exactly():
+    """R=G=B constant 8x8 blocks survive the full MJPG pipeline
+    bit-exactly (Y equals the gray level, Cb=Cr=128, every AC is 0 —
+    the grayscale analog of the JPEG fixture-exactness property),
+    so an oracle can value-check the composed video decode."""
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(32)
+    frames = []
+    for _ in range(3):
+        g = rng.integers(0, 256, (1, 2), dtype=np.uint8)
+        gray = np.repeat(np.repeat(g, 8, 0), 8, 1)
+        frames.append(np.stack([gray] * 3, axis=-1).tobytes())
+    out = decode_media(
+        encode_avi(frames, 16, 8, codec="MJPG"), "video/x-msvideo"
+    )
+    assert out["frames"] == frames
+
+
+def test_avi_mjpeg_rejects_malformed_and_mismatched_frames():
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        encode_avi,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(33)
+    frames = [
+        rng.integers(0, 256, size=16 * 8 * 3, dtype=np.uint8).tobytes()
+        for _ in range(2)
+    ]
+    good = encode_avi(frames, 16, 8, codec="MJPG")
+
+    # corrupt the first JPEG's SOI: must surface as ValueError through
+    # the decode_media normalization boundary
+    i = good.find(b"00dc") + 8
+    bad_soi = good[:i] + b"ZZ" + good[i + 2 :]
+    with pytest.raises(ValueError):
+        decode_media(bad_soi, "video/x-msvideo")
+
+    # a frame whose JPEG dimensions disagree with the stream header
+    wrong = encode_jpeg(
+        rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8).tobytes(),
+        8, 8, n_components=3,
+    )
+    right = encode_jpeg(frames[0], 16, 8, n_components=3)
+    assert len(wrong) != len(right) or wrong != right
+    mismatched = good.replace(
+        good[i : i + len(right)], wrong.ljust(len(right), b"\x00"), 1
+    ) if len(wrong) <= len(right) else None
+    if mismatched is not None:
+        with pytest.raises(ValueError):
+            decode_media(mismatched, "video/x-msvideo")
+
+    # a grayscale JPEG inside an MJPG stream: RGB required
+    gray_jpeg_frames = [
+        rng.integers(0, 256, size=16 * 8 * 3, dtype=np.uint8).tobytes()
+    ]
+    gavi = bytearray(encode_avi(gray_jpeg_frames, 16, 8, codec="MJPG"))
+    j = bytes(gavi).find(b"00dc") + 8
+    gray = encode_jpeg(
+        rng.integers(0, 256, size=16 * 8, dtype=np.uint8).tobytes(), 16, 8
+    )
+    # splice only if sizes allow an in-place swap of the chunk body
+    orig = encode_jpeg(gray_jpeg_frames[0], 16, 8, n_components=3)
+    if len(gray) <= len(orig):
+        gavi[j : j + len(orig)] = gray.ljust(len(orig), b"\x00")
+        with pytest.raises(ValueError):
+            decode_media(bytes(gavi), "video/x-msvideo")
+
+
+def test_avi_mjpeg_roundtrip_property():
+    """Property: the MJPG container inverts for any geometry/frame
+    count — container framing is exact even though the JPEG payload
+    is lossy (compared against the per-frame JPEG round-trip)."""
+    from hypothesis import given, settings, strategies as st
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        _decode_jpeg,
+        encode_avi,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        n=st.integers(1, 4),
+        data=st.data(),
+    )
+    def check(w, h, n, data):
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * 3,
+                        max_size=w * h * 3,
+                    )
+                )
+            )
+            for _ in range(n)
+        ]
+        out = decode_media(
+            encode_avi(frames, w, h, codec="MJPG"), "video/x-msvideo"
+        )
+        assert out["frames"] == [
+            bytes(
+                _decode_jpeg(
+                    encode_jpeg(f, w, h, n_components=3)
+                )["pixels"]
+            )
+            for f in frames
+        ]
+
+    check()
