@@ -111,29 +111,40 @@ def tablelog_time_travel_prune(
     )
 
 
+#: big_value = value where value >= BIG_CUTOFF, else NULL — gives the
+#: fixture a column with real NULLs whose manifest null count the
+#: oracle re-derives as a CASE count over the source rows.
+BIG_CUTOFF = 100
+
+
 @CATALOG.add(
     "tablelog_manifest_stats",
-    """
+    f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(event_id) AS BIGINT) AS min_event_id,
            CAST(MAX(event_id) AS BIGINT) AS max_event_id,
            CAST(MIN(user_id) AS BIGINT) AS min_user_id,
            CAST(MAX(user_id) AS BIGINT) AS max_user_id,
            CAST(MIN(value) AS DOUBLE) AS min_value,
-           CAST(MAX(value) AS DOUBLE) AS max_value
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(SUM(CASE WHEN value < {BIG_CUTOFF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big_value_nulls
     FROM events
     """,
     doc="Metadata-only aggregates through the table log "
-    "(sinks/tablelog.py snapshot_row_count / column_minmax): commit "
-    "events as three range-clustered snapshots, then answer exact "
-    "COUNT(*) and global MIN/MAX of event_id/user_id/value from the "
-    "MANIFEST ALONE — per-file footer row counts (the reserved "
-    "__rows stats key) and min-of-mins/max-of-maxes over the zone "
-    "maps; zero file I/O, zero Spark jobs, O(live files) driver "
-    "arithmetic. The oracle is a from-scratch COUNT/MIN/MAX scan of "
-    "the source rows, so a hash match certifies the metadata path is "
+    "(sinks/tablelog.py snapshot_row_count / column_minmax / "
+    "column_null_count): commit events — plus a derived nullable "
+    f"big_value column (value where >= {BIG_CUTOFF}, else NULL) — as "
+    "three range-clustered snapshots, then answer exact COUNT(*), "
+    "global MIN/MAX of event_id/user_id/value, and big_value's NULL "
+    "count from the MANIFEST ALONE: per-file footer row counts (the "
+    "reserved __rows stats key), min-of-mins/max-of-maxes over the "
+    "zone maps, and summed footer null counts (__nulls, Delta's "
+    "nullCount idea); zero file I/O, zero Spark jobs, O(live files) "
+    "driver arithmetic. The oracle is a from-scratch scan of the "
+    "source rows, so a hash match certifies the metadata path is "
     "EXACT, not approximate — one miscounted footer or one file's "
-    "zone map dropped by compaction/carry-over breaks the compare. "
+    "stats dropped by compaction/carry-over breaks the compare. "
     "Refuses (raises) rather than guessing if any file lacks stats. "
     "At 100 TB this is the dashboard fast path: the most common "
     "queries against a petabyte table are answered by one manifest "
@@ -143,17 +154,36 @@ def tablelog_time_travel_prune(
 def tablelog_manifest_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    table = build_events_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="spark_graft_tablelog_ms_")
+    table = os.path.join(work, "events_log")
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    enriched = events.withColumn(
+        "big_value",
+        F.when(F.col("value") >= BIG_CUTOFF, F.col("value")),
+    )
+    for rem, op in ((0, tablelog.overwrite), (1, tablelog.append),
+                    (2, tablelog.append)):
+        op(
+            enriched.filter(F.col("event_id") % 3 == rem)
+            .repartitionByRange(N_RANGE_FILES, "user_id"),
+            table,
+        )
     n = tablelog.snapshot_row_count(table)
     ranges = {
         c: tablelog.column_minmax(table, c)
         for c in ("event_id", "user_id", "value")
     }
-    if n is None or any(r is None for r in ranges.values()):
+    n_nulls = tablelog.column_null_count(table, "big_value")
+    if n is None or n_nulls is None or any(
+        r is None for r in ranges.values()
+    ):
         # the fixture writes stats for every file; a None here means
         # the metadata path regressed — fail loudly, never scan-fallback
         # silently inside a correctness query
-        raise ValueError(f"manifest stats missing: n={n} ranges={ranges}")
+        raise ValueError(
+            f"manifest stats missing: n={n} nulls={n_nulls} "
+            f"ranges={ranges}"
+        )
     return spark.createDataFrame(
         [
             (
@@ -164,12 +194,13 @@ def tablelog_manifest_stats(
                 ranges["user_id"][1],
                 float(ranges["value"][0]),
                 float(ranges["value"][1]),
+                n_nulls,
             )
         ],
         schema=(
             "n_rows bigint, min_event_id bigint, max_event_id bigint, "
             "min_user_id bigint, max_user_id bigint, "
-            "min_value double, max_value double"
+            "min_value double, max_value double, n_big_value_nulls bigint"
         ),
     )
 

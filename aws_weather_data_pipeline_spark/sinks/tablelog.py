@@ -71,6 +71,12 @@ class CommitConflict(Exception):
 #: superset contract, not a filter.
 _JSONABLE_STATS = (bool, int, float, str)
 
+#: Reserved per-file stats keys (not zone maps): exact footer row
+#: count, per-column null counts, and the file's column census. A
+#: real column with one of these names loses its zone map to the
+#: reserved key — metadata readers must treat them as absent.
+_RESERVED_STATS = frozenset({"__rows", "__nulls", "__cols"})
+
 
 #: Retry budget for rebasable commits (append/compact) losing the
 #: publish race. Conflicts are per-table and resolution is one small
@@ -274,10 +280,15 @@ def _file_stats(path: str) -> dict[str, list]:
     Columns whose min/max are absent (all-null chunks) or not plainly
     JSON-serializable (timestamps, decimals, binary) are omitted;
     omission means "never prune on this column for this file". The
-    exact footer row count rides under the reserved ``__rows`` key
-    (recorded here so the footer is opened ONCE per file — a real
-    column named ``__rows`` loses its zone map to the reserved key,
-    see ``snapshot_row_count``).
+    exact footer row count rides under the reserved ``__rows`` key,
+    and exact per-column NULL counts under ``__nulls`` (Delta's
+    nullCount idea — tracked independently of min/max usability, so
+    an all-null or timestamp column still gets its count; a column
+    any of whose chunks lacks a recorded null count is omitted from
+    the map, the same poison rule as the zone maps). Both are
+    recorded here so the footer is opened ONCE per file — real
+    columns named ``__rows``/``__nulls`` lose their zone maps to the
+    reserved keys (see ``snapshot_row_count`` / ``column_null_count``).
     """
     import pyarrow.parquet as pq
 
@@ -285,12 +296,23 @@ def _file_stats(path: str) -> dict[str, list]:
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     skip: set[str] = set()
+    nulls: dict[str, int] = {}
+    null_skip: set[str] = set()
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for ci in range(group.num_columns):
             col = group.column(ci)
             name = col.path_in_schema
             stats = col.statistics
+            if (
+                name not in null_skip
+                and stats is not None
+                and stats.has_null_count
+            ):
+                nulls[name] = nulls.get(name, 0) + stats.null_count
+            else:
+                null_skip.add(name)
+                nulls.pop(name, None)
             if (
                 name in skip
                 or stats is None
@@ -314,6 +336,15 @@ def _file_stats(path: str) -> dict[str, list]:
         name: [mins[name], maxs[name]] for name in mins
     }
     stats["__rows"] = meta.num_rows
+    if nulls:
+        stats["__nulls"] = nulls
+    # the file's own column census (leaf paths), so metadata readers
+    # can PROVE a column is absent from an old file (additive schema
+    # evolution: absent = null-backfilled on read = all rows NULL)
+    # rather than refusing on every evolved table
+    stats["__cols"] = sorted(
+        meta.schema.column(i).path for i in range(meta.num_columns)
+    )
     return stats
 
 
@@ -570,9 +601,11 @@ def files_for(
     stats = manifest.get("stats", {})
     kept = []
     for name in names:
-        rng = stats.get(name, {}).get(col)
+        rng = None
+        if col not in _RESERVED_STATS:
+            rng = stats.get(name, {}).get(col)
         if not isinstance(rng, (list, tuple)):
-            rng = None  # absent, or the reserved scalar __rows entry
+            rng = None  # absent, or a reserved __rows/__nulls/__cols entry
         try:
             keep = rng is None or (rng[1] >= lo and rng[0] <= hi)
         except TypeError:
@@ -872,6 +905,8 @@ def column_minmax(
             raise FileNotFoundError(f"no commits in table {table}")
     manifest = _read_manifest(table, version)
     stats = manifest.get("stats", {})
+    if col in _RESERVED_STATS:
+        return None  # a real column by a reserved name has no zone map
     lo = hi = None
     for name in manifest["files"]:
         fstats = stats.get(name, {})
@@ -888,6 +923,67 @@ def column_minmax(
             # metadata cannot order them — refuse, don't crash
             return None
     return None if lo is None else (lo, hi)
+
+
+def column_null_count(
+    table: str, col: str, version: int | None = None
+) -> int | None:
+    """Exact NULL count of ``col`` across a snapshot from the
+    manifest alone — zero file I/O, zero Spark jobs. With
+    ``snapshot_row_count`` this answers ``COUNT(col)`` (= rows −
+    nulls) and completeness/null-ratio dashboards without scheduling
+    a task, at any time-travel version.
+
+    Returns None when any file lacks a recorded null count for
+    ``col`` (legacy manifests predating the ``__nulls``/``__cols``
+    keys, or a footer chunk without the statistic): those rows are
+    invisible to the metadata, so refuse and let the caller scan —
+    never guess. Provably-empty files (``__rows`` == 0) contribute
+    zero. A column PROVABLY absent from a file (its recorded
+    ``__cols`` census omits it — additive evolution: old files
+    null-backfill on read) counts as all-NULL there via the file's
+    row count.
+    """
+    if version is None:
+        version = latest_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no commits in table {table}")
+    if col in _RESERVED_STATS:
+        return None
+    manifest = _read_manifest(table, version)
+    stats = manifest.get("stats", {})
+    # a column in NO file's census is not part of the snapshot at
+    # all — refuse like column_minmax's unknown-column None, rather
+    # than answering "all rows are NULL" for a typo
+    known = any(
+        col in (stats.get(name, {}).get("__cols") or ())
+        for name in manifest["files"]
+    )
+    if not known and manifest["files"]:
+        return None
+    total = 0
+    for name in manifest["files"]:
+        fstats = stats.get(name, {})
+        rows = fstats.get("__rows")
+        if rows == 0:
+            continue
+        nulls = fstats.get("__nulls")
+        if isinstance(nulls, dict) and col in nulls:
+            n = nulls[col]
+            if not isinstance(n, int):
+                return None
+            total += n
+            continue
+        cols = fstats.get("__cols")
+        if (
+            isinstance(cols, list)
+            and col not in cols
+            and isinstance(rows, int)
+        ):
+            total += rows
+            continue
+        return None
+    return total
 
 
 def maybe_compact(

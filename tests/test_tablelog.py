@@ -1331,6 +1331,72 @@ def test_metadata_only_count_and_minmax(spark, tmp_path):
     assert tl.column_minmax(t2, "k") == (1, 2)
 
 
+def test_metadata_only_null_counts(spark, tmp_path):
+    """Exact per-column NULL counts from the manifest alone (the
+    __nulls footer stats, Delta's nullCount idea): COUNT(col) and
+    null-ratio dashboards with zero tasks, honest None where metadata
+    cannot prove the answer, and provable all-NULL backfill for
+    columns added by additive schema evolution."""
+    table = str(tmp_path / "t")
+    tl.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (4, "b")], "k long, s string"
+        ).repartition(2),
+        table,
+    )
+    tl.append(
+        spark.createDataFrame([(5, None), (6, "c")], "k long, s string"),
+        table,
+    )
+    assert tl.column_null_count(table, "k") == 0
+    assert tl.column_null_count(table, "s") == 3
+    assert tl.column_null_count(table, "s", version=0) == 2
+    # an ALL-null column still gets an exact count (min/max refuses)
+    t2 = str(tmp_path / "t2")
+    tl.append(
+        spark.createDataFrame([(1, None), (2, None)], "k long, s string"),
+        t2,
+    )
+    assert tl.column_minmax(t2, "s") is None
+    assert tl.column_null_count(t2, "s") == 2
+    # additive evolution: the old file's census proves 'tag' is absent
+    # there, so its rows count as NULL-backfilled — exact through the
+    # merge-schema read contract
+    tl.append(
+        spark.createDataFrame([(7, "d", "x"), (8, None, None)],
+                              "k long, s string, tag string"),
+        table,
+    )
+    assert tl.column_null_count(table, "tag") == 6 + 1
+    assert tl.column_null_count(table, "s") == 4
+    # matches the scan it replaces
+    snap = tl.read_snapshot(spark, table, merge_schema=True)
+    assert snap.filter(snap.tag.isNull()).count() == 7
+    # unknown column: refuse (a typo must not read as "all NULL")
+    assert tl.column_null_count(table, "nope") is None
+    # compaction rewrites recompute stats: counts survive exactly
+    tl.compact(spark, table, n_files=1)
+    assert tl.column_null_count(table, "s") == 4
+    assert tl.column_null_count(table, "tag") == 7
+    assert tl.snapshot_row_count(table) == 8
+    # delete_where rewrites keep counts exact on the survivors
+    tl.delete_where(spark, table, "k = 2")
+    assert tl.column_null_count(table, "s") == 3
+    # legacy manifest without the __nulls/__cols keys: honest None
+    head = tl.latest_version(table)
+    path = tl._manifest_path(table, head)
+    manifest = json.load(open(path))
+    for fstats in manifest["stats"].values():
+        fstats.pop("__nulls", None)
+        fstats.pop("__cols", None)
+    os.unlink(path)
+    json.dump(manifest, open(path, "w"))
+    assert tl.column_null_count(table, "s") is None
+    # reserved names never alias the metadata keys
+    assert tl.column_null_count(table, "__rows") is None
+    assert tl.column_minmax(table, "__cols") is None
+
+
 def test_schema_on_write_refuses_retyped_columns(spark, tmp_path):
     """Schema enforcement: adding columns is additive evolution,
     omitting columns NULL-backfills on read — but RETYPING an
