@@ -576,18 +576,25 @@ def overwrite(
 def files_for(
     table: str,
     version: int | None = None,
-    where: tuple[str, object, object] | None = None,
+    where: tuple | None = None,
 ) -> list[str]:
     """Resolve a snapshot's file names, optionally zone-map-pruned.
 
     ``where=(col, lo, hi)`` keeps exactly the files whose manifest
     [min, max] for ``col`` intersects [lo, hi] — plus every file with
     no recorded stats for ``col`` (absent stats must never prune).
-    The CONTRACT is a superset: every row with ``col`` in [lo, hi] is
-    in the returned files; the caller still applies the real filter.
-    This is the pruning a 100 TB deployment needs BEFORE Spark: the
-    driver skips files from the manifest alone — no file listing, no
-    footer reads, no tasks scheduled for cold files.
+    ``where=(col, "isnull")`` / ``(col, "notnull")`` prunes by the
+    per-file NULL counts instead: a file provably free of NULLs in
+    ``col`` cannot serve an IS NULL predicate (and a provably
+    all-NULL file cannot serve IS NOT NULL) — the pruning that makes
+    "find the rows still missing enrichment" cheap on a mostly-
+    enriched 100 TB table. The CONTRACT is a superset either way:
+    every row matching the predicate is in the returned files; the
+    caller still applies the real filter, and files whose metadata
+    cannot prove an answer are kept. This is the pruning a 100 TB
+    deployment needs BEFORE Spark: the driver skips files from the
+    manifest alone — no file listing, no footer reads, no tasks
+    scheduled for cold files.
     """
     if version is None:
         version = latest_version(table)
@@ -597,8 +604,41 @@ def files_for(
     names = manifest["files"]
     if where is None:
         return list(names)
-    col, lo, hi = where
     stats = manifest.get("stats", {})
+    if len(where) == 2:
+        col, pred = where
+        if pred not in ("isnull", "notnull"):
+            raise ValueError(
+                f"2-tuple where wants 'isnull' or 'notnull', got {pred!r}"
+            )
+        kept = []
+        for name in names:
+            fstats = stats.get(name, {})
+            rows = fstats.get("__rows")
+            nulls = fstats.get("__nulls")
+            n = (
+                nulls.get(col)
+                if isinstance(nulls, dict) and col not in _RESERVED_STATS
+                else None
+            )
+            if n is None:
+                # provably-absent column (additive evolution): every
+                # row null-backfills on read
+                cols = fstats.get("__cols")
+                if (
+                    isinstance(cols, list)
+                    and col not in cols
+                    and isinstance(rows, int)
+                ):
+                    n = rows
+            if not isinstance(n, int) or not isinstance(rows, int):
+                kept.append(name)  # unprovable — superset over skipping
+            elif pred == "isnull" and n > 0:
+                kept.append(name)
+            elif pred == "notnull" and n < rows:
+                kept.append(name)
+        return kept
+    col, lo, hi = where
     kept = []
     for name in names:
         rng = None
@@ -622,7 +662,7 @@ def read_snapshot(
     spark: SparkSession,
     table: str,
     version: int | None = None,
-    where: tuple[str, object, object] | None = None,
+    where: tuple | None = None,
     merge_schema: bool = False,
 ) -> DataFrame:
     """Read an exact committed snapshot (latest by default).
@@ -631,8 +671,9 @@ def read_snapshot(
     returned frame can be re-evaluated, cached, or joined while any
     number of commits/compactions land, and it always shows this
     version's rows. ``where=(col, lo, hi)`` additionally skips files
-    whose zone map excludes the range (see ``files_for`` — superset
-    contract, caller still filters). ``merge_schema=True`` reads a
+    whose zone map excludes the range, and ``where=(col, "isnull")``
+    / ``(col, "notnull")`` skips by the per-file NULL counts (see
+    ``files_for`` — superset contract, caller still filters). ``merge_schema=True`` reads a
     snapshot whose commits evolved the schema additively (a later
     append introduced a column): new columns NULL-backfill on old
     files, same semantics as ``sources/tables.py
@@ -1023,7 +1064,7 @@ def delete_where(
     spark: SparkSession,
     table: str,
     condition: str,
-    prune: tuple[str, object, object] | None = None,
+    prune: tuple | None = None,
     txn_id: str | None = None,
     write_changefeed: bool = False,
 ) -> int:
@@ -1041,7 +1082,9 @@ def delete_where(
     rewritten; the condition is applied inside them), but the prune
     range must cover every row the condition can match — the caller
     owns that pairing, e.g. condition="user_id = 7",
-    prune=("user_id", 7, 7).
+    prune=("user_id", 7, 7). The null-predicate form composes too:
+    condition="tag IS NULL", prune=("tag", "isnull") rewrites only
+    the files that provably contain NULL tags.
 
     ``write_changefeed=True`` records the deleted rows as
     ``cdc_files`` (``_change_type`` = 'delete'), so ``read_changes``

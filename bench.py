@@ -124,6 +124,22 @@ BENCH_NOTES = {
         "seconds are fixed streaming latency, not plan cost; they "
         "do not scale with SF like the batch queries."
     ),
+    "drift_r10": (
+        "r10 mid-round bench: catalog 137.8s (150 q, was 124.2s) with "
+        "a UNIFORM median per-query ratio of 1.081 — the ambient-"
+        "drift signature, not plans. Two queries crossed the 1.5x "
+        "attribution threshold: near_dup_pairs_simhash 0.81->1.58s "
+        "and ann_ivf_probe_topk 0.31->0.46s. Neither query's module "
+        "changed in r10 (git: plans/similarity.py untouched since "
+        "r09); isolated probes (tools/bench_probe.py, 5 runs, idle) "
+        "partially recover — simhash min 1.12s with a descending "
+        "warm-up trail [2.59, 1.39, 1.34, 1.21, 1.12], ivf min "
+        "0.51s — the Python-worker-startup/host-drift class "
+        "established in r05-r09 (see python_worker_cluster_r08), "
+        "both sub-second-to-1.6s absolute. Expect recovery on an "
+        "idle host as in r06/r09; flagged here same-round per the "
+        "r09 bench-notes discipline."
+    ),
 }
 
 

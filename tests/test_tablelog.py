@@ -343,8 +343,11 @@ from collections import Counter
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# s draws None too, so the model also pins the __nulls metadata
+# (column_null_count) through every op interaction
+_S = st.one_of(st.none(), st.integers(0, 99))
 _ROWS = st.lists(
-    st.tuples(st.integers(0, 6), st.integers(0, 99)), min_size=0, max_size=6
+    st.tuples(st.integers(0, 6), _S), min_size=0, max_size=6
 )
 _OPS = st.lists(
     st.one_of(
@@ -357,7 +360,7 @@ _OPS = st.lists(
                 st.tuples(
                     st.sampled_from(["U", "D"]),
                     st.integers(0, 6),
-                    st.integers(0, 99),
+                    _S,
                 ),
                 min_size=1,
                 max_size=5,
@@ -472,6 +475,27 @@ def test_tablelog_matches_model_under_random_op_sequences(
             for r in tl.read_snapshot(spark, table, version=v).collect()
         )
         assert got == expect, f"version {v}: {got} != {expect}"
+        # metadata invariants survive every op interaction: exact
+        # manifest-only row and null counts at each live version
+        assert tl.snapshot_row_count(table, version=v) == sum(
+            expect.values()
+        ), f"version {v}: row count"
+        model_nulls = sum(
+            n for (_k, s), n in expect.items() if s is None
+        )
+        assert tl.column_null_count(table, "s", version=v) == (
+            model_nulls
+        ), f"version {v}: null count"
+        # null-predicate pruned reads stay supersets
+        pruned = tl.read_snapshot(
+            spark, table, version=v, where=("s", "isnull")
+        )
+        assert Counter(
+            (r.k, r.s)
+            for r in pruned.filter(pruned.s.isNull()).collect()
+        ) == Counter(
+            {(k, s): n for (k, s), n in expect.items() if s is None}
+        ), f"version {v}: isnull prune dropped rows"
     # exactly-once under the model: replaying ANY earlier append txn
     # — including ones whose manifests vacuum expired and folded into
     # the checkpoint — commits nothing and returns its version
@@ -1395,6 +1419,88 @@ def test_metadata_only_null_counts(spark, tmp_path):
     # reserved names never alias the metadata keys
     assert tl.column_null_count(table, "__rows") is None
     assert tl.column_minmax(table, "__cols") is None
+
+
+def test_null_predicate_pruning(spark, tmp_path):
+    """IS NULL / IS NOT NULL file skipping from the per-file null
+    counts: a file provably free of NULLs never serves an IS NULL
+    read, an all-NULL file never serves IS NOT NULL, unprovable files
+    are kept (superset contract), and the prune composes with
+    delete_where's write-path skip."""
+    table = str(tmp_path / "t")
+    # f0: no nulls; f1: mixed; f2: all-null s
+    tl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        .coalesce(1),
+        table,
+    )
+    tl.append(
+        spark.createDataFrame([(3, "c"), (4, None)], "k long, s string")
+        .coalesce(1),
+        table,
+    )
+    tl.append(
+        spark.createDataFrame(
+            [(5, None), (6, None)], "k long, s string"
+        ).coalesce(1),
+        table,
+    )
+    all_files = tl.files_for(table)
+    assert len(all_files) == 3
+    isnull = tl.files_for(table, where=("s", "isnull"))
+    notnull = tl.files_for(table, where=("s", "notnull"))
+    assert len(isnull) == 2  # f0 skipped: provably null-free
+    assert len(notnull) == 2  # f2 skipped: provably all-null
+    # rows survive the skip exactly (superset + real filter)
+    snap = tl.read_snapshot(spark, table, where=("s", "isnull"))
+    assert sorted(
+        r.k for r in snap.filter(snap.s.isNull()).collect()
+    ) == [4, 5, 6]
+    snap2 = tl.read_snapshot(spark, table, where=("s", "notnull"))
+    assert sorted(
+        r.k for r in snap2.filter(snap2.s.isNotNull()).collect()
+    ) == [1, 2, 3]
+    # a column added later: old files provably all-null via __cols
+    tl.append(
+        spark.createDataFrame([(7, "d", "x")], "k long, s string, tag string")
+        .coalesce(1),
+        table,
+    )
+    assert len(tl.files_for(table, where=("tag", "notnull"))) == 1
+    assert len(tl.files_for(table, where=("tag", "isnull"))) == 3
+    # bad predicate refused loudly
+    with pytest.raises(ValueError, match="isnull"):
+        tl.files_for(table, where=("s", "equals"))
+    # legacy manifests (no __nulls/__cols) keep everything
+    head = tl.latest_version(table)
+    path = tl._manifest_path(table, head)
+    manifest = json.load(open(path))
+    for fstats in manifest["stats"].values():
+        fstats.pop("__nulls", None)
+        fstats.pop("__cols", None)
+    os.unlink(path)
+    json.dump(manifest, open(path, "w"))
+    assert len(tl.files_for(table, where=("s", "isnull"))) == 4
+    # write-path composition: delete the NULL-s rows, rewriting only
+    # the files that provably contain them (f0 carries over untouched)
+    t2 = str(tmp_path / "t2")
+    tl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        .coalesce(1),
+        t2,
+    )
+    tl.append(
+        spark.createDataFrame([(3, None), (4, "c")], "k long, s string")
+        .coalesce(1),
+        t2,
+    )
+    before = set(tl.files_for(t2))
+    tl.delete_where(spark, t2, "s IS NULL", prune=("s", "isnull"))
+    after = set(tl.files_for(t2))
+    assert len(before & after) == 1  # the null-free file survived as-is
+    assert sorted(
+        r.k for r in tl.read_snapshot(spark, t2).collect()
+    ) == [1, 2, 4]
 
 
 def test_schema_on_write_refuses_retyped_columns(spark, tmp_path):
