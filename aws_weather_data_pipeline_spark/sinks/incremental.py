@@ -63,18 +63,28 @@ def aggregate_position(dst_table: str) -> int:
 
 
 def _delta_agg(
-    changes: DataFrame, group_cols: list[str], sum_cols: list[str]
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    min_cols: list[str],
+    max_cols: list[str],
 ) -> DataFrame:
     # sums cast BACK to the declared decimal(28,2): F.sum widens
     # decimal by 10 digits, and the bootstrap commit writes this
     # frame directly — the table schema must not change width between
-    # version 0 and every later fold (review r09)
-    aggs = [F.count(F.lit(1)).cast("bigint").alias(COUNT_COL)] + [
-        F.sum(F.col(c).cast("decimal(28,2)"))
-        .cast("decimal(28,2)")
-        .alias(f"sum_{c}")
-        for c in sum_cols
-    ]
+    # version 0 and every later fold (review r09). MIN/MAX keep the
+    # source column type (no widening).
+    aggs = (
+        [F.count(F.lit(1)).cast("bigint").alias(COUNT_COL)]
+        + [
+            F.sum(F.col(c).cast("decimal(28,2)"))
+            .cast("decimal(28,2)")
+            .alias(f"sum_{c}")
+            for c in sum_cols
+        ]
+        + [F.min(c).alias(f"min_{c}") for c in min_cols]
+        + [F.max(c).alias(f"max_{c}") for c in max_cols]
+    )
     return changes.groupBy(*group_cols).agg(*aggs)
 
 
@@ -84,17 +94,24 @@ def sync_aggregate(
     dst_table: str,
     group_cols: list[str],
     sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> int | None:
     """Fold the source's next change-feed batch into the per-group
     aggregate table ``dst_table``. Returns the destination version
     committed, or None when the source has nothing new.
 
     The destination schema is ``group_cols + [n_rows] +
-    [sum_<c> for c in sum_cols]`` with sums as DECIMAL(28,2) —
+    [sum_<c>] + [min_<c>] + [max_<c>]`` with sums as DECIMAL(28,2) —
     decimal addition is exact and order-independent, so the folded
     table is bit-identical to a from-scratch GROUP BY of the source
     snapshot regardless of how the commits were batched (the
-    convergence property the tests pin).
+    convergence property the tests pin). MIN/MAX are foldable for
+    the same reason counts and sums are: the INSERT-ONLY contract —
+    a delete could retract the current extremum, which no fold can
+    recover without the full history, but inserts only ever improve
+    it (min of mins / max of maxes is exact; AVG falls out as
+    sum/n_rows downstream).
 
     Plan shape per batch: the delta aggregation is a partial-agg
     shuffle over O(batch) rows; the fold unions the
@@ -103,6 +120,8 @@ def sync_aggregate(
     as one atomic overwrite. The source is never rescanned.
     """
     sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
     position = aggregate_position(dst_table)
     head = tablelog.latest_version(src_table)
     if head is None or head <= position:
@@ -118,6 +137,8 @@ def sync_aggregate(
         changes.drop("_change_type", "_commit_version"),
         group_cols,
         sum_cols,
+        min_cols,
+        max_cols,
     )
     txn = f"{AGG_TXN_PREFIX}:{head}"
     # Compare-and-set on the destination head (review r10): the fold
@@ -145,7 +166,12 @@ def sync_aggregate(
     # promises), and a NULL side against a value adds as SUM's
     # ignore-NULLs. Sums cast back to the declared decimal(28,2)
     # (SUM widens by 10 digits; the table schema must stay stable).
-    measure_cols = [COUNT_COL] + [f"sum_{c}" for c in sum_cols]
+    measure_cols = (
+        [COUNT_COL]
+        + [f"sum_{c}" for c in sum_cols]
+        + [f"min_{c}" for c in min_cols]
+        + [f"max_{c}" for c in max_cols]
+    )
     combined = (
         current.select(*group_cols, *measure_cols)
         .unionByName(delta)
@@ -157,6 +183,14 @@ def sync_aggregate(
                 .cast("decimal(28,2)")
                 .alias(f"sum_{c}")
                 for c in sum_cols
+            ],
+            *[
+                F.min(f"min_{c}").alias(f"min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.max(f"max_{c}").alias(f"max_{c}")
+                for c in max_cols
             ],
         )
     )

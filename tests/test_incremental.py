@@ -60,6 +60,51 @@ def test_aggregate_converges_to_full_recompute_across_batches(
     assert _folded(spark, dst)[(1,)] == (3, Decimal("12.75"))
 
 
+def test_aggregate_min_max_converge_like_sums(spark, tmp_path):
+    """MIN/MAX are foldable under the same insert-only contract as
+    counts/sums (inserts only improve an extremum; a delete could
+    retract it, and rewrites are refused anyway): the maintained
+    min/max match a from-scratch GROUP BY after every batch,
+    including all-NULL groups staying NULL and NULL group keys."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    batches = [
+        [(1, 10.0), (1, 2.5), (None, 7.0), (4, None)],
+        [(2, 1.0), (3, 4.25), (4, None), (None, None)],
+        [(1, 0.25), (3, 100.0), (2, -5.5), (4, None)],
+    ]
+    for batch in batches:
+        tl.append(_events(spark, batch), src)
+        v = inc.sync_aggregate(
+            spark, src, dst, group_cols=["user"],
+            sum_cols=["value"], min_cols=["value"], max_cols=["value"],
+        )
+        assert v is not None
+        got = {
+            (r["user"],): (r["n_rows"], r["sum_value"],
+                           r["min_value"], r["max_value"])
+            for r in tl.read_snapshot(spark, dst).collect()
+        }
+        expect = {
+            (r["user"],): (r["n"], r["s"], r["lo"], r["hi"])
+            for r in tl.read_snapshot(spark, src)
+            .groupBy("user")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,2)"))
+                .cast("decimal(28,2)")
+                .alias("s"),
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+            )
+            .collect()
+        }
+        assert got == expect
+    # group 4 saw only NULL values: every measure except the count
+    # stays NULL, exactly like the full recompute
+    assert got[(4,)][1:] == (None, None, None)
+    assert got[(4,)][0] == 3
+
+
 def test_aggregate_sync_is_idle_and_replay_safe(spark, tmp_path):
     src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
     tl.append(_events(spark, [(1, 1.0), (2, 2.0)]), src)
