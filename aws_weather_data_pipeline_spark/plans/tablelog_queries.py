@@ -127,7 +127,8 @@ BIG_CUTOFF = 100
            CAST(MAX(user_id) AS BIGINT) AS max_user_id,
            CAST(MIN(value) AS DOUBLE) AS min_value,
            CAST(MAX(value) AS DOUBLE) AS max_value,
-           CAST(SUM(CASE WHEN value < {BIG_CUTOFF} THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN value < {BIG_CUTOFF} OR value IS NULL
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_big_value_nulls
     FROM events
     """,

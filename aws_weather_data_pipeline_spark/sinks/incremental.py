@@ -53,13 +53,19 @@ AGG_TXN_PREFIX = "agg-sync"
 COUNT_COL = "n_rows"
 
 
-def aggregate_position(dst_table: str) -> int:
+def aggregate_position(dst_table: str, upto: int | None = None) -> int:
     """Last source version folded into ``dst_table``, or -1 if never.
 
     Same recovery contract as ``tablelog.sync_position`` (shared
     walk: newest live manifest first, then the checkpoint fold), so
-    there is no external cursor to lose."""
-    return tablelog.txn_position(dst_table, AGG_TXN_PREFIX)
+    there is no external cursor to lose. ``upto`` bounds the walk to
+    manifests <= that version — ``sync_aggregate`` reads the
+    destination HEAD first and derives the position from that same
+    snapshot, so a competing fold committing between the two reads
+    cannot pair a stale position with a CAS target that already
+    covers its commit (review r10: position-before-head read order
+    let exactly that interleave double-fold an overlapping range)."""
+    return tablelog.txn_position(dst_table, AGG_TXN_PREFIX, upto)
 
 
 def _delta_agg(
@@ -122,7 +128,16 @@ def sync_aggregate(
     sum_cols = list(sum_cols or [])
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
-    position = aggregate_position(dst_table)
+    # Destination head FIRST, then the position derived only from
+    # manifests <= that head — one consistent snapshot, the
+    # sync_changes shape (review r10: reading the position before the
+    # head let a fold committed between the two reads pass the CAS
+    # with a stale position, double-folding the overlapping range;
+    # with head-first reads that racer either lands before the
+    # snapshot — and its fold is IN the position — or after it, and
+    # the CAS below fails this worker into a clean retry).
+    dst_head = tablelog.latest_version(dst_table)
+    position = aggregate_position(dst_table, upto=dst_head)
     head = tablelog.latest_version(src_table)
     if head is None or head <= position:
         return None
@@ -141,16 +156,17 @@ def sync_aggregate(
         max_cols,
     )
     txn = f"{AGG_TXN_PREFIX}:{head}"
-    # Compare-and-set on the destination head (review r10): the fold
-    # is a read-modify-write, and two concurrent maintainers at
-    # DIFFERENT source heads carry distinct txn ids, so replay dedup
-    # alone cannot catch the interleave — without the CAS the second
-    # overwrite would silently discard the first fold. require_head
-    # turns that into a CommitConflict; the retry re-reads position
-    # and head, so the surviving maintainer folds the union exactly
-    # once. (Same shape as sync_changes' cas; the single-maintainer
-    # convention is now enforced, not assumed.)
-    dst_head = tablelog.latest_version(dst_table)
+    # Compare-and-set on the destination head read ABOVE (the same
+    # snapshot the position came from — review r10): the fold is a
+    # read-modify-write, and two concurrent maintainers at DIFFERENT
+    # source heads carry distinct txn ids, so replay dedup alone
+    # cannot catch the interleave — without the CAS the second
+    # overwrite would silently discard the first fold, and without
+    # the head-first read order a fold landing between the position
+    # read and the head read would pass the CAS with a stale
+    # position. require_head turns both into CommitConflict; the
+    # retry re-reads position and head, so the surviving maintainer
+    # folds the union exactly once. (Same shape as sync_changes.)
     if dst_head is None:
         return tablelog.append(delta, dst_table, txn_id=txn, require_head=-1)
     current = tablelog.read_snapshot(spark, dst_table)

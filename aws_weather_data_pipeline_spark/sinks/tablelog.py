@@ -813,8 +813,12 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     touch). Restore therefore RE-VERIFIES every restored file after
     the commit lands; if any vanished, it rolls the head forward to
     the pre-restore snapshot (whose files the losing vacuum kept —
-    they were head-referenced throughout) and raises, so the race
-    loses loudly instead of leaving a head that names deleted files.
+    they were head-referenced throughout; a CAS on our own commit, so
+    an interleaved writer's rows are never discarded) and raises — or,
+    when a concurrent commit already moved the head, raises without
+    rolling back if that head still references the deleted files. The
+    race loses loudly instead of leaving a head that names deleted
+    files.
     The detection window is bounded by the verify itself; for a hard
     no-race guarantee run restore outside vacuum maintenance windows
     (like compact/vacuum's own single-maintainer convention) or keep
@@ -845,52 +849,90 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
             {"restored_from": version, "schema": target.get("schema")},
         )
 
+    pre = latest_version(table)
     committed = _commit(table, build, "restore", txn_id, rebase=False)
+    if pre is not None and committed <= pre:
+        # Replayed txn: nothing new was published, and the replayed
+        # commit's files may have been legitimately compacted away
+        # since — there is nothing to verify.
+        return committed
     # Post-commit verification (review r10): the utime guard is a
     # narrowing, not a lock — an in-flight vacuum that stat'd a target
-    # file before our touch may unlink it after our publish. Verify
-    # only when OUR commit is still the head: a replayed txn or a
-    # concurrent later commit means the current head no longer depends
-    # on this file list (and a replayed commit's files may have been
-    # legitimately compacted away since).
-    if latest_version(table) == committed:
-        data = _data_dir(table)
-        manifest = _read_manifest(table, committed)
-        gone = [
-            n
-            for n in manifest["files"]
-            if not os.path.exists(os.path.join(data, n))
-        ]
-        if gone and latest_version(table) == committed:
-            # Roll the head forward to the pre-restore snapshot: its
-            # files were head-referenced while the vacuum ran, so they
-            # survived. Best-effort — if this too loses a race the
-            # raise below still surfaces the corruption.
-            prev_v = committed - 1
-            try:
-                prev_m = _read_manifest(table, prev_v)
-                _commit(
-                    table,
-                    lambda _p: (
-                        list(prev_m["files"]),
-                        prev_m.get("stats", {}),
-                        {
-                            "restored_from": prev_v,
-                            "schema": prev_m.get("schema"),
-                        },
-                    ),
-                    "restore",
-                    None,
-                    rebase=False,
-                )
-            except (CommitConflict, FileNotFoundError):
-                pass
-            raise FileNotFoundError(
-                f"restore of {table} to v{version} lost the race with a "
-                f"concurrent vacuum: {len(gone)} restored files were "
-                f"deleted after publish (e.g. {gone[0]}); the head was "
-                f"rolled back to the pre-restore snapshot v{prev_v}"
+    # file before our touch may unlink it after our publish. A later
+    # concurrent commit does NOT make this moot: append and compact
+    # build on the previous manifest's file list, so deleted restored
+    # files propagate into the new head — verify OUR manifest's files
+    # unconditionally (review r10 #3).
+    data = _data_dir(table)
+    manifest = _read_manifest(table, committed)
+    gone = [
+        n
+        for n in manifest["files"]
+        if not os.path.exists(os.path.join(data, n))
+    ]
+    if not gone:
+        return committed
+    head = latest_version(table)
+    if head == committed:
+        # Roll the head forward to the pre-restore snapshot: its files
+        # were head-referenced while the vacuum ran, so they survived.
+        # CAS on our own commit (review r10 #2): if another writer
+        # lands between the head check and this publish, the rollback
+        # must lose — a blind overwrite would silently discard that
+        # writer's rows.
+        prev_v = committed - 1
+        rolled_back = False
+        try:
+            prev_m = _read_manifest(table, prev_v)
+            _commit(
+                table,
+                lambda _p: (
+                    list(prev_m["files"]),
+                    prev_m.get("stats", {}),
+                    {
+                        "restored_from": prev_v,
+                        "schema": prev_m.get("schema"),
+                    },
+                ),
+                "restore",
+                None,
+                rebase=False,
+                require_head=committed,
             )
+            rolled_back = True
+        except (CommitConflict, FileNotFoundError):
+            pass
+        # honest message either way (review r10 #4): a swallowed
+        # rollback failure must not be reported as a rollback
+        outcome = (
+            f"the head was rolled back to the pre-restore snapshot "
+            f"v{prev_v}"
+            if rolled_back
+            else f"rollback to v{prev_v} also failed — the head still "
+            "names deleted files; restore from a retained version or "
+            "recommit fresh data"
+        )
+        raise FileNotFoundError(
+            f"restore of {table} to v{version} lost the race with a "
+            f"concurrent vacuum: {len(gone)} restored files were "
+            f"deleted after publish (e.g. {gone[0]}); {outcome}"
+        )
+    # The head moved past our commit. A compaction may have rewritten
+    # the lost files away (current head clean — fine); an append
+    # carried them forward (current head names deleted files — the
+    # corruption must surface, but rolling back is not ours to do
+    # over the interleaved writer's commit).
+    head_m = _read_manifest(table, head)
+    still = sorted(set(gone) & set(head_m["files"]))
+    if still:
+        raise FileNotFoundError(
+            f"restore of {table} to v{version} lost the race with a "
+            f"concurrent vacuum: {len(still)} restored files were "
+            f"deleted after publish and the current head v{head} "
+            f"still references them (e.g. {still[0]}); a concurrent "
+            "commit landed meanwhile, so no automatic rollback is "
+            "possible — restore from a retained version"
+        )
     return committed
 
 

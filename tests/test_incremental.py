@@ -60,6 +60,85 @@ def test_aggregate_converges_to_full_recompute_across_batches(
     assert _folded(spark, dst)[(1,)] == (3, Decimal("12.75"))
 
 
+def test_fold_racing_between_snapshot_and_commit_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10 (confirmed double-count): sync_aggregate must read
+    the destination head FIRST and derive the position from that same
+    snapshot (the sync_changes shape). Simulate the losing interleave
+    deterministically: a second maintainer folds the same source
+    range between this worker's snapshot reads and its overwrite —
+    the CAS must fail the stale worker into CommitConflict, and a
+    plain retry must converge with nothing folded twice."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 10.0), (2, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])  # bootstrap
+    tl.append(_events(spark, [(1, 100.0), (3, 7.0)]), src)
+
+    real_read_changes = tl.read_changes
+    fired = []
+
+    def hijack(spark_, table_, lo, hi):
+        if not fired:
+            fired.append(True)
+            # a further source append lands, then maintainer B folds
+            # EVERYTHING — all after this worker snapshotted its
+            # position + heads, so B's txn id (a later source head)
+            # differs from this worker's and replay dedup cannot
+            # catch the overlap; only the CAS can
+            tl.append(_events(spark, [(2, 50.0)]), src)
+            assert (
+                inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+                is not None
+            )
+        return real_read_changes(spark_, table_, lo, hi)
+
+    monkeypatch.setattr(tl, "read_changes", hijack)
+    with pytest.raises(tl.CommitConflict):
+        inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    monkeypatch.setattr(tl, "read_changes", real_read_changes)
+    # retry: position re-read from the destination head covers B's
+    # fold, so there is nothing left to do — and nothing was doubled
+    assert inc.sync_aggregate(spark, src, dst, ["user"], ["value"]) is None
+    assert _folded(spark, dst) == _recompute(spark, src)
+    # the SAME-source-head interleave is caught one layer earlier:
+    # both folds carry the same txn id, so the stale worker's commit
+    # replays as a no-op instead of conflicting
+    tl.append(_events(spark, [(3, 9.0)]), src)
+    fired.clear()
+
+    def hijack_same_head(spark_, table_, lo, hi):
+        if not fired:
+            fired.append(True)
+            assert (
+                inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+                is not None
+            )
+        return real_read_changes(spark_, table_, lo, hi)
+
+    monkeypatch.setattr(tl, "read_changes", hijack_same_head)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])  # no raise
+    monkeypatch.setattr(tl, "read_changes", real_read_changes)
+    assert _folded(spark, dst) == _recompute(spark, src)
+
+
+def test_aggregate_position_bounded_by_destination_version(
+    spark, tmp_path
+):
+    """aggregate_position(upto=) pins the head-first consistent
+    snapshot: bounding the walk to an earlier destination version
+    returns the position as of THAT commit, not the newest fold."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    first_dst = tl.latest_version(dst)
+    first_pos = inc.aggregate_position(dst)
+    tl.append(_events(spark, [(2, 2.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    assert inc.aggregate_position(dst) > first_pos
+    assert inc.aggregate_position(dst, upto=first_dst) == first_pos
+
+
 def test_aggregate_min_max_converge_like_sums(spark, tmp_path):
     """MIN/MAX are foldable under the same insert-only contract as
     counts/sums (inserts only improve an extremum; a delete could

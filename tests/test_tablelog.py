@@ -1717,6 +1717,43 @@ def test_restore_lost_vacuum_race_detected_and_rolled_back(
     assert last["op"] == "restore" and last["restored_from"] == 1
 
 
+def test_restore_race_with_interleaved_commit_raises_without_rollback(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: a commit landing after the restore does NOT make
+    the lost-vacuum verification moot — append builds on the previous
+    manifest's files, so the deleted restored file propagates into
+    the new head. Restore must still raise (the corruption must
+    surface), but must NOT roll back over the interleaved writer's
+    commit: that writer's rows are not restore's to discard."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            # the losing vacuum unlinks a restored file AND a
+            # concurrent append moves the head, carrying the file
+            # list (incl. the deleted name) forward
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+            tl.append(_frame(spark, 50, 52), tbl)
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(FileNotFoundError, match="still references"):
+        tl.restore(table, 0)
+    # no rollback was committed over the interleaved append: the head
+    # is the append's commit, its rows intact
+    assert tl.history(table)[-1]["op"] == "append"
+    head_files = set(tl.files_for(table))
+    assert target_files[0] not in tl.files_for(table, version=1)
+    assert target_files[0] in head_files  # the corruption the raise names
+
+
 def test_concurrent_delete_append_vacuum_interleave(spark, tmp_path):
     """REAL threads: four appenders, a copy-on-write deleter, and a
     default-horizon vacuum all racing on one table. delete_where
