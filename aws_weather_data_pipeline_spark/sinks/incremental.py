@@ -75,16 +75,20 @@ def _delta_agg(
     min_cols: list[str],
     max_cols: list[str],
 ) -> DataFrame:
-    # sums cast BACK to the declared decimal(28,2): F.sum widens
-    # decimal by 10 digits, and the bootstrap commit writes this
-    # frame directly — the table schema must not change width between
-    # version 0 and every later fold (review r09). MIN/MAX keep the
-    # source column type (no widening).
+    # sums at decimal(38,2), Spark's maximum precision (review r10:
+    # at the old 28,2 a 26-integer-digit accumulated sum overflowed
+    # the cast-back to NULL under non-ANSI SQL, and the NEXT fold's
+    # F.sum silently ignored the NULL — resetting the group's history
+    # to just the new delta; at 38,2 F.sum cannot widen further, the
+    # cast is a type pin, and overflow needs 10^36 — unreachable).
+    # The bootstrap commit writes this frame directly, so the schema
+    # must not change width between version 0 and later folds
+    # (review r09). MIN/MAX keep the source column type (no widening).
     aggs = (
         [F.count(F.lit(1)).cast("bigint").alias(COUNT_COL)]
         + [
-            F.sum(F.col(c).cast("decimal(28,2)"))
-            .cast("decimal(28,2)")
+            F.sum(F.col(c).cast("decimal(38,2)"))
+            .cast("decimal(38,2)")
             .alias(f"sum_{c}")
             for c in sum_cols
         ]
@@ -108,7 +112,7 @@ def sync_aggregate(
     committed, or None when the source has nothing new.
 
     The destination schema is ``group_cols + [n_rows] +
-    [sum_<c>] + [min_<c>] + [max_<c>]`` with sums as DECIMAL(28,2) —
+    [sum_<c>] + [min_<c>] + [max_<c>]`` with sums as DECIMAL(38,2) —
     decimal addition is exact and order-independent, so the folded
     table is bit-identical to a from-scratch GROUP BY of the source
     snapshot regardless of how the commits were batched (the
@@ -169,7 +173,12 @@ def sync_aggregate(
     # folds the union exactly once. (Same shape as sync_changes.)
     if dst_head is None:
         return tablelog.append(delta, dst_table, txn_id=txn, require_head=-1)
-    current = tablelog.read_snapshot(spark, dst_table)
+    # pinned to the SAME head the CAS below checks (review r10): an
+    # unpinned read could see a competing fold's newer snapshot and
+    # then pay the whole union+re-aggregate+data write only to lose
+    # the guaranteed CommitConflict — correctness comes from the CAS,
+    # but the read must match the snapshot the fold claims to extend
+    current = tablelog.read_snapshot(spark, dst_table, version=dst_head)
     # Fold = union + re-aggregate, NOT a join (review r10: the old
     # full-outer join could never broadcast — Spark rejects the hint
     # for full outer — so it silently ran as a sort-merge join; the
@@ -180,7 +189,7 @@ def sync_aggregate(
     # sum stays NULL (SUM over NULLs is NULL — coalescing to 0 would
     # diverge from the from-scratch GROUP BY the convergence contract
     # promises), and a NULL side against a value adds as SUM's
-    # ignore-NULLs. Sums cast back to the declared decimal(28,2)
+    # ignore-NULLs. Sums cast back to the declared decimal(38,2)
     # (SUM widens by 10 digits; the table schema must stay stable).
     measure_cols = (
         [COUNT_COL]
@@ -196,7 +205,7 @@ def sync_aggregate(
             F.sum(COUNT_COL).cast("bigint").alias(COUNT_COL),
             *[
                 F.sum(f"sum_{c}")
-                .cast("decimal(28,2)")
+                .cast("decimal(38,2)")
                 .alias(f"sum_{c}")
                 for c in sum_cols
             ],

@@ -232,6 +232,38 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     return upto
 
 
+#: txn-id prefixes reserved for consumer-offset recovery: the suffix
+#: after the colon MUST be an integer position (``txn_position``).
+#: "changefeed-sync" = tablelog.sync_changes; "agg-sync" =
+#: sinks/incremental.sync_aggregate (named here rather than imported —
+#: incremental depends on this module, not the reverse).
+_RESERVED_TXN_PREFIXES = ("changefeed-sync", "agg-sync")
+
+
+def _check_txn_id(txn_id: str | None) -> None:
+    """Refuse caller txn ids that collide with a reserved offset
+    namespace without carrying a valid integer position: one such id
+    would wedge (non-integer suffix) or corrupt (arbitrary integer)
+    every later consumer-position recovery on the destination
+    (review r10). Integer-suffixed ids in the namespace are assumed
+    to BE the legitimate consumers — the namespaces are documented
+    as reserved."""
+    if txn_id is None:
+        return
+    for prefix in _RESERVED_TXN_PREFIXES:
+        if txn_id.startswith(prefix + ":"):
+            suffix = txn_id[len(prefix) + 1 :]
+            try:
+                int(suffix)
+            except ValueError:
+                raise ValueError(
+                    f"txn_id {txn_id!r} collides with the reserved "
+                    f"{prefix!r} consumer-offset namespace but its "
+                    "suffix is not an integer position — choose a txn "
+                    "id outside the reserved prefixes"
+                ) from None
+
+
 def _replayed_version(table: str, txn_id: str | None) -> int | None:
     """Version already committed under ``txn_id`` within the dedup
     horizon, or None. Shared by every committing operation so the
@@ -372,6 +404,13 @@ def _write_data_files(
         name = f"{uuid.uuid4().hex}.parquet"
         dest = os.path.join(_data_dir(table), name)
         os.rename(os.path.join(staging, part), dest)
+        # Refresh mtime NOW: rename preserves the part-file's Spark
+        # write time, so without this a commit whose Spark job outran
+        # min_age_seconds would stage files vacuum's age guard already
+        # considers old — deletable in the stage-to-publish window,
+        # publishing a manifest that names deleted files (review r10).
+        # The guard must measure from staging, like restore's utime.
+        os.utime(dest)
         names.append(name)
         # one footer open per file: zone maps + the exact __rows
         # count (lets COUNT(*) and pruned counts answer from the
@@ -402,6 +441,7 @@ def _commit(
     whose WRITE depends on what they READ (sync_changes), where a
     blind rebase would double-apply.
     """
+    _check_txn_id(txn_id)
     for _ in range(MAX_COMMIT_RETRIES):
         head = latest_version(table)
         replayed = _replayed_version(table, txn_id)
@@ -437,10 +477,33 @@ def _commit(
     )
 
 
+def _strip_nullability(typ: object) -> object:
+    """Normalize a Spark jsonValue type for retype comparison: drop
+    'nullable'/'metadata' at EVERY nesting level. Top-level
+    nullability is already excluded (only f['type'] is compared), but
+    struct/array/map types embed their children's nullable flags, and
+    joins/aggregations routinely flip nested nullability — a
+    parquet-legal difference that must not read as a retype
+    (review r10)."""
+    if isinstance(typ, dict):
+        return {
+            k: _strip_nullability(v)
+            for k, v in typ.items()
+            if k not in ("nullable", "metadata", "containsNull",
+                         "valueContainsNull")
+        }
+    if isinstance(typ, list):
+        return [_strip_nullability(v) for v in typ]
+    return typ
+
+
 def _schema_fields(schema_json: dict | None) -> dict[str, object]:
     if not schema_json:
         return {}
-    return {f["name"]: f["type"] for f in schema_json.get("fields", [])}
+    return {
+        f["name"]: _strip_nullability(f["type"])
+        for f in schema_json.get("fields", [])
+    }
 
 
 def _check_schema_compatible(
@@ -453,8 +516,9 @@ def _check_schema_compatible(
     snapshot (parquet schema-merge fails, or worse, coerces). Legacy
     manifests without a recorded schema skip the check (nothing to
     enforce against). Nullability and field metadata are deliberately
-    NOT compared — appending a nullable batch into a non-null column
-    is parquet-legal and loses nothing."""
+    NOT compared — at ANY nesting level (``_strip_nullability``) —
+    appending a nullable batch into a non-null column is
+    parquet-legal and loses nothing."""
     prev_fields = _schema_fields((prev or {}).get("schema"))
     if not prev_fields:
         return
@@ -561,6 +625,13 @@ def overwrite(
     version-racing writer is only caught when the publish itself
     collides (review r10).
     """
+    # Replay short-circuit BEFORE the data write, like append's
+    # (review r10): a retried overwrite must not pay the full Spark
+    # write only for _commit to discard it as a replay — one manifest
+    # read settles it. _commit re-checks under its own loop.
+    replayed = _replayed_version(table, txn_id)
+    if replayed is not None:
+        return replayed
     new, new_stats = _write_data_files(df, table)
     schema = df.schema.jsonValue()
     return _commit(
@@ -682,6 +753,15 @@ def read_snapshot(
     shouldn't pay. Empty-file-list snapshots need a schema source
     there is none of: raise instead of guessing.
     """
+    # Resolve the version ONCE (review r10): the fully-pruned fallback
+    # below re-lists files, and with version=None a concurrent commit
+    # landing between the two files_for calls would hand the empty
+    # frame a DIFFERENT snapshot's schema — breaking the promised
+    # "same schema the unpruned read would produce".
+    if version is None:
+        version = latest_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no commits in table {table}")
     names = files_for(table, version, where)
     if not names and where is not None:
         # Pruning is an OPTIMIZATION: a range that excludes every
@@ -854,7 +934,25 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     if pre is not None and committed <= pre:
         # Replayed txn: nothing new was published, and the replayed
         # commit's files may have been legitimately compacted away
-        # since — there is nothing to verify.
+        # since. But a replay of a restore whose ORIGINAL attempt lost
+        # the vacuum race and was rolled back must not read as success
+        # — the head does not hold the target's contents (review r10):
+        # the rollback commit carries a marker naming the version it
+        # rolled back, so the retry can tell apology from no-op.
+        for v in _list_versions(table):
+            if v <= committed:
+                continue
+            if (
+                _read_manifest(table, v).get("rolled_back_restore")
+                == committed
+            ):
+                raise FileNotFoundError(
+                    f"restore of {table} to v{version} (txn {txn_id!r}) "
+                    f"already ran and LOST a vacuum race: its commit "
+                    f"v{committed} was rolled back by v{v}, so the head "
+                    "does not hold the target's contents — verify the "
+                    "target files exist and retry with a fresh txn_id"
+                )
         return committed
     # Post-commit verification (review r10): the utime guard is a
     # narrowing, not a lock — an in-flight vacuum that stat'd a target
@@ -892,6 +990,10 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
                     {
                         "restored_from": prev_v,
                         "schema": prev_m.get("schema"),
+                        # names the commit this rollback compensates,
+                        # so a txn-replayed retry of the failed
+                        # restore raises instead of reading as success
+                        "rolled_back_restore": committed,
                     },
                 ),
                 "restore",
@@ -1246,6 +1348,7 @@ def merge_changes(
     txn_id: str | None = None,
     write_changefeed: bool = False,
     evolve_schema: bool = False,
+    require_head: int | None = None,
 ) -> int:
     """Apply a keyed I/U/D change batch to the table as ONE atomic
     commit (transactional Delta-MERGE; the log-level home of the
@@ -1268,7 +1371,18 @@ def merge_changes(
     (the rewrite must not discard the interleaved commit) — the
     orphaned first attempt is vacuum-swept. At 100 TB the rewrite
     narrows to the files ``files_for`` selects by the batch's key
-    range; the commit protocol is unchanged.
+    range; the commit protocol is unchanged. ``require_head`` turns
+    the merge into a compare-and-set instead: it only lands on
+    exactly that head, else CommitConflict — for callers whose BATCH
+    was derived from the head they read (the keyed ``sync_changes``
+    path, review r10: without it a stale racer's merge could land
+    after a fresher sync and regress keys to older values until the
+    next poll).
+
+    ``op_col`` values are validated eagerly: a NULL op or anything
+    outside {'U', 'D'} raises before any rewrite — a lowercase 'd'
+    silently upserting rows the feed meant to delete is the bug this
+    catches (review r10).
 
     ``write_changefeed=True`` additionally materializes the batch's
     EFFECTIVE row-level changes (``_change_type`` in
@@ -1294,13 +1408,39 @@ def merge_changes(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    _check_txn_id(txn_id)
+    if op_col in changes.columns:
+        # eager, bounded: one limit(1) probe over the batch — a merge
+        # applying misclassified ops (NULL, 'd', 'delete') must fail
+        # loudly before rewriting anything
+        bad = (
+            changes.filter(
+                F.col(op_col).isNull()
+                | ~F.col(op_col).isin("U", "D")
+            )
+            .select(op_col)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"change batch has invalid {op_col!r} value "
+                f"{bad[0][0]!r}: ops must be 'U' or 'D' and non-null"
+            )
     for _ in range(MAX_COMMIT_RETRIES):
         head = latest_version(table)
         if head is None:
             raise FileNotFoundError(f"no commits in table {table}")
+        # replay first, CAS second — _commit's order: a replayed txn
+        # is a no-op even when the head has legitimately moved on
         replayed = _replayed_version(table, txn_id)
         if replayed is not None:
             return replayed
+        if require_head is not None and head != require_head:
+            raise CommitConflict(
+                f"merge on {table} required head {require_head} but "
+                f"found {head}; re-read and retry"
+            )
         # merge_schema: like compact, the rewrite must carry columns
         # any append has introduced, or the merge commits their loss
         base = read_snapshot(spark, table, head, merge_schema=True)
@@ -1557,21 +1697,33 @@ def txn_position(
     instead of resetting to -1). Shared by ``sync_position`` and
     ``sinks/incremental.aggregate_position`` (review r09 — two
     hand-copies of this walk would drift)."""
+    def _pos(txn: str) -> int | None:
+        # defense in depth vs _check_txn_id (legacy manifests predate
+        # the write-time namespace check): a malformed suffix is
+        # skipped, never allowed to wedge recovery with ValueError
+        try:
+            return int(txn.rsplit(":", 1)[1])
+        except ValueError:
+            return None
+
     versions = _list_versions(dst_table)
     if upto is not None:
         versions = [v for v in versions if v <= upto]
     for v in reversed(versions):
         txn = _read_manifest(dst_table, v).get("txn_id") or ""
         if txn.startswith(prefix + ":"):
-            return int(txn.rsplit(":", 1)[1])
+            pos = _pos(txn)
+            if pos is not None:
+                return pos
     ckpt = _read_checkpoint(dst_table)
     if ckpt is not None:
         folded = [
-            (v, int(txn.rsplit(":", 1)[1]))
+            (v, _pos(txn))
             for txn, v in ckpt["txns"].items()
             if txn.startswith(prefix + ":")
             and (upto is None or v <= upto)
         ]
+        folded = [(v, p) for v, p in folded if p is not None]
         if folded:  # latest DESTINATION commit wins, as in the walk
             return max(folded)[1]
     return -1
@@ -1627,10 +1779,13 @@ def sync_changes(
     read from — two workers racing (even with DIFFERENT source heads,
     where txn ids alone would not collide) resolve to one winner and
     one retry that re-reads the advanced position and applies only
-    the remainder (review r08). The keyed merge path converges
-    without the CAS: re-applying an overlapping range is idempotent
-    under last-commit-wins. This is the table-log equivalent of the
-    streaming sink's epoch contract, for log-to-log pipelines.
+    the remainder (review r08). The keyed merge path carries the same
+    CAS (review r10): last-commit-wins alone converges only
+    EVENTUALLY — a stale racer landing after a fresher sync would
+    regress keys to older values until the next poll — so the stale
+    worker loses into the retry loop instead. This is the table-log
+    equivalent of the streaming sink's epoch contract, for log-to-log
+    pipelines.
     """
     from pyspark.sql import functions as F
 
@@ -1685,11 +1840,17 @@ def sync_changes(
                 ).otherwise(F.lit("U")),
             ).drop("_change_type")
             # evolve_schema: additively-evolved source columns must
-            # reach the destination, not be silently projected away
+            # reach the destination, not be silently projected away.
+            # require_head (review r10): without the CAS a stale
+            # racer's merge landing AFTER a fresher sync would regress
+            # keys to older values until the next poll re-applied the
+            # range — last-commit-wins converges only eventually; the
+            # CAS makes the stale worker lose into the retry loop,
+            # where the re-read position covers the fresher sync.
             return merge_changes(
                 spark, dst_table, batch, keys=keys,
                 order_cols=["_commit_version"], txn_id=txn,
-                evolve_schema=True,
+                evolve_schema=True, require_head=dst_head,
             )
         except CommitConflict:
             continue  # another sync/writer landed: re-read and retry

@@ -313,8 +313,10 @@ def test_aggregate_folds_null_group_keys(spark, tmp_path):
 
 def test_aggregate_bootstrap_schema_matches_fold_schema(spark, tmp_path):
     """The v0 bootstrap and every later fold must write the same
-    decimal width — F.sum widens decimal(28,2) to (38,2) and the raw
-    delta used to leak that into version 0 (review r09)."""
+    decimal width — sums are pinned at decimal(38,2) (max precision,
+    review r10: narrower widths could overflow-to-NULL and silently
+    reset a group's history) and the raw delta used to leak the
+    unpinned width into version 0 (review r09)."""
     src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
     tl.append(_events(spark, [(1, 1.0)]), src)
     inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
@@ -323,7 +325,7 @@ def test_aggregate_bootstrap_schema_matches_fold_schema(spark, tmp_path):
     inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
     v1 = dict(tl.read_snapshot(spark, dst).dtypes)
     assert v0 == v1
-    assert v0["sum_value"] == "decimal(28,2)"
+    assert v0["sum_value"] == "decimal(38,2)"
 
 
 def test_stream_compact_aggregate_composition(spark, tmp_path):
@@ -412,7 +414,7 @@ def test_concurrent_maintainer_conflicts_instead_of_silent_lost_fold(
             tl.append(
                 spark.createDataFrame(
                     [(7, 1, Decimal("7.00"))],
-                    "user int, n_rows bigint, sum_value decimal(28,2)",
+                    "user int, n_rows bigint, sum_value decimal(38,2)",
                 ),
                 dst,
             )

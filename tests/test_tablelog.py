@@ -1787,3 +1787,228 @@ def test_concurrent_delete_append_vacuum_interleave(spark, tmp_path):
     assert _values(tl.read_snapshot(spark, table)) == list(range(5, 50))
     # versions are contiguous: 1 seed + 4 appends + 1 delete
     assert tl.latest_version(table) == 5
+
+
+# ---------------------------------------------------------------------------
+# Review r10 hardening: staged-file aging, txn namespaces, merge op
+# validation, keyed-sync CAS, restore replay honesty
+# ---------------------------------------------------------------------------
+
+
+def test_staged_files_age_from_staging_not_spark_write(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: rename preserves the Spark part-file's mtime, so a
+    commit whose Spark job outran min_age_seconds would stage files
+    vacuum's age guard already considers deletable. _write_data_files
+    must refresh mtime at staging time — simulate 2h-old part files
+    and assert the staged copies read as young."""
+    import time
+
+    real_rename = os.rename
+
+    def rename_of_old_part(src_path, dst_path):
+        real_rename(src_path, dst_path)
+        old = time.time() - 7200
+        os.utime(dst_path, (old, old))  # the Spark-write-time mtime
+
+    monkeypatch.setattr(tl.os, "rename", rename_of_old_part)
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    monkeypatch.undo()
+    for name in tl.files_for(table):
+        age = time.time() - os.path.getmtime(
+            os.path.join(tl._data_dir(table), name)
+        )
+        assert age < 600, f"{name} aged {age}s: guard measures Spark write"
+
+
+def test_reserved_txn_namespaces_enforced_and_recovery_hardened(
+    spark, tmp_path
+):
+    """Review r10: a caller txn id colliding with a consumer-offset
+    namespace without an integer position would wedge (ValueError in
+    txn_position) or corrupt every later sync on the destination —
+    refused at write time; and recovery itself skips malformed legacy
+    entries instead of crashing."""
+    table = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="reserved"):
+        tl.append(_frame(spark, 0, 3), table, txn_id="changefeed-sync:run-7")
+    tl.append(_frame(spark, 0, 3), table)
+    with pytest.raises(ValueError, match="reserved"):
+        tl.overwrite(_frame(spark, 0, 3), table, txn_id="agg-sync:batch-x")
+    with pytest.raises(ValueError, match="reserved"):
+        tl.merge_changes(
+            spark, table,
+            spark.createDataFrame([("U", 1, 1)], "op string, v long, seq int"),
+            keys=["v"], order_cols=["seq"], txn_id="changefeed-sync:nope",
+        )
+    # legacy manifest with a malformed reserved txn id (predates the
+    # write-time check): recovery skips it rather than raising
+    head = tl.latest_version(table)
+    path = tl._manifest_path(table, head)
+    manifest = json.load(open(path))
+    manifest["txn_id"] = "changefeed-sync:legacy-garbage"
+    os.unlink(path)
+    json.dump(manifest, open(path, "w"))
+    assert tl.sync_position(table) == -1
+
+
+def test_merge_changes_rejects_invalid_ops(spark, tmp_path):
+    """Review r10: a lowercase 'd' (or NULL) op silently upserted the
+    rows the feed meant to delete; ops are now validated eagerly."""
+    table = str(tmp_path / "t")
+    tl.append(
+        spark.createDataFrame([(1, "a")], "k int, s string"), table
+    )
+    with pytest.raises(ValueError, match="invalid 'op'"):
+        tl.merge_changes(
+            spark, table,
+            spark.createDataFrame(
+                [("d", 1, None, 1)], "op string, k int, s string, seq int"
+            ),
+            keys=["k"], order_cols=["seq"],
+        )
+    with pytest.raises(ValueError, match="invalid 'op'"):
+        tl.merge_changes(
+            spark, table,
+            spark.createDataFrame(
+                [(None, 1, "x", 1)], "op string, k int, s string, seq int"
+            ),
+            keys=["k"], order_cols=["seq"],
+        )
+    # the table is untouched
+    assert {(r.k, r.s) for r in tl.read_snapshot(spark, table).collect()} == {
+        (1, "a")
+    }
+
+
+def test_sync_keyed_stale_racer_cannot_regress_keys(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: without a CAS the keyed sync path converged only
+    eventually — a stale racer's merge landing AFTER a fresher sync
+    regressed keys to older values until the next poll. Simulate the
+    interleave: a fresher sync completes between this worker's
+    snapshot reads and its merge; the stale merge must lose into the
+    retry loop and the destination must hold the NEWER value."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(
+        spark.createDataFrame([(1, "v1")], "k int, s string"), src
+    )
+    tl.sync_changes(spark, src, dst, keys=["k"])  # bootstrap
+    tl.merge_changes(
+        spark, src,
+        spark.createDataFrame(
+            [("U", 1, "v2", 1)], "op string, k int, s string, seq int"
+        ),
+        keys=["k"], order_cols=["seq"], write_changefeed=True,
+    )
+
+    real_read_changes = tl.read_changes
+    fired = []
+
+    def hijack(spark_, table_, lo, hi):
+        changes = real_read_changes(spark_, table_, lo, hi)
+        if not fired and table_ == src:
+            fired.append(True)
+            # a fresher source commit lands AND a competing sync
+            # applies everything — after this worker read its range
+            tl.merge_changes(
+                spark, src,
+                spark.createDataFrame(
+                    [("U", 1, "v3", 2)],
+                    "op string, k int, s string, seq int",
+                ),
+                keys=["k"], order_cols=["seq"], write_changefeed=True,
+            )
+            tl.sync_changes(spark, src, dst, keys=["k"])
+        return changes
+
+    monkeypatch.setattr(tl, "read_changes", hijack)
+    tl.sync_changes(spark, src, dst, keys=["k"])  # stale worker
+    monkeypatch.setattr(tl, "read_changes", real_read_changes)
+    # the destination holds the NEWER value — never regressed to v2
+    assert {
+        (r.k, r.s) for r in tl.read_snapshot(spark, dst).collect()
+    } == {(1, "v3")}
+
+
+def test_restore_replay_after_rollback_raises_not_success(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: a retried restore whose original attempt lost the
+    vacuum race (and was rolled back) must not replay as success —
+    the head does not hold the target's contents."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(FileNotFoundError, match="lost the race"):
+        tl.restore(table, 0, txn_id="restore-run-1")
+    monkeypatch.setattr(tl, "_publish", real_publish)
+    # the orchestrator retries the same txn: loud failure, not success
+    with pytest.raises(FileNotFoundError, match="rolled back"):
+        tl.restore(table, 0, txn_id="restore-run-1")
+    # head still holds the pre-restore contents
+    assert _values(tl.read_snapshot(spark, table)) == [900, 901, 902]
+
+
+def test_overwrite_replay_short_circuits_before_data_write(
+    spark, tmp_path
+):
+    """Review r10: a replayed overwrite must not pay the Spark write
+    only for _commit to discard it — no orphan files appear."""
+    table = str(tmp_path / "t")
+    tl.overwrite(_frame(spark, 0, 3), table, txn_id="load-1")
+    before = set(os.listdir(tl._data_dir(table)))
+    assert tl.overwrite(_frame(spark, 50, 99), table, txn_id="load-1") == 0
+    assert set(os.listdir(tl._data_dir(table))) == before
+
+
+def test_nested_nullability_flip_is_not_a_retype(spark, tmp_path):
+    """Review r10: joins/aggregations routinely flip NESTED nullable
+    flags; schema-on-write must not refuse the parquet-legal append —
+    while a genuine nested retype is still caught."""
+    from pyspark.sql import types as T
+
+    table = str(tmp_path / "t")
+    strict = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField(
+            "obs",
+            T.StructType([T.StructField("t", T.DoubleType(), False)]),
+            True,
+        ),
+    ])
+    relaxed = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField(
+            "obs",
+            T.StructType([T.StructField("t", T.DoubleType(), True)]),
+            True,
+        ),
+    ])
+    retyped = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField(
+            "obs",
+            T.StructType([T.StructField("t", T.StringType(), True)]),
+            True,
+        ),
+    ])
+    tl.append(spark.createDataFrame([(1, (1.5,))], strict), table)
+    tl.append(spark.createDataFrame([(2, (2.5,))], relaxed), table)  # OK
+    with pytest.raises(ValueError, match="retype"):
+        tl.append(spark.createDataFrame([(3, ("no",))], retyped), table)
+    assert tl.snapshot_row_count(table) == 2
