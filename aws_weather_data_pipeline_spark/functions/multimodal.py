@@ -1202,15 +1202,23 @@ def _decode_avi(b: bytes) -> dict:
 
 
 def with_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach a synthetic uncompressed-AVI payload derived from
-    ``text_col``.
+    """Attach a synthetic AVI payload derived from ``text_col``,
+    mixing BOTH supported codecs so one fixture exercises both
+    decode paths.
 
-    Frame geometry and count come from doc_id (width 1-4, height 1-3,
-    2-5 frames); frame ``f``'s RGB bytes are the text bytes at offset
-    f*w*h*3, right-padded to n_frames*w*h*3 with 'x'. SQL-derivable,
-    so an oracle re-derives every decoded frame statistic while the
-    Spark side must survive the full RIFF/DIB container round-trip
-    (bottom-up BGR rows, 4-byte stride padding)."""
+    Docs with ``doc_id % 5 == 0`` carry a motion-JPEG ('MJPG') stream:
+    width 8 or 16, height 8, 2-5 frames, where frame ``f``'s pixels
+    are constant-gray 8x8 tiles (tile ``t``'s gray level = the text
+    byte at offset f*n_tiles+t, right-padded with 'x') — the JPEG
+    fixture-exactness discipline (R=G=B constant per block, all-ones
+    quant tables) makes the lossy codec bit-exact, so the oracle can
+    re-derive every decoded byte. All other docs carry the
+    uncompressed-DIB stream: width 1-4, height 1-3, 2-5 frames, frame
+    ``f``'s RGB bytes = the text bytes at offset f*w*h*3, right-padded
+    to n_frames*w*h*3 with 'x'. Both constructions are SQL-derivable,
+    while the Spark side must survive the full RIFF container
+    round-trip (DIB: bottom-up BGR rows + 4-byte stride padding;
+    MJPG: per-frame baseline-DCT JPEG entropy decode)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
@@ -1218,12 +1226,27 @@ def with_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = []
         for did, t in zip(doc_id, text):
             did = int(did)
+            n_frames = 2 + did % 4
+            src = (t or "")[:180].encode("utf-8")
+            if did % 5 == 0:
+                w, h = 8 * (1 + did % 2), 8
+                n_tiles = w // 8
+                raw = src[: n_frames * n_tiles].ljust(
+                    n_frames * n_tiles, b"x"
+                )
+                frames = []
+                for f in range(n_frames):
+                    row = b"".join(
+                        bytes([raw[f * n_tiles + k]]) * 24
+                        for k in range(n_tiles)
+                    )
+                    frames.append(row * 8)
+                out.append(encode_avi(frames, w, h, codec="MJPG"))
+                continue
             w = 1 + did % 4
             h = 1 + did % 3
-            n_frames = 2 + did % 4
             total = n_frames * w * h * 3
-            raw = (t or "")[:180].encode("utf-8")
-            raw = raw[:total].ljust(total, b"x")
+            raw = src[:total].ljust(total, b"x")
             frames = [
                 raw[f * w * h * 3 : (f + 1) * w * h * 3]
                 for f in range(n_frames)

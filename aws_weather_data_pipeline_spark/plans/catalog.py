@@ -45,97 +45,91 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 10's window (committed at round start, per the checklist):
-# the steady-state 3-round cycle's first full turn — the 50 queries
-# whose latest driver row is r07 (age 3 at r10, the mandatory block;
-# tools/rotate_window.py emitted exactly this set, zero free slots).
-# Two zero-slack swaps executed mid-round:
-# (1) top10_orders_by_price retired (its O4 top-k semantics and
-# TakeOrderedAndProject plan pin are strictly covered by
-# recent_events_feed — identical single-table ORDER BY measure DESC +
-# key tie-break + LIMIT shape — and by top_revenue_orders for the
-# over-an-aggregate form), its window slot transferred to the NEW
-# incremental_agg_maintenance (plans/tablelog_queries.py:
-# driver-grade evidence for sinks/incremental.py, the r09 O(delta)
-# materialized-view sink).
-# (2) filter_isin_projection retired (P4 isin + P5 projection are
-# strictly covered by weather_alert_feed's isin + 9-column select,
-# green r09 row; pushdown pins live on promo_revenue_ratio /
-# date_range_revenue), its slot transferred to the NEW
-# tablelog_manifest_stats (plans/tablelog_queries.py: the
-# manifest-only COUNT/MIN/MAX zero-task fast path, driver-checked —
-# VERDICT r09 task 7).
+# Round 11's window (committed at round start, per the checklist):
+# the 3-round cycle's second full turn — the 49 surviving queries
+# whose latest driver row is r08 (age 3 at r11), plus the NEW
+# multimodal_decode_avi, which takes the slot of the 50th: r10's
+# committed plan of record executed first-commit this round. The
+# swap: multimodal_frame_sample retired (its fixed-byte-window
+# slicing was its own doc's "ffmpeg-keyframe stand-in"; decode_avi
+# strictly subsumes it — identical Arrow row-expansion + stride
+# sampling + SQL-md5 contract, over REAL RIFF container frames),
+# slot transferred to multimodal_decode_avi, whose fixture mixes
+# uncompressed-DIB and motion-JPEG streams per the r10 VERDICT so
+# the driver row certifies BOTH codec dispatch paths
+# (plans/multimodal.py AVI_FRAMES_SQL;
+# functions/multimodal.with_avi_payload).
+# tools/rotate_window.py emitted exactly this tuple (never=1 block
+# first, then the aged-r08 block, zero free slots beyond the swap).
 #
 # Capacity ledger: the sustainability test caps the catalog at
-# 50 * MAX_AGE_ROUNDS = 150 queries. r09 ended AT the cap (150 =
-# 50 r07-latest + 50 r08-latest + 50 r09-latest). At N=150 every
-# round's window is exactly its mandatory aged block — ZERO slack —
-# so the standing protocol for any new query or schema/semantics
-# change is: retire (or subsume) one query in the SAME commit,
-# swapping its window slot to the new/changed query; never grow past
-# 150 and never let a changed query ride on stale driver evidence.
-# Committed plan of record for r11: retire multimodal_frame_sample
-# (latest row r08, mandatory at r11) and register
-# multimodal_decode_avi in its slot — see plans/multimodal.py above
-# AVI_FRAMES_SQL.
+# 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
+# the cap (r11: 50 r09-latest + 50 r10-latest + the 50 in this
+# window). At N=150 every round's window is exactly its mandatory
+# aged block — ZERO slack — so the standing protocol for any new
+# query or schema/semantics change is: retire (or subsume) one query
+# in the SAME commit, swapping its window slot to the new/changed
+# query; never grow past 150 and never let a changed query ride on
+# stale driver evidence. Swap history: r10 retired
+# top10_orders_by_price → incremental_agg_maintenance and
+# filter_isin_projection → tablelog_manifest_stats (subsumption
+# arguments in those modules); r11 retired multimodal_frame_sample →
+# multimodal_decode_avi (above).
 DRIVER_WINDOW = (
-    # --- the 50 queries whose latest driver row is r07 ---
-    # composite multi-stage plans first (most likely to regress),
-    # then similarity/text, multimodal, relational/window blocks.
-    "corpus_build_manifest",
-    "dedup_cascade_keep_list",
-    "near_dup_pairs_minhash",
-    "near_dup_clusters",
-    "dedup_exact_content",
-    "decontaminate_ngram_overlap",
-    "dataset_split_assignment",
-    "deterministic_doc_sample",
-    "sequence_pack_assignment",
-    "pagerank_trade_graph",
-    "scd2_user_state",
-    "asof_last_click_before_purchase",
-    "ann_ivf_probe_topk",
-    "ann_recall_at_k",
-    "knn_cosine_topk",
-    "bm25_topk",
-    "tfidf_top_terms",
-    "doc_language_id",
-    "hll_distinct_sketch",
-    "multimodal_decode_gif",
-    "multimodal_feature_extract",
-    "user_session_windows",
-    "tumbling_hourly_by_type",
-    "user_activity_coverage",
-    "pricing_summary",
-    "regional_revenue",
-    "promo_revenue_ratio",
-    "rollup_returnflag_status",
-    "pivot_status_qty",
-    "order_date_arithmetic",
-    "top_revenue_orders",
-    # NEW r10, never driver-checked (slot from the retired
-    # top10_orders_by_price per the zero-slack swap protocol)
-    "incremental_agg_maintenance",
-    "customers_without_urgent_orders",
-    "union_segments",
-    "global_stats",
-    "conditional_counts",
-    "event_type_share",
-    "dominant_event_type",
-    "latest_event_per_user",
-    "dedup_user_event_type",
-    "recent_events_feed",
-    "nations_sorted",
-    # NEW r10, never driver-checked (slot from the retired
-    # filter_isin_projection per the zero-slack swap protocol)
-    "tablelog_manifest_stats",
-    "parse_props_json",
-    "pack_explode_flatten",
-    "null_drop_critical",
-    "range_validity_flags",
-    "coercion_null_on_error",
-    "validation_aggregates",
-    "weather_current_status",
+    # NEW r11, never driver-checked (slot from the retired
+    # multimodal_frame_sample per the zero-slack swap protocol;
+    # plans/multimodal.py AVI_FRAMES_SQL)
+    "multimodal_decode_avi",
+    # --- the 49 remaining queries whose latest driver row is r08 ---
+    "ann_hyperplane_lsh_topk",
+    "bloom_dedup_probe",
+    "cdc_merge_apply",
+    "cms_user_activity_sketch",
+    "corpus_mixture_sample",
+    "cube_type_user_bucket",
+    "customers_with_high_value_orders",
+    "daily_value_rollup",
+    "date_range_revenue",
+    "dedup_incremental_batch",
+    "dedup_incremental_near",
+    "doc_bigram_lm_score",
+    "doc_chunk_tokens",
+    "doc_duplicated_spans",
+    "doc_fingerprints",
+    "doc_importance_weights",
+    "doc_quality_scores",
+    "doc_repetition_metrics",
+    "doc_simhash",
+    "doc_stopword_filtered",
+    "doc_token_stats",
+    "event_gaps_lag",
+    "event_rank_functions",
+    "events_table_profile",
+    "except_users_without_big_events",
+    "gap_based_sessions",
+    "grouping_sets_pricing",
+    "intersect_error_purchase_users",
+    "interval_range_join_counts",
+    "kmeans_lloyd_assignments",
+    "label_centroids",
+    "minhash_signatures",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_ppm",
+    "multimodal_distinct_bytes",
+    "multimodal_payload_stats",
+    "near_dup_pairs_editdist",
+    "near_dup_pairs_embedding",
+    "near_dup_pairs_ngram",
+    "near_dup_pairs_simhash",
+    "pii_redaction",
+    "referential_integrity_audit",
+    "sliding_hourly_activity",
+    "stratified_sample_per_lang",
+    "term_frequencies",
+    "top3_events_per_user",
+    "trailing_hour_user_stats",
+    "union_distinct_active_users",
+    "user_running_totals",
 )
 
 

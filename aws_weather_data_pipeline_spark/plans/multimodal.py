@@ -16,12 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.multimodal import (
-    FRAME_BYTES,
-    FRAME_STRIDE,
     decode_image_features,
     distinct_byte_count_col,
     extract_features,
-    sample_frames,
     with_binary_payload,
     with_png_payload,
     with_ppm_payload,
@@ -527,37 +524,15 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d)
 
 
-@CATALOG.add(
-    "multimodal_frame_sample",
-    f"""
-    WITH t AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n
-        FROM documents
-    )
-    SELECT doc_id,
-           c.f AS frame_idx,
-           CAST(length(substring(text, c.f * {FRAME_BYTES} + 1,
-                                 {FRAME_BYTES})) AS INTEGER)
-               AS n_frame_bytes,
-           md5(substring(text, c.f * {FRAME_BYTES} + 1, {FRAME_BYTES}))
-               AS frame_md5
-    FROM t, unnest(range(0, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT),
-                         {FRAME_STRIDE})) AS c(f)
-    """,
-    doc=f"Frame sampling over binary payloads: mapInPandas slices each "
-    f"payload into {FRAME_BYTES}-byte frames and keeps every "
-    f"{FRAME_STRIDE}th (the ffmpeg-keyframe stand-in), emitting "
-    "(doc_id, frame_idx, md5) — row EXPANSION through the Arrow "
-    "boundary with a declared schema, the shape a video pipeline "
-    "needs. Narrow stage: no shuffle; per-frame work keys on "
-    "(doc_id, frame_idx) downstream. Oracle re-derives frames via "
-    "SQL substring (corpus is ASCII so char windows == byte windows) "
-    "and md5s them — the Python stage is fully SQL-checkable.",
-    tags=("multimodal", "udf"),
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = with_binary_payload(_docs(spark, sf_dir))
-    return sample_frames(d)
+# multimodal_frame_sample retired r11 (zero-slack swap, the committed
+# plan of record since r10): its fixed-byte-window slicing was the
+# self-described "ffmpeg-keyframe stand-in ... the container has no
+# codecs", and multimodal_decode_avi strictly subsumes it — the SAME
+# Arrow row-expansion + stride sampling + SQL-md5 check, but over REAL
+# RIFF container frames (DIB and MJPG streams both). Its window slot
+# transferred to multimodal_decode_avi; functions.multimodal
+# .sample_frames (the underlying stage) stays, unit-pinned by
+# tests/test_multimodal.py.
 
 
 @CATALOG.add(
@@ -644,42 +619,65 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Frame-sampling stride for the video query (keep every 2nd frame).
 AVI_SAMPLE_STRIDE = 2
 
-#: Exact oracle for multimodal_decode_avi (DuckDB). Held here
-#: UNREGISTERED: the catalog sits at the 150-query cap and every
-#: window through r10 is exactly its mandatory aged block (capacity
-#: ledger, plans/catalog.py). Plan of record: r11 registers this
-#: query in place of multimodal_frame_sample, which it strictly
-#: subsumes — same Arrow row-expansion + stride sampling + SQL-md5
-#: check, but over REAL container frames (multimodal_frame_sample's
-#: own doc calls its fixed windows "the ffmpeg-keyframe stand-in ...
-#: the container has no codecs"; it now does). frame_sample's latest
-#: driver row is r08, so it enters the mandatory window exactly at
-#: r11 and the swap transfers its slot. tests/test_multimodal.py
-#: runs the identical compare the driver will.
+#: Exact oracle for multimodal_decode_avi (DuckDB), REGISTERED r11 in
+#: the slot of the retired multimodal_frame_sample (the zero-slack
+#: swap committed as plan of record in r10's capacity ledger). The
+#: fixture mixes BOTH codec paths (functions/multimodal
+#: .with_avi_payload): docs with doc_id % 5 == 0 carry an MJPG stream
+#: whose frames are constant-gray 8x8 tiles (tile t of frame f = the
+#: text byte at f*n_tiles+t, 'x'-padded; the JPEG fixture-exactness
+#: discipline makes the lossy codec bit-exact), everything else the
+#: uncompressed-DIB stream (frame f's RGB bytes = text bytes at
+#: f*w*h*3, 'x'-padded). The oracle rebuilds each decoded frame's
+#: top-down RGB bytes from the construction rule directly — for MJPG
+#: each gray tile expands to 8 rows of 24 identical bytes — so every
+#: statistic (length, byte sum, md5) checks the full container +
+#: codec decode. tests/test_multimodal.py ran this exact compare as
+#: the r10 rehearsal.
 AVI_FRAMES_SQL = f"""
     WITH dims AS (
         SELECT doc_id, text,
-               1 + doc_id % 4 AS w,
-               1 + doc_id % 3 AS h,
+               doc_id % 5 = 0 AS is_mjpg,
+               CASE WHEN doc_id % 5 = 0 THEN 8 * (1 + doc_id % 2)
+                    ELSE 1 + doc_id % 4 END AS w,
+               CASE WHEN doc_id % 5 = 0 THEN 8
+                    ELSE 1 + doc_id % 3 END AS h,
                2 + doc_id % 4 AS n_frames
         FROM documents
     ),
     img AS (
-        SELECT doc_id, w, h, n_frames,
-               rpad(substr(text, 1, 180),
-                    CAST(n_frames * w * h * 3 AS INTEGER), 'x') AS raw
+        SELECT doc_id, is_mjpg, w, h, n_frames,
+               CASE WHEN is_mjpg
+                    THEN rpad(substr(text, 1, 180),
+                              CAST(n_frames * (w // 8) AS INTEGER),
+                              'x')
+                    ELSE rpad(substr(text, 1, 180),
+                              CAST(n_frames * w * h * 3 AS INTEGER),
+                              'x')
+               END AS raw
         FROM dims
     ),
     fr AS (
-        SELECT doc_id, w, h, raw,
+        SELECT doc_id, is_mjpg, w, h, raw,
                unnest(range(0, n_frames, {AVI_SAMPLE_STRIDE}))
                    AS frame_idx
         FROM img
     ),
     v AS (
         SELECT doc_id, frame_idx, w, h,
-               substr(raw, CAST(frame_idx * w * h * 3 + 1 AS INTEGER),
-                      CAST(w * h * 3 AS INTEGER)) AS fb
+               CASE WHEN is_mjpg THEN
+                   -- gray 8x8 tiles: each expands to 24 identical
+                   -- bytes per row (8 px * RGB), repeated for 8 rows
+                   repeat(array_to_string(list_transform(
+                       range(0, w // 8),
+                       t -> repeat(substr(raw,
+                                CAST(frame_idx * (w // 8) + t + 1
+                                     AS INTEGER), 1), 24)), ''), 8)
+               ELSE
+                   substr(raw,
+                          CAST(frame_idx * w * h * 3 + 1 AS INTEGER),
+                          CAST(w * h * 3 AS INTEGER))
+               END AS fb
         FROM fr
     )
     SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
@@ -695,21 +693,44 @@ AVI_FRAMES_SQL = f"""
     """
 
 
+@CATALOG.add(
+    "multimodal_decode_avi",
+    AVI_FRAMES_SQL,
+    doc="REAL video-container decode + keyframe-style sampling over a "
+    "MIXED-codec fixture: every document carries an actual RIFF AVI "
+    "(hdrl/avih/strh/strf, movi frame chunks, idx1 index) — 20% of "
+    "docs a motion-JPEG stream (each 00dc chunk a standalone "
+    "baseline-DCT JPEG, Huffman-decoded per frame), the rest "
+    "uncompressed RGB24 DIB 00db chunks (bottom-up BGR rows, 4-byte "
+    "stride padding) — and the stage keeps every "
+    f"{AVI_SAMPLE_STRIDE}nd frame with exact byte statistics and the "
+    "frame md5. MJPG frames use the constant-8x8-tile exactness "
+    "discipline so even the lossy codec is bit-checkable; DIB is "
+    "lossless outright. Subsumes the retired multimodal_frame_sample "
+    "(same Arrow row-expansion + stride + SQL-md5 contract, real "
+    "container). Narrow no-shuffle Arrow stage; downstream per-frame "
+    "work keys on (doc_id, frame_idx).",
+    tags=("multimodal", "udf"),
+)
 def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container decode + keyframe-style sampling through
     the mapInPandas slot: each document carries an actual RIFF AVI
-    (hdrl/avih/strh/strf headers, uncompressed RGB24 DIB frames in
-    movi 00db chunks — bottom-up BGR rows with 4-byte stride padding
-    — and an idx1 keyframe index) built by
-    functions/multimodal.encode_avi; decode_media's _decode_avi walks
-    the container and reassembles every frame's top-down RGB bytes,
-    and the stage keeps every AVI_SAMPLE_STRIDE-th frame with exact
-    byte statistics and the frame md5. Storage is lossless, so the
+    built by functions/multimodal.encode_avi — an uncompressed RGB24
+    DIB stream (movi 00db chunks, bottom-up BGR rows with 4-byte
+    stride padding) for most docs, a motion-JPEG 'MJPG' stream (00dc
+    chunks, one standalone baseline-DCT JPEG per frame) for docs with
+    doc_id % 5 == 0 — plus hdrl/avih/strh/strf headers and an idx1
+    keyframe index. decode_media's _decode_avi walks the container,
+    dispatches on biCompression, and reassembles every frame's
+    top-down RGB bytes; the stage keeps every AVI_SAMPLE_STRIDE-th
+    frame with exact byte statistics and the frame md5. DIB storage
+    is lossless outright; the MJPG fixture uses constant-gray 8x8
+    tiles so the lossy codec round-trips bit-exactly — either way the
     oracle re-derives every statistic from the text construction rule
-    directly. Narrow no-shuffle Arrow stage, row expansion keyed on
-    (doc_id, frame_idx) downstream — the same plumbing contract as
-    multimodal_frame_sample, which this query subsumes at
-    registration (see AVI_FRAMES_SQL).
+    directly (see AVI_FRAMES_SQL). Narrow no-shuffle Arrow stage, row
+    expansion keyed on (doc_id, frame_idx) downstream — the same
+    plumbing contract as the retired multimodal_frame_sample, which
+    this query subsumes.
     """
     from ..functions.multimodal import decode_avi_frames, with_avi_payload
 

@@ -1043,10 +1043,47 @@ def test_avi_decoder_rejects_second_vids_stream_and_ignores_foreign_chunks():
     assert out["frames"][0] == bytes(range(12))
 
 
+def test_avi_fixture_mixes_dib_and_mjpg_codecs(spark, sf_dir):
+    """The r11 driver row must certify BOTH codec dispatch paths
+    (VERDICT r10 task 1): pin that with_avi_payload emits motion-JPEG
+    streams for doc_id % 5 == 0 and uncompressed DIB otherwise, by
+    reading each payload's strf biCompression fourcc."""
+    import struct
+
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        with_avi_payload,
+    )
+    from aws_weather_data_pipeline_spark.plans.multimodal import _docs
+
+    rows = (
+        with_avi_payload(_docs(spark, sf_dir).limit(40))
+        .select("doc_id", "payload")
+        .collect()
+    )
+    assert rows
+    seen = set()
+    for r in rows:
+        b = bytes(r.payload)
+        strf_data = b.find(b"strf") + 8
+        (compression,) = struct.unpack(
+            "<I", b[strf_data + 16 : strf_data + 20]
+        )
+        fourcc = (
+            "MJPG" if compression == struct.unpack("<I", b"MJPG")[0]
+            else "DIB" if compression == 0
+            else f"?{compression}"
+        )
+        assert fourcc == ("MJPG" if r.doc_id % 5 == 0 else "DIB")
+        seen.add(fourcc)
+    assert seen == {"MJPG", "DIB"}
+
+
 def test_avi_frames_match_oracle_and_driver_compare(spark, sf_dir):
-    """The exact compare the driver will run when r11 registers
-    multimodal_decode_avi in place of multimodal_frame_sample
-    (plan of record: plans/multimodal.py AVI_FRAMES_SQL)."""
+    """The exact compare the driver runs on the registered (r11)
+    multimodal_decode_avi, which replaced multimodal_frame_sample
+    per the zero-slack swap (plans/multimodal.py AVI_FRAMES_SQL).
+    The sf fixture mixes DIB and MJPG streams, so this one compare
+    covers container walk + both codec paths + stride sampling."""
     from tests.oracle import compare
 
     from aws_weather_data_pipeline_spark.plans.multimodal import (
