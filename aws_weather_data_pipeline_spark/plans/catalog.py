@@ -74,7 +74,9 @@ OPERATOR_MODULES = (
 # top10_orders_by_price → incremental_agg_maintenance and
 # filter_isin_projection → tablelog_manifest_stats (subsumption
 # arguments in those modules); r11 retired multimodal_frame_sample →
-# multimodal_decode_avi (above).
+# multimodal_decode_avi (above) and union_distinct_active_users →
+# tablelog_nullcount_prune (the __nulls file-skip driver row;
+# subsumption argument in plans/relational.py).
 DRIVER_WINDOW = (
     # NEW r11, never driver-checked (slot from the retired
     # multimodal_frame_sample per the zero-slack swap protocol;
@@ -128,7 +130,11 @@ DRIVER_WINDOW = (
     "term_frequencies",
     "top3_events_per_user",
     "trailing_hour_user_stats",
-    "union_distinct_active_users",
+    # NEW r11, never driver-checked (slot from the retired
+    # union_distinct_active_users per the zero-slack swap protocol;
+    # subsumption argument in plans/relational.py — the __nulls
+    # pruning driver row, VERDICT r10 task 4)
+    "tablelog_nullcount_prune",
     "user_running_totals",
 )
 

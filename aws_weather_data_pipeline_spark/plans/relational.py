@@ -1046,28 +1046,17 @@ def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@CATALOG.add(
-    "union_distinct_active_users",
-    """
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    UNION
-    SELECT user_id FROM events WHERE event_type = 'error'
-    """,
-    doc="UNION with DISTINCT semantics (vs union_segments' UNION ALL): "
-    "Spark expresses it as union + distinct — one hash-aggregate on "
-    "the output columns after the concatenation; with intersect and "
-    "except this completes the set-operation family. Partial "
-    "aggregation dedups map-side, so the shuffle carries unique ids "
-    "per partition, not raw rows.",
-    tags=("setop",),
-)
-def union_distinct_active_users(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")["events"]
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    e = ev.filter(F.col("event_type") == "error").select("user_id")
-    return p.union(e).distinct()
+# union_distinct_active_users retired r11 (zero-slack swap: its slot
+# went to tablelog_nullcount_prune). UNION-with-DISTINCT in Spark IS
+# the composition union + Distinct (one hash aggregate over the
+# unioned output), and both legs keep independent driver rows: the
+# union-all leg via union_segments (identical two-filtered-scans
+# unionByName shape, green r10) and the distinct-as-hash-aggregate
+# leg via dedup_user_event_type (green r10) — while
+# intersect_error_purchase_users / except_users_without_big_events
+# (both in the r11 window) keep the set-op family's built-in
+# DISTINCT semantics driver-checked every cycle. Same composition
+# argument as the r10 filter_isin_projection retirement.
 
 
 @CATALOG.add(

@@ -206,6 +206,103 @@ def tablelog_manifest_stats(
     )
 
 
+def build_enriched_events_log(spark: SparkSession, sf_dir: str) -> str:
+    """Commit events + the nullable ``big_value`` column (value where
+    >= BIG_CUTOFF, else NULL) range-clustered on VALUE, so each data
+    file's manifest null count for big_value is provably all-NULL
+    (low-value files) or all-present (high-value files) — the layout
+    that lets ``files_for(where=(col, "isnull"/"notnull"))`` skip
+    whole files from the driver. Shared by the nullcount-prune query
+    and its skip-effectiveness pin in tests/test_tablelog.py."""
+    work = tempfile.mkdtemp(prefix="spark_graft_tablelog_nc_")
+    table = os.path.join(work, "events_log")
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    enriched = events.withColumn(
+        "big_value",
+        F.when(F.col("value") >= BIG_CUTOFF, F.col("value")),
+    )
+    for rem, op in ((0, tablelog.overwrite), (1, tablelog.append),
+                    (2, tablelog.append)):
+        op(
+            enriched.filter(F.col("event_id") % 3 == rem)
+            .repartitionByRange(N_RANGE_FILES, "value"),
+            table,
+        )
+    return table
+
+
+@CATALOG.add(
+    "tablelog_nullcount_prune",
+    f"""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value >= {BIG_CUTOFF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_enriched,
+           CAST(SUM(CASE WHEN value >= {BIG_CUTOFF}
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_big_value,
+           CAST(SUM(CASE WHEN value < {BIG_CUTOFF} OR value IS NULL
+                         THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="NULL-count file skipping through the table log — the driver "
+    "row for the __nulls pruning path (VERDICT r10 task 4; the stats "
+    "themselves are certified by tablelog_manifest_stats): commit "
+    f"events + a nullable big_value (value where >= {BIG_CUTOFF}) as "
+    "three snapshots range-clustered on VALUE, so files are provably "
+    "all-NULL or all-present in big_value, then answer one query "
+    "from TWO prune-complementary reads of the same manifest — "
+    "where=('big_value','notnull') for the enriched count/sum, "
+    "where=('big_value','isnull') for the still-missing count — each "
+    "followed by the real IS [NOT] NULL filter per the superset "
+    "contract, stitched per event_type with a full outer join. The "
+    "oracle recomputes all three measures from the source rows, so "
+    "one over-eager skip on EITHER side (a dropped enriched row, a "
+    "dropped missing row) breaks the hash. Effectiveness (files "
+    "actually skipped, both directions) is pinned on the same "
+    "fixture builder in tests/test_tablelog.py. At 100 TB this is "
+    "the 'find the rows still missing enrichment' query a "
+    "mostly-enriched table runs daily: the driver schedules tasks "
+    "only for files whose null counts say they can matter.",
+    tags=("tablelog", "agg", "metadata"),
+)
+def tablelog_nullcount_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = build_enriched_events_log(spark, sf_dir)
+    enriched = (
+        tablelog.read_snapshot(spark, table, where=("big_value", "notnull"))
+        .filter(F.col("big_value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_enriched"),
+            F.sum(F.col("big_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_big_value"),
+        )
+    )
+    missing = (
+        tablelog.read_snapshot(spark, table, where=("big_value", "isnull"))
+        .filter(F.col("big_value").isNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_missing"))
+    )
+    return (
+        enriched.join(missing, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_enriched", F.lit(0))
+            .cast("bigint")
+            .alias("n_enriched"),
+            "sum_big_value",
+            F.coalesce("n_missing", F.lit(0))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+    )
+
+
 @CATALOG.add(
     "incremental_agg_maintenance",
     """

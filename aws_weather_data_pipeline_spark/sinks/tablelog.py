@@ -205,15 +205,31 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     if upto <= prev["version"]:
         return prev["version"]  # already folded this far
     txns = dict(prev["txns"])
+    # rollback markers must survive the fold too (ADVICE r10): the
+    # restore replay guard asks "was my replayed commit rolled back by
+    # a LATER commit?", and once vacuum expires that later commit's
+    # manifest only the checkpoint can still answer — without this a
+    # retried restore whose original lost the vacuum race replays as
+    # success after retention even though the head never held the
+    # target's contents.
+    rollbacks = set(prev.get("rollbacks", []))
     for v in versions:
         if prev["version"] < v <= upto:
-            txn = _read_manifest(table, v).get("txn_id")
+            m = _read_manifest(table, v)
+            txn = m.get("txn_id")
             if txn:
                 txns[txn] = v
+            victim = m.get("rolled_back_restore")
+            if victim is not None:
+                rollbacks.add(victim)
     tmp = os.path.join(
         _log_dir(table), f".tmp-ckpt-{uuid.uuid4().hex}.json"
     )
-    folded = {"version": upto, "txns": txns}
+    folded = {
+        "version": upto,
+        "txns": txns,
+        "rollbacks": sorted(rollbacks),
+    }
     with open(tmp, "w") as fh:
         json.dump(folded, fh, sort_keys=True)
         fh.flush()
@@ -667,6 +683,14 @@ def files_for(
     manifest alone — no file listing, no footer reads, no tasks
     scheduled for cold files.
     """
+    if where is not None and len(where) not in (2, 3):
+        # loud, named validation for BOTH arities (ADVICE r10: a 1- or
+        # 4-element tuple used to die as an opaque unpacking error on
+        # the 3-tuple path only)
+        raise ValueError(
+            "where must be (col, lo, hi) for a range prune or "
+            f"(col, 'isnull'|'notnull') for a null prune; got {where!r}"
+        )
     if version is None:
         version = latest_version(table)
         if version is None:
@@ -939,6 +963,7 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
         # — the head does not hold the target's contents (review r10):
         # the rollback commit carries a marker naming the version it
         # rolled back, so the retry can tell apology from no-op.
+        rolled_back_by = None
         for v in _list_versions(table):
             if v <= committed:
                 continue
@@ -946,13 +971,26 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
                 _read_manifest(table, v).get("rolled_back_restore")
                 == committed
             ):
-                raise FileNotFoundError(
-                    f"restore of {table} to v{version} (txn {txn_id!r}) "
-                    f"already ran and LOST a vacuum race: its commit "
-                    f"v{committed} was rolled back by v{v}, so the head "
-                    "does not hold the target's contents — verify the "
-                    "target files exist and retry with a fresh txn_id"
-                )
+                rolled_back_by = f"v{v}"
+                break
+        if rolled_back_by is None:
+            # the rollback commit's manifest may have been vacuumed —
+            # the checkpoint fold preserves the marker (ADVICE r10:
+            # without this the guard reopened exactly at retention)
+            ckpt = _read_checkpoint(table)
+            if ckpt is not None and committed in ckpt.get(
+                "rollbacks", []
+            ):
+                rolled_back_by = "a checkpoint-folded commit"
+        if rolled_back_by is not None:
+            raise FileNotFoundError(
+                f"restore of {table} to v{version} (txn {txn_id!r}) "
+                f"already ran and LOST a vacuum race: its commit "
+                f"v{committed} was rolled back by {rolled_back_by}, "
+                "so the head does not hold the target's contents — "
+                "verify the target files exist and retry with a "
+                "fresh txn_id"
+            )
         return committed
     # Post-commit verification (review r10): the utime guard is a
     # narrowing, not a lock — an in-flight vacuum that stat'd a target
@@ -1035,6 +1073,18 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
             "commit landed meanwhile, so no automatic rollback is "
             "possible — restore from a retained version"
         )
+    # Success WITH a caveat (ADVICE r10): the HEAD is clean — every
+    # live row is served — but our own intermediate version
+    # `committed` permanently names the vacuum-deleted files, so a
+    # later time-travel read OF THAT VERSION fails with
+    # FileNotFoundError. That is the same failure mode as time-
+    # traveling to any version whose files vacuum expired (documented
+    # on restore/vacuum: history readability is retention-bounded),
+    # so it surfaces at read time with vacuum's standard error rather
+    # than failing this otherwise-converged restore. Returning
+    # success is right because the restore's CONTRACT — the head
+    # holds the target's contents — was met and then superseded by
+    # the concurrent commit, exactly as if it had landed cleanly.
     return committed
 
 

@@ -1355,6 +1355,29 @@ def test_metadata_only_count_and_minmax(spark, tmp_path):
     assert tl.column_minmax(t2, "k") == (1, 2)
 
 
+def test_nullcount_prune_query_fixture_actually_skips_files(
+    spark, sf_dir
+):
+    """The driver compare on tablelog_nullcount_prune proves the
+    __nulls skip never DROPS a row; this pin proves it isn't a no-op
+    on that query's own fixture: value-range clustering makes files
+    provably all-NULL or all-present in big_value, so BOTH prune
+    directions must strictly shrink the scheduled file list, and
+    together they must cover every live file (a file can't be
+    skipped by both sides unless it's empty)."""
+    from aws_weather_data_pipeline_spark.plans.tablelog_queries import (
+        build_enriched_events_log,
+    )
+
+    table = build_enriched_events_log(spark, sf_dir)
+    all_files = tl.files_for(table)
+    notnull = tl.files_for(table, where=("big_value", "notnull"))
+    isnull = tl.files_for(table, where=("big_value", "isnull"))
+    assert len(notnull) < len(all_files), "notnull prune was a no-op"
+    assert len(isnull) < len(all_files), "isnull prune was a no-op"
+    assert set(notnull) | set(isnull) == set(all_files)
+
+
 def test_metadata_only_null_counts(spark, tmp_path):
     """Exact per-column NULL counts from the manifest alone (the
     __nulls footer stats, Delta's nullCount idea): COUNT(col) and
@@ -1962,6 +1985,35 @@ def test_restore_replay_after_rollback_raises_not_success(
         tl.restore(table, 0, txn_id="restore-run-1")
     # head still holds the pre-restore contents
     assert _values(tl.read_snapshot(spark, table)) == [900, 901, 902]
+    # ADVICE r10: the guard must survive RETENTION — fold the rollback
+    # commit into the checkpoint, expire its manifest, and the retry
+    # must still raise (checkpoint-folded marker), never replay as
+    # success.
+    rollback_v = tl.latest_version(table)
+    assert (
+        tl._read_manifest(table, rollback_v)["rolled_back_restore"]
+        == fired[0]
+    )
+    tl.write_checkpoint(table)
+    assert fired[0] in tl._read_checkpoint(table)["rollbacks"]
+    for v in (fired[0], rollback_v):
+        os.unlink(tl._manifest_path(table, v))
+    tl.append(_frame(spark, 950, 951), table)  # fresh head manifest
+    with pytest.raises(FileNotFoundError, match="checkpoint-folded"):
+        tl.restore(table, 0, txn_id="restore-run-1")
+
+
+def test_files_for_malformed_where_raises_named_error(spark, tmp_path):
+    """ADVICE r10: a 1- or 4-element where tuple must fail with the
+    loud, named validation both real arities get — not an opaque
+    unpacking ValueError."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    for bad in (("v",), ("v", 0, 1, 2)):
+        with pytest.raises(ValueError, match="isnull"):
+            tl.files_for(table, where=bad)
+        with pytest.raises(ValueError, match="isnull"):
+            tl.read_snapshot(spark, table, where=bad)
 
 
 def test_overwrite_replay_short_circuits_before_data_write(
