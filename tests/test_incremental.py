@@ -388,6 +388,71 @@ def test_aggregate_preserves_all_null_sums(spark, tmp_path):
     assert folded[(3,)] == (2, Decimal("1.50"))  # NULL-first, value later
 
 
+def test_threaded_maintainers_converge_over_live_appends(
+    spark, tmp_path
+):
+    """REAL concurrency for the fold path (VERDICT r10 task 5 — the
+    threaded twin of the monkeypatched CAS test below): N maintainer
+    threads race sync_aggregate while a writer thread keeps appending
+    to the source. Losers must surface as CommitConflict and retry;
+    when the dust settles the maintained table must equal the
+    from-scratch GROUP BY — no lost fold, no double fold, position
+    exactly at the source head."""
+    import threading
+    import time
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    batches = [
+        [(b % 5, float(b)), ((b + 1) % 5, 0.25 * b), (7, 1.0)]
+        for b in range(8)
+    ]
+    tl.append(_events(spark, batches[0]), src)
+
+    errors: list[BaseException] = []
+    writer_done = threading.Event()
+
+    def writer():
+        try:
+            for batch in batches[1:]:
+                tl.append(_events(spark, batch), src)
+                time.sleep(0.05)
+        except BaseException as e:  # surfaced after join
+            errors.append(e)
+        finally:
+            writer_done.set()
+
+    def maintainer():
+        try:
+            while True:
+                caught_up = writer_done.is_set() and (
+                    inc.aggregate_position(dst)
+                    == tl.latest_version(src)
+                )
+                if caught_up:
+                    return
+                try:
+                    inc.sync_aggregate(
+                        spark, src, dst,
+                        group_cols=["user"], sum_cols=["value"],
+                    )
+                except tl.CommitConflict:
+                    time.sleep(0.01)  # lost the CAS — clean retry
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=maintainer) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert all(not t.is_alive() for t in threads)
+    assert inc.aggregate_position(dst) == tl.latest_version(src)
+    assert _folded(spark, dst) == _recompute(spark, src)
+
+
 def test_concurrent_maintainer_conflicts_instead_of_silent_lost_fold(
     spark, tmp_path, monkeypatch
 ):
