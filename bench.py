@@ -140,6 +140,58 @@ BENCH_NOTES = {
         "idle host as in r06/r09; flagged here same-round per the "
         "r09 bench-notes discipline."
     ),
+    "drift_r11": (
+        "r11 clean-baseline run (idle host, no concurrent Spark work "
+        "— replaces the polluted r10 detail per VERDICT r10 task 2): "
+        "catalog 180.7s (150 q, n_failed 0) vs the r09 clean 124.2s. "
+        "The elevation is UNIFORM: median per-query min-of-passes "
+        "ratio vs r09 is 1.42 across all 146 comparable queries — "
+        "streaming drains, pure-JVM aggregations, and Python-worker "
+        "queries alike — the ambient-drift signature documented "
+        "since r05, at larger amplitude. ~6s of the delta is honest "
+        "query-mix change (4 entries new since the r09 detail: "
+        "tablelog_manifest_stats 1.41s, incremental_agg_maintenance "
+        "1.98s, multimodal_decode_avi 2.33s, tablelog_nullcount_"
+        "prune 1.77s — all fixture-construction-dominated). Isolated "
+        "same-day probes (tools/bench_probe.py, idle) on the largest "
+        "movers recover PART of the gap but not all: decode_png "
+        "2.15→1.24s (r09 0.65), doc_quality_scores 0.69→0.53 (r09 "
+        "0.22, still-descending JIT trail), decode_wav 1.52→1.00 "
+        "(r09 0.61), time_travel_prune 2.02→1.46 (r09 0.92), "
+        "bloom_dedup_probe 2.41→1.75 (r09 1.13), doc_importance_"
+        "weights 2.18→1.15 (r09 1.03, recovered), doc_simhash "
+        "1.69→0.84 (r09 1.03, BELOW r09) — i.e. per-query recovery "
+        "spans 0.8-1.9x of r09 with no correlation to the r11 diff "
+        "(none of these queries' plans changed this round; git diff "
+        "r09..r11 touches none of their modules). Attribution: host "
+        "state, not plans. The per-query RANKING matches r09 and "
+        "every plan-audit pin still holds."
+    ),
+    "simhash_attribution_r11": (
+        "Closes the r10 perf-weak (VERDICT r10 task 3). "
+        "near_dup_pairs_simhash: r09 0.81s, r10 catalog 1.48s, r11 "
+        "catalog 1.70s; 12 isolated idle-host runs settle at "
+        "1.25-1.33s (min 1.254, trail [5.50, 2.66, 3.26, 4.38, "
+        "2.43, then flat ~1.3]) — persistently ~1.55x r09, so NOT "
+        "pure transient. Profile (stage decomposition, 4 iterations): "
+        "signature persist+count 1.29-1.60s, band self-join 0.17-"
+        "0.31s, result localCheckpoint 0.33-0.50s. The signature "
+        "PLAN is exonerated by its sibling: doc_simhash (the same "
+        "pipeline, no persist/checkpoint) probes at 0.84s — BELOW "
+        "its r09 0.92-1.03s — so the elevation lives entirely in the "
+        "persist materialization + checkpoint I/O share, which moved "
+        "with the same host drift as the rest of the catalog (median "
+        "1.42 this round, see drift_r11). A rewrite replacing the "
+        "60x bit-explode with 60 conditional-sum aggregates was "
+        "prototyped and REJECTED: 2x slower (doc_simhash 0.84→1.72s; "
+        "Catalyst collapses the hash projection into the aggregate, "
+        "re-evaluating md5 per aggregate expression), and a "
+        "no-persist variant saves only the checkpoint share (1.10 vs "
+        "1.25s) while giving up the detached-result contract. Plan "
+        "unchanged, audited sound; absolute cost 1.25-1.70s at "
+        "sf0.1. Verdict: host-state attribution with the numbers "
+        "above; re-probe next round."
+    ),
 }
 
 
