@@ -82,22 +82,27 @@ _MALFORMED_INPUT_ERRORS = (
 def decode_media(payload_bytes: bytes, content_type: str) -> dict:
     """Decode a media payload to its typed dict.
 
-    Six real decoders, pure Python + numpy/stdlib: binary PPM (P6),
+    Seven real decoders, pure Python + numpy/stdlib: binary PPM (P6),
     PNG (8-bit RGB — chunk walk with CRC check, zlib inflate,
     scanline unfilter for all five filter types), RIFF WAV (16-bit
-    PCM), GIF89a (multi-frame animation: logical-screen/color-table
-    parse, per-frame image descriptors, REAL LZW decompression with
-    growing code widths and clear-code resets), baseline-DCT
-    JPEG (SOF0: DQT/DHT/DRI marker walk, canonical Huffman decode,
-    vectorized dequantize + inverse-zigzag + IDCT, grayscale and
-    4:4:4 YCbCr->RGB), and RIFF AVI video (hdrl/strl header walk,
-    movi frame chunks — uncompressed RGB24 DIB frames with bottom-up
-    BGR stride-padded rows back to top-down RGB, OR motion-JPEG
-    'MJPG' streams decoded per-frame through the JPEG codec). Every
-    other
-    content type raises ``NotImplementedError``: compressed
-    audio/video codecs (MP3, H.264, ...) need libraries not present
-    in this container; a deployment installs ffmpeg and adds
+    PCM), FLAC (RFC 9639 compressed lossless audio: metadata walk,
+    rice-coded residuals with partition orders and escapes,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, wasted bits, left/right/
+    mid-side decorrelation, CRC-8/16 + stream-MD5 verify — see
+    ``functions/flac.py``), GIF89a (multi-frame animation:
+    logical-screen/color-table parse, per-frame image descriptors,
+    REAL LZW decompression with growing code widths and clear-code
+    resets), baseline-DCT JPEG (SOF0: DQT/DHT/DRI marker walk,
+    canonical Huffman decode, vectorized dequantize + inverse-zigzag
+    + IDCT, grayscale and 4:4:4 YCbCr->RGB), and RIFF AVI video
+    (hdrl/strl header walk, movi frame chunks — uncompressed RGB24
+    DIB frames with bottom-up BGR stride-padded rows back to
+    top-down RGB, OR motion-JPEG 'MJPG' streams decoded per-frame
+    through the JPEG codec). Every other content type raises
+    ``NotImplementedError``: PERCEPTUAL codecs (MP3/AAC, inter-frame
+    video) need libraries not present in this container, and their
+    float-transform outputs cannot be exactness-pinned without a
+    golden reference decoder; a deployment installs ffmpeg and adds
     branches here — the surrounding plumbing
     (``decode_image_features``, ``decode_avi_frames``) is
     format-agnostic and unchanged.
@@ -123,11 +128,15 @@ def decode_media(payload_bytes: bytes, content_type: str) -> dict:
             ) from exc
     raise NotImplementedError(
         f"no decoder for {content_type!r} in this environment; "
-        "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, GIF89a, "
+        "binary PPM, 8-bit RGB PNG, 16-bit PCM WAV, FLAC, GIF89a, "
         "baseline-DCT JPEG, and RGB24 AVI (uncompressed DIB or "
-        "motion-JPEG) are the built-in reference decoders (MP3 and "
-        "inter-frame video codecs need libraries absent from this "
-        "container)"
+        "motion-JPEG) are the built-in reference decoders. "
+        "PERCEPTUAL codecs (MP3/AAC, inter-frame video) stay "
+        "external: they are float transforms whose conformance "
+        "cannot be pinned without a golden reference decoder, which "
+        "this container does not ship — a deployment installs "
+        "ffmpeg and adds branches here; the surrounding plumbing is "
+        "format-agnostic"
     )
 
 
@@ -489,6 +498,63 @@ def with_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.struct(
             F.octet_length(F.col("payload")).alias("n_bytes"),
             F.lit("audio/wav").alias("content_type"),
+        ),
+    )
+
+
+def with_flac_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a synthetic FLAC payload derived from ``text_col``.
+
+    Channel count / sample rate / frame count come from doc_id;
+    samples are an affine map of the text bytes scaled by 4 (two
+    wasted bits — the encoder must detect them) and the streams span
+    several 64-sample FLAC frames including a short tail block, so a
+    decode exercises multi-frame walks, rice residuals, the per-frame
+    stereo-mode search, and CRC verification. FLAC is lossless, so
+    every decoded statistic is SQL-derivable from the construction
+    rule exactly like the WAV fixture — the Spark side must survive
+    the full compressed encode→decode round-trip to match the
+    oracle. The decode stage is ``decode_wav_features`` unchanged:
+    ``decode_media`` dispatches on the content type and both
+    decoders share the samples contract."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .flac import encode_flac
+
+    @pandas_udf("binary")
+    def _to_flac(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, t in zip(doc_id, text):
+            did = int(did)
+            n_channels = 1 + did % 2
+            sample_rate = 8000 + 4050 * (did % 3)
+            n_frames = 120 + did % 150
+            n = n_channels * n_frames
+            raw = (t or "")[:200].encode("utf-8")
+            raw = raw[:n].ljust(n, b"x")
+            # each text byte drives THREE consecutive samples: real
+            # audio is locally correlated, and the run structure is
+            # what lets the fixed predictors + rice coding genuinely
+            # compress (a per-character signal is near-noise)
+            idx = np.arange(n) // 3
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.int64)[idx]
+                * 29
+                - 1800
+            ) * 4
+            out.append(
+                encode_flac(samples, sample_rate, n_channels,
+                            block_size=64)
+            )
+        return pd.Series(out)
+
+    return df.withColumn(
+        "payload", _to_flac(F.col("doc_id"), F.col(text_col))
+    ).withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit("audio/flac").alias("content_type"),
         ),
     )
 
@@ -2451,10 +2517,19 @@ def ppm_tile_stats(
 #: decode_media's dispatch table, built once at import (the function
 #: runs once per ROW inside mapInPandas hot loops — review r09).
 #: Defined at module end because the decoders are defined above.
+def _decode_flac(b: bytes) -> dict:
+    # lazy import: the FLAC codec is a sibling module (RFC 9639 bit
+    # I/O + rice coding + fixed/LPC predictors) — see functions/flac.py
+    from .flac import decode_flac
+
+    return decode_flac(b)
+
+
 _DECODERS = {
     "image/x-portable-pixmap": _decode_ppm,
     "image/png": _decode_png,
     "audio/wav": _decode_wav,
+    "audio/flac": _decode_flac,
     "image/gif": _decode_gif,
     "image/jpeg": _decode_jpeg,
     "video/x-msvideo": _decode_avi,

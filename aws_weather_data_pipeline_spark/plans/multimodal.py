@@ -3,10 +3,10 @@
 Every stage of a media pipeline has a catalog query: payload/metadata
 accounting, Arrow-batched mapInPandas feature extraction, frame
 sampling (row expansion), a scalar pandas_udf scorer slot, REAL decode
-(pure-Python PPM, PNG, WAV, GIF, JPEG, and uncompressed AVI video
-through functions/multimodal.decode_media — compressed audio/video
-codecs would drop into the same branch; they are absent from this
-container), and resize/downsampling. Everything emits
+(pure-Python PPM, PNG, WAV, FLAC, GIF, JPEG, and DIB/MJPG AVI video
+through functions/multimodal.decode_media — perceptual codecs
+(MP3/H.264) would drop into the same branch; they need libraries
+absent from this container), and resize/downsampling. Everything emits
 deterministic byte statistics, so even the Python stages are
 oracle-checkable — DuckDB recomputes the same statistics in SQL.
 """
@@ -736,3 +736,84 @@ def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_avi_payload(_docs(spark, sf_dir))
     return decode_avi_frames(d, stride=AVI_SAMPLE_STRIDE)
+
+
+# --------------------------------------------------------------------------
+# FLAC compressed-audio decode (staged: r12 registration)
+# --------------------------------------------------------------------------
+
+#: Exact oracle for multimodal_decode_flac (DuckDB). Held here
+#: UNREGISTERED: the catalog sits at the 150-query cap and the r11
+#: window spent both its swaps (multimodal_decode_avi,
+#: tablelog_nullcount_prune). Plan of record: r12 registers this
+#: query in the slot of a strictly-subsumed retiree chosen at
+#: rotation time — the natural candidate is multimodal_decode_wav
+#: (latest row r09, mandatory at r12), which this query subsumes at
+#: the plumbing level: the SAME decode stage (decode_wav_features),
+#: the SAME statistics and oracle recipe, but through the COMPRESSED
+#: lossless codec (functions/flac.py: rice residuals, fixed
+#: predictors, stereo decorrelation, CRC-8/16 + MD5 verify, wasted
+#: bits) rather than raw PCM — while WAV's raw-PCM parse stays
+#: pinned by tests/test_multimodal.py. tests/test_flac.py +
+#: tests/test_multimodal.py run the identical compare the driver
+#: will.
+FLAC_AUDIO_SQL = """
+    WITH dims AS (
+        SELECT doc_id, text,
+               1 + doc_id % 2 AS n_channels,
+               8000 + 4050 * (doc_id % 3) AS sample_rate,
+               120 + doc_id % 150 AS n_frames
+        FROM documents
+    ),
+    aud AS (
+        SELECT doc_id, n_channels, sample_rate, n_frames,
+               rpad(substr(text, 1, 200),
+                    CAST(n_channels * n_frames AS INTEGER), 'x') AS raw
+        FROM dims
+    ),
+    s AS (
+        -- each text byte drives THREE consecutive samples (the
+        -- locally-correlated shape real audio has; it is what lets
+        -- the fixed predictors + rice coding genuinely compress)
+        SELECT doc_id, n_channels, sample_rate, n_frames,
+               list_transform(
+                   range(1, CAST(n_channels * n_frames AS BIGINT) + 1),
+                   i -> (ascii(substr(raw,
+                            CAST((i - 1) // 3 + 1 AS INTEGER), 1))
+                         * 29 - 1800) * 4)
+                   AS samples
+        FROM aud
+    )
+    SELECT doc_id,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+           CAST(list_aggregate(list_transform(samples, x -> abs(x)),
+                               'max') AS BIGINT) AS peak_amplitude,
+           CAST(list_sum(samples) AS DOUBLE) / (n_channels * n_frames)
+               AS mean_amplitude
+    FROM s
+    """
+
+
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode through the mapInPandas slot: each
+    document carries an actual FLAC stream (STREAMINFO + multi-frame
+    body with 64-sample blocks and a short tail, rice-coded
+    residuals, fixed predictors, per-frame stereo-mode selection,
+    two wasted bits from the x4 sample scaling, CRC-8/16 and
+    stream-MD5 verified on decode) built by functions/flac.encode_flac
+    — channels/rate/frames from doc_id, samples an affine map of the
+    text bytes — and decode_media's FLAC branch reconstructs the PCM
+    bit-exactly (lossless). The decode stage is decode_wav_features
+    UNCHANGED (decode_media dispatches on content type), so the
+    emitted statistics are SQL-derivable from the construction rule
+    and the oracle value-checks the full compressed encode→decode
+    round-trip. Narrow no-shuffle Arrow stage. Staged for r12 (see
+    FLAC_AUDIO_SQL above).
+    """
+    from ..functions.multimodal import decode_wav_features, with_flac_payload
+
+    d = with_flac_payload(_docs(spark, sf_dir))
+    return decode_wav_features(d)

@@ -1043,6 +1043,60 @@ def test_avi_decoder_rejects_second_vids_stream_and_ignores_foreign_chunks():
     assert out["frames"][0] == bytes(range(12))
 
 
+def test_flac_query_matches_oracle_and_driver_compare(spark, sf_dir):
+    """The exact compare the driver will run when r12 registers
+    multimodal_decode_flac (staged plan of record: plans/multimodal.py
+    FLAC_AUDIO_SQL). Certifies the COMPRESSED lossless audio decode
+    end to end: multi-frame FLAC streams with rice residuals, wasted
+    bits, stereo-mode selection, and CRC/MD5 verification, through
+    the unchanged decode_wav_features Arrow stage."""
+    from tests.oracle import compare
+
+    from aws_weather_data_pipeline_spark.plans.multimodal import (
+        FLAC_AUDIO_SQL,
+        multimodal_decode_flac,
+    )
+
+    n = compare(
+        spark, sf_dir, multimodal_decode_flac, FLAC_AUDIO_SQL,
+        name="multimodal_decode_flac",
+    )
+    assert n > 0
+
+
+def test_flac_fixture_streams_are_multiframe_and_compressed(spark, sf_dir):
+    """Pin that the FLAC fixture exercises the compression machinery:
+    every payload is a real fLaC stream, stereo docs exist, streams
+    span multiple frames (64-sample blocks), and the encoded payload
+    is smaller than the raw 16-bit PCM it carries."""
+    from aws_weather_data_pipeline_spark.functions.multimodal import (
+        with_flac_payload,
+    )
+    from aws_weather_data_pipeline_spark.plans.multimodal import _docs
+
+    rows = (
+        with_flac_payload(_docs(spark, sf_dir).limit(30))
+        .select("doc_id", "payload")
+        .collect()
+    )
+    assert rows
+    total_flac = total_raw = 0
+    for r in rows:
+        b = bytes(r.payload)
+        assert b[:4] == b"fLaC", r.doc_id
+        n_channels = 1 + r.doc_id % 2
+        n = n_channels * (120 + r.doc_id % 150)
+        assert b.count(b"\xff\xf8") >= (n // n_channels + 63) // 64, (
+            "expected one sync per 64-sample block"
+        )
+        total_flac += len(b)
+        total_raw += n * 2
+        # the fLaC marker + STREAMINFO cost a fixed 42 bytes; the
+        # coded BODY must always beat the raw PCM it carries
+        assert len(b) - 42 < n * 2, (r.doc_id, len(b), n * 2)
+    assert total_flac < total_raw, "corpus must compress in aggregate"
+
+
 def test_avi_fixture_mixes_dib_and_mjpg_codecs(spark, sf_dir):
     """The r11 driver row must certify BOTH codec dispatch paths
     (VERDICT r10 task 1): pin that with_avi_payload emits motion-JPEG
