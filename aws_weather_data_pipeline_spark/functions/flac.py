@@ -119,6 +119,18 @@ class _BitWriter:
         if self._nbits:
             self.write(0, 8 - self._nbits)
 
+    def nbits(self) -> int:
+        return len(self.buf) * 8 + self._nbits
+
+    def append_bits(self, other: "_BitWriter") -> None:
+        """Splice another writer's (possibly unaligned) bitstream in —
+        lets the encoder reuse a probed subframe instead of
+        re-encoding the winner (review r11)."""
+        for byte in other.buf:
+            self.write(byte, 8)
+        if other._nbits:
+            self.write(other._acc, other._nbits)
+
     def getvalue(self) -> bytes:
         assert self._nbits == 0, "unaligned"
         return bytes(self.buf)
@@ -269,9 +281,7 @@ def _subframe_cost(order: int, res: np.ndarray, bps: int) -> int:
     return order * bps + 6 + _rice_cost(zz, _best_rice_param(zz))
 
 
-def _encode_subframe(
-    w: _BitWriter, x: np.ndarray, bps: int, blocksize: int
-) -> None:
+def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
     """One channel: CONSTANT / best FIXED 0-2 / VERBATIM, with wasted
     bits detected first."""
     wasted = 0
@@ -318,11 +328,10 @@ def _encode_subframe(
         w.write_signed(v, sbits)
 
 
-def _coded_size_probe(x: np.ndarray, bps: int, blocksize: int) -> int:
+def _encoded_subframe(x: np.ndarray, bps: int) -> _BitWriter:
     w = _BitWriter()
-    _encode_subframe(w, x, bps, blocksize)
-    w.align()
-    return len(w.buf)
+    _encode_subframe(w, x, bps)
+    return w
 
 
 def encode_flac(
@@ -376,25 +385,33 @@ def encode_flac(
         block = planar[:, start : start + block_size]
         n = block.shape[1]
         # ---- pick the channel assignment by coded cost ----
+        # The four distinct channel encodings (L, R, side, mid) are
+        # each computed ONCE and the winning plan's bitstreams are
+        # spliced into the frame body — no probe-then-re-encode
+        # (review r11).
         if n_channels == 2:
             left, right = block[0], block[1]
             mid = (left + right) >> 1
             side = left - right
+            enc = {
+                "L": _encoded_subframe(left, bps),
+                "R": _encoded_subframe(right, bps),
+                "S": _encoded_subframe(side, bps + 1),
+                "M": _encoded_subframe(mid, bps),
+            }
             plans = {
-                0b0001: [(left, bps), (right, bps)],
-                0b1000: [(left, bps), (side, bps + 1)],  # left/side
-                0b1010: [(mid, bps), (side, bps + 1)],  # mid/side
+                0b0001: ("L", "R"),
+                0b1000: ("L", "S"),  # left/side
+                0b1010: ("M", "S"),  # mid/side
             }
             assign = min(
                 plans,
-                key=lambda a: sum(
-                    _coded_size_probe(ch, b, n) for ch, b in plans[a]
-                ),
+                key=lambda a: sum(enc[k].nbits() for k in plans[a]),
             )
-            channels = plans[assign]
+            channels = [enc[k] for k in plans[assign]]
         else:
             assign = 0b0000
-            channels = [(block[0], bps)]
+            channels = [_encoded_subframe(block[0], bps)]
 
         # ---- frame header ----
         hdr = _BitWriter()
@@ -435,8 +452,8 @@ def encode_flac(
         header_bytes = hdr.getvalue()
 
         body = _BitWriter()
-        for ch, ch_bps in channels:
-            _encode_subframe(body, ch, ch_bps, n)
+        for sub in channels:
+            body.append_bits(sub)
         body.align()
 
         frame = header_bytes + bytes([_crc8(header_bytes)]) + body.getvalue()
@@ -679,19 +696,29 @@ def decode_flac(b: bytes) -> dict:
             m = (mid << 1) | (side & 1)
             subs = [(m + side) >> 1, (m - side) >> 1]
         for ch, x in enumerate(subs):
-            channels_out[ch].extend(x.tolist())
+            channels_out[ch].append(x)
         n_decoded += blocksize
         if si_total and n_decoded >= si_total:
             break
 
-    if si_total and n_decoded > si_total:
-        # the final frame may legally be short; more samples than
-        # STREAMINFO promises is a corrupt stream
+    if si_total and n_decoded != si_total:
+        # the final frame may legally be short, but the TOTAL must
+        # match: more samples than STREAMINFO promises is a corrupt
+        # stream, and FEWER is a truncated one — a zero (unknown) MD5
+        # must not let truncation decode silently short (review r11)
         raise ValueError(
             f"decoded {n_decoded} samples but STREAMINFO promises "
             f"{si_total}"
         )
-    planar = np.array(channels_out, dtype=np.int64)
+    # one concatenate per channel, not per-frame Python-int boxing
+    # (review r11: this runs once per ROW inside mapInPandas)
+    planar = np.array(
+        [
+            np.concatenate(ch) if ch else np.empty(0, np.int64)
+            for ch in channels_out
+        ],
+        dtype=np.int64,
+    )
     interleaved = (
         planar.T.reshape(-1) if planar.size else np.empty(0, np.int64)
     )

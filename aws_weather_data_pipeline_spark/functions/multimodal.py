@@ -2517,13 +2517,11 @@ def ppm_tile_stats(
 #: decode_media's dispatch table, built once at import (the function
 #: runs once per ROW inside mapInPandas hot loops — review r09).
 #: Defined at module end because the decoders are defined above.
-def _decode_flac(b: bytes) -> dict:
-    # lazy import: the FLAC codec is a sibling module (RFC 9639 bit
-    # I/O + rice coding + fixed/LPC predictors) — see functions/flac.py
-    from .flac import decode_flac
-
-    return decode_flac(b)
-
+# The FLAC codec lives in a sibling module (RFC 9639 bit I/O + rice
+# coding + fixed/LPC predictors — functions/flac.py, no import cycle);
+# bound directly into the dispatch table like every other decoder so
+# the per-row hot path pays no repeated import lookup (review r11).
+from .flac import decode_flac as _decode_flac  # noqa: E402
 
 _DECODERS = {
     "image/x-portable-pixmap": _decode_ppm,

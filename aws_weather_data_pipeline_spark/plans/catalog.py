@@ -46,11 +46,12 @@ OPERATOR_MODULES = (
 # step and burned the round's 50 driver slots re-checking green rows.
 #
 # Round 11's window (committed at round start, per the checklist):
-# the 3-round cycle's second full turn — the 49 surviving queries
-# whose latest driver row is r08 (age 3 at r11), plus the NEW
-# multimodal_decode_avi, which takes the slot of the 50th: r10's
-# committed plan of record executed first-commit this round. The
-# swap: multimodal_frame_sample retired (its fixed-byte-window
+# the 3-round cycle's second full turn — the 48 surviving queries
+# whose latest driver row is r08 (age 3 at r11; 50 were r08-latest,
+# two retired this round), plus TWO new queries in the retirees'
+# slots: r10's committed plan of record executed first-commit, a
+# second zero-slack swap mid-round. Swap 1:
+# multimodal_frame_sample retired (its fixed-byte-window
 # slicing was its own doc's "ffmpeg-keyframe stand-in"; decode_avi
 # strictly subsumes it — identical Arrow row-expansion + stride
 # sampling + SQL-md5 contract, over REAL RIFF container frames),
@@ -58,9 +59,13 @@ OPERATOR_MODULES = (
 # uncompressed-DIB and motion-JPEG streams per the r10 VERDICT so
 # the driver row certifies BOTH codec dispatch paths
 # (plans/multimodal.py AVI_FRAMES_SQL;
-# functions/multimodal.with_avi_payload).
-# tools/rotate_window.py emitted exactly this tuple (never=1 block
-# first, then the aged-r08 block, zero free slots beyond the swap).
+# functions/multimodal.with_avi_payload). Swap 2:
+# union_distinct_active_users retired (subsumption argument in
+# plans/relational.py), slot transferred to tablelog_nullcount_prune
+# (the __nulls file-skip driver row, VERDICT r10 task 4).
+# tools/rotate_window.py emitted the rotation tuple (never-checked
+# block first, then the aged-r08 block, zero free slots beyond the
+# two swaps).
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
@@ -82,7 +87,9 @@ DRIVER_WINDOW = (
     # multimodal_frame_sample per the zero-slack swap protocol;
     # plans/multimodal.py AVI_FRAMES_SQL)
     "multimodal_decode_avi",
-    # --- the 49 remaining queries whose latest driver row is r08 ---
+    # --- the aged block: latest driver row r08 (48 survivors,
+    # plus tablelog_nullcount_prune spliced into the retired
+    # union_distinct_active_users' slot below) ---
     "ann_hyperplane_lsh_topk",
     "bloom_dedup_probe",
     "cdc_merge_apply",

@@ -212,13 +212,27 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     # retried restore whose original lost the vacuum race replays as
     # success after retention even though the head never held the
     # target's contents.
-    rollbacks = set(prev.get("rollbacks", []))
+    if "rollbacks" in prev:
+        rollbacks = set(prev["rollbacks"])
+        fold_from = prev["version"]
+    else:
+        # one-time migration (review r11): a checkpoint written before
+        # the rollbacks key existed may have already folded past a
+        # marker-bearing manifest, so the incremental walk alone would
+        # lose it — rescan ALL retained manifests once. Markers whose
+        # manifests were ALREADY vacuumed before this upgrade are
+        # unrecoverable; such a table needed both a lost-vacuum-race
+        # restore AND a post-fold vacuum under the old code, and its
+        # replay window closes at the next fresh txn_id.
+        rollbacks = set()
+        fold_from = -1
     for v in versions:
-        if prev["version"] < v <= upto:
+        if fold_from < v <= upto:
             m = _read_manifest(table, v)
-            txn = m.get("txn_id")
-            if txn:
-                txns[txn] = v
+            if prev["version"] < v:
+                txn = m.get("txn_id")
+                if txn:
+                    txns[txn] = v
             victim = m.get("rolled_back_restore")
             if victim is not None:
                 rollbacks.add(victim)

@@ -386,6 +386,27 @@ def test_stream_md5_mismatch_rejected():
         decode_flac(bytes(b))
 
 
+def test_truncated_stream_with_unknown_md5_rejected():
+    """Review r11: a stream whose MD5 is zero (unknown — the shape
+    live-capture encoders emit) truncated at a FRAME boundary passes
+    every CRC; the decoder must still raise because it delivered
+    fewer samples than STREAMINFO promises, never decode silently
+    short."""
+    s = np.arange(128, dtype=np.int64) % 41
+    full = bytearray(encode_flac(s, 8000, 1, block_size=64))
+    short = encode_flac(s[:64], 8000, 1, block_size=64)
+    # splice: full metadata (promises 128 samples, MD5 zeroed) + the
+    # short stream's single frame (byte-identical to full's frame 0)
+    md5_at = 4 + 4 + 18
+    full[md5_at : md5_at + 16] = b"\x00" * 16
+    spliced = bytes(full[:42]) + short[42:]
+    with pytest.raises(ValueError, match="promises"):
+        decode_flac(spliced)
+    # sanity: the same splice WITH all frames decodes fine
+    ok = bytes(full[:42]) + bytes(full[42:])
+    assert np.array_equal(decode_flac(ok)["samples"], s)
+
+
 def test_malformed_streams_rejected():
     with pytest.raises(ValueError, match="not a FLAC"):
         decode_flac(b"OggS" + b"\x00" * 40)

@@ -2003,6 +2003,53 @@ def test_restore_replay_after_rollback_raises_not_success(
         tl.restore(table, 0, txn_id="restore-run-1")
 
 
+def test_rollback_marker_migrates_from_prekey_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11: a checkpoint written BEFORE the rollbacks key
+    existed may have folded past a marker-bearing manifest; the next
+    write_checkpoint must rescan all retained manifests once (the
+    one-time migration) so the replay guard survives the marker
+    manifest's later expiry."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(FileNotFoundError, match="lost the race"):
+        tl.restore(table, 0, txn_id="restore-run-1")
+    monkeypatch.setattr(tl, "_publish", real_publish)
+    rollback_v = tl.latest_version(table)
+    # simulate the PRE-upgrade fold: checkpoint past the marker with
+    # no rollbacks key
+    tl.write_checkpoint(table)
+    path = tl._checkpoint_path(table)
+    old = json.load(open(path))
+    assert old.pop("rollbacks") == [fired[0]]
+    os.unlink(path)
+    json.dump(old, open(path, "w"))
+    tl._CKPT_CACHE.pop(path, None)
+    # post-upgrade fold: marker manifests still retained -> the
+    # migration rescan must recover the marker into the checkpoint
+    tl.append(_frame(spark, 950, 951), table)
+    tl.write_checkpoint(table)
+    assert fired[0] in tl._read_checkpoint(table)["rollbacks"]
+    # now the marker manifests can expire and the guard still holds
+    for v in (fired[0], rollback_v):
+        os.unlink(tl._manifest_path(table, v))
+    with pytest.raises(FileNotFoundError, match="checkpoint-folded"):
+        tl.restore(table, 0, txn_id="restore-run-1")
+
+
 def test_files_for_malformed_where_raises_named_error(spark, tmp_path):
     """ADVICE r10: a 1- or 4-element where tuple must fail with the
     loud, named validation both real arities get — not an opaque
