@@ -30,14 +30,16 @@ Decoder coverage (the full mono/stereo 8..32-bit core):
 - frame CRC-16 verify and STREAMINFO MD5 verify of the decoded PCM.
 
 Encoder subset (the fixture side, a real conforming encoder):
-16-bit samples, fixed blocking, CONSTANT / VERBATIM / FIXED 0-2
-subframes chosen per channel by coded cost, independent or
-left/side / mid/side stereo chosen per frame by coded cost, wasted
-bits detected, single-partition rice residuals with per-partition
-parameter search, correct CRC-8/CRC-16/MD5. Everything it emits is
-spec-conformant; everything the decoder accepts beyond it (LPC,
-deep partitions, escapes, 8/20/24/32-bit) is covered by dedicated
-bitstream-construction tests.
+16-bit samples, fixed blocking, CONSTANT / VERBATIM / FIXED 0-2 /
+quantized-LPC subframes (Levinson-Durbin up to order 8, coefficients
+quantized at precision 12 with the residual computed through the
+decoder's exact integer recurrence) chosen per channel by coded
+cost, independent or left/side / mid/side stereo chosen per frame by
+coded cost, wasted bits detected, single-partition rice residuals
+with per-partition parameter search, correct CRC-8/CRC-16/MD5.
+Everything it emits is spec-conformant; everything the decoder
+accepts beyond it (deep partitions, escape widths, 8/20/24/32-bit)
+is covered by dedicated bitstream-construction tests.
 """
 
 from __future__ import annotations
@@ -281,9 +283,79 @@ def _subframe_cost(order: int, res: np.ndarray, bps: int) -> int:
     return order * bps + 6 + _rice_cost(zz, _best_rice_param(zz))
 
 
-def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
-    """One channel: CONSTANT / best FIXED 0-2 / VERBATIM, with wasted
-    bits detected first."""
+#: Quantized-LPC coefficient precision the encoder writes (the field
+#: itself supports 1-15; 12 is the classic speed/size sweet spot).
+_LPC_PRECISION = 12
+
+
+def _lpc_candidate(
+    sub: np.ndarray, max_order: int
+) -> tuple[int, list[int], int, np.ndarray] | None:
+    """Best quantized-LPC predictor for one channel, or None.
+
+    Levinson-Durbin over the raw autocorrelation yields float LPC
+    coefficients for every order 1..max_order; the LAST stable order
+    is quantized (precision _LPC_PRECISION, shift chosen so the
+    largest coefficient fills the signed field) and the residual is
+    computed with the QUANTIZED integer coefficients — the decoder's
+    exact recurrence — so the candidate's coded cost is real, not an
+    estimate, and the round-trip is bit-exact by construction."""
+    n = sub.size
+    if n <= max_order or max_order < 1:
+        return None
+    f = sub.astype(np.float64)
+    autoc = np.array(
+        [np.dot(f[: n - lag], f[lag:]) for lag in range(max_order + 1)]
+    )
+    if autoc[0] <= 0:
+        return None  # all-zero block: CONSTANT handles it
+    # Levinson-Durbin recursion
+    err = autoc[0]
+    coefs = np.zeros(0)
+    for m in range(1, max_order + 1):
+        acc = autoc[m] - (
+            np.dot(coefs, autoc[m - 1 : 0 : -1]) if m > 1 else 0.0
+        )
+        if err <= 0:
+            break
+        k = acc / err
+        coefs = np.concatenate([coefs - k * coefs[::-1], [k]]) if (
+            coefs.size
+        ) else np.array([k])
+        err *= 1.0 - k * k
+    order = coefs.size
+    if order == 0:
+        return None
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax == 0.0 or not np.isfinite(cmax):
+        return None
+    # shift: scale the largest coefficient into the signed
+    # _LPC_PRECISION-bit field; the frame format caps it at 15
+    shift = int(
+        np.floor(np.log2(((1 << (_LPC_PRECISION - 1)) - 1) / cmax))
+    )
+    shift = max(0, min(15, shift))
+    q = np.clip(
+        np.round(coefs * (1 << shift)),
+        -(1 << (_LPC_PRECISION - 1)),
+        (1 << (_LPC_PRECISION - 1)) - 1,
+    ).astype(np.int64)
+    if not np.any(q):
+        return None
+    # residual with the QUANTIZED coefficients (the decoder's math):
+    # pred[i] = (sum_j q[j] * x[i-1-j]) >> shift
+    pred = np.zeros(n - order, dtype=np.int64)
+    for j in range(order):
+        pred += q[j] * sub[order - 1 - j : n - 1 - j]
+    res = sub[order:] - (pred >> shift)
+    return order, q.tolist(), shift, res
+
+
+def _encode_subframe(
+    w: _BitWriter, x: np.ndarray, bps: int, lpc_order: int = 8
+) -> None:
+    """One channel: CONSTANT / best FIXED 0-2 / best quantized LPC /
+    VERBATIM, with wasted bits detected first."""
     wasted = 0
     if x.size and np.any(x):
         ors = int(np.bitwise_or.reduce(x.astype(np.int64)))
@@ -306,7 +378,8 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         header(0b000000)
         w.write_signed(int(sub[0]), sbits)
         return
-    candidates: list[tuple[int, int, np.ndarray]] = []
+    # (cost, kind, order, res, lpc-extras)
+    candidates: list[tuple[int, str, int, np.ndarray, tuple]] = []
     for order, coefs in list(_FIXED_COEFS.items())[: 3]:
         if sub.size <= order:
             continue
@@ -314,13 +387,32 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         for j, c in enumerate(coefs):
             pred += c * sub[order - 1 - j : sub.size - 1 - j]
         res = sub[order:] - pred
-        candidates.append((_subframe_cost(order, res, sbits), order, res))
+        candidates.append(
+            (_subframe_cost(order, res, sbits), "fixed", order, res, ())
+        )
+    lpc = _lpc_candidate(sub, lpc_order)
+    if lpc is not None:
+        order, q, shift, res = lpc
+        cost = (
+            _subframe_cost(order, res, sbits)
+            + 4 + 5 + order * _LPC_PRECISION
+        )
+        candidates.append((cost, "lpc", order, res, (q, shift)))
     verbatim_cost = sub.size * sbits
     if candidates and min(c[0] for c in candidates) < verbatim_cost:
-        _, order, res = min(candidates, key=lambda c: c[0])
-        header(0b001000 | order)
+        _, kind, order, res, extra = min(candidates, key=lambda c: c[0])
+        if kind == "fixed":
+            header(0b001000 | order)
+        else:
+            header(0b100000 | (order - 1))
         for v in sub[:order].tolist():
             w.write_signed(v, sbits)
+        if kind == "lpc":
+            q, shift = extra
+            w.write(_LPC_PRECISION - 1, 4)
+            w.write_signed(shift, 5)
+            for c in q:
+                w.write_signed(c, _LPC_PRECISION)
         _write_rice_residual(w, res)
         return
     header(0b000001)  # VERBATIM
@@ -328,20 +420,29 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         w.write_signed(v, sbits)
 
 
-def _encoded_subframe(x: np.ndarray, bps: int) -> _BitWriter:
+def _encoded_subframe(
+    x: np.ndarray, bps: int, lpc_order: int = 8
+) -> _BitWriter:
     w = _BitWriter()
-    _encode_subframe(w, x, bps)
+    _encode_subframe(w, x, bps, lpc_order)
     return w
 
 
 def encode_flac(
-    samples, sample_rate: int, n_channels: int, block_size: int = 1024
+    samples,
+    sample_rate: int,
+    n_channels: int,
+    block_size: int = 1024,
+    lpc_order: int = 8,
 ) -> bytes:
     """Encode interleaved 16-bit PCM as a conforming FLAC stream.
 
     Fixed blocking; per frame, stereo input picks the cheapest of
-    independent / left-side / mid-side coding by actual coded size.
-    Same input contract as ``encode_wav`` (the fixture twin).
+    independent / left-side / mid-side coding by actual coded size;
+    per channel, the cheapest of CONSTANT / FIXED 0-2 / quantized
+    LPC up to ``lpc_order`` (Levinson-Durbin; 0 disables LPC) /
+    VERBATIM. Same input contract as ``encode_wav`` (the fixture
+    twin).
     """
     arr = np.asarray(samples)
     if arr.size and not np.issubdtype(arr.dtype, np.integer):
@@ -394,10 +495,10 @@ def encode_flac(
             mid = (left + right) >> 1
             side = left - right
             enc = {
-                "L": _encoded_subframe(left, bps),
-                "R": _encoded_subframe(right, bps),
-                "S": _encoded_subframe(side, bps + 1),
-                "M": _encoded_subframe(mid, bps),
+                "L": _encoded_subframe(left, bps, lpc_order),
+                "R": _encoded_subframe(right, bps, lpc_order),
+                "S": _encoded_subframe(side, bps + 1, lpc_order),
+                "M": _encoded_subframe(mid, bps, lpc_order),
             }
             plans = {
                 0b0001: ("L", "R"),
@@ -411,7 +512,7 @@ def encode_flac(
             channels = [enc[k] for k in plans[assign]]
         else:
             assign = 0b0000
-            channels = [_encoded_subframe(block[0], bps)]
+            channels = [_encoded_subframe(block[0], bps, lpc_order)]
 
         # ---- frame header ----
         hdr = _BitWriter()

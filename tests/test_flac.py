@@ -108,6 +108,58 @@ def test_int16_extremes_and_input_validation():
         encode_flac([1], 8000, 3)
 
 
+def test_encoder_lpc_beats_fixed_on_smooth_signals():
+    """The quantized-LPC path (Levinson-Durbin, residual computed via
+    the decoder's exact integer recurrence) must engage on smooth
+    periodic signals — strictly smaller output than the fixed-only
+    encoder — and stay bit-exact on both smooth and noise inputs."""
+    n = 8000
+    t = np.arange(n)
+    smooth = np.round(
+        3000 * np.sin(2 * np.pi * t / 97)
+        + 1500 * np.sin(2 * np.pi * t / 31)
+    ).astype(np.int64)
+    b_lpc = encode_flac(smooth, 44100, 1, lpc_order=8)
+    b_fix = encode_flac(smooth, 44100, 1, lpc_order=0)
+    assert len(b_lpc) < len(b_fix), "LPC must win on smooth input"
+    assert np.array_equal(decode_flac(b_lpc)["samples"], smooth)
+    assert np.array_equal(decode_flac(b_fix)["samples"], smooth)
+    rng = np.random.default_rng(21)
+    noise = rng.integers(-32768, 32768, 2000)
+    assert np.array_equal(
+        decode_flac(encode_flac(noise, 8000, 1, lpc_order=8))["samples"],
+        noise,
+    )
+
+
+def test_encoder_lpc_roundtrip_property():
+    """LPC-enabled encode must stay lossless for arbitrary inputs —
+    the quantization/shift/clamp path can never corrupt samples, only
+    change the coded size."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(0, 400),
+        channels=st.integers(1, 2),
+        seed=st.integers(0, 2**31),
+        smooth=st.booleans(),
+    )
+    def check(n, channels, seed, smooth):
+        rng = np.random.default_rng(seed)
+        if smooth:
+            base = np.cumsum(rng.integers(-50, 51, n * channels))
+            s = np.clip(base, -32768, 32767).astype(np.int64)
+        else:
+            s = rng.integers(-32768, 32768, n * channels)
+        out = decode_flac(
+            encode_flac(s, 8000, channels, block_size=128, lpc_order=8)
+        )
+        assert np.array_equal(out["samples"], s)
+
+    check()
+
+
 def test_roundtrip_property_random_geometries():
     from hypothesis import given, settings, strategies as st
 
