@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,6 +77,25 @@ _JSONABLE_STATS = (bool, int, float, str)
 #: real column with one of these names loses its zone map to the
 #: reserved key — metadata readers must treat them as absent.
 _RESERVED_STATS = frozenset({"__rows", "__nulls", "__cols"})
+
+#: Column names the change-feed layer fabricates alongside the data
+#: columns: ``read_changes`` tags every row with ``_change_type`` /
+#: ``_commit_version``, and the keyed ``sync_changes`` path derives
+#: an ``op`` marker. A SOURCE data column with one of these names
+#: would be silently clobbered by the ``withColumn`` (review r11) —
+#: the changefeed entry points refuse it loudly instead.
+_RESERVED_CDC_COLS = frozenset({"_change_type", "_commit_version"})
+
+
+def _check_cdc_collisions(cols, where: str, extra: tuple = ()) -> None:
+    clash = sorted(set(cols) & (set(_RESERVED_CDC_COLS) | set(extra)))
+    if clash:
+        raise ValueError(
+            f"{where}: data column name(s) {clash} collide with the "
+            "change feed's fabricated columns (_change_type / "
+            "_commit_version; the keyed sync also derives 'op') — "
+            "rename them in the source before serving it as a feed"
+        )
 
 
 #: Retry budget for rebasable commits (append/compact) losing the
@@ -202,8 +222,14 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     if upto is None:
         upto = versions[-1]
     prev = _read_checkpoint(table) or {"version": -1, "txns": {}}
-    if upto <= prev["version"]:
+    if upto <= prev["version"] and "rollbacks" in prev:
         return prev["version"]  # already folded this far
+    # NOTE: a pre-rollbacks-key checkpoint must NOT short-circuit even
+    # when already folded this far (review r11 #2): vacuum calls this
+    # right before deleting expired manifests, and an early return
+    # here would skip the one-time migration rescan below — losing
+    # rollback markers permanently in the exact call that makes them
+    # unrecoverable.
     txns = dict(prev["txns"])
     # rollback markers must survive the fold too (ADVICE r10): the
     # restore replay guard asks "was my replayed commit rolled back by
@@ -214,22 +240,25 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     # target's contents.
     if "rollbacks" in prev:
         rollbacks = set(prev["rollbacks"])
-        fold_from = prev["version"]
+        fold_from, fold_to = prev["version"], upto
     else:
         # one-time migration (review r11): a checkpoint written before
         # the rollbacks key existed may have already folded past a
         # marker-bearing manifest, so the incremental walk alone would
-        # lose it — rescan ALL retained manifests once. Markers whose
-        # manifests were ALREADY vacuumed before this upgrade are
-        # unrecoverable; such a table needed both a lost-vacuum-race
-        # restore AND a post-fold vacuum under the old code, and its
-        # replay window closes at the next fresh txn_id.
+        # lose it — rescan ALL retained manifests once (up to the
+        # previous fold's version even when the caller bounded upto
+        # below it, so the upgraded checkpoint never claims coverage
+        # it didn't scan). Markers whose manifests were ALREADY
+        # vacuumed before this upgrade are unrecoverable; such a
+        # table needed both a lost-vacuum-race restore AND a
+        # post-fold vacuum under the old code, and its replay window
+        # closes at the next fresh txn_id.
         rollbacks = set()
-        fold_from = -1
+        fold_from, fold_to = -1, max(upto, prev["version"])
     for v in versions:
-        if fold_from < v <= upto:
+        if fold_from < v <= fold_to:
             m = _read_manifest(table, v)
-            if prev["version"] < v:
+            if prev["version"] < v <= upto:
                 txn = m.get("txn_id")
                 if txn:
                     txns[txn] = v
@@ -240,7 +269,9 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
         _log_dir(table), f".tmp-ckpt-{uuid.uuid4().hex}.json"
     )
     folded = {
-        "version": upto,
+        # max: the migration path may run with upto below the previous
+        # fold's version; the checkpoint version must never regress
+        "version": max(upto, prev["version"]),
         "txns": txns,
         "rollbacks": sorted(rollbacks),
     }
@@ -259,7 +290,7 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     # the older of two folds that are both valid supersets of every
     # manifest <= their version).
     _CKPT_CACHE[path] = (os.stat(path).st_mtime_ns, folded)
-    return upto
+    return folded["version"]
 
 
 #: txn-id prefixes reserved for consumer-offset recovery: the suffix
@@ -303,8 +334,14 @@ def _replayed_version(table: str, txn_id: str | None) -> int | None:
     if txn_id is None:
         return None
     for v in reversed(_list_versions(table)[-TXN_DEDUP_HORIZON:]):
-        if _read_manifest(table, v).get("txn_id") == txn_id:
-            return v
+        try:
+            if _read_manifest(table, v).get("txn_id") == txn_id:
+                return v
+        except FileNotFoundError:
+            # concurrent vacuum unlinked this expired manifest between
+            # the listing and the read (review r11) — it was folded
+            # into the checkpoint first, which the fallback consults
+            continue
     ckpt = _read_checkpoint(table)
     if ckpt is not None:
         return ckpt["txns"].get(txn_id)
@@ -1473,151 +1510,178 @@ def merge_changes(
     from pyspark.sql import functions as F
 
     _check_txn_id(txn_id)
-    if op_col in changes.columns:
-        # eager, bounded: one limit(1) probe over the batch — a merge
-        # applying misclassified ops (NULL, 'd', 'delete') must fail
-        # loudly before rewriting anything
-        bad = (
-            changes.filter(
-                F.col(op_col).isNull()
-                | ~F.col(op_col).isin("U", "D")
-            )
-            .select(op_col)
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            raise ValueError(
-                f"change batch has invalid {op_col!r} value "
-                f"{bad[0][0]!r}: ops must be 'U' or 'D' and non-null"
-            )
-    for _ in range(MAX_COMMIT_RETRIES):
-        head = latest_version(table)
-        if head is None:
-            raise FileNotFoundError(f"no commits in table {table}")
-        # replay first, CAS second — _commit's order: a replayed txn
-        # is a no-op even when the head has legitimately moved on
-        replayed = _replayed_version(table, txn_id)
-        if replayed is not None:
-            return replayed
-        if require_head is not None and head != require_head:
-            raise CommitConflict(
-                f"merge on {table} required head {require_head} but "
-                f"found {head}; re-read and retry"
-            )
-        # merge_schema: like compact, the rewrite must carry columns
-        # any append has introduced, or the merge commits their loss
-        base = read_snapshot(spark, table, head, merge_schema=True)
-        data_cols = base.columns
-        if evolve_schema:
-            meta_cols = {op_col, *order_cols}
-            new_cols = [
-                c
-                for c in changes.columns
-                if c not in data_cols and c not in meta_cols
-            ]
-            for cname in new_cols:
-                base = base.withColumn(
-                    cname,
-                    F.lit(None).cast(changes.schema[cname].dataType),
+    # persist: the op-validation probe, the window dedup, and the
+    # per-retry join otherwise each re-evaluate the batch lineage
+    # from scratch — for the sync path that is a re-read of every
+    # cdc/added file in the range per evaluation (review r11)
+    changes = changes.persist()
+    try:
+        if op_col in changes.columns:
+            # eager, bounded: one limit(1) probe over the batch — a merge
+            # applying misclassified ops (NULL, 'd', 'delete') must fail
+            # loudly before rewriting anything
+            bad = (
+                changes.filter(
+                    F.col(op_col).isNull()
+                    | ~F.col(op_col).isin("U", "D")
                 )
-            data_cols = data_cols + new_cols
-        missing = [
-            c
-            for c in data_cols + [op_col] + list(order_cols)
-            if c not in changes.columns
-        ]
-        if missing:
-            raise ValueError(f"change batch lacks columns {missing}")
-        w = W.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        # order_cols may be change-feed metadata (an LSN, a batch
-        # sequence) that is NOT a table column — keep them through the
-        # dedup window, drop them after (caught by the model-based
-        # property test; the original select dropped them first and
-        # the window failed to resolve).
-        extra = [c for c in order_cols if c not in data_cols]
-        last = (
-            changes.select(op_col, *data_cols, *extra)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", *extra)
-        )
-        # a literal marker (not key-null-ness) tells the CDC
-        # classifier whether a base row matched: NULL keys never
-        # equi-join, and a data column could legitimately be NULL
-        b = (
-            base.withColumn("__b", F.lit(True)) if write_changefeed
-            else base
-        ).alias("b")
-        c = last.alias("c")
-        cond = None
-        for k in keys:
-            eq = F.col(f"b.{k}") == F.col(f"c.{k}")
-            cond = eq if cond is None else cond & eq
-        changed = F.col(f"c.{op_col}").isNotNull()
-        joined = b.join(c, cond, "full")
-        if write_changefeed:
-            # both outputs (rewrite + CDC) read this one join: persist
-            # so the base snapshot and the change dedup run once
-            joined = joined.persist()
-        try:
-            merged = joined.filter(
-                ~changed | (F.col(f"c.{op_col}") != "D")
-            ).select(
-                *[
-                    F.when(changed, F.col(f"c.{col}"))
-                    .otherwise(F.col(f"b.{col}"))
-                    .alias(col)
-                    for col in data_cols
+                .select(op_col)
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"change batch has invalid {op_col!r} value "
+                    f"{bad[0][0]!r}: ops must be 'U' or 'D' and non-null"
+                )
+        for _ in range(MAX_COMMIT_RETRIES):
+            head = latest_version(table)
+            if head is None:
+                raise FileNotFoundError(f"no commits in table {table}")
+            # replay first, CAS second — _commit's order: a replayed txn
+            # is a no-op even when the head has legitimately moved on
+            replayed = _replayed_version(table, txn_id)
+            if replayed is not None:
+                return replayed
+            if require_head is not None and head != require_head:
+                raise CommitConflict(
+                    f"merge on {table} required head {require_head} but "
+                    f"found {head}; re-read and retry"
+                )
+            # merge_schema: like compact, the rewrite must carry columns
+            # any append has introduced, or the merge commits their loss
+            base = read_snapshot(spark, table, head, merge_schema=True)
+            data_cols = base.columns
+            if evolve_schema:
+                meta_cols = {op_col, *order_cols}
+                new_cols = [
+                    c
+                    for c in changes.columns
+                    if c not in data_cols and c not in meta_cols
                 ]
-            )
-            files, stats = _write_data_files(merged, table)
-            manifest = {
-                "version": head + 1,
-                "op": "merge",
-                "files": files,
-                "stats": stats,
-                "txn_id": txn_id,
-                # the merged frame's schema is the post-merge column
-                # union (base + evolved change columns): record it so
-                # enforcement survives the rewrite — but only for
-                # tables that DECLARED a schema; a maintenance-shaped
-                # op must not enable enforcement on a legacy table
-                # (review r09, same rule as compact/delete)
-                "schema": (
-                    merged.schema.jsonValue()
-                    if _read_manifest(table, head).get("schema")
-                    else None
-                ),
-            }
+                for cname in new_cols:
+                    base = base.withColumn(
+                        cname,
+                        F.lit(None).cast(changes.schema[cname].dataType),
+                    )
+                data_cols = data_cols + new_cols
+            missing = [
+                c
+                for c in data_cols + [op_col] + list(order_cols)
+                if c not in changes.columns
+            ]
+            if missing:
+                raise ValueError(f"change batch lacks columns {missing}")
             if write_changefeed:
-                # Effective changes only: a 'D' on an absent key
-                # changed nothing and must not be replayed downstream;
-                # a 'U' is an update iff a base row matched.
-                b_present = F.col("b.__b").isNotNull()
-                effective = joined.filter(
-                    changed
-                    & ((F.col(f"c.{op_col}") != "D") | b_present)
-                ).select(
-                    *[F.col(f"c.{col}").alias(col) for col in data_cols],
-                    F.when(F.col(f"c.{op_col}") == "D", F.lit("delete"))
-                    .when(b_present, F.lit("update"))
-                    .otherwise(F.lit("insert"))
-                    .alias("_change_type"),
+                # the feed fabricates _change_type over the data columns;
+                # a real data column of that name would be clobbered in
+                # the cdc output and double-tagged on read (review r11)
+                _check_cdc_collisions(
+                    data_cols, f"merge_changes({table!r} changefeed)"
                 )
-                cdc_files, _ = _write_data_files(effective, table)
-                manifest["cdc_files"] = cdc_files
-        finally:
+            w = W.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in order_cols]
+            )
+            # order_cols may be change-feed metadata (an LSN, a batch
+            # sequence) that is NOT a table column — keep them through the
+            # dedup window, drop them after (caught by the model-based
+            # property test; the original select dropped them first and
+            # the window failed to resolve).
+            extra = [c for c in order_cols if c not in data_cols]
+            last = (
+                changes.select(op_col, *data_cols, *extra)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", *extra)
+            )
+            # a literal marker (not key-null-ness) tells the CDC
+            # classifier whether a base row matched: NULL keys never
+            # equi-join, and a data column could legitimately be NULL
+            b = (
+                base.withColumn("__b", F.lit(True)) if write_changefeed
+                else base
+            ).alias("b")
+            c = last.alias("c")
+            cond = None
+            for k in keys:
+                eq = F.col(f"b.{k}") == F.col(f"c.{k}")
+                cond = eq if cond is None else cond & eq
+            changed = F.col(f"c.{op_col}").isNotNull()
+            joined = b.join(c, cond, "full")
             if write_changefeed:
-                joined.unpersist(False)
-        try:
-            _publish(table, head + 1, manifest)
-            return head + 1
-        except CommitConflict:
-            continue  # head moved: recompute the merge against it
-    raise CommitConflict(f"merge on {table} kept losing the race")
+                # both outputs (rewrite + CDC) read this one join: persist
+                # so the base snapshot and the change dedup run once
+                joined = joined.persist()
+            try:
+                merged = joined.filter(
+                    ~changed | (F.col(f"c.{op_col}") != "D")
+                ).select(
+                    *[
+                        F.when(changed, F.col(f"c.{col}"))
+                        .otherwise(F.col(f"b.{col}"))
+                        .alias(col)
+                        for col in data_cols
+                    ]
+                )
+                files, stats = _write_data_files(merged, table)
+                manifest = {
+                    "version": head + 1,
+                    "op": "merge",
+                    "files": files,
+                    "stats": stats,
+                    "txn_id": txn_id,
+                    # the merged frame's schema is the post-merge column
+                    # union (base + evolved change columns): record it so
+                    # enforcement survives the rewrite — but only for
+                    # tables that DECLARED a schema; a maintenance-shaped
+                    # op must not enable enforcement on a legacy table
+                    # (review r09, same rule as compact/delete)
+                    "schema": (
+                        merged.schema.jsonValue()
+                        if _read_manifest(table, head).get("schema")
+                        else None
+                    ),
+                }
+                if write_changefeed:
+                    # Effective changes only: a 'D' on an absent key
+                    # changed nothing and must not be replayed downstream;
+                    # a 'U' is an update iff a base row matched.
+                    b_present = F.col("b.__b").isNotNull()
+                    effective = joined.filter(
+                        changed
+                        & ((F.col(f"c.{op_col}") != "D") | b_present)
+                    ).select(
+                        *[F.col(f"c.{col}").alias(col) for col in data_cols],
+                        F.when(F.col(f"c.{op_col}") == "D", F.lit("delete"))
+                        .when(b_present, F.lit("update"))
+                        .otherwise(F.lit("insert"))
+                        .alias("_change_type"),
+                    )
+                    cdc_files, cdc_stats = _write_data_files(effective, table)
+                    # a merge whose every change was ineffective (e.g. a
+                    # batch of 'D' ops on absent keys — routine under
+                    # at-least-once feeds) must record an EMPTY feed, not
+                    # 0-row files: read_changes' idle signal (None) is
+                    # what stops a downstream keyed sync from a pointless
+                    # full rewrite — the delete_where guard, applied here
+                    # too (review r11). Counts come from the write's own
+                    # stats, no second footer pass.
+                    n_changed = sum(
+                        cdc_stats[name].get("__rows", 0)
+                        for name in cdc_files
+                    )
+                    manifest["cdc_files"] = cdc_files if n_changed else []
+            finally:
+                if write_changefeed:
+                    joined.unpersist(False)
+            try:
+                _publish(table, head + 1, manifest)
+                return head + 1
+            except CommitConflict:
+                continue  # head moved: recompute the merge against it
+        raise CommitConflict(f"merge on {table} kept losing the race")
+    finally:
+        changes.unpersist(False)
 
 
 def read_changes(
@@ -1689,8 +1753,12 @@ def read_changes(
             ]
             if not added:
                 continue
+            raw = spark.read.parquet(*added)
+            _check_cdc_collisions(
+                raw.columns, f"read_changes({table!r} v{v})"
+            )
             frames.append(
-                spark.read.parquet(*added)
+                raw
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v).cast("int"))
             )
@@ -1701,10 +1769,14 @@ def read_changes(
                 os.path.join(_data_dir(table), name)
                 for name in manifest["cdc_files"]
             ]
-            frames.append(
-                spark.read.parquet(*paths).withColumn(
-                    "_commit_version", F.lit(v).cast("int")
+            raw = spark.read.parquet(*paths)
+            if "_commit_version" in raw.columns:
+                _check_cdc_collisions(
+                    ["_commit_version"],
+                    f"read_changes({table!r} v{v} cdc)",
                 )
+            frames.append(
+                raw.withColumn("_commit_version", F.lit(v).cast("int"))
             )
         else:
             raise ValueError(
@@ -1774,7 +1846,14 @@ def txn_position(
     if upto is not None:
         versions = [v for v in versions if v <= upto]
     for v in reversed(versions):
-        txn = _read_manifest(dst_table, v).get("txn_id") or ""
+        try:
+            txn = _read_manifest(dst_table, v).get("txn_id") or ""
+        except FileNotFoundError:
+            # a concurrent vacuum unlinked this (expired) manifest
+            # between the listing and the read (review r11): vacuum
+            # folds before it deletes, so the checkpoint below
+            # already covers it — skip, never crash the sync run
+            continue
         if txn.startswith(prefix + ":"):
             pos = _pos(txn)
             if pos is not None:
@@ -1897,6 +1976,12 @@ def sync_changes(
                 return append(
                     bootstrap, dst_table, txn_id=txn, require_head=-1
                 )
+            _check_cdc_collisions(
+                [c for c in changes.columns
+                 if c not in _RESERVED_CDC_COLS],
+                f"sync_changes({src_table!r} keyed)",
+                extra=("op",),
+            )
             batch = changes.withColumn(
                 "op",
                 F.when(
@@ -1926,26 +2011,42 @@ def sync_changes(
 class ChangefeedCursor:
     """Incremental consumer position over a table's change feed.
 
-    ``poll`` returns the changes since the last poll (None when idle)
-    and advances — the micro-batch consumption loop for a downstream
-    pipeline. The cursor resolves the head ONCE per poll, so commits
-    landing mid-read are cleanly deferred to the next poll; pairing
-    the returned ``until`` version with the downstream sink's
-    ``txn_id`` gives end-to-end exactly-once across the seam, the
-    same contract as the streaming sink's epoch ids.
+    ``poll`` returns ``(changes, until)`` — the batch since the last
+    ACKED position — or None when idle; the cursor advances only on
+    ``ack(until)``, which the caller invokes AFTER its downstream
+    commit succeeds. A failed downstream write therefore re-serves
+    the same batch on the next poll (at-least-once), and pairing
+    ``until`` with the downstream sink's ``txn_id`` upgrades the seam
+    to exactly-once — the same contract as the streaming sink's epoch
+    ids. (Review r11: the old poll advanced BEFORE the caller
+    processed the batch and returned no ``until``, so a failed
+    downstream commit silently dropped the batch — at-most-once,
+    contradicting this docstring.) The head is resolved ONCE per
+    poll, so commits landing mid-read defer cleanly to the next poll.
     """
 
     def __init__(self, table: str, start_after: int = -1) -> None:
         self.table = table
         self.position = start_after
 
-    def poll(self, spark: SparkSession) -> DataFrame | None:
+    def poll(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, int] | None:
         head = latest_version(self.table)
         if head is None or head <= self.position:
             return None
         changes = read_changes(spark, self.table, self.position, head)
-        self.position = head
-        return changes
+        if changes is None:
+            # only data-less commits (compactions) in range: nothing
+            # for the caller to process or ack — advance directly
+            self.position = head
+            return None
+        return changes, head
+
+    def ack(self, until: int) -> None:
+        """Mark the batch ending at ``until`` as durably applied."""
+        if until > self.position:
+            self.position = until
 
 
 def history(table: str) -> list[dict]:
@@ -1996,8 +2097,6 @@ def vacuum(
     travel and the change feed — versions whose manifests are gone
     cannot be read.
     """
-    import time
-
     if retain_last < 1:
         raise ValueError("retain_last must keep at least the head version")
     versions = _list_versions(table)
@@ -2034,7 +2133,26 @@ def vacuum(
     for entry in os.listdir(table):
         if entry.startswith("_staging-"):
             path = os.path.join(table, entry)
-            if os.path.getmtime(path) <= cutoff:
+            # age from the NEWEST mtime anywhere inside the staging
+            # tree, not the directory's own (review r11): Spark sets
+            # the top-level mtime at job start and a write running
+            # longer than min_age_seconds would otherwise be
+            # rmtree'd mid-job — the dir mtime measures job START,
+            # the inner files measure last actual write activity
+            newest = os.path.getmtime(path)
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(root, f)),
+                        )
+                    except FileNotFoundError:
+                        # the writer is live and moving files right
+                        # now — certainly not expired
+                        newest = time.time()
+                        break
+            if newest <= cutoff:
                 shutil.rmtree(path)
     log = _log_dir(table)
     if os.path.isdir(log):

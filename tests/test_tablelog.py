@@ -714,18 +714,32 @@ def test_vacuum_retains_cdc_files_of_retained_manifests(spark, tmp_path):
     }
 
 
-def test_changefeed_cursor_polls_exactly_once(spark, tmp_path):
+def test_changefeed_cursor_polls_with_ack_replay(spark, tmp_path):
+    """poll/ack contract (review r11): a batch is re-served until the
+    caller acks it — a failed downstream commit can never drop a
+    batch — and idle polls return None."""
     table = str(tmp_path / "t")
     cursor = tl.ChangefeedCursor(table)
     assert cursor.poll(spark) is None  # table doesn't exist yet
     tl.append(_frame(spark, 0, 3), table)
     tl.append(_frame(spark, 3, 5), table)
-    first = cursor.poll(spark)
+    first, until = cursor.poll(spark)
     assert {r.v for r in first.collect()} == {0, 1, 2, 3, 4}
+    # NOT acked (downstream "failed"): the same batch is re-served
+    replay, until2 = cursor.poll(spark)
+    assert until2 == until
+    assert {r.v for r in replay.collect()} == {0, 1, 2, 3, 4}
+    cursor.ack(until)
     assert cursor.poll(spark) is None  # idle between commits
     tl.append(_frame(spark, 5, 7), table)
-    second = cursor.poll(spark)
+    second, until3 = cursor.poll(spark)
     assert {r.v for r in second.collect()} == {5, 6}
+    cursor.ack(until3)
+    assert cursor.poll(spark) is None
+    # compaction-only range: nothing to ack, auto-advances to idle
+    tl.compact(spark, table, n_files=1)
+    assert cursor.poll(spark) is None
+    assert cursor.position == tl.latest_version(table)
 
 
 def test_read_changes_backfills_evolved_schema(spark, tmp_path):
@@ -2048,6 +2062,162 @@ def test_rollback_marker_migrates_from_prekey_checkpoint(
         os.unlink(tl._manifest_path(table, v))
     with pytest.raises(FileNotFoundError, match="checkpoint-folded"):
         tl.restore(table, 0, txn_id="restore-run-1")
+
+
+def test_prekey_checkpoint_migrates_even_when_already_folded(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11 #2 follow-up: vacuum calls write_checkpoint with
+    upto == the previous fold's version right before deleting expired
+    manifests; a pre-rollbacks-key checkpoint must NOT early-return
+    there — that call is the last chance to rescue retained markers."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)
+    tl.overwrite(_frame(spark, 900, 903), table)
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(FileNotFoundError, match="lost the race"):
+        tl.restore(table, 0, txn_id="restore-run-1")
+    monkeypatch.setattr(tl, "_publish", real_publish)
+    # pre-upgrade fold AT the head: strip the rollbacks key
+    head = tl.latest_version(table)
+    tl.write_checkpoint(table)
+    path = tl._checkpoint_path(table)
+    old = json.load(open(path))
+    old.pop("rollbacks")
+    os.unlink(path)
+    json.dump(old, open(path, "w"))
+    tl._CKPT_CACHE.pop(path, None)
+    # the exact vacuum-shaped call: upto == prev fold version — must
+    # migrate, not early-return, and never regress the fold version
+    assert tl.write_checkpoint(table, upto=head) == head
+    assert fired[0] in tl._read_checkpoint(table)["rollbacks"]
+
+
+def test_noop_merge_records_empty_changefeed(spark, tmp_path):
+    """Review r11: a merge batch of 'D' ops on absent keys changes
+    nothing — it must record an EMPTY cdc feed (read_changes -> None,
+    the idle signal that stops a downstream keyed sync from a
+    pointless full rewrite), never 0-row cdc files."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    changes = spark.createDataFrame(
+        [("D", 99, 0), ("D", 98, 1)], "op string, v long, seq int"
+    )
+    v = tl.merge_changes(
+        spark, table, changes, keys=["v"], order_cols=["seq"],
+        write_changefeed=True,
+    )
+    assert tl._read_manifest(table, v)["cdc_files"] == []
+    assert tl.read_changes(spark, table, v - 1, v) is None
+    # and an effective merge still records a real feed
+    eff = spark.createDataFrame(
+        [("D", 1, 0)], "op string, v long, seq int"
+    )
+    v2 = tl.merge_changes(
+        spark, table, eff, keys=["v"], order_cols=["seq"],
+        write_changefeed=True,
+    )
+    feed = tl.read_changes(spark, table, v2 - 1, v2)
+    assert [(r.v, r._change_type) for r in feed.collect()] == [
+        (1, "delete")
+    ]
+
+
+def test_reserved_cdc_column_names_refused_loudly(spark, tmp_path):
+    """Review r11: a source data column named _change_type /
+    _commit_version (or 'op' on the keyed sync path) would be
+    silently clobbered by the feed's fabricated columns — the
+    changefeed entry points must refuse it with a named error."""
+    src = str(tmp_path / "src")
+    tl.append(
+        spark.createDataFrame(
+            [(1, "x")], "v long, _change_type string"
+        ),
+        src,
+    )
+    with pytest.raises(ValueError, match="collide"):
+        tl.read_changes(spark, src, -1)
+    src2, dst2 = str(tmp_path / "src2"), str(tmp_path / "dst2")
+    tl.append(
+        spark.createDataFrame([(1, "U")], "v long, op string"), src2
+    )
+    tl.append(spark.createDataFrame([(1, "U")], "v long, op string"),
+              dst2)
+    with pytest.raises(ValueError, match="collide"):
+        tl.sync_changes(spark, src2, dst2, keys=["v"])
+    # merge_changes with a changefeed refuses a _change_type data col
+    t3 = str(tmp_path / "t3")
+    tl.append(
+        spark.createDataFrame(
+            [(1, "a")], "v long, _change_type string"
+        ),
+        t3,
+    )
+    batch = spark.createDataFrame(
+        [("U", 2, "b", 0)],
+        "op string, v long, _change_type string, seq int",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        tl.merge_changes(
+            spark, t3, batch, keys=["v"], order_cols=["seq"],
+            write_changefeed=True,
+        )
+
+
+def test_vacuum_spares_staging_dir_with_fresh_inner_files(
+    spark, tmp_path
+):
+    """Review r11: the staging-dir sweep must age from the NEWEST
+    mtime inside the tree — Spark sets the dir mtime at job start, so
+    a long write would otherwise be rmtree'd mid-job."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)
+    live = os.path.join(table, "_staging-livejob")
+    os.makedirs(os.path.join(live, "_temporary"))
+    inner = os.path.join(live, "_temporary", "part-0")
+    open(inner, "w").write("x")
+    old = 1_000_000_000  # well past any age cutoff
+    os.utime(live, (old, old))  # job-start dir mtime: ancient
+    dead = os.path.join(table, "_staging-deadjob")
+    os.makedirs(dead)
+    open(os.path.join(dead, "part-0"), "w").write("x")
+    os.utime(os.path.join(dead, "part-0"), (old, old))
+    os.utime(dead, (old, old))
+    tl.vacuum(table, retain_last=1, min_age_seconds=3600)
+    assert os.path.isdir(live), "fresh inner file must spare the dir"
+    assert not os.path.exists(dead), "all-old staging dir must sweep"
+
+
+def test_position_walks_tolerate_concurrent_vacuum_unlink(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11: a vacuum unlinking an expired manifest between the
+    listing and the read must not crash txn_position /
+    _replayed_version — the fold already covers it."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 2), table, txn_id="changefeed-sync:5")
+    tl.append(_frame(spark, 2, 4), table)
+    tl.write_checkpoint(table)
+    real_list = tl._list_versions
+
+    def stale_listing(t):
+        # 99's manifest never existed: the newest-first walks hit it
+        # FIRST and must skip, not crash
+        return real_list(t) + [99]
+
+    monkeypatch.setattr(tl, "_list_versions", stale_listing)
+    assert tl.txn_position(table, "changefeed-sync") == 5
+    assert tl._replayed_version(table, "changefeed-sync:5") == 0
 
 
 def test_files_for_malformed_where_raises_named_error(spark, tmp_path):
