@@ -40,6 +40,13 @@ MIN_AVG_QUALITY = 90.0
 #: ``NOW() - MAX(reading_timestamp)``), in seconds.
 MAX_STALENESS_SECONDS = 24 * 3600
 
+#: Producer clock skew tolerated by the freshness check: a station
+#: clock running a few minutes fast yields a slightly NEGATIVE age,
+#: which must not fail the whole pipeline run (review r11; the
+#: reference's own check is only an upper bound, README.md:750-755 —
+#: the lower bound here still catches wildly future-dated data).
+CLOCK_SKEW_TOLERANCE_SECONDS = 300
+
 
 @dataclass
 class PipelinePaths:
@@ -127,79 +134,85 @@ def validate(
     # is its own job over the serving table, so without a persist the
     # validation pass rescans the parquet six times (review r06).
     serving = spark.read.parquet(paths.serving_dir).persist()
-    total = serving.count()
-    res.stats["total_rows"] = total
-    res.checks["has_rows"] = total > 0
+    # try/finally (review r11): an AnalysisException mid-validate —
+    # e.g. a missing column after a schema change — must not leak
+    # the cached table into a long-lived session
+    try:
+        total = serving.count()
+        res.stats["total_rows"] = total
+        res.checks["has_rows"] = total > 0
 
-    nulls = serving.filter(
-        F.col("station_id").isNull()
-        | F.col("city").isNull()
-        | F.col("timestamp").isNull()
-    ).count()
-    res.stats["null_critical_rows"] = nulls
-    res.checks["no_null_critical"] = nulls == 0
+        nulls = serving.filter(
+            F.col("station_id").isNull()
+            | F.col("city").isNull()
+            | F.col("timestamp").isNull()
+        ).count()
+        res.stats["null_critical_rows"] = nulls
+        res.checks["no_null_critical"] = nulls == 0
 
-    q = serving.agg(
-        F.avg("data_quality_score").alias("avg_q"),
-        F.min("data_quality_score").alias("min_q"),
-    ).first()
-    res.stats["avg_quality"] = q["avg_q"]
-    res.checks["quality_floor"] = (
-        q["avg_q"] is not None and q["avg_q"] >= MIN_AVG_QUALITY
-    )
-
-    dist = {
-        r["alert_level"]: r["n"]
-        for r in serving.groupBy("alert_level")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    res.stats["alert_distribution"] = dist
-    res.checks["alert_levels_known"] = set(dist) <= {
-        "NORMAL",
-        "WATCH",
-        "WARNING",
-        "CRITICAL",
-    }
-
-    dup = (
-        serving.groupBy("station_id", "timestamp")
-        .count()
-        .filter("count > 1")
-        .count()
-    )
-    res.stats["duplicate_keys"] = dup
-    res.checks["unique_key"] = dup == 0
-
-    # Freshness (reference README.md:750-755: NOW() - MAX(ts) < 1 day).
-    # One MAX aggregate over the persisted frame; the comparison
-    # happens driver-side on a single value.
-    # Aggregated as epoch micros, not TimestampType: PySpark renders a
-    # collected timestamp through the driver process's OS timezone, so
-    # a non-UTC driver host would skew the staleness by the UTC offset
-    # (up to ±14h against the 24h bound). Epoch arithmetic has no zone.
-    latest_us = serving.agg(
-        F.max(F.unix_micros("timestamp_parsed")).alias("latest_us")
-    ).first()["latest_us"]
-    latest = (
-        datetime.datetime.fromtimestamp(
-            latest_us / 1_000_000, datetime.timezone.utc
+        q = serving.agg(
+            F.avg("data_quality_score").alias("avg_q"),
+            F.min("data_quality_score").alias("min_q"),
+        ).first()
+        res.stats["avg_quality"] = q["avg_q"]
+        res.checks["quality_floor"] = (
+            q["avg_q"] is not None and q["avg_q"] >= MIN_AVG_QUALITY
         )
-        if latest_us is not None
-        else None
-    )
-    age = (
-        now.timestamp() - latest_us / 1_000_000
-        if latest_us is not None
-        else None
-    )
-    res.stats["latest_timestamp"] = latest
-    res.stats["staleness_seconds"] = age
-    res.checks["fresh"] = (
-        age is not None and 0 <= age < MAX_STALENESS_SECONDS
-    )
-    serving.unpersist(False)
-    return res
+
+        dist = {
+            r["alert_level"]: r["n"]
+            for r in serving.groupBy("alert_level")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        res.stats["alert_distribution"] = dist
+        res.checks["alert_levels_known"] = set(dist) <= {
+            "NORMAL",
+            "WATCH",
+            "WARNING",
+            "CRITICAL",
+        }
+
+        dup = (
+            serving.groupBy("station_id", "timestamp")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        res.stats["duplicate_keys"] = dup
+        res.checks["unique_key"] = dup == 0
+
+        # Freshness (reference README.md:750-755: NOW() - MAX(ts) < 1 day).
+        # One MAX aggregate over the persisted frame; the comparison
+        # happens driver-side on a single value.
+        # Aggregated as epoch micros, not TimestampType: PySpark renders a
+        # collected timestamp through the driver process's OS timezone, so
+        # a non-UTC driver host would skew the staleness by the UTC offset
+        # (up to ±14h against the 24h bound). Epoch arithmetic has no zone.
+        latest_us = serving.agg(
+            F.max(F.unix_micros("timestamp_parsed")).alias("latest_us")
+        ).first()["latest_us"]
+        latest = (
+            datetime.datetime.fromtimestamp(
+                latest_us / 1_000_000, datetime.timezone.utc
+            )
+            if latest_us is not None
+            else None
+        )
+        age = (
+            now.timestamp() - latest_us / 1_000_000
+            if latest_us is not None
+            else None
+        )
+        res.stats["latest_timestamp"] = latest
+        res.stats["staleness_seconds"] = age
+        res.checks["fresh"] = (
+            age is not None
+            and -CLOCK_SKEW_TOLERANCE_SECONDS <= age < MAX_STALENESS_SECONDS
+        )
+        return res
+    finally:
+        serving.unpersist(False)
 
 
 def report(spark: SparkSession, paths: PipelinePaths) -> str:

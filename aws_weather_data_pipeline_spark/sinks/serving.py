@@ -124,7 +124,36 @@ def jdbc_append_missing(
     """
     props = properties or {}
     deduped = new_rows.dropDuplicates(keys)
-    existing = spark.read.jdbc(url, table, properties=props).select(*keys)
+    try:
+        existing = spark.read.jdbc(url, table, properties=props).select(
+            *keys
+        )
+    except Exception as exc:
+        # first load against a fresh database: the serving table does
+        # not exist yet, so there is nothing to conflict with and the
+        # append below creates it — the parquet twin's PATH_NOT_FOUND
+        # case (review r11). Matched conservatively on the driver's
+        # own "missing table" wording; anything else (connection
+        # refused, permissions) still propagates.
+        msg = str(exc).lower()
+        if not (
+            table.lower() in msg
+            and ("not exist" in msg or "not found" in msg)
+        ):
+            raise
+        existing = None
+    if existing is None:
+        to_insert = deduped.persist()
+        try:
+            n = to_insert.count()
+            if n:
+                write_jdbc(
+                    to_insert, url, table, mode="append",
+                    properties=props,
+                )
+        finally:
+            to_insert.unpersist(False)
+        return n
     # persist: count-then-write would otherwise run the anti-join —
     # including the DATABASE read — twice, and rows inserted by a
     # concurrent writer between the two executions would make the

@@ -24,27 +24,18 @@ The reference's sink surface, re-expressed Spark-first:
 
 from __future__ import annotations
 
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-@contextmanager
-def dynamic_partition_overwrite(spark: SparkSession):
-    """Scope ``partitionOverwriteMode=dynamic`` to a block, restoring
-    the prior value (or unsetting) even on failure — ONE definition
-    for the three sinks that need it (review r06: the save/set/
-    restore dance was pasted into each)."""
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+#: DataFrameWriter option for per-WRITE dynamic partition overwrite.
+#: Per-write, not the session conf (review r11): the old save/set/
+#: restore context manager mutated session-GLOBAL state, so a
+#: concurrent writer in the same SparkSession could run its
+#: overwrite in STATIC mode while another held the toggle — deleting
+#: every partition of its table, not just the batch's. The writer
+#: option scopes the mode to exactly one write with no shared state.
+DYNAMIC_OVERWRITE = ("partitionOverwriteMode", "dynamic")
 
 
 def with_time_partitions(df: DataFrame, ts_col: str) -> DataFrame:
@@ -91,10 +82,9 @@ def overwrite_partitioned(
     Streaming keeps the append form (micro-batches accumulate within
     an hour); batch loads that may re-run should use this one.
     """
-    with dynamic_partition_overwrite(df.sparkSession):
-        with_time_partitions(df, ts_col).write.mode("overwrite").partitionBy(
-            "year", "month", "day", "hour"
-        ).parquet(path)
+    with_time_partitions(df, ts_col).write.mode("overwrite").option(
+        *DYNAMIC_OVERWRITE
+    ).partitionBy("year", "month", "day", "hour").parquet(path)
 
 
 def write_json(df: DataFrame, path: str) -> None:
@@ -157,8 +147,12 @@ def idempotent_append(
             if hasattr(exc, "getCondition")
             else exc.getErrorClass()
         )
-        if cond != "PATH_NOT_FOUND":
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
+        # PATH_NOT_FOUND: first load. UNABLE_TO_INFER_SCHEMA: the
+        # directory exists but is EMPTY (infra pre-provisioning) —
+        # semantically the same "nothing to conflict with" state
+        # (review r11); any other condition still propagates.
         existing = None
     if existing is not None:
         if scope_col is not None:
@@ -195,9 +189,17 @@ def idempotent_append(
             if any(v is None for v in scopes):
                 pred = pred | F.col(scope_col).isNull()
             existing = existing.filter(pred)
-        to_insert = deduped.join(
-            existing.select(*keys), on=keys, how="left_anti"
-        )
+        # eqNullSafe per key (review r11): a NULL key field under
+        # plain equality never matches the identical existing row, so
+        # every replay re-appends it — the null-scope fix (r06)
+        # applied to the join itself. dropDuplicates already treats
+        # NULLs as equal, so this makes the two dedup layers agree.
+        ex = existing.select(*keys)
+        cond = None
+        for k in keys:
+            clause = deduped[k].eqNullSafe(ex[k])
+            cond = clause if cond is None else cond & clause
+        to_insert = deduped.join(ex, on=cond, how="left_anti")
     else:
         to_insert = deduped
     # persist: count-then-write would otherwise execute the dedup +
@@ -225,7 +227,6 @@ def upsert_summary_by_partition(
     is idempotent and safely re-runnable (the Airflow retry semantics,
     weather_dag.py:376-457, for free).
     """
-    with dynamic_partition_overwrite(summary.sparkSession):
-        summary.write.mode("overwrite").partitionBy(partition_col).parquet(
-            path
-        )
+    summary.write.mode("overwrite").option(
+        *DYNAMIC_OVERWRITE
+    ).partitionBy(partition_col).parquet(path)

@@ -64,6 +64,43 @@ def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
     return flatten_readings(envelopes)
 
 
+def corrupt_capture_schema():
+    """WEATHER_RAW_SCHEMA widened with the corrupt-record column —
+    built FRESH each call (StructType.add mutates the receiver, so
+    widening the shared schema in place would change every other
+    reader behind its back). One definition for the batch reader and
+    the streaming DLQ (review r11: the copy in streaming/pipeline.py
+    could drift from a fix applied here)."""
+    from pyspark.sql import types as T
+
+    return T.StructType([*WEATHER_RAW_SCHEMA.fields]).add(
+        "_corrupt_record", "string"
+    )
+
+
+def quarantine_frame(parsed: DataFrame) -> DataFrame:
+    """The quarantine projection over a corrupt-capture parse:
+    EVERY row with the corrupt marker set, as (raw_payload,
+    n_parsed_readings). Under partial-results JSON parsing
+    (spark.sql.json.enablePartialResults, default true since 3.4) a
+    mistyped field sets _corrupt_record while ``readings`` still
+    parses — an old ``readings IS NULL`` conjunct silently dropped
+    those rows from BOTH branches (review r06). Spark rejects plans
+    touching ONLY the internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+    filter keeps a non-foldable but always-true reference to
+    ``readings``; the projection also surfaces how much of the row
+    DID parse (the partial-corruption diagnostic). Shared by the
+    batch reader and the streaming DLQ."""
+    return parsed.filter(
+        F.col("_corrupt_record").isNotNull()
+        & (F.col("readings").isNull() | (F.size("readings") >= 0))
+    ).select(
+        F.col("_corrupt_record").alias("raw_payload"),
+        F.size("readings").alias("n_parsed_readings"),
+    )
+
+
 def read_raw_json_with_quarantine(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -84,16 +121,8 @@ def read_raw_json_with_quarantine(
     would throw mid-job (glue_weather_etl.py json parsing); this is
     the operational hardening a real pipeline needs.
     """
-    from pyspark.sql import types as T
-
-    # StructType.add MUTATES the receiver — build a fresh StructType so
-    # the shared WEATHER_RAW_SCHEMA is never widened behind the backs
-    # of the other readers.
-    schema = T.StructType(
-        [*WEATHER_RAW_SCHEMA.fields]
-    ).add("_corrupt_record", "string")
     parsed = (
-        spark.read.schema(schema)
+        spark.read.schema(corrupt_capture_schema())
         .option("multiLine", True)
         .option("recursiveFileLookup", True)
         .option("mode", "PERMISSIVE")
@@ -105,29 +134,12 @@ def read_raw_json_with_quarantine(
             "_corrupt_record"
         )
     )
-    # Quarantine = EVERY row with the corrupt marker set. Under
-    # partial-results JSON parsing (spark.sql.json.enablePartialResults,
-    # default true since 3.4) a mistyped field sets _corrupt_record
-    # while `readings` still parses — an old `readings IS NULL`
-    # conjunct silently dropped those rows from BOTH branches (review
-    # r06). Spark still rejects plans touching ONLY the internal
-    # corrupt-record column
-    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
-    # filter keeps a non-foldable but always-true reference to
-    # `readings`; the projection also surfaces how much of the row
-    # DID parse (the partial-corruption diagnostic). The two branches
-    # re-parse independently — deliberately no persist() here, since
-    # a library reader must not leave cache entries behind in a
-    # long-lived session; a caller materializing both frames in one
-    # job can wrap the call in its own persist/unpersist.
-    quarantined = parsed.filter(
-        F.col("_corrupt_record").isNotNull()
-        & (F.col("readings").isNull() | (F.size("readings") >= 0))
-    ).select(
-        F.col("_corrupt_record").alias("raw_payload"),
-        F.size("readings").alias("n_parsed_readings"),
-    )
-    return good, quarantined
+    # The two branches re-parse independently — deliberately no
+    # persist() here, since a library reader must not leave cache
+    # entries behind in a long-lived session; a caller materializing
+    # both frames in one job can wrap the call in its own
+    # persist/unpersist. Quarantine semantics: quarantine_frame above.
+    return good, quarantine_frame(parsed)
 
 
 #: Declared schema of the processed-CSV round-trip (S6): the flat CSV

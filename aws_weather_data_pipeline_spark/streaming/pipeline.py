@@ -38,11 +38,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.weather import apply_transformations
 from ..schemas import ALERT_COLUMNS, WEATHER_RAW_SCHEMA
-from ..sinks.writers import (
-    dynamic_partition_overwrite,
-    with_time_partitions,
+from ..sinks.writers import DYNAMIC_OVERWRITE, with_time_partitions
+from ..sources.readers import (
+    corrupt_capture_schema,
+    flatten_readings,
+    quarantine_frame,
 )
-from ..sources.readers import flatten_readings
 
 
 def read_stream_raw_json(
@@ -57,6 +58,13 @@ def read_stream_raw_json(
     return (
         spark.readStream.schema(WEATHER_RAW_SCHEMA)
         .option("multiLine", True)
+        # match the batch twin (sources/readers.read_raw_json): the
+        # raw zone nests files under zero-padded date prefixes
+        # (kinesis_to_s3.py:205-206) — without this the stream lists
+        # zero top-level files and silently processes nothing while
+        # the batch path over the same dir sees everything (review
+        # r11)
+        .option("recursiveFileLookup", True)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(landing_dir)
     )
@@ -79,6 +87,7 @@ def write_both_sinks(
     processed_path: str,
     alerts_path: str,
     epoch_id: int = 0,
+    run_ns: str | None = None,
 ) -> None:
     """T4: one micro-batch → both sinks, idempotent under replay.
 
@@ -94,23 +103,37 @@ def write_both_sinks(
     The batch frame is written twice from one lineage; caching it
     avoids recomputing the transforms for the second sink.
     """
-    batch_df = batch_df.withColumn("epoch_id", F.lit(epoch_id))
+    # epoch ids restart at 0 per checkpoint, so a bare epoch_id
+    # partition collides across checkpoint resets (or two streams
+    # sharing a sink) and the dynamic overwrite would replace the
+    # OTHER run's epoch-0 partitions — the same cross-checkpoint
+    # collision append_epoch_to_tablelog namespaces its txn ids
+    # against (review r08/r11). start_pipeline passes the
+    # checkpoint-lifetime namespace; bare ints remain for direct
+    # single-run callers.
+    epoch_val = f"{run_ns}-{epoch_id}" if run_ns else str(epoch_id)
+    batch_df = batch_df.withColumn("epoch_id", F.lit(epoch_val))
     batch_df.persist()
     try:
-        with dynamic_partition_overwrite(batch_df.sparkSession):
-            with_time_partitions(batch_df, "timestamp_parsed").write.mode(
-                "overwrite"
-            ).partitionBy(
-                "year", "month", "day", "hour", "epoch_id"
-            ).parquet(processed_path)
-            alerts = alerts_view(batch_df.drop("epoch_id")).withColumn(
-                "epoch_id", F.lit(epoch_id)
-            )
-            # T6: cluster alert files by station like the Kinesis
-            # partition key.
-            alerts.repartition(F.col("station_id")).write.mode(
-                "overwrite"
-            ).partitionBy("epoch_id").parquet(alerts_path)
+        # per-WRITE dynamic overwrite (review r11): the old
+        # session-conf toggle was shared mutable state — a concurrent
+        # writer could run its overwrite in static mode and drop
+        # every partition of its sink
+        with_time_partitions(batch_df, "timestamp_parsed").write.mode(
+            "overwrite"
+        ).option(*DYNAMIC_OVERWRITE).partitionBy(
+            "year", "month", "day", "hour", "epoch_id"
+        ).parquet(processed_path)
+        alerts = alerts_view(batch_df.drop("epoch_id")).withColumn(
+            "epoch_id", F.lit(epoch_val)
+        )
+        # T6: cluster alert files by station like the Kinesis
+        # partition key.
+        alerts.repartition(F.col("station_id")).write.mode(
+            "overwrite"
+        ).option(*DYNAMIC_OVERWRITE).partitionBy("epoch_id").parquet(
+            alerts_path
+        )
     finally:
         batch_df.unpersist()
 
@@ -136,12 +159,16 @@ def start_pipeline(
         spark, landing_dir, max_files_per_trigger=max_files_per_trigger
     )
     processed = transform_stream(raw)
+    # checkpoint-lifetime namespace: epoch partitions stay disjoint
+    # across checkpoint resets and across streams sharing a sink
+    run_ns = _checkpoint_namespace(checkpoint_dir, spark)
     writer = (
         processed.writeStream.outputMode("append")  # T2
         .option("checkpointLocation", checkpoint_dir)  # T3
         .foreachBatch(
             lambda df, epoch: write_both_sinks(
-                df, processed_path, alerts_path, epoch_id=epoch
+                df, processed_path, alerts_path, epoch_id=epoch,
+                run_ns=run_ns,
             )
         )
     )
@@ -169,33 +196,19 @@ def start_quarantine_stream(
     input is the same file listing with near-zero matching rows.
     Batch twin: sources/readers.read_raw_json_with_quarantine.
     """
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [*WEATHER_RAW_SCHEMA.fields]
-    ).add("_corrupt_record", "string")
-    corrupt = (
-        spark.readStream.schema(schema)
+    # schema + quarantine semantics SHARED with the batch twin
+    # (sources/readers: corrupt_capture_schema / quarantine_frame) —
+    # review r11: the pasted copy here could silently diverge from a
+    # fix applied to the batch reader (the r06 partial-results filter
+    # bug class).
+    corrupt = quarantine_frame(
+        spark.readStream.schema(corrupt_capture_schema())
         .option("multiLine", True)
+        .option("recursiveFileLookup", True)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(landing_dir)
-        # Quarantine EVERY corrupt-marked row — under partial-results
-        # parsing a mistyped field sets the marker while `readings`
-        # still parses, and a readings-IS-NULL conjunct dropped those
-        # rows from both branches (review r06). The always-true
-        # readings reference keeps the plan legal (Spark rejects
-        # queries touching ONLY the internal corrupt-record column).
-        # Same shape as sources/readers.read_raw_json_with_quarantine.
-        .filter(
-            F.col("_corrupt_record").isNotNull()
-            & (F.col("readings").isNull() | (F.size("readings") >= 0))
-        )
-        .select(
-            F.col("_corrupt_record").alias("raw_payload"),
-            F.size("readings").alias("n_parsed_readings"),
-        )
     )
     return (
         corrupt.writeStream.outputMode("append")
@@ -236,19 +249,81 @@ def append_epoch_to_tablelog(
     )
 
 
-def _checkpoint_namespace(checkpoint_dir: str) -> str:
+def _checkpoint_namespace(
+    checkpoint_dir: str, spark: SparkSession | None = None
+) -> str:
     """The txn namespace bound to this checkpoint's LIFETIME: a uuid
-    minted once per checkpoint and stored in it. The marker appears
-    ATOMICALLY with its contents — written to a tmp name and
-    os.link'd into place — so concurrent first-starts converge on one
-    winner's uuid and a loser can never read a created-but-not-yet-
-    written marker as an empty namespace (ADVICE r08: O_EXCL-create
-    followed by a separate write left that window, and two drivers
-    with different namespaces break epoch replay dedup silently)."""
+    minted once per checkpoint and stored IN it (so resetting the
+    checkpoint also resets the namespace — exactly when epoch ids
+    restart). The marker appears ATOMICALLY with its contents —
+    written to a tmp name and os.link'd into place — so concurrent
+    first-starts converge on one winner's uuid and a loser can never
+    read a created-but-not-yet-written marker as an empty namespace
+    (ADVICE r08: O_EXCL-create followed by a separate write left that
+    window, and two drivers with different namespaces break epoch
+    replay dedup silently).
+
+    Checkpoint locations are Hadoop path URIs, not local paths
+    (review r11): for any URI with a scheme (``file:``, ``hdfs:``,
+    ``s3a:``, ...) the marker lives on the checkpoint's OWN
+    filesystem via the Hadoop FileSystem API — local ``os.*`` calls
+    on ``s3a://bucket/cp`` would silently write a marker to a local
+    directory literally named ``s3a:/bucket/cp`` while Spark's state
+    lives in S3, and a driver failover host would then mint a FRESH
+    namespace and re-commit a replayed epoch as new data. Exclusive
+    ``fs.create(overwrite=False)`` is atomic on HDFS-compatible
+    filesystems — the same property Structured Streaming itself
+    requires of a checkpoint location."""
     import uuid
 
     import errno
     import time
+    import urllib.parse
+
+    scheme = urllib.parse.urlparse(checkpoint_dir).scheme
+    if scheme:
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"checkpoint location {checkpoint_dir!r} has a "
+                "filesystem scheme; resolving its namespace marker "
+                "needs an active SparkSession (Hadoop FileSystem API)"
+            )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir.rstrip("/") + "/.tablelog-namespace"
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            try:
+                out = fs.create(jpath, False)  # exclusive: one winner
+                try:
+                    out.write(uuid.uuid4().hex[:12].encode("ascii"))
+                finally:
+                    out.close()
+            except Exception:
+                pass  # lost the create race: read the winner's below
+        content = ""
+        for _ in range(50):
+            if fs.exists(jpath):
+                stream = fs.open(jpath)
+                try:
+                    content = (
+                        jvm.org.apache.commons.io.IOUtils.toString(
+                            stream, "UTF-8"
+                        ).strip()
+                    )
+                finally:
+                    stream.close()
+            if content:
+                return content
+            time.sleep(0.02)
+        raise RuntimeError(
+            f"namespace marker {checkpoint_dir}/.tablelog-namespace "
+            "stayed empty; remove it (or reset the checkpoint) before "
+            "restarting the stream"
+        )
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, ".tablelog-namespace")
@@ -315,7 +390,7 @@ def start_tablelog_sink(
     dropping the first batches as replays of the old run (review
     r08: a path-derived namespace survived the wipe).
     """
-    ns = _checkpoint_namespace(checkpoint_dir)
+    ns = _checkpoint_namespace(checkpoint_dir, processed.sparkSession)
     return (
         processed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

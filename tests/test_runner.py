@@ -147,3 +147,29 @@ def test_validate_freshness_stale_and_fresh(spark, paths):
 
     with pytest.raises(RuntimeError, match="fresh"):
         run(spark, paths, now=week_later)
+
+
+def test_validate_tolerates_producer_clock_skew(spark, paths):
+    """Review r11: a station clock running a few minutes fast yields
+    a slightly negative age; that must not fail the run — while
+    wildly future-dated data still does."""
+    from aws_weather_data_pipeline_spark.runner import (
+        CLOCK_SKEW_TOLERANCE_SECONDS,
+    )
+
+    run(spark, paths, now=FIXTURE_NOW)
+    skewed_now = FIXTURE_NOW - datetime.timedelta(
+        seconds=CLOCK_SKEW_TOLERANCE_SECONDS // 2
+    )
+    # NOTE: FIXTURE_NOW is already past the data's max timestamp, so
+    # step back to just before it to simulate the fast producer
+    latest = validate(spark, paths, now=FIXTURE_NOW).stats[
+        "latest_timestamp"
+    ]
+    just_before = latest - datetime.timedelta(seconds=60)
+    res = validate(spark, paths, now=just_before)
+    assert res.stats["staleness_seconds"] < 0
+    assert res.checks["fresh"], "benign skew must not fail the run"
+    far_before = latest - datetime.timedelta(hours=2)
+    res2 = validate(spark, paths, now=far_before)
+    assert not res2.checks["fresh"], "wild future-dating must fail"

@@ -124,3 +124,26 @@ def test_serving_decimals_cover_reference_ddl():
     assert SERVING_DECIMALS["precipitation_mm"] == "decimal(6,2)"
     assert SERVING_DECIMALS["visibility_km"] == "decimal(5,2)"
     assert SERVING_DECIMALS["longitude"] == "decimal(10,6)"
+
+
+def test_jdbc_append_missing_bootstraps_fresh_database(spark, tmp_path):
+    """Review r11: the first load against a fresh database has no
+    serving table to read back — that is the 'nothing to conflict
+    with' state, so the call must create-and-append (the parquet
+    twin's PATH_NOT_FOUND case), not crash on the read-back."""
+    url = _url(tmp_path)
+    batch = to_serving_schema(_readings(spark, n=3))
+    n = jdbc_append_missing(
+        spark, batch, url, "fresh_table", ["station_id"], DERBY_PROPS
+    )
+    assert n == 3
+    back = spark.read.jdbc(url, "fresh_table", properties=DERBY_PROPS)
+    assert back.count() == 3
+    # and the replay is still a no-op through the normal path
+    assert (
+        jdbc_append_missing(
+            spark, batch, url, "fresh_table", ["station_id"],
+            DERBY_PROPS,
+        )
+        == 0
+    )

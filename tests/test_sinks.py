@@ -171,3 +171,76 @@ def test_idempotent_append_replay_safe_with_null_scope(
     )
     assert n2 == 0
     assert spark.read.parquet(path).count() == 2
+
+
+def test_idempotent_append_null_key_rows_stay_idempotent(
+    spark, tmp_path
+):
+    """Review r11: a NULL key field under plain join equality never
+    matches the identical existing row, so every replay re-appended
+    it. The null-safe key join makes the anti-join agree with
+    dropDuplicates' null-as-equal semantics."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "serving")
+    keys = ["station_id", "timestamp_parsed"]
+    df = _frame(spark).withColumn(
+        "timestamp_parsed",
+        F.when(F.col("station_id") == "WS001", None).otherwise(
+            F.col("timestamp_parsed")
+        ),
+    )
+    assert idempotent_append(spark, df, out, keys) == 6
+    # replay: the null-key row must be recognized as already present
+    assert idempotent_append(spark, df, out, keys) == 0
+    assert spark.read.parquet(out).count() == 6
+
+
+def test_idempotent_append_tolerates_preprovisioned_empty_dir(
+    spark, tmp_path
+):
+    """Review r11: an existing-but-EMPTY serving directory (infra
+    mkdir -p) is the same first-load state as an absent one — the
+    guard must bootstrap, not crash on UNABLE_TO_INFER_SCHEMA."""
+    out = tmp_path / "serving"
+    out.mkdir()
+    keys = ["station_id", "timestamp_parsed"]
+    assert idempotent_append(spark, _frame(spark), str(out), keys) == 6
+    assert spark.read.parquet(str(out)).count() == 6
+
+
+def test_concurrent_dynamic_overwrites_do_not_interfere(
+    spark, tmp_path
+):
+    """Review r11: dynamic partition overwrite is now a per-WRITE
+    option, not a session-conf toggle — two threads overwriting
+    different partitions of different tables concurrently must each
+    replace only their own partitions (the session-global toggle let
+    one thread's restore flip the other's write to STATIC mode,
+    deleting every partition of its table)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_weather_data_pipeline_spark.sinks.writers import (
+        overwrite_partitioned,
+    )
+
+    paths = [str(tmp_path / f"t{i}") for i in range(2)]
+    # seed both tables with an hour-10 partition
+    for p in paths:
+        write_partitioned(_frame(spark), p)
+    before = [spark.read.parquet(p).count() for p in paths]
+
+    def overwrite_other_hour(p):
+        from pyspark.sql import functions as F
+
+        df = _frame(spark).withColumn(
+            "timestamp_parsed",
+            F.col("timestamp_parsed") + F.expr("INTERVAL 3 HOURS"),
+        )
+        overwrite_partitioned(df, p)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(overwrite_other_hour, paths))
+    for p, n in zip(paths, before):
+        # the seed partition must survive: static mode would drop it
+        assert spark.read.parquet(p).count() == n + 6

@@ -65,6 +65,83 @@ def test_stream_equals_batch_two_sinks(spark, tmp_path):
     ) == _sorted_rows(want_alerts.select(*sorted(want_alerts.columns)))
 
 
+def test_checkpoint_reset_does_not_clobber_previous_epochs(
+    spark, tmp_path
+):
+    """Review r11: epoch ids restart at 0 per checkpoint, so a
+    checkpoint reset (or a second stream sharing the sink) used to
+    land in the SAME epoch-0 partitions and dynamic overwrite deleted
+    the previous run's rows. The checkpoint-lifetime namespace keeps
+    every run's epoch partitions disjoint."""
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        start_pipeline,
+    )
+
+    landing1, landing2 = tmp_path / "l1", tmp_path / "l2"
+    landing1.mkdir(), landing2.mkdir()
+    write_batch_file(
+        landing1 / "a.json", [make_reading(i) for i in range(5)]
+    )
+    write_batch_file(
+        landing2 / "b.json", [make_reading(i, hour=11) for i in range(5, 9)]
+    )
+    processed = str(tmp_path / "processed")
+    alerts = str(tmp_path / "alerts")
+    start_pipeline(
+        spark, str(landing1), processed, alerts, str(tmp_path / "ck1")
+    ).awaitTermination(120)
+    n1 = spark.read.parquet(processed).count()
+    assert n1 == 5
+    # fresh checkpoint, same sink: its epoch 0 must coexist with run 1's
+    start_pipeline(
+        spark, str(landing2), processed, alerts, str(tmp_path / "ck2")
+    ).awaitTermination(120)
+    got = spark.read.parquet(processed)
+    assert got.count() == 9, "run 2's epoch 0 deleted run 1's rows"
+    assert got.select("epoch_id").distinct().count() == 2
+
+
+def test_stream_sees_nested_landing_subdirectories(spark, tmp_path):
+    """Review r11: the raw zone nests files under date prefixes
+    (kinesis_to_s3.py layout); the stream must list them like the
+    batch twin does, not silently process nothing."""
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        start_pipeline,
+    )
+
+    landing = tmp_path / "landing"
+    nested = landing / "2024" / "01" / "15"
+    nested.mkdir(parents=True)
+    write_batch_file(
+        nested / "batch.json", [make_reading(i) for i in range(4)]
+    )
+    processed = str(tmp_path / "processed")
+    start_pipeline(
+        spark, str(landing), processed, str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+    assert spark.read.parquet(processed).count() == 4
+
+
+def test_checkpoint_namespace_resolves_uri_schemes(spark, tmp_path):
+    """Review r11: checkpoint locations are Hadoop URIs — a scheme'd
+    location resolves its marker through the checkpoint's own
+    filesystem (exercised here via file:, the Hadoop LocalFileSystem),
+    staying stable across calls and rotating with the directory."""
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        _checkpoint_namespace,
+    )
+
+    uri = "file:" + str(tmp_path / "ck_uri")
+    ns1 = _checkpoint_namespace(uri, spark)
+    assert ns1 and _checkpoint_namespace(uri, spark) == ns1
+    assert _checkpoint_namespace(
+        "file:" + str(tmp_path / "ck_other"), spark
+    ) != ns1
+    # the marker lives INSIDE the checkpoint dir on the target FS
+    assert (tmp_path / "ck_uri" / ".tablelog-namespace").exists()
+
+
 def test_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
     # T3: restarting against the same checkpoint must process only new
     # files — no re-emission of already-committed batches.
