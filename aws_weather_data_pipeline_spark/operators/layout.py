@@ -24,38 +24,63 @@ from pyspark.sql import DataFrame, functions as F
 MAX_BITS = 16
 
 
+def _saturated(col: str, bits: int) -> str:
+    """Clamp ``col`` into the representable [0, 2^bits) window as a
+    BIGINT expression. Two review-r11 bugs live behind this: (1) on
+    IntegerType inputs shiftleft at position >= 31 lands on the int32
+    sign bit and the code goes NEGATIVE (confirmed: a=b=40000 at
+    bits=16 produced -1007669248), scrambling the range partitioner;
+    (2) values outside the window used to alias onto the low bits
+    (v and v+2^bits shared a code), silently breaking the per-file
+    tile contract. Saturation is monotone, so out-of-range values
+    collapse into the edge tiles instead of aliasing across the whole
+    space — and the clamp doubles as the int64 cast."""
+    hi = (1 << bits) - 1
+    return (
+        f"greatest(0L, least(cast({col} as bigint), {hi}L))"
+    )
+
+
 def morton_expr_spark(a: str, b: str, bits: int) -> str:
     """Spark SQL text interleaving ``bits`` low bits of ``a`` and ``b``.
 
     Bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1; the
     terms occupy disjoint bit positions so ``+`` is exactly ``|`` —
     and ``+`` keeps the expression a plain associative sum the
-    optimizer constant-folds around.
+    optimizer constant-folds around. Operands are clamped into
+    [0, 2^bits) as BIGINT first (see ``_saturated``).
     """
     if not 1 <= bits <= MAX_BITS:
         raise ValueError(f"bits must be in [1, {MAX_BITS}]: {bits}")
+    sa, sb = _saturated(a, bits), _saturated(b, bits)
     terms = []
     for i in range(bits):
-        terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({sa}, {i}) & 1, {2 * i})")
         terms.append(
-            f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})"
+            f"shiftleft(shiftright({sb}, {i}) & 1, {2 * i + 1})"
         )
     return "(" + " + ".join(terms) + ")"
 
 
 def morton_expr_duckdb(a: str, b: str, bits: int) -> str:
-    """The identical interleave as DuckDB operator syntax."""
+    """The identical interleave (and clamp) as DuckDB syntax."""
     if not 1 <= bits <= MAX_BITS:
         raise ValueError(f"bits must be in [1, {MAX_BITS}]: {bits}")
+    hi = (1 << bits) - 1
+    sa = f"greatest(0, least(CAST({a} AS BIGINT), {hi}))"
+    sb = f"greatest(0, least(CAST({b} AS BIGINT), {hi}))"
     terms = []
     for i in range(bits):
-        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({sa} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({sb} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 
 def morton_code(a: int, b: int, bits: int) -> int:
-    """Python reference interleave (property tests compare against it)."""
+    """Python reference interleave (property tests compare against it).
+    Mirrors the engines' saturating clamp."""
+    hi = (1 << bits) - 1
+    a, b = max(0, min(a, hi)), max(0, min(b, hi))
     z = 0
     for i in range(bits):
         z |= ((a >> i) & 1) << (2 * i)

@@ -24,6 +24,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _check_salt_free(df: DataFrame, side: str) -> None:
+    """A pre-existing ``_salt`` column would be silently overwritten
+    by the internal salt and then dropped from the output — destroying
+    user data and breaking the 'semantics identical to a plain join'
+    contract (review r11). Refuse loudly; the caller renames."""
+    if "_salt" in df.columns:
+        raise ValueError(
+            f"the {side} frame already has a '_salt' column, which "
+            "the salting operators use internally — rename it first"
+        )
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -52,6 +64,8 @@ def salted_join(
         raise ValueError(
             f"salted_join supports inner/left joins only, got {how!r}"
         )
+    _check_salt_free(probe, "probe")
+    _check_salt_free(build, "build")
     salt_col = (
         F.col(salt_from) if isinstance(salt_from, str) else salt_from
     )
@@ -80,6 +94,7 @@ def salted_collect_list(
     """
     if salt_from is None:
         raise ValueError("salt_from (a varying column) is required")
+    _check_salt_free(df, "input")
     salt_col = (
         F.col(salt_from) if isinstance(salt_from, str) else salt_from
     )

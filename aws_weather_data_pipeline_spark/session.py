@@ -51,11 +51,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Pure MIN/MAX/COUNT aggregations answer from parquet footers
-        # instead of scanning data pages — at 100 TB a validation
-        # count becomes a metadata read. (Bloom-filter runtime join
-        # pruning is already on by default in Spark 4.)
-        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # NOT set: spark.sql.parquet.aggregatePushdown — it only
+        # applies on the DataSource V2 path, and parquet sits in the
+        # default spark.sql.sources.useV1SourceList, so the flag was a
+        # silent no-op (review r11, verified: the executed plan shows
+        # a plain FileScan with no PushedAggregation). Flipping
+        # parquet to V2 session-wide is a bigger behavioral change
+        # than a footer-count is worth; the table log's manifest
+        # stats (sinks/tablelog.py snapshot_row_count/column_minmax)
+        # are this engine's real metadata fast path. (Bloom-filter
+        # runtime join pruning is already on by default in Spark 4.)
+        # Reliable RDD/DataFrame checkpoints are cleaned when their
+        # frames are GC'd (review r11: connected_components takes one
+        # every few rounds; the Spark default leaks them to disk
+        # forever in a long-lived maintenance session).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints",
+                "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -19,10 +19,9 @@ import json
 import time
 import urllib.request
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from ..schemas import WEATHER_RAW_SCHEMA
-from .readers import flatten_readings
+from .readers import parse_and_flatten
 
 
 def fetch_envelope(url: str, timeout: float = 10.0) -> dict:
@@ -59,10 +58,11 @@ def poll_to_dataframe(
     # driver-side batch.
     raw = spark.createDataFrame(
         [(json.dumps(env),) for env in envelopes], "payload STRING"
-    ).select(
-        F.from_json(F.col("payload"), WEATHER_RAW_SCHEMA).alias("env")
-    ).select("env.*")
-    return flatten_readings(raw)
+    )
+    # ONE parse path (review r11): parse_and_flatten is the same
+    # from_json -> select -> flatten chain the streaming source uses;
+    # a hand-rolled copy here would drift from schema-handling fixes.
+    return parse_and_flatten(raw, "payload")
 
 
 def poll_to_landing_dir(

@@ -50,6 +50,43 @@ def _timestamp_columns(
 
     schema = pq.read_schema(path)
     ts = [f for f in schema if pat.is_timestamp(f.type)]
+    # NESTED timestamps can't be repaired with a top-level withColumn
+    # (review r11): a struct<created: timestamp[ns]> used to sail past
+    # this footer scan and die inside spark.read with the opaque
+    # "Illegal Parquet type: INT64 (TIMESTAMP(NANOS))"; a nested
+    # non-UTC µs timestamp silently loaded as TIMESTAMP_NTZ, violating
+    # the session-TZ invariant downstream arithmetic assumes. Detect
+    # recursively and refuse with a named error — restructure the
+    # producer's file (top-level the column, or write µs UTC) rather
+    # than silently serving wrong types.
+    def _nested_offenders(typ, path_parts):
+        out = []
+        if pat.is_timestamp(typ):
+            if path_parts and (typ.unit == "ns" or typ.tz is None):
+                out.append(".".join(path_parts))
+        elif pat.is_struct(typ):
+            for i in range(typ.num_fields):
+                f = typ.field(i)
+                out += _nested_offenders(f.type, path_parts + [f.name])
+        elif pat.is_list(typ) or pat.is_large_list(typ):
+            out += _nested_offenders(
+                typ.value_type, path_parts + ["element"]
+            )
+        elif pat.is_map(typ):
+            out += _nested_offenders(typ.item_type, path_parts + ["value"])
+        return out
+
+    nested = []
+    for f in schema:
+        if not pat.is_timestamp(f.type):
+            nested += _nested_offenders(f.type, [f.name])
+    if nested:
+        raise ValueError(
+            f"{path}: nested TIMESTAMP(NANOS)/non-UTC timestamp "
+            f"column(s) {nested} cannot be repaired in place — "
+            "rewrite them as top-level columns or as µs UTC "
+            "timestamps (the engine's session-TZ TIMESTAMP invariant)"
+        )
     return (
         tuple(f.name for f in ts if f.type.unit == "ns"),
         tuple(

@@ -95,3 +95,46 @@ def test_morton_roundtrip_property(spark):
     assert bad == 0
     # codes are a bijection onto [0, 2^16)
     assert df.select("z").distinct().count() == 1 << 16
+
+
+def test_morton_saturates_out_of_range_and_int32_inputs(spark):
+    """Review r11 (confirmed live): IntegerType operands at bits=16
+    overflowed the int32 sign bit (a=b=40000 coded NEGATIVE), and
+    values outside [0, 2^bits) aliased onto the low bits. The
+    saturating BIGINT clamp fixes both: codes are non-negative,
+    monotone, match the python reference, and out-of-range values
+    collapse into the edge tile instead of aliasing across the
+    space."""
+    import duckdb
+
+    from aws_weather_data_pipeline_spark.operators.layout import (
+        morton_expr_duckdb,
+    )
+
+    pairs = [
+        (40000, 40000), (65535, 0), (65536, 1), (1 << 40, 2),
+        (-7, 3), (5, 65541), (123, 456),
+    ]
+    df = spark.createDataFrame(pairs, "x INT" if False else "x BIGINT, y BIGINT")
+    out = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", F.expr(morton_expr_spark("x", "y", 16))
+        ).collect()
+    }
+    con = duckdb.connect()
+    for (a, b), z in out.items():
+        assert z >= 0, (a, b, z)
+        assert z == morton_code(a, b, 16), (a, b)
+        (dz,) = con.execute(
+            f"SELECT {morton_expr_duckdb(str(a), str(b), 16)}"
+        ).fetchone()
+        assert dz == z, (a, b, dz, z)
+    # int32 INPUT type specifically (the confirmed overflow)
+    i32 = spark.createDataFrame([(40000, 40000)], "x INT, y INT")
+    r = i32.withColumn("z", F.expr(morton_expr_spark("x", "y", 16))).first()
+    assert r.z == morton_code(40000, 40000, 16) > 0
+    # saturation keeps order: larger value never codes below smaller
+    assert out[(65536, 1)] == morton_code(65535, 1, 16)
+    assert out[(5, 65541)] == morton_code(5, 65535, 16)
+    assert out[(-7, 3)] == morton_code(0, 3, 16)

@@ -269,3 +269,30 @@ def test_quarantine_captures_partially_corrupt_envelopes(
     assert len(q) == 2
     assert q[partial] == 1
     assert q['{"readings": [{'] is None
+
+
+def test_nested_odd_timestamps_refused_with_named_error(spark, tmp_path):
+    """Review r11: a TIMESTAMP(NANOS) nested inside a struct used to
+    sail past the top-level footer scan and die inside spark.read
+    with the opaque 'Illegal Parquet type'; a nested non-UTC µs
+    timestamp silently loaded as TIMESTAMP_NTZ. Both now refuse with
+    a named error at the loader boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from aws_weather_data_pipeline_spark.sources.tables import load_tables
+
+    path = tmp_path / "events.parquet"
+    t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "meta": pa.array(
+                [{"created": 1}],
+                pa.struct([("created", pa.timestamp("ns"))]),
+            ),
+        }
+    )
+    pq.write_table(t, path)
+    with pytest.raises(ValueError, match="meta.created"):
+        load_tables(spark, str(tmp_path), ("events",))

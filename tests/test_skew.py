@@ -64,3 +64,25 @@ def test_salted_collect_list_equals_plain(spark):
     want = {r["k"]: r["values"] for r in plain.collect()}
     assert got == want
     assert len(got["hot"]) == 450  # the hot key really is hot
+
+
+def test_salting_refuses_preexisting_salt_column(spark):
+    """Review r11: a user '_salt' column was silently overwritten and
+    then dropped from the output; the operators must refuse it."""
+    import pytest
+
+    from aws_weather_data_pipeline_spark.operators.skew import (
+        salted_collect_list,
+        salted_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, "x", 0)], "k int, v string, _salt int"
+    )
+    build = spark.createDataFrame([(1, "d")], "k int, d string")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(probe, build, "k", salt_from="v")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(build, probe, "k", salt_from="d")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_collect_list(probe, "k", "v", salt_from="v")
