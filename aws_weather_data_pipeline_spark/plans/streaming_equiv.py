@@ -330,7 +330,7 @@ def streaming_batch_equivalence(
 ) -> DataFrame:
     from ..streaming.pipeline import start_pipeline
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_equiv_")
+    work = _work_dir("spark_graft_stream_equiv_")
     landing = f"{work}/landing"
     processed = f"{work}/processed"
     alerts = f"{work}/alerts"
@@ -387,7 +387,7 @@ def streaming_windowed_alert_counts(
 ) -> DataFrame:
     from ..streaming.pipeline import read_stream_raw_json, transform_stream
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_window_")
+    work = _work_dir("spark_graft_stream_window_")
     landing = f"{work}/landing"
     outdir = f"{work}/windowed"
     ckpt = f"{work}/ckpt"
@@ -459,14 +459,37 @@ def _write_typed_landing(
     ev.unpersist()
 
 
-def _typed_stream(spark: SparkSession, d: str) -> DataFrame:
+_WORK_ROOT: list[str] = []
+
+
+def _work_dir(prefix: str) -> str:
+    """A temp work tree under ONE atexit-cleaned parent. Success paths
+    still rmtree immediately (_collect_sink); this closes the FAILURE
+    paths (review r11: a _drain timeout or a writeStream.start error
+    raised before _collect_sink, leaking the landing + checkpoint +
+    sink fixture copies until /tmp filled under repeated sweeps)."""
+    import atexit
+    import shutil
+
+    if not _WORK_ROOT:
+        root = tempfile.mkdtemp(prefix="spark_graft_stream_work_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _WORK_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT[0])
+
+
+def _typed_stream(
+    spark: SparkSession, d: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """ONE construction of the typed event stream (review r11: the
+    schema + timestampFormat + pacing reader was pasted at five
+    sites; a _TS_FMT or schema-handling change must reach them all)."""
     from ..streaming.windows import EVENT_STREAM_SCHEMA
 
-    return (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        .option("timestampFormat", _TS_FMT)
-        .json(d)
-    )
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("timestampFormat", _TS_FMT).json(d)
 
 
 def write_event_landing_files(
@@ -493,10 +516,16 @@ def write_event_landing_files(
     "streaming_running_user_stats",
     f"""
     WITH base AS (
+        -- event_id IS NOT NULL mirrors the operator's
+        -- dropna(subset=['ts','event_id']) row gate (review r11: a
+        -- NULL-event_id row at the strict ts maximum would win this
+        -- election while the operator deliberately excludes it —
+        -- the tie-break key must exist for determinism)
         SELECT event_id, date_trunc('microseconds', ts) AS ts,
                user_id, event_type, value
         FROM events
         WHERE ts < TIMESTAMP '{_TS_CUTOFF}'
+          AND event_id IS NOT NULL
     ),
     last AS (
         SELECT user_id, event_type,
@@ -534,23 +563,15 @@ def write_event_landing_files(
 def streaming_running_user_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.windows import (
-        EVENT_STREAM_SCHEMA,
-        running_user_stats,
-    )
+    from ..streaming.windows import running_user_stats
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_state_")
+    work = _work_dir("spark_graft_stream_state_")
     landing = f"{work}/landing"
     outdir = f"{work}/updates"
     ckpt = f"{work}/ckpt"
 
     write_event_landing_files(spark, sf_dir, landing)
-    events = (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("timestampFormat", _TS_FMT)
-        .json(landing)
-    )
+    events = _typed_stream(spark, landing, max_files_per_trigger=1)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.withColumn(
@@ -648,12 +669,9 @@ _SESSION_WM = "1 hour"
 def streaming_session_windows(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.windows import (
-        EVENT_STREAM_SCHEMA,
-        sessionized_user_activity,
-    )
+    from ..streaming.windows import sessionized_user_activity
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    work = _work_dir("spark_graft_stream_sess_")
     landing = f"{work}/landing"
     outdir = f"{work}/sessions"
     ckpt = f"{work}/ckpt"
@@ -661,9 +679,7 @@ def streaming_session_windows(
     write_event_landing_files(spark, sf_dir, landing)
     # No maxFilesPerTrigger: both files in one micro-batch (see doc).
     sessions = sessionized_user_activity(
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        .option("timestampFormat", _TS_FMT)
-        .json(landing),
+        _typed_stream(spark, landing),
         gap=_SESSION_GAP,
         watermark=_SESSION_WM,
     )
@@ -686,6 +702,15 @@ def streaming_session_windows(
 
 ATTRIBUTION_HORIZON = "12 hours"
 
+#: The stream-stream join watermark and the oracle's eviction
+#: interval must BOTH exceed the horizon (buffered clicks may not
+#: become evictable before their attribution window ends) — derived
+#: here so retuning the horizon cannot break the invariant or
+#: desynchronize the oracle (review r11: '13 hours' was an
+#: independent literal at two call sites and inside the oracle SQL).
+_ATTR_HORIZON_HOURS = int(ATTRIBUTION_HORIZON.split()[0])
+ATTRIBUTION_WATERMARK = f"{_ATTR_HORIZON_HOURS + 1} hours"
+
 
 @CATALOG.add(
     "streaming_attributed_purchases",
@@ -706,7 +731,7 @@ ATTRIBUTION_HORIZON = "12 hours"
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
      AND p.ts >= c.ts
-     AND p.ts <= c.ts + INTERVAL 12 HOUR
+     AND p.ts <= c.ts + INTERVAL {_ATTR_HORIZON_HOURS} HOUR
     """,
     doc="Stream-stream inner join driven end-to-end and value-checked: "
     "clicks and purchases land as separate JSON streams, BOTH sides "
@@ -729,7 +754,7 @@ def streaming_attributed_purchases(
 ) -> DataFrame:
     from ..streaming.windows import attributed_purchases
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_join_")
+    work = _work_dir("spark_graft_stream_join_")
     clicks_dir = f"{work}/clicks"
     purchases_dir = f"{work}/purchases"
     outdir = f"{work}/attributed"
@@ -746,7 +771,7 @@ def streaming_attributed_purchases(
         _typed_stream(spark, clicks_dir),
         _typed_stream(spark, purchases_dir),
         horizon=ATTRIBUTION_HORIZON,
-        watermark="13 hours",
+        watermark=ATTRIBUTION_WATERMARK,
     )
     with _stream_shuffle(spark):
         q = (
@@ -796,21 +821,14 @@ def streaming_attributed_purchases(
 def streaming_static_enrichment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.windows import EVENT_STREAM_SCHEMA
-
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_enrich_")
+    work = _work_dir("spark_graft_stream_enrich_")
     landing = f"{work}/landing"
     outdir = f"{work}/enriched"
     ckpt = f"{work}/ckpt"
 
     write_event_landing_files(spark, sf_dir, landing)
     customer = load_tables(spark, sf_dir, ("customer",))["customer"]
-    stream = (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("timestampFormat", _TS_FMT)
-        .json(landing)
-    )
+    stream = _typed_stream(spark, landing, max_files_per_trigger=1)
     enriched = (
         stream.join(
             customer, stream.user_id == customer.c_custkey, "inner"
@@ -866,7 +884,7 @@ def streaming_static_enrichment(
         FROM c JOIN p
           ON c.user_id = p.p_user_id
          AND p.purchase_ts >= c.click_ts
-         AND p.purchase_ts <= c.click_ts + INTERVAL 12 HOUR
+         AND p.purchase_ts <= c.click_ts + INTERVAL {_ATTR_HORIZON_HOURS} HOUR
     ),
     wm AS (
         -- Spark tracks max event time floored to MILLISECONDS
@@ -879,7 +897,7 @@ def streaming_static_enrichment(
                   FROM c),
                  (SELECT date_trunc('milliseconds', MAX(purchase_ts))
                   FROM p))
-                   - INTERVAL 13 HOUR AS gwm
+                   - INTERVAL {_ATTR_HORIZON_HOURS + 1} HOUR AS gwm
     ),
     o AS (
         SELECT c.user_id, c.click_id, c.click_ts,
@@ -891,9 +909,9 @@ def streaming_static_enrichment(
             SELECT 1 FROM p
             WHERE p.p_user_id = c.user_id
               AND p.purchase_ts >= c.click_ts
-              AND p.purchase_ts <= c.click_ts + INTERVAL 12 HOUR
+              AND p.purchase_ts <= c.click_ts + INTERVAL {_ATTR_HORIZON_HOURS} HOUR
         )
-        AND c.click_ts + INTERVAL 12 HOUR <= (SELECT gwm FROM wm)
+        AND c.click_ts + INTERVAL {_ATTR_HORIZON_HOURS} HOUR <= (SELECT gwm FROM wm)
     )
     SELECT * FROM m UNION ALL SELECT * FROM o
     """,
@@ -920,7 +938,7 @@ def streaming_attribution_with_timeouts(
 ) -> DataFrame:
     from ..streaming.windows import attributed_purchases
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_outer_")
+    work = _work_dir("spark_graft_stream_outer_")
     clicks_dir = f"{work}/clicks"
     purchases_dir = f"{work}/purchases"
     outdir = f"{work}/attributed"
@@ -935,7 +953,7 @@ def streaming_attribution_with_timeouts(
         _typed_stream(spark, clicks_dir),
         _typed_stream(spark, purchases_dir),
         horizon=ATTRIBUTION_HORIZON,
-        watermark="13 hours",
+        watermark=ATTRIBUTION_WATERMARK,
         how="left_outer",
     )
     with _stream_shuffle(spark):
@@ -984,12 +1002,9 @@ def streaming_attribution_with_timeouts(
 def streaming_dedup_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.windows import (
-        EVENT_STREAM_SCHEMA,
-        deduplicated_events,
-    )
+    from ..streaming.windows import deduplicated_events
 
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    work = _work_dir("spark_graft_stream_dedup_")
     landing = f"{work}/landing"
     outdir = f"{work}/deduped"
     ckpt = f"{work}/ckpt"
@@ -1020,10 +1035,7 @@ def streaming_dedup_replay(
     ev.unpersist()
 
     deduped = deduplicated_events(
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("timestampFormat", _TS_FMT)
-        .json(landing)
+        _typed_stream(spark, landing, max_files_per_trigger=1)
     )
     with _stream_shuffle(spark):
         q = (
