@@ -45,31 +45,25 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 11's window (committed at round start, per the checklist):
-# the 3-round cycle's second full turn — the 48 surviving queries
-# whose latest driver row is r08 (age 3 at r11; 50 were r08-latest,
-# two retired this round), plus TWO new queries in the retirees'
-# slots: r10's committed plan of record executed first-commit, a
-# second zero-slack swap mid-round. Swap 1:
-# multimodal_frame_sample retired (its fixed-byte-window
-# slicing was its own doc's "ffmpeg-keyframe stand-in"; decode_avi
-# strictly subsumes it — identical Arrow row-expansion + stride
-# sampling + SQL-md5 contract, over REAL RIFF container frames),
-# slot transferred to multimodal_decode_avi, whose fixture mixes
-# uncompressed-DIB and motion-JPEG streams per the r10 VERDICT so
-# the driver row certifies BOTH codec dispatch paths
-# (plans/multimodal.py AVI_FRAMES_SQL;
-# functions/multimodal.with_avi_payload). Swap 2:
-# union_distinct_active_users retired (subsumption argument in
-# plans/relational.py), slot transferred to tablelog_nullcount_prune
-# (the __nulls file-skip driver row, VERDICT r10 task 4).
-# tools/rotate_window.py emitted the rotation tuple (never-checked
-# block first, then the aged-r08 block, zero free slots beyond the
-# two swaps).
+# Round 12's window (committed at round start, per the checklist):
+# the 3-round cycle's third full turn — the 49 surviving queries
+# whose latest driver row is r09 (age 3 at r12; 50 were r09-latest,
+# one retired this round), plus ONE new query in the retiree's slot:
+# r11's committed plan of record executed first-commit.
+# multimodal_decode_wav retired (subsumption note in
+# plans/multimodal.py: multimodal_decode_flac runs the SAME decode
+# stage — decode_wav_features, decode_media dispatching on content
+# type — with the SAME statistics/oracle recipe, but through the
+# COMPRESSED lossless codec functions/flac.py instead of raw PCM;
+# the raw-PCM RIFF parse stays unit-pinned by
+# tests/test_multimodal.py), slot transferred to
+# multimodal_decode_flac (plans/multimodal.py FLAC_AUDIO_SQL).
+# tools/rotate_window.py emitted the rotation tuple (the aged-r09
+# block, zero free slots beyond the swap).
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
-# the cap (r11: 50 r09-latest + 50 r10-latest + the 50 in this
+# the cap (r12: 50 r10-latest + 50 r11-latest + the 50 in this
 # window). At N=150 every round's window is exactly its mandatory
 # aged block — ZERO slack — so the standing protocol for any new
 # query or schema/semantics change is: retire (or subsume) one query
@@ -79,70 +73,64 @@ OPERATOR_MODULES = (
 # top10_orders_by_price → incremental_agg_maintenance and
 # filter_isin_projection → tablelog_manifest_stats (subsumption
 # arguments in those modules); r11 retired multimodal_frame_sample →
-# multimodal_decode_avi (above) and union_distinct_active_users →
-# tablelog_nullcount_prune (the __nulls file-skip driver row;
-# subsumption argument in plans/relational.py).
+# multimodal_decode_avi and union_distinct_active_users →
+# tablelog_nullcount_prune (subsumption arguments in those modules);
+# r12 retired multimodal_decode_wav → multimodal_decode_flac (above).
 DRIVER_WINDOW = (
-    # NEW r11, never driver-checked (slot from the retired
-    # multimodal_frame_sample per the zero-slack swap protocol;
-    # plans/multimodal.py AVI_FRAMES_SQL)
-    "multimodal_decode_avi",
-    # --- the aged block: latest driver row r08 (48 survivors,
-    # plus tablelog_nullcount_prune spliced into the retired
-    # union_distinct_active_users' slot below) ---
-    "ann_hyperplane_lsh_topk",
-    "bloom_dedup_probe",
-    "cdc_merge_apply",
-    "cms_user_activity_sketch",
-    "corpus_mixture_sample",
-    "cube_type_user_bucket",
-    "customers_with_high_value_orders",
-    "daily_value_rollup",
-    "date_range_revenue",
-    "dedup_incremental_batch",
-    "dedup_incremental_near",
-    "doc_bigram_lm_score",
-    "doc_chunk_tokens",
-    "doc_duplicated_spans",
-    "doc_fingerprints",
-    "doc_importance_weights",
-    "doc_quality_scores",
-    "doc_repetition_metrics",
-    "doc_simhash",
-    "doc_stopword_filtered",
-    "doc_token_stats",
-    "event_gaps_lag",
-    "event_rank_functions",
-    "events_table_profile",
-    "except_users_without_big_events",
-    "gap_based_sessions",
-    "grouping_sets_pricing",
-    "intersect_error_purchase_users",
-    "interval_range_join_counts",
-    "kmeans_lloyd_assignments",
-    "label_centroids",
-    "minhash_signatures",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_ppm",
-    "multimodal_distinct_bytes",
-    "multimodal_payload_stats",
-    "near_dup_pairs_editdist",
-    "near_dup_pairs_embedding",
-    "near_dup_pairs_ngram",
-    "near_dup_pairs_simhash",
-    "pii_redaction",
-    "referential_integrity_audit",
-    "sliding_hourly_activity",
-    "stratified_sample_per_lang",
-    "term_frequencies",
-    "top3_events_per_user",
-    "trailing_hour_user_stats",
-    # NEW r11, never driver-checked (slot from the retired
-    # union_distinct_active_users per the zero-slack swap protocol;
-    # subsumption argument in plans/relational.py — the __nulls
-    # pruning driver row, VERDICT r10 task 4)
-    "tablelog_nullcount_prune",
-    "user_running_totals",
+    # NEW r12, never driver-checked (slot from the retired
+    # multimodal_decode_wav per the zero-slack swap protocol;
+    # plans/multimodal.py FLAC_AUDIO_SQL)
+    "multimodal_decode_flac",
+    # --- the aged block: latest driver row r09 (49 survivors) ---
+    "ann_multiprobe_lsh_topk",
+    "bpe_train_merges",
+    "corpus_filter_funnel",
+    "corpus_relative_quality_filter",
+    "dedup_attrition_by_source",
+    "doc_simpson_diversity",
+    "doc_winnowing_fingerprints",
+    "exact_substr_removal",
+    "fixed_size_doc_sample",
+    "hard_negative_mining",
+    "ivf_pq_search_topk",
+    "leakage_safe_split_assignment",
+    "length_weighted_doc_sample",
+    "lineitem_unpivot_measures",
+    "mg_heavy_hitter_pairs",
+    "multimodal_audio_windows",
+    "multimodal_decode_png",
+    "multimodal_image_tiles",
+    "multimodal_resize_stats",
+    "near_dup_pairs_winnow",
+    "pq_adc_topk",
+    "pq_code_assignment",
+    "price_percentiles_by_flag",
+    "quantile_sketch_estimates",
+    "salted_hot_key_join",
+    "salted_user_event_lists",
+    "semantic_dedup_keep_list",
+    "small_quantity_order_revenue",
+    "split_leakage_audit",
+    "streaming_attributed_purchases",
+    "streaming_attribution_with_timeouts",
+    "streaming_batch_equivalence",
+    "streaming_dedup_replay",
+    "streaming_running_user_stats",
+    "streaming_session_windows",
+    "streaming_static_enrichment",
+    "streaming_windowed_alert_counts",
+    "tablelog_time_travel_prune",
+    "temperature_mixture_sample",
+    "value_histogram",
+    "value_outliers_exact",
+    "weather_alert_feed",
+    "weather_comfort_heat_index",
+    "weather_conversions",
+    "weather_daily_summary",
+    "weather_quality_flags",
+    "weather_severity_class",
+    "weather_time_features",
+    "zorder_layout_audit",
 )
 
 

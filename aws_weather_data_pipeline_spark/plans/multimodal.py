@@ -264,61 +264,17 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d)
 
 
-@CATALOG.add(
-    "multimodal_decode_wav",
-    """
-    WITH dims AS (
-        SELECT doc_id, text,
-               1 + doc_id % 2 AS n_channels,
-               8000 + 1000 * (doc_id % 3) AS sample_rate,
-               10 + doc_id % 20 AS n_frames
-        FROM documents
-    ),
-    aud AS (
-        SELECT doc_id, n_channels, sample_rate, n_frames,
-               rpad(substr(text, 1, 120),
-                    CAST(n_channels * n_frames AS INTEGER), 'x') AS raw
-        FROM dims
-    ),
-    s AS (
-        SELECT doc_id, n_channels, sample_rate, n_frames,
-               list_transform(
-                   range(1, CAST(n_channels * n_frames AS BIGINT) + 1),
-                   i -> ascii(substr(raw, i, 1)) * 37 - 6000) AS samples
-        FROM aud
-    )
-    SELECT doc_id,
-           CAST(n_channels AS INTEGER) AS n_channels,
-           CAST(sample_rate AS INTEGER) AS sample_rate,
-           CAST(n_frames AS BIGINT) AS n_frames,
-           CAST(list_sum(samples) AS BIGINT) AS sample_sum,
-           CAST(list_aggregate(list_transform(samples, x -> abs(x)),
-                               'max') AS BIGINT) AS peak_amplitude,
-           CAST(list_sum(samples) AS DOUBLE) / (n_channels * n_frames)
-               AS mean_amplitude
-    FROM s
-    """,
-    doc="REAL audio decode through the mapInPandas slot: each document "
-    "carries an actual RIFF WAV (16-bit PCM, fmt+data chunks, "
-    "little-endian, word-aligned chunk walk) built by "
-    "functions/multimodal.encode_wav — channels/rate/frames from "
-    "doc_id, samples an affine map of the text bytes — and "
-    "decode_media's _decode_wav parses it back in pure stdlib struct. "
-    "The emitted statistics (sample sum, peak amplitude, exact mean) "
-    "are SQL-derivable from the text, so the oracle value-checks the "
-    "full encode→decode round-trip. With PPM, PNG, and WAV the "
-    "decode slot now covers raw raster, compressed raster, and PCM "
-    "audio; only MP3/video remain behind NotImplementedError "
-    "(codecs absent from this container; JPEG gained a real decoder "
-    "in multimodal_decode_jpeg). Narrow no-shuffle stage, "
-    "Arrow-batched.",
-    tags=("multimodal", "udf"),
-)
-def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.multimodal import decode_wav_features, with_wav_payload
-
-    d = with_wav_payload(_docs(spark, sf_dir))
-    return decode_wav_features(d)
+# multimodal_decode_wav retired r12 (zero-slack swap, the committed
+# plan of record since r11): multimodal_decode_flac strictly subsumes
+# it at the plumbing level — the SAME decode stage
+# (decode_wav_features; decode_media dispatches on content type), the
+# SAME statistics and oracle recipe, but through the COMPRESSED
+# lossless codec (functions/flac.py: rice residuals, fixed predictors,
+# stereo decorrelation, CRC-8/16 + stream-MD5, wasted bits) rather
+# than raw PCM. Its window slot transferred to multimodal_decode_flac;
+# the raw-PCM RIFF parse (functions/multimodal.encode_wav /
+# with_wav_payload / _decode_wav) stays unit-pinned by
+# tests/test_multimodal.py.
 
 
 #: Frames per analysis window for the windowed-energy stage.
@@ -739,23 +695,13 @@ def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# FLAC compressed-audio decode (staged: r12 registration)
+# FLAC compressed-audio decode (registered r12 in the slot of the
+# retired multimodal_decode_wav — zero-slack swap, plan of record
+# since r11; subsumption argument at the retirement note above)
 # --------------------------------------------------------------------------
 
-#: Exact oracle for multimodal_decode_flac (DuckDB). Held here
-#: UNREGISTERED: the catalog sits at the 150-query cap and the r11
-#: window spent both its swaps (multimodal_decode_avi,
-#: tablelog_nullcount_prune). Plan of record: r12 registers this
-#: query in the slot of a strictly-subsumed retiree chosen at
-#: rotation time — the natural candidate is multimodal_decode_wav
-#: (latest row r09, mandatory at r12), which this query subsumes at
-#: the plumbing level: the SAME decode stage (decode_wav_features),
-#: the SAME statistics and oracle recipe, but through the COMPRESSED
-#: lossless codec (functions/flac.py: rice residuals, fixed
-#: predictors, stereo decorrelation, CRC-8/16 + MD5 verify, wasted
-#: bits) rather than raw PCM — while WAV's raw-PCM parse stays
-#: pinned by tests/test_multimodal.py. tests/test_flac.py +
-#: tests/test_multimodal.py run the identical compare the driver
+#: Exact oracle for multimodal_decode_flac (DuckDB). tests/test_flac.py
+#: + tests/test_multimodal.py run the identical compare the driver
 #: will.
 FLAC_AUDIO_SQL = """
     WITH dims AS (
@@ -797,22 +743,27 @@ FLAC_AUDIO_SQL = """
     """
 
 
+@CATALOG.add(
+    "multimodal_decode_flac",
+    FLAC_AUDIO_SQL,
+    doc="REAL compressed-audio decode through the mapInPandas slot: "
+    "each document carries an actual FLAC stream (STREAMINFO + "
+    "multi-frame body with 64-sample blocks and a short tail, "
+    "rice-coded residuals, fixed predictors, per-frame stereo-mode "
+    "selection, two wasted bits from the x4 sample scaling, CRC-8/16 "
+    "and stream-MD5 verified on decode) built by "
+    "functions/flac.encode_flac — channels/rate/frames from doc_id, "
+    "samples an affine map of the text bytes — and decode_media's "
+    "FLAC branch reconstructs the PCM bit-exactly (lossless). The "
+    "decode stage is decode_wav_features UNCHANGED (decode_media "
+    "dispatches on content type), so the emitted statistics are "
+    "SQL-derivable from the construction rule and the oracle "
+    "value-checks the full compressed encode→decode round-trip. "
+    "Narrow no-shuffle Arrow stage. Registered r12 in the retired "
+    "multimodal_decode_wav's slot (subsumption note above).",
+    tags=("multimodal", "udf"),
+)
 def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-audio decode through the mapInPandas slot: each
-    document carries an actual FLAC stream (STREAMINFO + multi-frame
-    body with 64-sample blocks and a short tail, rice-coded
-    residuals, fixed predictors, per-frame stereo-mode selection,
-    two wasted bits from the x4 sample scaling, CRC-8/16 and
-    stream-MD5 verified on decode) built by functions/flac.encode_flac
-    — channels/rate/frames from doc_id, samples an affine map of the
-    text bytes — and decode_media's FLAC branch reconstructs the PCM
-    bit-exactly (lossless). The decode stage is decode_wav_features
-    UNCHANGED (decode_media dispatches on content type), so the
-    emitted statistics are SQL-derivable from the construction rule
-    and the oracle value-checks the full compressed encode→decode
-    round-trip. Narrow no-shuffle Arrow stage. Staged for r12 (see
-    FLAC_AUDIO_SQL above).
-    """
     from ..functions.multimodal import decode_wav_features, with_flac_payload
 
     d = with_flac_payload(_docs(spark, sf_dir))

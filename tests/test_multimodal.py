@@ -1044,9 +1044,10 @@ def test_avi_decoder_rejects_second_vids_stream_and_ignores_foreign_chunks():
 
 
 def test_flac_query_matches_oracle_and_driver_compare(spark, sf_dir):
-    """The exact compare the driver will run when r12 registers
-    multimodal_decode_flac (staged plan of record: plans/multimodal.py
-    FLAC_AUDIO_SQL). Certifies the COMPRESSED lossless audio decode
+    """The exact compare the driver runs for multimodal_decode_flac
+    (registered r12 in the retired multimodal_decode_wav's slot;
+    plans/multimodal.py FLAC_AUDIO_SQL). Certifies the COMPRESSED
+    lossless audio decode
     end to end: multi-frame FLAC streams with rice residuals, wasted
     bits, stereo-mode selection, and CRC/MD5 verification, through
     the unchanged decode_wav_features Arrow stage."""
