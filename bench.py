@@ -141,11 +141,16 @@ BENCH_NOTES = {
         "r09 bench-notes discipline."
     ),
     "drift_r11": (
-        "r11 clean-baseline run (idle host, no concurrent Spark work "
-        "— replaces the polluted r10 detail per VERDICT r10 task 2): "
-        "catalog 180.7s (150 q, n_failed 0) vs the r09 clean 124.2s. "
-        "The elevation is UNIFORM: median per-query min-of-passes "
-        "ratio vs r09 is 1.42 across all 146 comparable queries — "
+        "The COMMITTED r11 detail (the artifact this note describes, "
+        "re-anchored per VERDICT r11 task 5) is the later, cooler "
+        "run: catalog 154.2s / 150 q / n_failed 0, median per-query "
+        "min-of-passes ratio 1.19 vs the r09 clean detail (judge-"
+        "recomputed vs ee66e34), exactly ONE >2x mover "
+        "(near_dup_pairs_simhash, priced in simhash_priced_r12). An "
+        "EARLIER same-round idle-host run measured 180.7s at median "
+        "1.42 — kept here as a separate datum because its shape is "
+        "the attribution evidence: the elevation in that run is "
+        "UNIFORM, ratio 1.42 across all 146 comparable queries — "
         "streaming drains, pure-JVM aggregations, and Python-worker "
         "queries alike — the ambient-drift signature documented "
         "since r05, at larger amplitude. ~6s of the delta is honest "
@@ -190,7 +195,25 @@ BENCH_NOTES = {
         "1.25s) while giving up the detached-result contract. Plan "
         "unchanged, audited sound; absolute cost 1.25-1.70s at "
         "sf0.1. Verdict: host-state attribution with the numbers "
-        "above; re-probe next round."
+        "above; priced and CLOSED in simhash_priced_r12."
+    ),
+    "simhash_priced_r12": (
+        "Closes the simhash watch item (VERDICT r11 task 3, option "
+        "b): the detached-result contract price is ACCEPTED at "
+        "~1.2-1.3s sf0.1 isolated (r12 12-run idle probe: min 1.173, "
+        "settles [1.17-1.27] after warmup — consistent with r11's "
+        "1.25-1.33). The standing decomposition (simhash_"
+        "attribution_r11): ~0.3-0.5s of the gap over r09's 0.81s is "
+        "persist-fill + result localCheckpoint — the price of "
+        "returning a frame whose lineage references no cache entry "
+        "the caller must remember to free, paid ONCE per call and "
+        "independent of composition depth; the signature plan "
+        "itself probes BELOW its r09 number via doc_simhash. "
+        "Callers composing the pairs into cascades that "
+        "re-materialize anyway already skip the whole charge with "
+        "materialize=False (option a, in the signature since r06). "
+        "Off the watch list; future movers judge against the "
+        "1.2-1.3s isolated anchor, not r09's 0.81s."
     ),
 }
 
