@@ -58,6 +58,7 @@ import json
 import os
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -159,6 +160,16 @@ def _read_manifest(table: str, version: int) -> dict:
 
 def _checkpoint_path(table: str) -> str:
     return os.path.join(_log_dir(table), "_checkpoint.json")
+
+
+def _damaged_marker_path(table: str, version: int) -> str:
+    """Marker naming a version whose manifest survives but whose data
+    files a lost vacuum race deleted (restore's success-with-caveat
+    path). The manifest itself is immutable-by-protocol, so the
+    damage record lives beside it; ``files_for`` turns it into a
+    named error for time-travel readers, and vacuum removes it when
+    the manifest it annotates expires."""
+    return os.path.join(_log_dir(table), f"_damaged-v{version}.json")
 
 
 #: (path -> (mtime_ns, parsed)) cache for _read_checkpoint: the fold
@@ -746,6 +757,26 @@ def files_for(
         version = latest_version(table)
         if version is None:
             raise FileNotFoundError(f"no commits in table {table}")
+    # A damage marker means this version's manifest names data files a
+    # lost vacuum race deleted (restore's success-with-caveat path,
+    # ADVICE r11): the scan would fail anyway, deep inside Spark with
+    # a bare missing-file error — surface the HISTORY instead.
+    marker = _damaged_marker_path(table, version)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                info = json.load(fh)
+            missing = info.get("missing", [])
+            detail = f" (e.g. {missing[0]})" if missing else ""
+        except (OSError, json.JSONDecodeError):
+            missing, detail = [], ""
+        raise FileNotFoundError(
+            f"version {version} of {table} is damaged: a restore "
+            f"that lost a vacuum race left it naming "
+            f"{len(missing)} deleted data files{detail} before a "
+            "concurrent commit superseded it; the head is clean — "
+            "read a different version"
+        )
     manifest = _read_manifest(table, version)
     names = manifest["files"]
     if where is None:
@@ -1124,18 +1155,43 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
             "commit landed meanwhile, so no automatic rollback is "
             "possible — restore from a retained version"
         )
-    # Success WITH a caveat (ADVICE r10): the HEAD is clean — every
-    # live row is served — but our own intermediate version
-    # `committed` permanently names the vacuum-deleted files, so a
-    # later time-travel read OF THAT VERSION fails with
-    # FileNotFoundError. That is the same failure mode as time-
-    # traveling to any version whose files vacuum expired (documented
-    # on restore/vacuum: history readability is retention-bounded),
-    # so it surfaces at read time with vacuum's standard error rather
-    # than failing this otherwise-converged restore. Returning
-    # success is right because the restore's CONTRACT — the head
-    # holds the target's contents — was met and then superseded by
-    # the concurrent commit, exactly as if it had landed cleanly.
+    # Success WITH a caveat: the HEAD is clean — every live row is
+    # served — but our own intermediate version `committed`
+    # permanently names the vacuum-deleted files. Returning success
+    # is right because the restore's CONTRACT — the head holds the
+    # target's contents — was met and then superseded by the
+    # concurrent commit, exactly as if it had landed cleanly. But the
+    # caveat must not be silent (ADVICE r11): a later time-travel
+    # read of `committed` would otherwise fail deep inside Spark's
+    # scan with a bare missing-file error that looks like corruption.
+    # Record a damage marker beside the manifest (files_for turns it
+    # into a named error carrying the history; vacuum removes it when
+    # the manifest expires) and warn the restoring caller now.
+    tmp = os.path.join(
+        _log_dir(table), f".tmp-dmg-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": committed,
+                "missing": sorted(gone),
+                "cause": "restore lost a vacuum race; a concurrent "
+                "commit superseded it before any rollback",
+            },
+            fh,
+            sort_keys=True,
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _damaged_marker_path(table, committed))
+    warnings.warn(
+        f"restore of {table} to v{version} converged but its commit "
+        f"v{committed} names {len(gone)} vacuum-deleted files; the "
+        f"current head is clean, v{committed} is marked damaged for "
+        "time-travel readers",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return committed
 
 
@@ -2176,4 +2232,11 @@ def vacuum(
     write_checkpoint(table, upto=versions[-1])
     for v in expired:
         os.unlink(_manifest_path(table, v))
+        # an expired version's damage marker (restore's lost-vacuum-
+        # race caveat) is obsolete with its manifest: time travel to
+        # it now fails with the standard no-manifest error
+        try:
+            os.unlink(_damaged_marker_path(table, v))
+        except FileNotFoundError:
+            pass
     return deleted

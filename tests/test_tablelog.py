@@ -2281,3 +2281,54 @@ def test_nested_nullability_flip_is_not_a_retype(spark, tmp_path):
     with pytest.raises(ValueError, match="retype"):
         tl.append(spark.createDataFrame([(3, ("no",))], retyped), table)
     assert tl.snapshot_row_count(table) == 2
+
+
+def test_restore_caveat_success_marks_damaged_version(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: restore's success-with-caveat path (the head moved
+    past our commit AND no longer references the vacuum-deleted
+    files) used to return with NO signal, leaving a version whose
+    time-travel read died deep inside Spark's scan with a bare
+    missing-file error. Now the restore warns, records a damage
+    marker, files_for/read_snapshot of that version raise a NAMED
+    error carrying the history, every other version stays readable,
+    and vacuum retires the marker together with the manifest it
+    annotates."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            # the losing vacuum unlinks a restored file, and a
+            # concurrent OVERWRITE supersedes the restore with a
+            # clean file list — head clean, our commit damaged
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+            tl.overwrite(_frame(spark, 50, 53), tbl)
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.warns(RuntimeWarning, match="marked damaged"):
+        committed = tl.restore(table, 0)
+    assert committed == fired[0]
+    # the damaged version raises a NAMED error, not a bare scan death
+    with pytest.raises(FileNotFoundError, match="lost a vacuum race"):
+        tl.files_for(table, version=committed)
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.read_snapshot(spark, table, version=committed)
+    # the head and undamaged history stay readable
+    assert _values(tl.read_snapshot(spark, table)) == [50, 51, 52]
+    assert _values(tl.read_snapshot(spark, table, version=1)) == [
+        900, 901, 902,
+    ]
+    # vacuum retires the marker with the manifest: the expired
+    # version now fails with the standard no-manifest error
+    tl.vacuum(table, retain_last=1, min_age_seconds=0.0)
+    assert not os.path.exists(tl._damaged_marker_path(table, committed))
+    with pytest.raises(FileNotFoundError):
+        tl.files_for(table, version=committed)
