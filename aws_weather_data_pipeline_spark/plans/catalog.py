@@ -75,7 +75,13 @@ OPERATOR_MODULES = (
 # arguments in those modules); r11 retired multimodal_frame_sample →
 # multimodal_decode_avi and union_distinct_active_users →
 # tablelog_nullcount_prune (subsumption arguments in those modules);
-# r12 retired multimodal_decode_wav → multimodal_decode_flac (above).
+# r12 retired multimodal_decode_wav → multimodal_decode_flac (above)
+# and tablelog_time_travel_prune → tablelog_checkpoint_fold (strict
+# subsumption IN PLACE — the retiree was already mandatory in this
+# window, so the fold query inherits its slot: same time-travel +
+# zone-map-prune recipe exercised through a vacuumed, checkpoint-
+# folded log plus a fold-answered txn replay; note in
+# plans/tablelog_queries.py).
 DRIVER_WINDOW = (
     # NEW r12, never driver-checked (slot from the retired
     # multimodal_decode_wav per the zero-slack swap protocol;
@@ -119,7 +125,11 @@ DRIVER_WINDOW = (
     "streaming_session_windows",
     "streaming_static_enrichment",
     "streaming_windowed_alert_counts",
-    "tablelog_time_travel_prune",
+    # NEW r12 (slot inherited in place: tablelog_checkpoint_fold
+    # strictly subsumes the retired tablelog_time_travel_prune, which
+    # was already mandatory in this window — subsumption note in
+    # plans/tablelog_queries.py)
+    "tablelog_checkpoint_fold",
     "temperature_mixture_sample",
     "value_histogram",
     "value_outliers_exact",

@@ -63,66 +63,120 @@ PRUNE_LO, PRUNE_HI = 20, 79
 N_RANGE_FILES = 8
 
 
-def build_events_log(spark: SparkSession, sf_dir: str) -> str:
-    """Commit the events table into a fresh table log in three slices.
+#: Slice count / retention for the checkpoint-fold fixture: 6 commits
+#: with vacuum retaining the last 3 puts versions 0-2 PAST retention —
+#: their manifests are deleted and only the folded checkpoint still
+#: remembers their txn ids.
+N_SLICES = 6
+RETAIN_LAST = 3
+#: The retained non-head version the time-travel branch reads (head is
+#: N_SLICES-1 = 5; retention keeps 3, 4, 5).
+TRAVEL_VERSION = 4
 
-    v0 = overwrite of the ``event_id % 3 == 0`` slice, v1/v2 = appends
-    of the ``== 1`` / ``== 2`` slices. Each slice is range-partitioned
-    on user_id before committing so every data file carries a tight
-    disjoint [min, max] zone on the prune column — the layout a
-    z-order/range-clustered 100 TB table has, and the reason manifest
-    stats can skip files at all.
+
+def build_folded_events_log(spark: SparkSession, sf_dir: str) -> str:
+    """Commit events in six txn-bearing slices, then vacuum past
+    retention so the log's checkpoint FOLD is load-bearing.
+
+    v0 = overwrite of the ``event_id % 6 == 0`` slice, v1..v5 =
+    appends of slices 1..5, each committed under ``txn_id="slice-N"``
+    and range-partitioned on user_id so every data file carries a
+    tight disjoint [min, max] zone on the prune column (the layout a
+    z-order/range-clustered 100 TB table has). Then
+    ``vacuum(retain_last=3)`` folds all six manifests' txn ids into
+    ``_log/_checkpoint.json`` and deletes manifests v0-v2 — the
+    bounded-``_log/`` maintenance a >1e5-commit table runs on a
+    schedule. Finally a crashed writer REPLAYS slice 1's append under
+    its original txn id: the manifest that recorded ``slice-1`` is
+    gone and retention holds far fewer than TXN_DEDUP_HORIZON
+    versions, so only the folded checkpoint can recognize the replay.
+    A fold that lost the txn would commit slice 1 twice — visible to
+    the caller as duplicated head rows.
     """
     work = _work_dir("spark_graft_tablelog_q_")
     table = os.path.join(work, "events_log")
     events = load_tables(spark, sf_dir, ("events",))["events"]
-    for rem, op in ((0, tablelog.overwrite), (1, tablelog.append),
-                    (2, tablelog.append)):
+    for rem in range(N_SLICES):
+        op = tablelog.overwrite if rem == 0 else tablelog.append
         op(
-            events.filter(F.col("event_id") % 3 == rem)
+            events.filter(F.col("event_id") % N_SLICES == rem)
             .repartitionByRange(N_RANGE_FILES, "user_id"),
             table,
+            txn_id=f"slice-{rem}",
         )
+    # maintenance window: no live writers in this fixture, so the
+    # in-flight-commit age guard can be 0
+    tablelog.vacuum(table, retain_last=RETAIN_LAST, min_age_seconds=0.0)
+    # the replay: dedup must come from the checkpoint (manifest v1 is
+    # vacuumed); a correct log answers it as a no-op before any write
+    tablelog.append(
+        events.filter(F.col("event_id") % N_SLICES == 1)
+        .repartitionByRange(N_RANGE_FILES, "user_id"),
+        table,
+        txn_id="slice-1",
+    )
     return table
 
 
 @CATALOG.add(
-    "tablelog_time_travel_prune",
+    "tablelog_checkpoint_fold",
     f"""
-    SELECT event_type,
+    SELECT 'time_travel_v{TRAVEL_VERSION}' AS branch,
+           event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
-    WHERE event_id % 3 < 2
+    WHERE event_id % {N_SLICES} < {TRAVEL_VERSION + 1}
       AND user_id BETWEEN {PRUNE_LO} AND {PRUNE_HI}
     GROUP BY event_type
+    UNION ALL
+    SELECT 'head' AS branch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'metadata_rows' AS branch,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value
+    FROM events
     """,
-    doc="Time travel + zone-map file skipping through the table log: "
-    "commit events as three snapshots (overwrite + 2 appends, each "
-    "range-clustered on user_id), then read VERSION 1 — the head "
-    "commit must be invisible — with a manifest zone-map prune on "
-    f"user_id ∈ [{PRUNE_LO}, {PRUNE_HI}] that skips files from the "
-    "driver alone (no footer reads, no tasks for cold files), apply "
-    "the real filter per the superset contract, and aggregate. The "
-    "oracle is plain SQL over the SOURCE rows (event_id % 3 < 2 = "
-    "exactly versions 0+1), so a hash match certifies both reader "
-    "guarantees at once: snapshot isolation (one extra or missing "
-    "slice-2 row breaks the compare) and lossless pruning (one row "
-    "dropped by an over-eager skip breaks it too). At 100 TB this is "
-    "the query shape the log exists for: the driver resolves one "
-    "manifest, prunes by stats, and schedules scans only on the "
-    "files that can match.",
-    tags=("tablelog", "agg"),
+    doc="The log-checkpoint fold under read load — the maintenance "
+    "path that keeps `_log/` bounded at 100 TB (VERDICT r11 task 8; "
+    "strictly subsumes the retired tablelog_time_travel_prune: same "
+    "time-travel + zone-map-prune + aggregate recipe and oracle "
+    "shape, now exercised THROUGH a folded, vacuumed log). Fixture: "
+    f"six txn-bearing commits, vacuum(retain_last={RETAIN_LAST}) — "
+    "which folds every manifest's txn id into the checkpoint and "
+    "deletes manifests v0-v2 — then a crashed-writer REPLAY of slice "
+    "1's append under its original txn id, answerable only by the "
+    "fold (the recording manifest is vacuumed and retention holds "
+    "fewer versions than TXN_DEDUP_HORIZON). Three result branches, "
+    "each a pure function of the source rows: (1) time travel to "
+    f"retained v{TRAVEL_VERSION} with a zone-map prune on user_id ∈ "
+    f"[{PRUNE_LO}, {PRUNE_HI}] + the real filter per the superset "
+    "contract — version resolution and pruning must survive expired "
+    "manifests, and the head slice must be invisible; (2) the head "
+    "aggregate — one row doubled by a fold that forgot slice-1's txn "
+    "breaks the hash; (3) exact COUNT(*) from the manifest alone "
+    "post-vacuum. The oracle recomputes all three from the source "
+    "rows. At 100 TB this is the steady state: vacuum runs on a "
+    "schedule, and every reader guarantee must hold on the folded "
+    "log, not just a young one.",
+    tags=("tablelog", "agg", "metadata"),
 )
-def tablelog_time_travel_prune(
+def tablelog_checkpoint_fold(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    table = build_events_log(spark, sf_dir)
-    snap = tablelog.read_snapshot(
-        spark, table, version=1, where=("user_id", PRUNE_LO, PRUNE_HI)
-    )
-    return (
-        snap.filter(F.col("user_id").between(PRUNE_LO, PRUNE_HI))
+    table = build_folded_events_log(spark, sf_dir)
+    travel = (
+        tablelog.read_snapshot(
+            spark, table, version=TRAVEL_VERSION,
+            where=("user_id", PRUNE_LO, PRUNE_HI),
+        )
+        .filter(F.col("user_id").between(PRUNE_LO, PRUNE_HI))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -130,7 +184,34 @@ def tablelog_time_travel_prune(
             .cast("double")
             .alias("sum_value"),
         )
+        .select(
+            F.lit(f"time_travel_v{TRAVEL_VERSION}").alias("branch"),
+            "event_type", "n_events", "sum_value",
+        )
     )
+    head = (
+        tablelog.read_snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.lit("head").alias("branch"), "event_type", "n_events",
+                "sum_value")
+    )
+    n = tablelog.snapshot_row_count(table)
+    if n is None:
+        raise ValueError("manifest row count missing after vacuum")
+    meta = spark.createDataFrame(
+        [("metadata_rows", None, n, None)],
+        schema=(
+            "branch string, event_type string, n_events bigint, "
+            "sum_value double"
+        ),
+    )
+    return travel.unionByName(head).unionByName(meta)
 
 
 #: big_value = value where value >= BIG_CUTOFF, else NULL — gives the

@@ -977,36 +977,59 @@ def test_checkpoint_reset_rotates_txn_namespace(tmp_path):
     assert ns2 != ns1
 
 
-def test_catalog_query_fixture_prunes_files_and_isolates_snapshot(
-    spark, sf_dir
-):
-    """The driver's tablelog_time_travel_prune query certifies that
-    pruning never DROPS a row (oracle hash compare); this pins that
-    on its range-clustered fixture the zone map actually SKIPS files
-    (not a no-op) and that version 1 excludes the head commit."""
+def test_catalog_query_fixture_folds_prunes_and_isolates(spark, sf_dir):
+    """The driver's tablelog_checkpoint_fold query certifies via its
+    oracle hash that pruning never DROPS a row, time travel works on
+    the folded log, and the checkpoint dedups a post-vacuum replay;
+    this pins what the hash compare cannot see: the vacuum actually
+    EXPIRED manifests (the fold is load-bearing, not decorative), the
+    zone map actually SKIPS files, the replay did not mint a version,
+    and the txn ids really live only in the checkpoint."""
     from aws_weather_data_pipeline_spark.plans.tablelog_queries import (
+        N_SLICES,
         PRUNE_HI,
         PRUNE_LO,
-        build_events_log,
+        RETAIN_LAST,
+        TRAVEL_VERSION,
+        build_folded_events_log,
     )
 
-    table = build_events_log(spark, sf_dir)
-    assert tl.latest_version(table) == 2
-    all_files = tl.files_for(table, version=1)
+    table = build_folded_events_log(spark, sf_dir)
+    # the replayed slice-1 append minted NO new version: head is still
+    # the last original commit
+    assert tl.latest_version(table) == N_SLICES - 1
+    # manifests below retention are really gone — time travel to them
+    # fails, which is the bound vacuum documents
+    retained = tl._list_versions(table)
+    assert retained == list(range(N_SLICES - RETAIN_LAST, N_SLICES))
+    with pytest.raises(FileNotFoundError):
+        tl.read_snapshot(spark, table, version=0)
+    # the folded checkpoint carries every slice's txn id, including
+    # the vacuumed ones the replay guard needs
+    with open(os.path.join(table, "_log", "_checkpoint.json")) as fh:
+        ckpt = json.load(fh)
+    assert {f"slice-{i}" for i in range(N_SLICES)} <= set(ckpt["txns"])
+    # ... and the retained manifests alone could NOT answer slice-1
+    assert all(
+        tl._read_manifest(table, v).get("txn_id") != "slice-1"
+        for v in retained
+    )
+    # zone-map skip on the retained travel version is real, not a no-op
+    all_files = tl.files_for(table, version=TRAVEL_VERSION)
     pruned = tl.files_for(
-        table, version=1, where=("user_id", PRUNE_LO, PRUNE_HI)
+        table, version=TRAVEL_VERSION, where=("user_id", PRUNE_LO, PRUNE_HI)
     )
     assert len(pruned) < len(all_files), (
         "range-clustered commits must give the zone map files to skip"
     )
-    # snapshot isolation through the same read path the query uses:
-    # v1 rows = slices 0+1 exactly, v2 adds slice 2
+    # snapshot isolation through the folded log: the travel version
+    # excludes the head slice, the head has it
     from pyspark.sql import functions as F
 
-    v1 = tl.read_snapshot(spark, table, version=1)
-    assert v1.filter(F.col("event_id") % 3 == 2).count() == 0
-    head = tl.read_snapshot(spark, table)
-    assert head.count() > v1.count()
+    head_slice = F.col("event_id") % N_SLICES == N_SLICES - 1
+    v = tl.read_snapshot(spark, table, version=TRAVEL_VERSION)
+    assert v.filter(head_slice).count() == 0
+    assert tl.read_snapshot(spark, table).filter(head_slice).count() > 0
 
 
 def test_sync_position_snapshot_consistent_read_blocks_racer(
