@@ -2195,7 +2195,13 @@ def vacuum(
             # longer than min_age_seconds would otherwise be
             # rmtree'd mid-job — the dir mtime measures job START,
             # the inner files measure last actual write activity
-            newest = os.path.getmtime(path)
+            try:
+                newest = os.path.getmtime(path)
+            except FileNotFoundError:
+                # the writer COMPLETED between the listing and this
+                # stat and removed its own staging dir (r12 threaded
+                # stress) — nothing left to sweep
+                continue
             for root, _dirs, files in os.walk(path):
                 for f in files:
                     try:
@@ -2209,14 +2215,19 @@ def vacuum(
                         newest = time.time()
                         break
             if newest <= cutoff:
-                shutil.rmtree(path)
+                shutil.rmtree(path, ignore_errors=True)
     log = _log_dir(table)
     if os.path.isdir(log):
         for entry in os.listdir(log):
             if entry.startswith(".tmp-"):
                 path = os.path.join(log, entry)
-                if os.path.getmtime(path) <= cutoff:
-                    os.unlink(path)
+                try:
+                    if os.path.getmtime(path) <= cutoff:
+                        os.unlink(path)
+                except FileNotFoundError:
+                    # a racing _publish unlinked its own tmp manifest
+                    # after the listing (r12 threaded stress) — done
+                    continue
     expired = versions[:-retain_last]
     # Fold UNCONDITIONALLY (not only when something expired), BEFORE
     # deleting, and fold to HEAD (not just the expired prefix): the

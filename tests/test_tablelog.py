@@ -2472,3 +2472,95 @@ def test_threaded_changefeed_cursor_races_vacuum_and_fold(spark, tmp_path):
     tl.vacuum(table, retain_last=3, min_age_seconds=3600.0)
     assert tl._read_checkpoint(table)["version"] == head
     assert tl._list_versions(table)[0] == head - 2
+
+def test_txn_replays_race_fresh_appends_and_folding_vacuum(
+    spark, tmp_path
+):
+    """REAL threads on the replay-dedup read path: while fresh
+    appenders advance the head and a maintainer loops vacuum —
+    folding the checkpoint, then unlinking expired manifests —
+    replayer threads re-submit ALREADY-COMMITTED txn ids.
+    ``_replayed_version``'s manifest walk can lose any manifest to a
+    concurrent unlink mid-walk and must fall through to the folded
+    checkpoint; a replay that slips past dedup doubles its rows, one
+    that errors kills a crashed writer's legitimate retry. Every
+    replay must return its ORIGINAL version and commit nothing.
+    (Data files are protected by the default age horizon — only
+    manifests expire — so the race under test is walk-vs-unlink,
+    exactly the single-maintainer deployment shape.)"""
+    import threading
+
+    table = str(tmp_path / "t")
+    N_SEED, N_FRESH, N_REPLAYS = 6, 6, 4
+    seed_versions = {
+        f"seed-{i}": tl.append(
+            _frame(spark, i * 10, i * 10 + 10), table, txn_id=f"seed-{i}"
+        )
+        for i in range(N_SEED)
+    }
+    failures: list[str] = []
+    appends_done = threading.Event()
+
+    def appender():
+        try:
+            for i in range(N_FRESH):
+                lo = (N_SEED + i) * 10
+                tl.append(
+                    _frame(spark, lo, lo + 10), table,
+                    txn_id=f"fresh-{i}",
+                )
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"appender: {exc!r}")
+        finally:
+            appends_done.set()
+
+    def replayer(txns):
+        try:
+            for _ in range(N_REPLAYS):
+                for txn in txns:
+                    got = tl.append(
+                        _frame(spark, 0, 1), table, txn_id=txn
+                    )
+                    if got != seed_versions[txn]:
+                        failures.append(
+                            f"replay {txn}: got v{got}, "
+                            f"original v{seed_versions[txn]}"
+                        )
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"replayer: {exc!r}")
+
+    def maintainer():
+        try:
+            while not appends_done.is_set():
+                tl.vacuum(table, retain_last=2)  # default age horizon
+            tl.vacuum(table, retain_last=2)  # once more past the head
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"maintainer: {exc!r}")
+
+    seed_txns = sorted(seed_versions)
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=replayer, args=(seed_txns[:3],)),
+        threading.Thread(target=replayer, args=(seed_txns[3:],)),
+        threading.Thread(target=maintainer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(not t.is_alive() for t in threads)
+    assert not failures, failures
+    # no replay minted a version: head is exactly seed + fresh commits
+    assert tl.latest_version(table) == N_SEED + N_FRESH - 1
+    # and no replay landed rows: the head snapshot is the exact union
+    # of the seed and fresh disjoint ranges (a slipped replay would
+    # duplicate a seed range or inject its probe row 0 twice)
+    assert _values(tl.read_snapshot(spark, table)) == list(
+        range((N_SEED + N_FRESH) * 10)
+    )
+    # the maintenance was real: the fold advanced to a recent head and
+    # only the last retained manifests survive
+    ckpt = tl._read_checkpoint(table)
+    assert ckpt is not None
+    assert set(seed_versions.values()) <= set(ckpt["txns"].values())
+    assert len(tl._list_versions(table)) <= 3
