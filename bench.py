@@ -215,6 +215,46 @@ BENCH_NOTES = {
         "Off the watch list; future movers judge against the "
         "1.2-1.3s isolated anchor, not r09's 0.81s."
     ),
+    "drift_r12": (
+        "r12 idle-host run (post leak-fix, post window swap): catalog "
+        "150.96s / 150 q / n_failed 0 — below r11's 154.2s. Median "
+        "per-query min-of-passes ratio vs the r09 clean detail "
+        "(ee66e34) is 1.105 over 136 comparable batch queries — the "
+        "ambient elevation documented since r05 partially recovering "
+        "(r11 committed detail measured 1.19). Exactly one mover "
+        ">1.8x vs r09: near_dup_pairs_simhash at 1.81s catalog / "
+        "2.24x — FLAT vs r11's 1.78s and consistent with the "
+        "accepted 1.2-1.3s isolated anchor in simhash_priced_r12; "
+        "no action. Two queries are new since r11 "
+        "(multimodal_decode_flac, tablelog_checkpoint_fold) per the "
+        "zero-slack swaps in plans/catalog.py."
+    ),
+    "tablelog_leak_fix_r12": (
+        "Closes VERDICT r11 task 2's re-bench check: after moving "
+        "the tablelog fixture temp trees under one atexit-cleaned "
+        "parent (5fb2800), tablelog_manifest_stats's ASCENDING "
+        "per-pass trend — r11's [1.63, 3.48, 4.77], the only query "
+        "whose passes climbed — is gone: r12 passes settle to "
+        "[..., 1.197, 1.187], with min 1.19s BELOW the r09-era "
+        "1.41s anchor. The elevated early passes ([4.9, 4.3, 7.0] "
+        "before settling) are first-touch worker/contention noise of "
+        "the python_worker_cluster_r08 class, not growth: a "
+        "metadata query's cost no longer rises with invocation "
+        "count."
+    ),
+    "tablelog_checkpoint_fold": (
+        "New r12 anchor: ~2.5s min-of-passes at sf0.1 (passes "
+        "[4.37, 2.67, 2.46, 3.94, 2.65]). Heavier than the retired "
+        "tablelog_time_travel_prune (1.24s) BY DESIGN: the fixture "
+        "commits SIX txn-bearing snapshots instead of three, runs a "
+        "checkpoint-folding vacuum, and replays a vacuumed txn "
+        "before the three read branches. The cost is fixture "
+        "construction (Spark writes), not the certified reads — "
+        "version resolution, zone-map pruning, replay dedup, and "
+        "manifest COUNT(*) on the folded log are all O(retained "
+        "manifests) driver-side arithmetic that would be unchanged "
+        "on a 100 TB table."
+    ),
 }
 
 
