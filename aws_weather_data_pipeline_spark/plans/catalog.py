@@ -46,10 +46,13 @@ OPERATOR_MODULES = (
 # step and burned the round's 50 driver slots re-checking green rows.
 #
 # Round 12's window (committed at round start, per the checklist):
-# the 3-round cycle's third full turn — the 49 surviving queries
-# whose latest driver row is r09 (age 3 at r12; 50 were r09-latest,
-# one retired this round), plus ONE new query in the retiree's slot:
-# r11's committed plan of record executed first-commit.
+# the 3-round cycle's third full turn — the surviving queries whose
+# latest driver row is r09 (age 3 at r12), plus TWO swapped-in
+# queries: multimodal_decode_flac in the retired wav slot
+# (first-commit, r11's plan of record) and tablelog_checkpoint_fold
+# replacing tablelog_time_travel_prune IN PLACE mid-round (the
+# retiree was itself in the aged block, so the subsuming query
+# inherits its window position).
 # multimodal_decode_wav retired (subsumption note in
 # plans/multimodal.py: multimodal_decode_flac runs the SAME decode
 # stage — decode_wav_features, decode_media dispatching on content

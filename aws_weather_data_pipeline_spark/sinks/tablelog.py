@@ -164,12 +164,37 @@ def _checkpoint_path(table: str) -> str:
 
 def _damaged_marker_path(table: str, version: int) -> str:
     """Marker naming a version whose manifest survives but whose data
-    files a lost vacuum race deleted (restore's success-with-caveat
-    path). The manifest itself is immutable-by-protocol, so the
-    damage record lives beside it; ``files_for`` turns it into a
-    named error for time-travel readers, and vacuum removes it when
-    the manifest it annotates expires."""
+    files a lost vacuum race deleted (every losing branch of
+    ``restore``'s post-commit verify). The manifest itself is
+    immutable-by-protocol, so the damage record lives beside it;
+    ``files_for`` turns it into a named error for time-travel
+    readers, and vacuum removes it when the manifest it annotates
+    expires."""
     return os.path.join(_log_dir(table), f"_damaged-v{version}.json")
+
+
+def _write_damage_marker(
+    table: str, version: int, missing: list, cause: str
+) -> None:
+    """Atomically record that ``version``'s manifest names data files
+    that no longer exist, so time-travel readers get a named error
+    from ``files_for`` instead of a bare missing-file scan death."""
+    tmp = os.path.join(
+        _log_dir(table), f".tmp-dmg-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "missing": sorted(missing),
+                "cause": cause,
+            },
+            fh,
+            sort_keys=True,
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _damaged_marker_path(table, version))
 
 
 #: (path -> (mtime_ns, parsed)) cache for _read_checkpoint: the fold
@@ -768,14 +793,14 @@ def files_for(
                 info = json.load(fh)
             missing = info.get("missing", [])
             detail = f" (e.g. {missing[0]})" if missing else ""
+            cause = info.get("cause", "a restore lost a vacuum race")
         except (OSError, json.JSONDecodeError):
             missing, detail = [], ""
+            cause = "a restore lost a vacuum race"
         raise FileNotFoundError(
-            f"version {version} of {table} is damaged: a restore "
-            f"that lost a vacuum race left it naming "
-            f"{len(missing)} deleted data files{detail} before a "
-            "concurrent commit superseded it; the head is clean — "
-            "read a different version"
+            f"version {version} of {table} is damaged: {cause}; its "
+            f"manifest names {len(missing)} deleted data "
+            f"files{detail} — read a different version"
         )
     manifest = _read_manifest(table, version)
     names = manifest["files"]
@@ -1091,6 +1116,16 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     if not gone:
         return committed
     head = latest_version(table)
+    # Whatever happens next, OUR commit's manifest permanently names
+    # the deleted files — mark it damaged FIRST (r12: the marker
+    # previously existed only on the superseded-clean branch, so a
+    # rolled-back restore's version still died with a bare scan error
+    # under time travel)
+    _write_damage_marker(
+        table, committed, gone,
+        "restore lost a vacuum race: its commit names files a "
+        "concurrent vacuum deleted",
+    )
     if head == committed:
         # Roll the head forward to the pre-restore snapshot: its files
         # were head-referenced while the vacuum ran, so they survived.
@@ -1164,26 +1199,10 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     # caveat must not be silent (ADVICE r11): a later time-travel
     # read of `committed` would otherwise fail deep inside Spark's
     # scan with a bare missing-file error that looks like corruption.
-    # Record a damage marker beside the manifest (files_for turns it
-    # into a named error carrying the history; vacuum removes it when
-    # the manifest expires) and warn the restoring caller now.
-    tmp = os.path.join(
-        _log_dir(table), f".tmp-dmg-{uuid.uuid4().hex}.json"
-    )
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": committed,
-                "missing": sorted(gone),
-                "cause": "restore lost a vacuum race; a concurrent "
-                "commit superseded it before any rollback",
-            },
-            fh,
-            sort_keys=True,
-        )
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, _damaged_marker_path(table, committed))
+    # The damage marker recorded above (files_for turns it into a
+    # named error carrying the history; vacuum removes it when the
+    # manifest expires) covers this branch too — warn the restoring
+    # caller now, since this branch alone returns success.
     warnings.warn(
         f"restore of {table} to v{version} converged but its commit "
         f"v{committed} names {len(gone)} vacuum-deleted files; the "

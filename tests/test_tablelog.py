@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 
@@ -1775,6 +1776,11 @@ def test_restore_lost_vacuum_race_detected_and_rolled_back(
     assert _values(tl.read_snapshot(spark, table)) == [900, 901, 902]
     last = tl.history(table)[-1]
     assert last["op"] == "restore" and last["restored_from"] == 1
+    # the rolled-back restore's own version is marked damaged (r12):
+    # time travel to it gets the named error, not a bare scan death
+    assert os.path.exists(tl._damaged_marker_path(table, fired[0]))
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table, fired[0])
 
 
 def test_restore_race_with_interleaved_commit_raises_without_rollback(
@@ -1812,6 +1818,12 @@ def test_restore_race_with_interleaved_commit_raises_without_rollback(
     head_files = set(tl.files_for(table))
     assert target_files[0] not in tl.files_for(table, version=1)
     assert target_files[0] in head_files  # the corruption the raise names
+    # the restore's own commit (v2) is marked damaged (r12); the HEAD
+    # stays unmarked even though it inherited the deleted name — the
+    # raise surfaces it, and recovery (recommit fresh data) needs the
+    # head readable
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table, fired[0])
 
 
 def test_concurrent_delete_append_vacuum_interleave(spark, tmp_path):
@@ -2564,3 +2576,92 @@ def test_txn_replays_race_fresh_appends_and_folding_vacuum(
     assert ckpt is not None
     assert set(seed_versions.values()) <= set(ckpt["txns"].values())
     assert len(tl._list_versions(table)) <= 3
+
+def test_restore_races_looping_vacuum_threaded(spark, tmp_path):
+    """REAL threads on the restore-vs-vacuum race (the interleave the
+    directed tests above drive with a monkeypatched publish): a
+    restorer cycles through cold targets whose files are unreferenced
+    by the head and backdated past the age horizon — exactly what a
+    default-horizon vacuum deletes — while a maintainer loops vacuum.
+    Outcomes are interleave-dependent (success, target-vacuumed,
+    lost-race-rolled-back are all legal); what must hold REGARDLESS:
+    only documented errors, a head that always resolves to existing
+    files, and every retained version either fully resolvable or
+    marked damaged — never a bare missing-file scan death."""
+    import threading
+
+    table = str(tmp_path / "t")
+    N_TARGETS = 4
+    for i in range(N_TARGETS):
+        tl.append(_frame(spark, i * 10, i * 10 + 10), table)
+    tl.overwrite(_frame(spark, 900, 910), table)  # head drops targets
+    old = time.time() - 7200
+    data = tl._data_dir(table)
+    # target files: referenced only by pre-overwrite manifests; cold
+    for v in range(N_TARGETS):
+        for n in tl._read_manifest(table, v)["files"]:
+            os.utime(os.path.join(data, n), (old, old))
+    failures: list[str] = []
+    outcomes: list[str] = []
+    restorer_done = threading.Event()
+
+    def restorer():
+        try:
+            for i in range(N_TARGETS):
+                try:
+                    tl.restore(table, i, txn_id=f"stress-restore-{i}")
+                    outcomes.append("restored")
+                except FileNotFoundError as exc:
+                    msg = str(exc)
+                    if not any(
+                        s in msg
+                        for s in (
+                            "lost the race", "were vacuumed",
+                            "is damaged", "No such file",
+                            "already ran and LOST",
+                        )
+                    ):
+                        failures.append(f"undocumented error: {msg}")
+                    outcomes.append("raised")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"restorer: {exc!r}")
+        finally:
+            restorer_done.set()
+
+    def maintainer():
+        try:
+            while not restorer_done.is_set():
+                tl.vacuum(table, retain_last=2)
+            tl.vacuum(table, retain_last=2)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"maintainer: {exc!r}")
+
+    threads = [
+        threading.Thread(target=restorer),
+        threading.Thread(target=maintainer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(not t.is_alive() for t in threads)
+    assert not failures, failures
+    assert len(outcomes) == N_TARGETS
+    # the head always resolves, and every file it names exists — with
+    # no competing writer, every lost race rolls back successfully
+    head_files = tl.files_for(table)
+    for n in head_files:
+        assert os.path.exists(os.path.join(data, n)), n
+    # every retained version is either fully resolvable with files on
+    # disk, or carries a damage marker that names the loss — a bare
+    # missing-file scan death is the one forbidden state
+    for v in tl._list_versions(table):
+        try:
+            names = tl.files_for(table, v)
+        except FileNotFoundError as exc:
+            assert "is damaged" in str(exc), (v, str(exc))
+            continue
+        for n in names:
+            assert os.path.exists(os.path.join(data, n)), (v, n)
+    # the head snapshot is readable end-to-end
+    assert len(_values(tl.read_snapshot(spark, table))) >= 10
