@@ -2665,3 +2665,80 @@ def test_restore_races_looping_vacuum_threaded(spark, tmp_path):
             assert os.path.exists(os.path.join(data, n)), (v, n)
     # the head snapshot is readable end-to-end
     assert len(_values(tl.read_snapshot(spark, table))) >= 10
+
+def test_snapshot_reads_stay_consistent_during_live_maintenance(
+    spark, tmp_path
+):
+    """REAL threads, reader-side: two readers continuously collect the
+    head snapshot WHILE an appender lands disjoint ranges, a
+    compactor rewrites the file layout, and a vacuum loops with the
+    default age horizon. This is the 100 TB operating mode — queries
+    never pause for maintenance. Every read must observe exactly a
+    committed prefix of the append history (compaction is
+    data-identical, vacuum deletes nothing young): a torn read (half
+    an append), a dropped range (compact losing a racing append), or
+    a dead file handle would all break the exact-prefix check."""
+    import threading
+
+    table = str(tmp_path / "t")
+    N_APPENDS = 8
+    tl.append(_frame(spark, 0, 10), table)
+    failures: list[str] = []
+    sizes: set[int] = set()
+    writer_done = threading.Event()
+
+    def appender():
+        try:
+            for i in range(1, N_APPENDS):
+                tl.append(_frame(spark, i * 10, i * 10 + 10), table)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"appender: {exc!r}")
+        finally:
+            writer_done.set()
+
+    def compactor():
+        try:
+            while not writer_done.is_set():
+                tl.compact(spark, table, n_files=2)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"compactor: {exc!r}")
+
+    def maintainer():
+        try:
+            while not writer_done.is_set():
+                tl.vacuum(table, retain_last=5)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"maintainer: {exc!r}")
+
+    def reader():
+        try:
+            while not writer_done.is_set():
+                vals = _values(tl.read_snapshot(spark, table))
+                n = len(vals)
+                if n % 10 != 0 or vals != list(range(n)):
+                    failures.append(
+                        f"inconsistent read: n={n} head={vals[-3:]}"
+                    )
+                    return
+                sizes.add(n)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"reader: {exc!r}")
+
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=compactor),
+        threading.Thread(target=maintainer),
+        threading.Thread(target=reader),
+        threading.Thread(target=reader),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(not t.is_alive() for t in threads)
+    assert not failures, failures
+    assert sizes, "readers never completed a read"
+    # final state: every append survived every compaction rewrite
+    assert _values(tl.read_snapshot(spark, table)) == list(
+        range(N_APPENDS * 10)
+    )
