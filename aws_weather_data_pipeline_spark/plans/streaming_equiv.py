@@ -31,7 +31,6 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -459,23 +458,12 @@ def _write_typed_landing(
     ev.unpersist()
 
 
-_WORK_ROOT: list[str] = []
-
-
-def _work_dir(prefix: str) -> str:
-    """A temp work tree under ONE atexit-cleaned parent. Success paths
-    still rmtree immediately (_collect_sink); this closes the FAILURE
-    paths (review r11: a _drain timeout or a writeStream.start error
-    raised before _collect_sink, leaking the landing + checkpoint +
-    sink fixture copies until /tmp filled under repeated sweeps)."""
-    import atexit
-    import shutil
-
-    if not _WORK_ROOT:
-        root = tempfile.mkdtemp(prefix="spark_graft_stream_work_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _WORK_ROOT.append(root)
-    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT[0])
+# Success paths still rmtree immediately (_collect_sink); the shared
+# atexit parent closes the FAILURE paths (review r11: a _drain
+# timeout or a writeStream.start error raised before _collect_sink,
+# leaking the landing + checkpoint + sink fixture copies until /tmp
+# filled under repeated sweeps).
+from .fixtures import work_dir as _work_dir
 
 
 def _typed_stream(

@@ -24,7 +24,6 @@ a row, the pin proves it isn't a no-op.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -34,26 +33,13 @@ from .registry import QueryCatalog
 
 CATALOG = QueryCatalog()
 
-_WORK_ROOT: list[str] = []
-
-
-def _work_dir(prefix: str) -> str:
-    """A fixture work tree under ONE atexit-cleaned parent (the
-    streaming_equiv._work_dir pattern, review r12). The queries here
-    return LAZY frames over their freshly-committed table logs —
-    read_snapshot results the driver collects after the builder
-    returns — so an immediate rmtree would tear the files out from
-    under the scan; atexit is the correct lifetime. Before this,
-    every catalog sweep leaked one spark_graft_tablelog_* tree per
-    invocation (227 orphans observed on the r11 judge's host)."""
-    import atexit
-    import shutil
-
-    if not _WORK_ROOT:
-        root = tempfile.mkdtemp(prefix="spark_graft_tablelog_work_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _WORK_ROOT.append(root)
-    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT[0])
+# The queries here return LAZY frames over their freshly-committed
+# table logs — read_snapshot results the driver collects after the
+# builder returns — so an immediate rmtree would tear the files out
+# from under the scan; the shared atexit-parent lifetime is correct
+# (review r12: the per-invocation mkdtemp before this leaked one
+# spark_graft_tablelog_* tree per sweep; 227 orphans observed).
+from .fixtures import work_dir as _work_dir
 
 
 #: Zone-map prune range on user_id (events user_id spans 0..~150·sf).

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 import warnings
@@ -794,12 +795,17 @@ def files_for(
             missing = info.get("missing", [])
             detail = f" (e.g. {missing[0]})" if missing else ""
             cause = info.get("cause", "a restore lost a vacuum race")
+            count = str(len(missing))
         except (OSError, json.JSONDecodeError):
-            missing, detail = [], ""
+            # marker unreadable (torn write, or unlinked by a racing
+            # vacuum between the exists check and the open) — say the
+            # count is unknown rather than claiming "0 deleted files"
+            detail = ""
             cause = "a restore lost a vacuum race"
+            count = "an unknown number of"
         raise FileNotFoundError(
             f"version {version} of {table} is damaged: {cause}; its "
-            f"manifest names {len(missing)} deleted data "
+            f"manifest names {count} deleted data "
             f"files{detail} — read a different version"
         )
     manifest = _read_manifest(table, version)
@@ -1182,6 +1188,20 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     head_m = _read_manifest(table, head)
     still = sorted(set(gone) & set(head_m["files"]))
     if still:
+        # Mark the corrupted head too (review r12): without this only
+        # the restoring CALLER learns of the loss — every other
+        # reader's read_snapshot would schedule a scan over deleted
+        # files and die deep inside Spark with the bare error the
+        # markers exist to prevent. Scope: commits racing past this
+        # verify inherit the deleted names unmarked (the chase is
+        # unbounded); the raise remains the authoritative signal, and
+        # remediation (overwrite with fresh data, or restore from a
+        # retained version) does not read through files_for.
+        _write_damage_marker(
+            table, head, still,
+            "a commit interleaved with a restore that lost a vacuum "
+            "race and inherited its deleted file names",
+        )
         raise FileNotFoundError(
             f"restore of {table} to v{version} lost the race with a "
             f"concurrent vacuum: {len(still)} restored files were "
@@ -2234,7 +2254,15 @@ def vacuum(
                         newest = time.time()
                         break
             if newest <= cutoff:
-                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    shutil.rmtree(path)
+                except FileNotFoundError:
+                    # the writer completed and removed the tree
+                    # between our stat and the rmtree — tolerate ONLY
+                    # this; EACCES/read-only-mount failures must stay
+                    # loud or the leak vacuum exists to prevent
+                    # accumulates silently (review r12)
+                    pass
     log = _log_dir(table)
     if os.path.isdir(log):
         for entry in os.listdir(log):
@@ -2261,12 +2289,34 @@ def vacuum(
     # fold + only the manifests above it), so the no-op case is cheap.
     write_checkpoint(table, upto=versions[-1])
     for v in expired:
-        os.unlink(_manifest_path(table, v))
         # an expired version's damage marker (restore's lost-vacuum-
         # race caveat) is obsolete with its manifest: time travel to
-        # it now fails with the standard no-manifest error
+        # it now fails with the standard no-manifest error. Marker
+        # FIRST (review r12): a crash between the two unlinks must
+        # not orphan a marker for a version no longer in the listing
+        # — the manifest-first order left "version v is damaged"
+        # errors for an expired v forever, since no later vacuum's
+        # expired set would ever contain v again.
         try:
             os.unlink(_damaged_marker_path(table, v))
         except FileNotFoundError:
             pass
+        os.unlink(_manifest_path(table, v))
+    # Opportunistic sweep of markers already orphaned by a pre-fix
+    # crash (or any marker whose manifest is gone for whatever
+    # reason): with the manifest absent, the standard no-manifest
+    # error is the truthful answer, not a damage report. Only
+    # versions strictly BELOW the oldest retained manifest are
+    # provably expired — a racing restore may have just marked a
+    # fresh commit above the versions this vacuum listed, and that
+    # marker must survive.
+    oldest_kept = keep_versions[0]
+    if os.path.isdir(log):
+        for entry in os.listdir(log):
+            m = re.match(r"_damaged-v(\d+)\.json$", entry)
+            if m and int(m.group(1)) < oldest_kept:
+                try:
+                    os.unlink(os.path.join(log, entry))
+                except FileNotFoundError:
+                    pass
     return deleted

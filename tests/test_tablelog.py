@@ -427,6 +427,7 @@ def test_tablelog_matches_model_under_random_op_sequences(
 
     versions: dict[int, Counter] = {}  # live version -> expected rows
     txns: dict[str, tuple[int, list]] = {}  # txn -> (version, rows)
+    restore_txns: dict[str, int] = {}  # restore txn -> version
     for i, (op, arg) in enumerate(ops):
         head = tl.latest_version(table)
         if head is None and op in (
@@ -462,7 +463,9 @@ def test_tablelog_matches_model_under_random_op_sequences(
         elif op == "restore":
             live = sorted(versions)
             target = live[arg % len(live)]
-            v = tl.restore(table, target)
+            txn = f"model-restore-{i}"
+            v = tl.restore(table, target, txn_id=txn)
+            restore_txns[txn] = v
             versions[v] = Counter(versions[target])
         else:  # vacuum
             tl.vacuum(table, retain_last=arg)
@@ -503,6 +506,14 @@ def test_tablelog_matches_model_under_random_op_sequences(
     head = tl.latest_version(table)
     for txn, (v, rows) in txns.items():
         assert tl.append(df_of(rows), table, txn_id=txn) == v, txn
+    # restore replays too: no model restore ever lost a vacuum race,
+    # so the replay guard's rollback check must stay silent and the
+    # retry must read as the original success — even when the restore
+    # commit's own manifest has since been vacuumed and only the fold
+    # remembers its txn (the target version arg is irrelevant on a
+    # replay: the short-circuit answers before resolving it)
+    for txn, v in restore_txns.items():
+        assert tl.restore(table, 0, txn_id=txn) == v, txn
     assert tl.latest_version(table) == head
 
 
@@ -1815,15 +1826,22 @@ def test_restore_race_with_interleaved_commit_raises_without_rollback(
     # no rollback was committed over the interleaved append: the head
     # is the append's commit, its rows intact
     assert tl.history(table)[-1]["op"] == "append"
-    head_files = set(tl.files_for(table))
     assert target_files[0] not in tl.files_for(table, version=1)
-    assert target_files[0] in head_files  # the corruption the raise names
-    # the restore's own commit (v2) is marked damaged (r12); the HEAD
-    # stays unmarked even though it inherited the deleted name — the
-    # raise surfaces it, and recovery (recommit fresh data) needs the
-    # head readable
+    # the corruption the raise names: the interleaved append carried
+    # the deleted file name into the head manifest
+    head = tl.latest_version(table)
+    assert target_files[0] in tl._read_manifest(table, head)["files"]
+    # BOTH the restore's own commit and the corrupted head are marked
+    # damaged (r12): any reader — not just the restoring caller —
+    # gets the named error instead of a bare scan death
     with pytest.raises(FileNotFoundError, match="is damaged"):
         tl.files_for(table, fired[0])
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table)
+    # the undamaged pre-restore version stays readable for recovery
+    assert _values(tl.read_snapshot(spark, table, version=1)) == [
+        900, 901, 902,
+    ]
 
 
 def test_concurrent_delete_append_vacuum_interleave(spark, tmp_path):
@@ -2742,3 +2760,33 @@ def test_snapshot_reads_stay_consistent_during_live_maintenance(
     assert _values(tl.read_snapshot(spark, table)) == list(
         range(N_APPENDS * 10)
     )
+
+def test_vacuum_sweeps_orphaned_damage_markers_keeps_live_ones(
+    spark, tmp_path
+):
+    """r12 crash-window hardening: vacuum now unlinks a damage marker
+    BEFORE its manifest (a crash between the two must not leave a
+    'version v is damaged' error for a version whose manifest is
+    gone), and sweeps markers already orphaned by a pre-fix crash —
+    while a marker for a RETAINED version must survive the sweep."""
+    table = str(tmp_path / "t")
+    for i in range(4):
+        tl.append(_frame(spark, i * 10, i * 10 + 10), table)
+    # orphan: marker for v0 whose manifest we expire below (pre-fix
+    # crash shape); live: marker for the retained v2
+    tl._write_damage_marker(table, 0, ["ghost-a.parquet"], "test orphan")
+    tl._write_damage_marker(table, 2, ["ghost-b.parquet"], "test live")
+    tl.vacuum(table, retain_last=2)
+    # v0/v1 manifests expired; v0's marker went with them
+    assert tl._list_versions(table) == [2, 3]
+    assert not os.path.exists(tl._damaged_marker_path(table, 0))
+    # the retained version's marker survived and still yields the
+    # named error
+    assert os.path.exists(tl._damaged_marker_path(table, 2))
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table, 2)
+    # expired version: the STANDARD no-manifest error, not a damage
+    # report
+    with pytest.raises(FileNotFoundError) as exc:
+        tl.read_snapshot(spark, table, version=0)
+    assert "damaged" not in str(exc.value)
