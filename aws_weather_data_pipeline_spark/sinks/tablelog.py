@@ -2169,7 +2169,11 @@ def vacuum(
     written, commit never published) are unreachable by construction
     and swept too. Returns deleted data-file names. ``retain_last``
     must keep at least the head: vacuuming the live version is
-    nonsense and refused.
+    nonsense and refused. Crash-safe ordering (r12): expired
+    manifests are deleted BEFORE the data files they alone
+    referenced, so no crash window leaves a manifest on disk naming
+    deleted files — a vacuum killed at any point leaves only
+    unreferenced data files, which the next run sweeps.
 
     ``min_age_seconds`` protects IN-FLIGHT commits: every writer
     stages its data files BEFORE publishing the manifest that names
@@ -2208,16 +2212,16 @@ def vacuum(
     deleted = []
     data = _data_dir(table)
     cutoff = time.time() - min_age_seconds
-    if os.path.isdir(data):
-        for name in sorted(os.listdir(data)):
-            path = os.path.join(data, name)
-            if (
-                name.endswith(".parquet")
-                and name not in live
-                and os.path.getmtime(path) <= cutoff
-            ):
-                os.unlink(path)
-                deleted.append(name)
+    # NOTE: data-file deletion happens LAST (below, after manifest
+    # expiry) — crash-ordering, review r12. Deleting data first left
+    # a crash window where expired manifests still on disk named
+    # already-deleted files, so a time-travel read died deep in the
+    # scan with a bare missing-file error until the next vacuum.
+    # With manifests expired first, every crash window is benign:
+    # the worst outcome is unreferenced data files that the next
+    # run's sweep (this same loop) deletes. A reader racing the
+    # vacuum also improves: resolving an expiring version now hits
+    # the clean no-manifest error instead of a mid-scan death.
     # Crash leftovers OUTSIDE data/ (review r08): a writer dying
     # inside _write_data_files leaves a whole _staging-* directory; a
     # publish dying before its finally leaves _log/.tmp-*.json. Both
@@ -2319,4 +2323,16 @@ def vacuum(
                     os.unlink(os.path.join(log, entry))
                 except FileNotFoundError:
                     pass
+    # Data files last (crash-ordering note above): everything deleted
+    # here is unreferenced by every manifest still on disk.
+    if os.path.isdir(data):
+        for name in sorted(os.listdir(data)):
+            path = os.path.join(data, name)
+            if (
+                name.endswith(".parquet")
+                and name not in live
+                and os.path.getmtime(path) <= cutoff
+            ):
+                os.unlink(path)
+                deleted.append(name)
     return deleted

@@ -2790,3 +2790,113 @@ def test_vacuum_sweeps_orphaned_damage_markers_keeps_live_ones(
     with pytest.raises(FileNotFoundError) as exc:
         tl.read_snapshot(spark, table, version=0)
     assert "damaged" not in str(exc.value)
+
+def test_vacuum_crash_mid_data_deletion_leaves_no_manifest_lying(
+    spark, tmp_path, monkeypatch
+):
+    """r12 crash-ordering pin: vacuum expires manifests BEFORE
+    deleting the data files they alone referenced. Inject a crash on
+    the first data-file unlink: the interrupted vacuum must leave
+    every manifest still on disk fully readable (the old data-first
+    order left expired manifests naming deleted files — a bare scan
+    death for time-travel readers), and the next vacuum finishes the
+    sweep."""
+    table = str(tmp_path / "t")
+    for i in range(3):
+        tl.append(_frame(spark, i * 10, i * 10 + 10), table)
+    tl.overwrite(_frame(spark, 900, 905), table)  # v3: old files dead
+    data = tl._data_dir(table)
+    old = time.time() - 7200
+    for v in range(3):
+        for n in tl._read_manifest(table, v)["files"]:
+            os.utime(os.path.join(data, n), (old, old))
+
+    real_unlink = os.unlink
+    crashed = []
+
+    def crash_on_first_parquet(path, *a, **kw):
+        if str(path).endswith(".parquet") and not crashed:
+            crashed.append(path)
+            raise OSError("injected crash during data deletion")
+        return real_unlink(path, *a, **kw)
+
+    monkeypatch.setattr(tl.os, "unlink", crash_on_first_parquet)
+    with pytest.raises(OSError, match="injected crash"):
+        tl.vacuum(table, retain_last=1)
+    monkeypatch.setattr(tl.os, "unlink", real_unlink)
+    assert crashed, "fixture never reached the data-deletion phase"
+    # every manifest still on disk resolves to files that exist —
+    # the crash left orphans, never a lying manifest
+    versions = tl._list_versions(table)
+    assert versions == [3]  # expired manifests went first
+    for v in versions:
+        for n in tl.files_for(table, v):
+            assert os.path.exists(os.path.join(data, n)), (v, n)
+    # the interrupted sweep's survivors are plain orphans; the next
+    # vacuum deletes them and the head stays intact
+    swept = tl.vacuum(table, retain_last=1)
+    assert swept, "second vacuum found nothing to sweep"
+    assert _values(tl.read_snapshot(spark, table)) == list(
+        range(900, 905)
+    )
+
+def test_stream_sink_and_batch_appenders_share_one_table(
+    spark, tmp_path
+):
+    """REAL concurrency on the shared-table promise (SCALE.md: 'batch
+    writers can share the same table because the optimistic-commit
+    protocol serializes them with the stream'): a maxFilesPerTrigger=1
+    availableNow drain commits one epoch per source file through
+    foreachBatch WHILE batch threads append their own disjoint
+    ranges. The stream's epoch appends are rebasable, so lost races
+    re-target instead of dropping a micro-batch; every epoch and
+    every batch range must land exactly once, in one contiguous
+    version chain."""
+    import threading
+
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        start_tablelog_sink,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    N_FILES, N_BATCH = 4, 6
+    for i in range(N_FILES):
+        _frame(spark, i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    failures: list[str] = []
+
+    def batch_appender():
+        try:
+            for i in range(N_BATCH):
+                lo = 1000 + i * 10
+                tl.append(_frame(spark, lo, lo + 10), table)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"batch: {exc!r}")
+
+    t = threading.Thread(target=batch_appender)
+    t.start()
+    stream = (
+        spark.readStream.schema("v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_tablelog_sink(stream, table, ckpt)
+    assert q.awaitTermination(300), "stream drain did not finish"
+    t.join(timeout=120)
+    assert not t.is_alive() and not failures, failures
+    # exactly once, both sides: stream rows + batch rows, no dupes
+    expect = sorted(
+        list(range(N_FILES * 10))
+        + [1000 + i * 10 + j for i in range(N_BATCH) for j in range(10)]
+    )
+    assert _values(tl.read_snapshot(spark, table)) == expect
+    # one contiguous version chain: every epoch and every batch append
+    # serialized into its own commit
+    assert tl.latest_version(table) == N_FILES + N_BATCH - 1
+    epochs = [
+        m["txn_id"] for m in tl.history(table) if m.get("txn_id")
+    ]
+    assert len(epochs) == N_FILES and len(set(epochs)) == N_FILES
