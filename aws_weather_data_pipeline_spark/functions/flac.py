@@ -752,6 +752,16 @@ def decode_flac(b: bytes) -> dict:
             rate = r.read(16) * 10
         else:
             raise ValueError("invalid sample rate code 1111")
+        # RFC 9639: the frame rate must agree with STREAMINFO. Without
+        # this, a corrupted STREAMINFO rate decodes "successfully"
+        # with wrong metadata — the samples are stream-MD5-protected
+        # but the rate is pure metadata, so nothing else catches it
+        # (found by the r12 corruption fuzz; the frame header's own
+        # CRC-8 covers the frame-side copy).
+        if rate != si_rate:
+            raise ValueError(
+                f"frame sample rate {rate} != STREAMINFO {si_rate}"
+            )
         if bps_code == 0b000:
             bps = si_bps
         elif bps_code in _BPS_BY_CODE:

@@ -81,26 +81,35 @@ def build_folded_events_log(spark: SparkSession, sf_dir: str) -> str:
     """
     work = _work_dir("spark_graft_tablelog_q_")
     table = os.path.join(work, "events_log")
-    events = load_tables(spark, sf_dir, ("events",))["events"]
-    for rem in range(N_SLICES):
-        op = tablelog.overwrite if rem == 0 else tablelog.append
-        op(
-            events.filter(F.col("event_id") % N_SLICES == rem)
+    # persist: the six slice commits each scan events TWICE (the range
+    # partitioner samples, then the write reads) — 12 parquet scans
+    # without the cache, 1 with it
+    events = load_tables(spark, sf_dir, ("events",))["events"].persist()
+    try:
+        for rem in range(N_SLICES):
+            op = tablelog.overwrite if rem == 0 else tablelog.append
+            op(
+                events.filter(F.col("event_id") % N_SLICES == rem)
+                .repartitionByRange(N_RANGE_FILES, "user_id"),
+                table,
+                txn_id=f"slice-{rem}",
+            )
+        # maintenance window: no live writers in this fixture, so the
+        # in-flight-commit age guard can be 0
+        tablelog.vacuum(
+            table, retain_last=RETAIN_LAST, min_age_seconds=0.0
+        )
+        # the replay: dedup must come from the checkpoint (manifest v1
+        # is vacuumed); a correct log answers it as a no-op before any
+        # write
+        tablelog.append(
+            events.filter(F.col("event_id") % N_SLICES == 1)
             .repartitionByRange(N_RANGE_FILES, "user_id"),
             table,
-            txn_id=f"slice-{rem}",
+            txn_id="slice-1",
         )
-    # maintenance window: no live writers in this fixture, so the
-    # in-flight-commit age guard can be 0
-    tablelog.vacuum(table, retain_last=RETAIN_LAST, min_age_seconds=0.0)
-    # the replay: dedup must come from the checkpoint (manifest v1 is
-    # vacuumed); a correct log answers it as a no-op before any write
-    tablelog.append(
-        events.filter(F.col("event_id") % N_SLICES == 1)
-        .repartitionByRange(N_RANGE_FILES, "user_id"),
-        table,
-        txn_id="slice-1",
-    )
+    finally:
+        events.unpersist()
     return table
 
 

@@ -253,7 +253,10 @@ BENCH_NOTES = {
         "version resolution, zone-map pruning, replay dedup, and "
         "manifest COUNT(*) on the folded log are all O(retained "
         "manifests) driver-side arithmetic that would be unchanged "
-        "on a 100 TB table."
+        "on a 100 TB table. Late-r12: the fixture input is persisted "
+        "for the commit loop (the range partitioner samples then the "
+        "write reads — 12 parquet scans to 1); isolated probes moved "
+        "3.1 -> 2.9s min."
     ),
 }
 

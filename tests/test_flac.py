@@ -484,3 +484,61 @@ def test_decode_media_integration_and_quarantine_contract():
         decode_media(b[:30], "audio/flac")
     with pytest.raises(NotImplementedError, match="PERCEPTUAL|ffmpeg"):
         decode_media(b"\xff\xfb\x90\x00" + b"\x00" * 32, "audio/mpeg")
+
+# ---------------------------------------------------------------------------
+# Corruption fuzz: a corrupt payload must raise ValueError, never die
+# ---------------------------------------------------------------------------
+
+
+def test_corrupted_streams_fail_closed_with_valueerror():
+    """Seeded corruption fuzz over a real encoded stream: byte flips,
+    truncations, length-field tampering, garbage splices. The decode
+    quarantine (decode_media) catches ValueError per row — any OTHER
+    exception class (IndexError, struct.error, MemoryError from an
+    attacker-controlled allocation, an unbounded loop) would escape
+    it and kill the whole 100 TB scan stage on one bad file. The
+    decoder is structurally bounded — allocations come from the
+    16-bit blocksize field, unary reads consume stream bits — and
+    this pins it empirically: every corruption either still decodes
+    (CRC collision; none observed at this seed) or raises ValueError
+    promptly."""
+    import random
+
+    rng = random.Random(0xF1AC)
+    base = np.array(
+        [((i * 37) % 4000 - 2000) for i in range(700)], dtype=np.int64
+    )
+    stream = bytearray(encode_flac(base, 44100, 1))
+    n_clean = 0
+    for trial in range(300):
+        buf = bytearray(stream)
+        kind = trial % 4
+        if kind == 0:  # flip 1-8 random bytes anywhere
+            for _ in range(rng.randint(1, 8)):
+                i = rng.randrange(len(buf))
+                buf[i] ^= rng.randint(1, 255)
+        elif kind == 1:  # truncate at a random point
+            buf = buf[: rng.randrange(len(buf))]
+        elif kind == 2:  # tamper metadata/frame length-ish early bytes
+            i = rng.randrange(min(64, len(buf)))
+            buf[i] = rng.randrange(256)
+        else:  # splice random garbage into the middle
+            i = rng.randrange(len(buf))
+            buf[i:i] = bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 32))
+            )
+        try:
+            out = decode_flac(bytes(buf))
+        except ValueError:
+            continue
+        # a decode that survives must be SEMANTICALLY untouched: the
+        # mutation hit a don't-care byte (informational STREAMINFO
+        # frame-size bounds, padding, or a same-value write) — the
+        # stream-MD5 check inside decode forbids any sample change
+        # slipping through as success
+        assert out["n_channels"] == 1
+        assert out["sample_rate"] == 44100
+        assert np.array_equal(out["samples"], base)
+        n_clean += 1
+    # sanity: the fuzz actually exercised the error paths
+    assert n_clean < 30, f"only {300 - n_clean} corruptions detected"
