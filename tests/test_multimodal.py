@@ -895,12 +895,17 @@ def test_decode_media_malformed_input_contract_under_fuzz():
         encode_wav,
     )
 
+    from aws_weather_data_pipeline_spark.functions.flac import encode_flac
+
     raster = bytes(range(64))  # one 8x8 grayscale block
     rgb = bytes(np.repeat(np.frombuffer(raster, np.uint8), 3))
     payloads = {
         "image/x-portable-pixmap": b"P6\n8 8\n255\n" + rgb,
         "image/png": encode_png(rgb, 8, 8),
         "audio/wav": encode_wav(list(range(-32, 32)), 8000, 1),
+        "audio/flac": encode_flac(
+            np.arange(-32, 32, dtype=np.int64), 8000, 1
+        ),
         "image/gif": encode_gif([raster], 8, 8),
         "image/jpeg": encode_jpeg(raster, 8, 8),
         "video/x-msvideo": encode_avi([rgb, rgb], 8, 8),
