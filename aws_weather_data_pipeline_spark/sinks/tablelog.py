@@ -783,10 +783,15 @@ def files_for(
         version = latest_version(table)
         if version is None:
             raise FileNotFoundError(f"no commits in table {table}")
+    # Manifest FIRST (review r12 #3): an expired version must get the
+    # standard no-manifest error even if a marker briefly outlives it
+    # (pre-sweep orphan, or a vacuum racing this read) — a damage
+    # report for a version whose manifest is gone would be false.
+    manifest = _read_manifest(table, version)
     # A damage marker means this version's manifest names data files a
-    # lost vacuum race deleted (restore's success-with-caveat path,
-    # ADVICE r11): the scan would fail anyway, deep inside Spark with
-    # a bare missing-file error — surface the HISTORY instead.
+    # lost vacuum race deleted (restore's losing branches, ADVICE
+    # r11): the scan would fail anyway, deep inside Spark with a bare
+    # missing-file error — surface the HISTORY instead.
     marker = _damaged_marker_path(table, version)
     if os.path.exists(marker):
         try:
@@ -796,19 +801,27 @@ def files_for(
             detail = f" (e.g. {missing[0]})" if missing else ""
             cause = info.get("cause", "a restore lost a vacuum race")
             count = str(len(missing))
+        except FileNotFoundError:
+            # a racing vacuum expired this version and removed its
+            # marker between our manifest read and this open — the
+            # version WAS resolvable a moment ago; serve it from the
+            # manifest already in hand (the standard retention race,
+            # not damage)
+            marker = None
+            detail = cause = count = ""
         except (OSError, json.JSONDecodeError):
-            # marker unreadable (torn write, or unlinked by a racing
-            # vacuum between the exists check and the open) — say the
-            # count is unknown rather than claiming "0 deleted files"
+            # torn/unreadable marker: the damage is real but the
+            # record is not — say the count is unknown rather than
+            # claiming "0 deleted files"
             detail = ""
             cause = "a restore lost a vacuum race"
             count = "an unknown number of"
-        raise FileNotFoundError(
-            f"version {version} of {table} is damaged: {cause}; its "
-            f"manifest names {count} deleted data "
-            f"files{detail} — read a different version"
-        )
-    manifest = _read_manifest(table, version)
+        if marker is not None:
+            raise FileNotFoundError(
+                f"version {version} of {table} is damaged: {cause}; "
+                f"its manifest names {count} deleted data "
+                f"files{detail} — read a different version"
+            )
     names = manifest["files"]
     if where is None:
         return list(names)
@@ -1164,22 +1177,24 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
             )
             rolled_back = True
         except (CommitConflict, FileNotFoundError):
-            pass
-        # honest message either way (review r10 #4): a swallowed
-        # rollback failure must not be reported as a rollback
-        outcome = (
-            f"the head was rolled back to the pre-restore snapshot "
-            f"v{prev_v}"
-            if rolled_back
-            else f"rollback to v{prev_v} also failed — the head still "
-            "names deleted files; restore from a retained version or "
-            "recommit fresh data"
-        )
-        raise FileNotFoundError(
-            f"restore of {table} to v{version} lost the race with a "
-            f"concurrent vacuum: {len(gone)} restored files were "
-            f"deleted after publish (e.g. {gone[0]}); {outcome}"
-        )
+            # CAS lost: a commit landed on top of ours between the
+            # head check and the rollback publish. Do NOT raise a
+            # guessed message here (review r12 #2: the old branch
+            # claimed 'the head still names deleted files' without
+            # checking, and left an inheriting head unmarked for
+            # every other reader) — re-read the real head and fall
+            # through to the head-moved logic below, which marks it
+            # if it inherited the deleted names and words the error
+            # by what it actually references.
+            head = latest_version(table)
+        if rolled_back:
+            raise FileNotFoundError(
+                f"restore of {table} to v{version} lost the race "
+                f"with a concurrent vacuum: {len(gone)} restored "
+                f"files were deleted after publish (e.g. {gone[0]}); "
+                f"the head was rolled back to the pre-restore "
+                f"snapshot v{prev_v}"
+            )
     # The head moved past our commit. A compaction may have rewritten
     # the lost files away (current head clean — fine); an append
     # carried them forward (current head names deleted files — the
@@ -2295,17 +2310,21 @@ def vacuum(
     for v in expired:
         # an expired version's damage marker (restore's lost-vacuum-
         # race caveat) is obsolete with its manifest: time travel to
-        # it now fails with the standard no-manifest error. Marker
-        # FIRST (review r12): a crash between the two unlinks must
-        # not orphan a marker for a version no longer in the listing
-        # — the manifest-first order left "version v is damaged"
-        # errors for an expired v forever, since no later vacuum's
-        # expired set would ever contain v again.
+        # it now fails with the standard no-manifest error. MANIFEST
+        # first (review r12 #2, reversing the first r12 attempt): a
+        # crash between the two unlinks then leaves an orphaned
+        # MARKER — harmless, because files_for consults the manifest
+        # before the marker (an expired version reports the standard
+        # no-manifest error regardless) and the sweep below GCs it on
+        # the next run. The opposite order's crash window destroyed
+        # the damage record while the damaged manifest survived —
+        # reintroducing the bare-scan-death state the markers exist
+        # to prevent.
+        os.unlink(_manifest_path(table, v))
         try:
             os.unlink(_damaged_marker_path(table, v))
         except FileNotFoundError:
             pass
-        os.unlink(_manifest_path(table, v))
     # Opportunistic sweep of markers already orphaned by a pre-fix
     # crash (or any marker whose manifest is gone for whatever
     # reason): with the manifest absent, the standard no-manifest

@@ -2900,3 +2900,59 @@ def test_stream_sink_and_batch_appenders_share_one_table(
         m["txn_id"] for m in tl.history(table) if m.get("txn_id")
     ]
     assert len(epochs) == N_FILES and len(set(epochs)) == N_FILES
+
+def test_restore_rollback_cas_lost_marks_inherited_head(
+    spark, tmp_path, monkeypatch
+):
+    """Review r12 #2: when restore's rollback CAS loses to a commit
+    that landed between the head check and the rollback publish, the
+    old code raised a GUESSED 'head still names deleted files'
+    without checking and left that head unmarked. Now the branch
+    falls through to the head re-evaluation: the interleaved append
+    inherited the deleted name, so the head gets a damage marker too
+    — every reader sees the named error — and the raise describes
+    what the real head references."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    state = {"restored": False, "interleaved": False}
+
+    def sabotage(tbl, version, manifest):
+        if (
+            manifest.get("op") == "restore"
+            and "rolled_back_restore" not in manifest
+            and not state["restored"]
+        ):
+            state["restored"] = True
+            real_publish(tbl, version, manifest)
+            # the losing vacuum unlinks a restored file AFTER publish
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+            return
+        if (
+            "rolled_back_restore" in manifest
+            and not state["interleaved"]
+        ):
+            # the interleaver lands between restore's head check and
+            # the rollback publish, so the rollback CAS must lose
+            state["interleaved"] = True
+            tl.append(_frame(spark, 50, 52), tbl)
+        real_publish(tbl, version, manifest)
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(FileNotFoundError, match="still references"):
+        tl.restore(table, 0)
+    assert state["interleaved"], "fixture never exercised the CAS loss"
+    # the interleaved append IS the head, and it is marked damaged
+    head = tl.latest_version(table)
+    assert tl.history(table)[-1]["op"] == "append"
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table)
+    # restore's own commit carries its marker as well
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table, head - 1)
+    # the pre-restore snapshot is intact for recovery
+    assert _values(tl.read_snapshot(spark, table, version=1)) == [
+        900, 901, 902,
+    ]
