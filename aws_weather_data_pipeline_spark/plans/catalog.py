@@ -45,24 +45,19 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 12's window (committed at round start, per the checklist):
-# the 3-round cycle's third full turn — the surviving queries whose
-# latest driver row is r09 (age 3 at r12), plus TWO swapped-in
-# queries: multimodal_decode_flac in the retired wav slot
-# (first-commit, r11's plan of record) and tablelog_checkpoint_fold
-# replacing tablelog_time_travel_prune IN PLACE mid-round (the
-# retiree was itself in the aged block, so the subsuming query
-# inherits its window position).
-# multimodal_decode_wav retired (subsumption note in
-# plans/multimodal.py: multimodal_decode_flac runs the SAME decode
-# stage — decode_wav_features, decode_media dispatching on content
-# type — with the SAME statistics/oracle recipe, but through the
-# COMPRESSED lossless codec functions/flac.py instead of raw PCM;
-# the raw-PCM RIFF parse stays unit-pinned by
-# tests/test_multimodal.py), slot transferred to
-# multimodal_decode_flac (plans/multimodal.py FLAC_AUDIO_SQL).
-# tools/rotate_window.py emitted the rotation tuple (the aged-r09
-# block, zero free slots beyond the swap).
+# Round 13's window (committed at round start, per the checklist):
+# the aged block whose latest driver row is r10 (age 3 at r13), as
+# emitted by tools/rotate_window.py. One planned swap this round
+# (VERDICT r12 task 2, the change-feed consumer driver row) uses a
+# TWO-SLOT rotation: cdc_merge_apply (latest row r11, so its window
+# slot is in ROUND 14's aged block) retires in favor of the new
+# log-native keyed-sync query; the new query must enter THIS window
+# (new queries are checked at creation), so it takes scd2_user_state's
+# r13 slot and scd2_user_state inherits the retiree's freed r14 slot
+# — scd2's r10 evidence is age 3 at r13 (legal outside the window)
+# and it re-enters at r14 before reaching age 4. Net ages stay <= 3
+# for every query; tests/test_rotation_policy.py checks both rounds'
+# arithmetic against the committed window.
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
@@ -86,64 +81,56 @@ OPERATOR_MODULES = (
 # folded log plus a fold-answered txn replay; note in
 # plans/tablelog_queries.py).
 DRIVER_WINDOW = (
-    # NEW r12, never driver-checked (slot from the retired
-    # multimodal_decode_wav per the zero-slack swap protocol;
-    # plans/multimodal.py FLAC_AUDIO_SQL)
-    "multimodal_decode_flac",
-    # --- the aged block: latest driver row r09 (49 survivors) ---
-    "ann_multiprobe_lsh_topk",
-    "bpe_train_merges",
-    "corpus_filter_funnel",
-    "corpus_relative_quality_filter",
-    "dedup_attrition_by_source",
-    "doc_simpson_diversity",
-    "doc_winnowing_fingerprints",
-    "exact_substr_removal",
-    "fixed_size_doc_sample",
-    "hard_negative_mining",
-    "ivf_pq_search_topk",
-    "leakage_safe_split_assignment",
-    "length_weighted_doc_sample",
-    "lineitem_unpivot_measures",
-    "mg_heavy_hitter_pairs",
-    "multimodal_audio_windows",
-    "multimodal_decode_png",
-    "multimodal_image_tiles",
-    "multimodal_resize_stats",
-    "near_dup_pairs_winnow",
-    "pq_adc_topk",
-    "pq_code_assignment",
-    "price_percentiles_by_flag",
-    "quantile_sketch_estimates",
-    "salted_hot_key_join",
-    "salted_user_event_lists",
-    "semantic_dedup_keep_list",
-    "small_quantity_order_revenue",
-    "split_leakage_audit",
-    "streaming_attributed_purchases",
-    "streaming_attribution_with_timeouts",
-    "streaming_batch_equivalence",
-    "streaming_dedup_replay",
-    "streaming_running_user_stats",
-    "streaming_session_windows",
-    "streaming_static_enrichment",
-    "streaming_windowed_alert_counts",
-    # NEW r12 (slot inherited in place: tablelog_checkpoint_fold
-    # strictly subsumes the retired tablelog_time_travel_prune, which
-    # was already mandatory in this window — subsumption note in
-    # plans/tablelog_queries.py)
-    "tablelog_checkpoint_fold",
-    "temperature_mixture_sample",
-    "value_histogram",
-    "value_outliers_exact",
-    "weather_alert_feed",
-    "weather_comfort_heat_index",
-    "weather_conversions",
-    "weather_daily_summary",
-    "weather_quality_flags",
-    "weather_severity_class",
-    "weather_time_features",
-    "zorder_layout_audit",
+    "ann_ivf_probe_topk",  # r10
+    "ann_recall_at_k",  # r10
+    "asof_last_click_before_purchase",  # r10
+    "bm25_topk",  # r10
+    "coercion_null_on_error",  # r10
+    "conditional_counts",  # r10
+    "corpus_build_manifest",  # r10
+    "customers_without_urgent_orders",  # r10
+    "dataset_split_assignment",  # r10
+    "decontaminate_ngram_overlap",  # r10
+    "dedup_cascade_keep_list",  # r10
+    "dedup_exact_content",  # r10
+    "dedup_user_event_type",  # r10
+    "deterministic_doc_sample",  # r10
+    "doc_language_id",  # r10
+    "dominant_event_type",  # r10
+    "event_type_share",  # r10
+    "global_stats",  # r10
+    "hll_distinct_sketch",  # r10
+    "incremental_agg_maintenance",  # r10
+    "knn_cosine_topk",  # r10
+    "latest_event_per_user",  # r10
+    "multimodal_decode_gif",  # r10
+    "multimodal_feature_extract",  # r10
+    "nations_sorted",  # r10
+    "near_dup_clusters",  # r10
+    "near_dup_pairs_minhash",  # r10
+    "null_drop_critical",  # r10
+    "order_date_arithmetic",  # r10
+    "pack_explode_flatten",  # r10
+    "pagerank_trade_graph",  # r10
+    "parse_props_json",  # r10
+    "pivot_status_qty",  # r10
+    "pricing_summary",  # r10
+    "promo_revenue_ratio",  # r10
+    "range_validity_flags",  # r10
+    "recent_events_feed",  # r10
+    "regional_revenue",  # r10
+    "rollup_returnflag_status",  # r10
+    "scd2_user_state",  # r10
+    "sequence_pack_assignment",  # r10
+    "tablelog_manifest_stats",  # r10
+    "tfidf_top_terms",  # r10
+    "top_revenue_orders",  # r10
+    "tumbling_hourly_by_type",  # r10
+    "union_segments",  # r10
+    "user_activity_coverage",  # r10
+    "user_session_windows",  # r10
+    "validation_aggregates",  # r10
+    "weather_current_status",  # r10
 )
 
 
