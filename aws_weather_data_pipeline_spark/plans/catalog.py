@@ -79,7 +79,11 @@ OPERATOR_MODULES = (
 # window, so the fold query inherits its slot: same time-travel +
 # zone-map-prune recipe exercised through a vacuumed, checkpoint-
 # folded log plus a fold-answered txn replay; note in
-# plans/tablelog_queries.py).
+# plans/tablelog_queries.py); r13 retired cdc_merge_apply →
+# changefeed_keyed_sync (first TWO-SLOT rotation: the retiree's slot
+# was in the NEXT round's aged block, so the displaced r13-window
+# query scd2_user_state inherits it — header note above; subsumption
+# note in plans/tablelog_queries.py).
 DRIVER_WINDOW = (
     "ann_ivf_probe_topk",  # r10
     "ann_recall_at_k",  # r10
@@ -120,7 +124,12 @@ DRIVER_WINDOW = (
     "recent_events_feed",  # r10
     "regional_revenue",  # r10
     "rollup_returnflag_status",  # r10
-    "scd2_user_state",  # r10
+    # NEW r13, never driver-checked (two-slot rotation per the header
+    # note: cdc_merge_apply retired — subsumption note in
+    # plans/tablelog_queries.py — freeing its r14 aged slot for
+    # scd2_user_state, whose r13 slot this query takes; scd2's r10
+    # evidence is age 3 here, legal, and it re-enters at r14)
+    "changefeed_keyed_sync",
     "sequence_pack_assignment",  # r10
     "tablelog_manifest_stats",  # r10
     "tfidf_top_terms",  # r10

@@ -449,3 +449,355 @@ def incremental_agg_maintenance(
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Change-feed consumer path: read_changes + ChangefeedCursor + sync_changes
+# --------------------------------------------------------------------------
+
+# cdc_merge_apply retired r13 (zero-slack swap, VERDICT r12 task 2):
+# its keyed I/U/D MERGE semantics — per-key last-writer-wins collapse
+# of the change batch, one full-outer reconcile per key, delete-drop,
+# insert-on-absent, no-op delete of an absent key — are exactly what
+# ``sinks/tablelog.merge_changes`` applies and what
+# ``sync_changes(keys=...)`` drives from a real log's change feed, so
+# changefeed_keyed_sync certifies the SAME semantics (same base/change
+# split on the same CDC_CUTOFF, same (ts, event_id) total order, same
+# final reconciled state hash-compared against the same full-outer
+# oracle) THROUGH the log: merge-committed feeds, O(delta)
+# read_changes, the poll/ack re-serve-until-acked cursor contract, and
+# destination-recovered sync positions — plus the kept/inserted/
+# updated/deleted audit, upgraded from a query-side CASE tag to the
+# log's own recorded _change_type counts per commit. The factored
+# query-side plan (``plans/temporal.cdc_merge_plan``) stays
+# unit-pinned by tests/test_plans.py (plan shape + crafted-branch
+# semantics), exactly like the r12 wav->flac swap kept the RIFF parse
+# pinned.
+
+#: Base/changes split (same instant the retired cdc_merge_apply used)
+#: plus two further slice boundaries: three keyed change batches whose
+#: per-slice last change per key is time-ordered across slices, so the
+#: sequential merges must converge to the single global last-change
+#: reconcile the oracle computes.
+CF_CUTOFFS = (
+    "2024-01-16 00:00:00",
+    "2024-01-21 00:00:00",
+    "2024-01-26 00:00:00",
+)
+
+
+def build_synced_state_logs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, dict[tuple[int, str], int]]:
+    """Build a keyed SOURCE state log from events, consume its change
+    feed into a DESTINATION log, and return ``(src, dst,
+    feed_counts)`` where ``feed_counts`` maps ``(commit_version,
+    change_type)`` to the number of effective row-level changes the
+    feed recorded.
+
+    Source commits: v0 = append of each user's latest pre-cutoff state
+    (the keyed snapshot a CDC pipeline bootstraps from), v1..v3 =
+    ``merge_changes(write_changefeed=True)`` of the three post-cutoff
+    slices, each batch mapped to ops (error -> D, else U) and
+    collapsed per key inside the merge by the (updated_at, event_id)
+    total order — event_id rides as feed metadata through the dedup
+    window and is dropped from the table, per the order_cols contract.
+    NULL keys are excluded on BOTH sides (and in the oracle): a keyed
+    CDC feed's primary key is non-null by definition; NULL-key
+    semantics for the query-side reconcile stay unit-pinned on
+    ``cdc_merge_plan``.
+
+    Consumers exercised, with their contracts enforced as raises (a
+    violated contract must fail the driver row, never ship a lucky
+    hash):
+
+    - ``sync_changes(keys=['user_id'])`` after v1: destination is
+      empty, so the batch covers v0+v1 and takes the BOOTSTRAP path —
+      the per-key collapse by _commit_version must drop keys whose
+      last change in range is a delete, not resurrect their v0 row.
+    - v2 and v3 are committed BEFORE the second sync, so that batch is
+      a MULTI-COMMIT keyed merge: a key changed in both v2 and v3 must
+      resolve to v3's row via the order_cols=[_commit_version]
+      collapse. Position recovery reads the destination's own
+      manifests (``sync_position``), never external state.
+    - a third ``sync_changes`` must return None (idle signal: nothing
+      past the recorded position) — the O(delta) contract's "no new
+      commits costs no data movement".
+    - ``ChangefeedCursor.poll/ack`` as an independent second consumer
+      over the full feed: two polls WITHOUT an ack must re-serve the
+      identical batch (same ``until``, same per-(version, change_type)
+      counts — at-least-once until the downstream commit acks), and a
+      poll after ``ack(until)`` must return None.
+
+    Scale shape: every batch ``read_changes`` serves comes from the
+    commits' own recorded ``added``/``cdc_files`` — O(changed rows)
+    per poll, never a snapshot diff — and each destination apply is
+    one keyed merge; no step rescans the source table. At 100 TB this
+    is the entire point: downstream consumes commits, not the table.
+    """
+    from pyspark.sql import Window as W
+
+    work = _work_dir("spark_graft_tablelog_cf_")
+    src = os.path.join(work, "state_src")
+    dst = os.path.join(work, "state_dst")
+    events = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("user_id").isNotNull())
+    )
+    c0 = F.lit(CF_CUTOFFS[0]).cast("timestamp")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        events.filter(F.col("ts") < c0)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "value",
+            F.col("ts").alias("updated_at"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tablelog.append(
+        base.repartitionByRange(N_RANGE_FILES, "user_id"),
+        src,
+        txn_id="cf-base",
+    )
+
+    bounds = [c0] + [
+        F.lit(c).cast("timestamp") for c in CF_CUTOFFS[1:]
+    ] + [None]
+    for i in range(3):
+        lo, hi = bounds[i], bounds[i + 1]
+        batch = events.filter(F.col("ts") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("ts") < hi)
+        batch = batch.select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("event_type").alias("state"),
+            "value",
+            F.col("ts").alias("updated_at"),
+            "event_id",
+        )
+        tablelog.merge_changes(
+            spark,
+            src,
+            batch,
+            keys=["user_id"],
+            order_cols=["updated_at", "event_id"],
+            write_changefeed=True,
+            txn_id=f"cf-slice-{i + 1}",
+        )
+        if i == 0:
+            got = tablelog.sync_changes(
+                spark, src, dst, keys=["user_id"]
+            )
+            if got != 0:
+                raise ValueError(
+                    f"bootstrap sync committed dst v{got}, expected v0"
+                )
+    got = tablelog.sync_changes(spark, src, dst, keys=["user_id"])
+    if got != 1:
+        raise ValueError(
+            f"multi-commit sync committed dst v{got}, expected v1"
+        )
+    if tablelog.sync_changes(spark, src, dst, keys=["user_id"]) is not None:
+        raise ValueError("idle sync moved data despite no new commits")
+    pos = tablelog.sync_position(dst)
+    if pos != 3:
+        raise ValueError(
+            f"destination-recovered sync position is {pos}, expected "
+            "the source head 3"
+        )
+
+    def _counts(feed: DataFrame) -> dict[tuple[int, str], int]:
+        # bounded collect: <= (4 commits x 3 change types) rows — the
+        # audit aggregate itself, not table data
+        return {
+            (r["_commit_version"], r["_change_type"]): r["n"]
+            for r in feed.groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    cursor = tablelog.ChangefeedCursor(src)
+    first = cursor.poll(spark)
+    if first is None:
+        raise ValueError("cursor poll over a 4-commit log returned idle")
+    second = cursor.poll(spark)
+    if second is None or second[1] != first[1]:
+        raise ValueError(
+            "unacked cursor did not re-serve the batch: "
+            f"first until={first[1]}, second={second and second[1]}"
+        )
+    feed_counts = _counts(first[0])
+    if _counts(second[0]) != feed_counts:
+        raise ValueError(
+            "unacked cursor re-served a DIFFERENT batch (counts "
+            "diverged between polls)"
+        )
+    cursor.ack(first[1])
+    if cursor.poll(spark) is not None:
+        raise ValueError("cursor served rows past the acked position")
+    return src, dst, feed_counts
+
+
+@CATALOG.add(
+    "changefeed_keyed_sync",
+    f"""
+    WITH evs AS (
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    base AS (
+        SELECT user_id, state, value, updated_at FROM (
+            SELECT user_id, event_type AS state, value,
+                   ts AS updated_at,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM evs WHERE ts < TIMESTAMP '{CF_CUTOFFS[0]}'
+        ) WHERE rn = 1
+    ),
+    chg AS (
+        SELECT user_id, slice, op FROM (
+            SELECT user_id,
+                   CASE WHEN ts < TIMESTAMP '{CF_CUTOFFS[1]}' THEN 1
+                        WHEN ts < TIMESTAMP '{CF_CUTOFFS[2]}' THEN 2
+                        ELSE 3 END AS slice,
+                   CASE WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id,
+                           CASE WHEN ts < TIMESTAMP '{CF_CUTOFFS[1]}'
+                                THEN 1
+                                WHEN ts < TIMESTAMP '{CF_CUTOFFS[2]}'
+                                THEN 2
+                                ELSE 3 END
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM evs WHERE ts >= TIMESTAMP '{CF_CUTOFFS[0]}'
+        ) WHERE rn = 1
+    ),
+    m0 AS (SELECT user_id FROM base),
+    m1 AS (
+        SELECT user_id FROM m0 WHERE NOT EXISTS (
+            SELECT 1 FROM chg c
+            WHERE c.slice = 1 AND c.op = 'D'
+              AND c.user_id = m0.user_id)
+        UNION
+        SELECT user_id FROM chg WHERE slice = 1 AND op = 'U'
+    ),
+    m2 AS (
+        SELECT user_id FROM m1 WHERE NOT EXISTS (
+            SELECT 1 FROM chg c
+            WHERE c.slice = 2 AND c.op = 'D'
+              AND c.user_id = m1.user_id)
+        UNION
+        SELECT user_id FROM chg WHERE slice = 2 AND op = 'U'
+    ),
+    feed AS (
+        SELECT 0 AS v, 'insert' AS ctype FROM base
+        UNION ALL
+        SELECT c.slice AS v,
+               CASE WHEN c.op = 'D' THEN 'delete'
+                    WHEN matched THEN 'update'
+                    ELSE 'insert' END AS ctype
+        FROM (
+            SELECT c.user_id, c.slice, c.op,
+                   CASE c.slice
+                        WHEN 1 THEN EXISTS (SELECT 1 FROM m0
+                                            WHERE m0.user_id = c.user_id)
+                        WHEN 2 THEN EXISTS (SELECT 1 FROM m1
+                                            WHERE m1.user_id = c.user_id)
+                        ELSE EXISTS (SELECT 1 FROM m2
+                                     WHERE m2.user_id = c.user_id)
+                   END AS matched
+            FROM chg c
+        ) c
+        WHERE c.op = 'U' OR matched
+    ),
+    last_chg AS (
+        SELECT user_id, op, state, value, updated_at FROM (
+            SELECT user_id,
+                   CASE WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+                   event_type AS state, value, ts AS updated_at,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM evs WHERE ts >= TIMESTAMP '{CF_CUTOFFS[0]}'
+        ) WHERE rn = 1
+    )
+    SELECT 'final_state' AS branch,
+           COALESCE(c.user_id, b.user_id) AS user_id,
+           CASE WHEN c.op IS NULL THEN b.state ELSE c.state END AS state,
+           CASE WHEN c.op IS NULL THEN b.value ELSE c.value END AS value,
+           CASE WHEN c.op IS NULL THEN b.updated_at
+                ELSE c.updated_at END AS updated_at,
+           CAST(NULL AS BIGINT) AS n
+    FROM base b FULL OUTER JOIN last_chg c ON b.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    UNION ALL
+    SELECT 'feed_v' || CAST(v AS VARCHAR) || '_' || ctype AS branch,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS VARCHAR) AS state,
+           CAST(NULL AS DOUBLE) AS value,
+           CAST(NULL AS TIMESTAMP) AS updated_at,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM feed GROUP BY v, ctype
+    """,
+    doc="Change-feed consumer path through the table log "
+    "(sinks/tablelog.py read_changes / ChangefeedCursor.poll+ack / "
+    "sync_changes): commit each user's latest pre-cutoff state, then "
+    "three keyed I/U/D change slices as MERGE commits with a recorded "
+    "change feed, and consume them into a destination log — one "
+    "bootstrap sync covering v0+v1 (per-key collapse must drop keys "
+    "whose last in-range change is a delete), one multi-commit keyed "
+    "sync covering v2+v3 (_commit_version ordering must let v3 win), "
+    "one idle sync pinned to None, positions recovered from the "
+    "destination's own manifests. An independent ChangefeedCursor "
+    "consumer re-reads the whole feed with the re-serve-until-acked "
+    "contract enforced (two unacked polls must serve identical "
+    "batches; a poll past the ack is idle). The returned frame is the "
+    "destination's final reconciled state UNION the feed's per-commit "
+    "insert/update/delete counts; the oracle re-derives both from the "
+    "source rows alone (full-outer last-change reconcile for the "
+    "state; membership algebra over the slice boundaries for the "
+    "counts), so one resurrected delete, one mis-ordered commit, one "
+    "double-applied batch, or one misclassified change breaks the "
+    "hash. Subsumes the retired cdc_merge_apply (note above "
+    "build_synced_state_logs; its query-side plan stays unit-pinned). "
+    "At 100 TB this IS how downstream consumes a table: O(changed "
+    "rows) per poll from the commits' own recorded files — the "
+    "reference re-scans its whole serving table per load "
+    "(airflow/src/load_to_postgres.py:294-321).",
+    tags=("tablelog", "cdc", "incremental"),
+)
+def changefeed_keyed_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _src, dst, feed_counts = build_synced_state_logs(spark, sf_dir)
+    final = tablelog.read_snapshot(spark, dst).select(
+        F.lit("final_state").alias("branch"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("state").cast("string").alias("state"),
+        F.col("value").cast("double").alias("value"),
+        F.col("updated_at").cast("timestamp").alias("updated_at"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    audit = spark.createDataFrame(
+        [
+            (f"feed_v{v}_{ctype}", None, None, None, None, int(cnt))
+            for (v, ctype), cnt in sorted(feed_counts.items())
+        ],
+        schema=(
+            "branch string, user_id bigint, state string, "
+            "value double, updated_at timestamp, n bigint"
+        ),
+    )
+    return final.unionByName(audit)

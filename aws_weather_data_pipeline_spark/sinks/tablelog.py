@@ -1054,6 +1054,20 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     (like compact/vacuum's own single-maintainer convention) or keep
     ``min_age_seconds`` at the production horizon, which makes the
     lose-then-unlink interleave require an hour-stalled vacuum.
+
+    Remediation after a lost race (ADVICE r12): every raising branch
+    writes a damage marker on the versions that permanently name the
+    deleted files — including, on the interleaved-commit branch, the
+    CURRENT HEAD — and ``files_for`` turns reads of a marked version
+    into this named error. That blocks not just ``read_snapshot`` but
+    everything routed through ``files_for``: ``compact``, ``merge``,
+    metadata aggregates, time travel to the marked versions. The two
+    ways out, both of which commit a NEW clean manifest rather than
+    reading through the marker: ``restore`` to a retained undamaged
+    version (markers scope to specific versions, so the new head
+    reads cleanly), or ``overwrite`` with fresh data. The markers on
+    superseded versions then age out when vacuum expires their
+    manifests.
     """
 
     def build(prev):
@@ -1156,6 +1170,26 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
         rolled_back = False
         try:
             prev_m = _read_manifest(table, prev_v)
+        except FileNotFoundError:
+            # The pre-restore manifest itself is gone (a vacuum with
+            # retain_last=1 expired it while our commit is head):
+            # there is no snapshot to roll back TO. This is NOT a
+            # lost rollback CAS — the head still equals our commit —
+            # so falling through to the head-moved logic would
+            # misreport 'a concurrent commit landed meanwhile' and
+            # overwrite the commit's truthful damage cause (ADVICE
+            # r12). Report the failed rollback honestly; the marker
+            # written above already names the deleted files.
+            raise FileNotFoundError(
+                f"restore of {table} to v{version} lost the race "
+                f"with a concurrent vacuum: {len(gone)} restored "
+                f"files were deleted after publish (e.g. {gone[0]}), "
+                f"and rollback to v{prev_v} also failed (its "
+                "manifest is expired) — the head is marked damaged; "
+                "restore from a retained version or overwrite with "
+                "fresh data"
+            ) from None
+        try:
             _commit(
                 table,
                 lambda _p: (
@@ -1187,6 +1221,24 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
             # if it inherited the deleted names and words the error
             # by what it actually references.
             head = latest_version(table)
+            if head == committed:
+                # The head never moved, so no commit interleaved and
+                # nothing inherited the deleted names — the rollback
+                # publish itself failed for a non-CAS reason (e.g. a
+                # racing vacuum unlinked v{prev_v}'s manifest between
+                # our read and the publish). Same honest diagnosis as
+                # the missing-manifest branch above; the marker on
+                # our commit (== the head) already carries the
+                # truthful cause (ADVICE r12).
+                raise FileNotFoundError(
+                    f"restore of {table} to v{version} lost the race "
+                    f"with a concurrent vacuum: {len(gone)} restored "
+                    f"files were deleted after publish (e.g. "
+                    f"{gone[0]}), and rollback to v{prev_v} also "
+                    "failed — the head is marked damaged; restore "
+                    "from a retained version or overwrite with fresh "
+                    "data"
+                ) from None
         if rolled_back:
             raise FileNotFoundError(
                 f"restore of {table} to v{version} lost the race "
@@ -2347,11 +2399,20 @@ def vacuum(
     if os.path.isdir(data):
         for name in sorted(os.listdir(data)):
             path = os.path.join(data, name)
-            if (
-                name.endswith(".parquet")
-                and name not in live
-                and os.path.getmtime(path) <= cutoff
-            ):
-                os.unlink(path)
-                deleted.append(name)
+            try:
+                if (
+                    name.endswith(".parquet")
+                    and name not in live
+                    and os.path.getmtime(path) <= cutoff
+                ):
+                    os.unlink(path)
+                    deleted.append(name)
+            except FileNotFoundError:
+                # another maintenance run (outside the single-
+                # maintainer convention, but the same listing-then-
+                # stat race the staging and .tmp sweeps above stopped
+                # relying on — ADVICE r12) unlinked this orphan
+                # between the listing and the stat/unlink: the file
+                # is gone either way, which is this sweep's goal
+                continue
     return deleted

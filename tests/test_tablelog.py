@@ -2956,3 +2956,90 @@ def test_restore_rollback_cas_lost_marks_inherited_head(
     assert _values(tl.read_snapshot(spark, table, version=1)) == [
         900, 901, 902,
     ]
+
+
+def test_restore_rollback_with_expired_prev_manifest_reports_honestly(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: when the rollback attempt fails because the
+    PRE-RESTORE manifest itself expired (a vacuum with retain_last=1
+    while our commit is head), the head never moved — reporting 'a
+    concurrent commit landed meanwhile' and overwriting the commit's
+    damage cause with the interleaved-commit wording is a wrong
+    diagnosis. The raise must name the failed rollback, and the
+    marker must keep the truthful vacuum-race cause."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            # the losing vacuum deletes a restored file AND expires
+            # the pre-restore manifest (retain_last=1 keeps only the
+            # new head = the restore's own commit)
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+            os.unlink(tl._manifest_path(tbl, version - 1))
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(
+        FileNotFoundError, match=r"rollback to v1 also failed"
+    ):
+        tl.restore(table, 0)
+    # no rollback commit landed; the restore's commit is still head
+    assert tl.latest_version(table) == fired[0]
+    # the marker keeps the restore-lost-vacuum-race cause — the
+    # interleaved-commit wording must NOT have overwritten it
+    with open(tl._damaged_marker_path(table, fired[0])) as fh:
+        cause = json.load(fh)["cause"]
+    assert "restore lost a vacuum race" in cause
+    assert "interleaved" not in cause
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table, fired[0])
+
+
+def test_restore_rollback_noncas_failure_head_unmoved_is_honest(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12, second failure mode: the rollback _commit raises
+    FileNotFoundError for a non-CAS reason (e.g. a racing vacuum
+    unlinks the pre-restore manifest between our read and the
+    publish). The re-read head still equals our commit, so the
+    head-moved fall-through would misreport an interleaved commit —
+    the guard must raise the failed-rollback diagnosis instead."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+
+    real_commit = tl._commit
+
+    def flaky_commit(tbl, build, op, txn, **kw):
+        if op == "restore" and kw.get("require_head") is not None:
+            # the rollback attempt (only it passes require_head)
+            raise FileNotFoundError("simulated mid-rollback loss")
+        return real_commit(tbl, build, op, txn, **kw)
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    monkeypatch.setattr(tl, "_commit", flaky_commit)
+    with pytest.raises(
+        FileNotFoundError, match=r"rollback to v1 also failed"
+    ):
+        tl.restore(table, 0)
+    assert tl.latest_version(table) == fired[0]
+    with open(tl._damaged_marker_path(table, fired[0])) as fh:
+        cause = json.load(fh)["cause"]
+    assert "restore lost a vacuum race" in cause
+    assert "interleaved" not in cause
