@@ -1061,7 +1061,10 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
     CURRENT HEAD — and ``files_for`` turns reads of a marked version
     into this named error. That blocks not just ``read_snapshot`` but
     everything routed through ``files_for``: ``compact``, ``merge``,
-    metadata aggregates, time travel to the marked versions. The two
+    time travel to the marked versions. (Metadata-only aggregates
+    keep answering from the manifest: its commit-time stats still
+    describe the version's logical contents truthfully even though
+    the files backing them are gone.) The two
     ways out, both of which commit a NEW clean manifest rather than
     reading through the marker: ``restore`` to a retained undamaged
     version (markers scope to specific versions, so the new head
@@ -1075,6 +1078,26 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
         # retried restore whose TARGET manifest vacuum expired is a
         # no-op instead of FileNotFoundError (review r09)
         target = _read_manifest(table, version)  # raises if expired
+        # A damage-marked target is known to name vacuum-deleted
+        # files — raise the recorded history instead of rediscovering
+        # the loss file-by-file below with a less specific message
+        # (the marker is the remediation breadcrumb; see the
+        # docstring's remediation paragraph)
+        marker = _damaged_marker_path(table, version)
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    cause = json.load(fh).get(
+                        "cause", "a restore lost a vacuum race"
+                    )
+            except FileNotFoundError:
+                cause = None  # racing vacuum swept it: fall through
+            if cause is not None:
+                raise FileNotFoundError(
+                    f"cannot restore {table} to v{version}: that "
+                    f"version is damaged ({cause}) — restore from an "
+                    "undamaged retained version instead"
+                )
         missing = []
         for n in target["files"]:
             path = os.path.join(_data_dir(table), n)

@@ -3043,3 +3043,190 @@ def test_restore_rollback_noncas_failure_head_unmoved_is_honest(
         cause = json.load(fh)["cause"]
     assert "restore lost a vacuum race" in cause
     assert "interleaved" not in cause
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test #2: damage-marker states (VERDICT r12 task 4)
+# ---------------------------------------------------------------------------
+
+_DMG_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _ROWS),
+        st.tuples(st.just("overwrite"), _ROWS),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["U", "D"]),
+                    st.integers(0, 6),
+                    _S,
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        st.tuples(st.just("restore"), st.integers(0, 9)),
+        st.tuples(st.just("damage"), st.integers(0, 9)),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_DMG_OPS)
+def test_tablelog_damage_markers_under_random_op_sequences(
+    spark, tmp_path_factory, ops
+):
+    """The r12 damage-marker scheme under RANDOM op interleavings
+    (VERDICT r12 task 4 — the directed tests pin specific races; this
+    machine hunts the interleaving they didn't). The 'damage'
+    transition simulates the state restore's losing branches leave
+    behind — a data file exclusive to a live non-head version
+    unlinked by a vacuum race, plus the marker those branches write —
+    via the same ``_write_damage_marker`` artifact. Invariants:
+
+    - reading a MARKED live version raises the NAMED ``is damaged``
+      error from files_for, never a bare Spark scan death; unmarked
+      live versions read exactly the model rows (markers scope to
+      versions — damage never leaks into clean snapshots);
+    - metadata-only aggregates still answer for marked versions (the
+      manifest's commit-time stats stay truthful about the version's
+      logical contents);
+    - restore TO a marked version refuses with the marker's recorded
+      history and commits nothing;
+    - vacuum expiry removes a marked version's marker WITH its
+      manifest (marker-after-manifest unlink order), after which the
+      version reports the standard no-manifest error — a damage
+      report for a version whose manifest is gone would be false;
+    - ordinary writes (append/merge/compact/overwrite) on the
+      undamaged head keep working with marked versions present.
+
+    Head damage (which wedges every head reader by design) stays
+    directed-tested: the model keeps the head clean so the sequence
+    can always continue."""
+    table = str(tmp_path_factory.mktemp("dmgprop") / "t")
+
+    def df_of(rows, with_op=False):
+        if with_op:
+            return spark.createDataFrame(
+                [(op, k, s, i) for i, (op, k, s) in enumerate(rows)],
+                "op string, k int, s int, seq int",
+            )
+        return spark.createDataFrame(list(rows), "k int, s int")
+
+    versions: dict[int, Counter] = {}
+    damaged: set[int] = set()
+    for i, (op, arg) in enumerate(ops):
+        head = tl.latest_version(table)
+        if head is None and op in (
+            "compact", "merge", "vacuum", "restore", "damage",
+        ):
+            continue
+        if op == "append":
+            v = tl.append(df_of(arg), table)
+            versions[v] = versions.get(v - 1, Counter()) + Counter(arg)
+        elif op == "overwrite":
+            v = tl.overwrite(df_of(arg), table)
+            versions[v] = Counter(arg)
+        elif op == "compact":
+            v = tl.compact(spark, table, n_files=1)
+            versions[v] = Counter(versions[v - 1])
+        elif op == "merge":
+            v = tl.merge_changes(
+                spark, table, df_of(arg, with_op=True),
+                keys=["k"], order_cols=["seq"],
+            )
+            versions[v] = _model_merge(versions[v - 1], arg)
+        elif op == "restore":
+            live = sorted(versions)
+            target = live[arg % len(live)]
+            if target in damaged:
+                pre = tl.latest_version(table)
+                with pytest.raises(
+                    FileNotFoundError, match="is damaged"
+                ):
+                    tl.restore(table, target)
+                assert tl.latest_version(table) == pre, (
+                    "refused restore must commit nothing"
+                )
+            else:
+                v = tl.restore(table, target)
+                versions[v] = Counter(versions[target])
+        elif op == "damage":
+            live = sorted(versions)
+            candidates = [
+                v for v in live[:-1] if v not in damaged
+            ]
+            if not candidates:
+                continue
+            v = candidates[arg % len(candidates)]
+            v_files = set(tl._read_manifest(table, v)["files"])
+            for w in live:
+                if w != v:
+                    v_files -= set(
+                        tl._read_manifest(table, w)["files"]
+                    )
+            if not v_files:
+                continue  # nothing exclusive to unlink: no-op
+            lost = sorted(v_files)[0]
+            os.unlink(os.path.join(tl._data_dir(table), lost))
+            tl._write_damage_marker(
+                table, v, [lost],
+                "restore lost a vacuum race: its commit names files "
+                "a concurrent vacuum deleted",
+            )
+            damaged.add(v)
+        else:  # vacuum
+            tl.vacuum(table, retain_last=arg)
+            live = set(sorted(versions)[-arg:])
+            for v in sorted(versions):
+                if v in live:
+                    continue
+                # marker-after-manifest unlink: an expired version's
+                # marker must not outlive its manifest past the sweep
+                if v in damaged:
+                    assert not os.path.exists(
+                        tl._damaged_marker_path(table, v)
+                    ), f"v{v}: marker survived its manifest's expiry"
+                    damaged.discard(v)
+                # and the expired version reports the STANDARD
+                # no-manifest error, never a damage report
+                try:
+                    tl.files_for(table, v)
+                    raise AssertionError(f"v{v}: expired but readable")
+                except FileNotFoundError as exc:
+                    assert "is damaged" not in str(exc)
+            versions = {
+                v: c for v, c in versions.items() if v in live
+            }
+
+    for v, expect in sorted(versions.items()):
+        if v in damaged:
+            with pytest.raises(FileNotFoundError, match="is damaged"):
+                tl.files_for(table, v)
+            with pytest.raises(FileNotFoundError, match="is damaged"):
+                tl.read_snapshot(spark, table, version=v).collect()
+            n = tl.snapshot_row_count(table, version=v)
+            assert n == sum(expect.values()), (
+                f"v{v}: metadata row count through the marker"
+            )
+        else:
+            if not expect and not tl.files_for(table, v):
+                continue
+            got = Counter(
+                (r.k, r.s)
+                for r in tl.read_snapshot(
+                    spark, table, version=v
+                ).collect()
+            )
+            assert got == expect, f"version {v}: {got} != {expect}"
