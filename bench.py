@@ -33,12 +33,18 @@ import time
 #: the bench record).
 BENCH_NOTES = {
     "multimodal_feature_extract": (
-        "RESOLVED in r06: 0.39s final (0.48s mid-round), at/below "
-        "the r04 level. r05 recorded "
-        "1.08s with no code change; r06 isolation probes gave "
-        "0.61-0.74s fresh / 0.44-0.54s warm, implicating transient "
-        "host contention, and the r06 run (numpy byte_sum + "
-        "per-query clearCache) confirms."
+        "Recurring transient-contention mover, re-probed and closed "
+        "each time it spikes; no code change across the whole "
+        "history. r06: 0.39s final after the 1.08s r05 spike. r12 "
+        "catalog: 1.30s min (2.34x vs r11's 0.56s) — VERDICT r12 "
+        "task 5's probe-or-profile. r13 idle 12-run probe: min "
+        "0.559s, settling 0.56-0.9s after a 3.0s cold first sample — "
+        "matching the r09 probe's 0.554s and just above the r06 "
+        "0.39-0.54s band (the ambient elevation documented in "
+        "host_drift), well under the 1.0s action threshold. CLOSED "
+        "with datum: catalog spikes on this query are interleaved "
+        "Python-worker contention (python_worker_cluster_r08), the "
+        "isolated steady state has not moved since r09."
     ),
     "host_drift": (
         "Mid-r06 a bench run showed the shared-catalog subtotal at "
@@ -215,32 +221,61 @@ BENCH_NOTES = {
         "Off the watch list; future movers judge against the "
         "1.2-1.3s isolated anchor, not r09's 0.81s."
     ),
+    "warmup_policy": (
+        "Decided r13 (VERDICT r12 what's-wrong #2 asked for a "
+        "one-time ruling on the recurring cold-pass outliers): the "
+        "estimator stays MIN of 3+ interleaved passes, with the "
+        "existing one-query session warmup, and NO pass is declared "
+        "a discarded warmup. Reasons: (a) the outliers are not "
+        "confined to pass 1 — in the final r12 artifact "
+        "multimodal_decode_flac's 26.4s was pass 3 and "
+        "tablelog_nullcount_prune's 20.4s was pass 2, so dropping a "
+        "declared first pass would not remove the class; (b) the "
+        "min already excludes them from every graded number, and "
+        "the raw passes stay in BENCH_DETAIL.json precisely so "
+        "drift is auditable; (c) the class is pinned by data, not "
+        "assumption — r13 idle 12-run probes of the three worst r12 "
+        "outlier queries all settle at their catalog mins with at "
+        "most one cold first sample: multimodal_decode_flac "
+        "[2.9 cold, then 1.94-2.3] vs catalog min 1.91; "
+        "pagerank_trade_graph [10.8 cold, then 3.5-4.4] vs catalog "
+        "min 3.43; tablelog_nullcount_prune [1.2-2.1 throughout] vs "
+        "catalog min 1.51. The 20-40s catalog passes reproduce in "
+        "NO isolated run — they are ambient host bursts landing on "
+        "32-worker Python daemon spawn (python_worker_cluster_r08), "
+        "and the min-of-interleaved-passes design exists exactly to "
+        "absorb them."
+    ),
     "drift_r12": (
-        "r12 idle-host run (post leak-fix, post window swap): catalog "
-        "150.96s / 150 q / n_failed 0 — below r11's 154.2s. Median "
+        "Re-anchored r13 to the FINAL r12 driver artifact (VERDICT "
+        "r12 what's-wrong #1 — the first write-up described the "
+        "committed mid-round detail): catalog 150.9s / 150 q / "
+        "n_failed 0, below r11's 154.2s; judge-computed median "
         "per-query min-of-passes ratio vs the r09 clean detail "
-        "(ee66e34) is 1.105 over 136 comparable batch queries — the "
-        "ambient elevation documented since r05 partially recovering "
-        "(r11 committed detail measured 1.19). Exactly one mover "
-        ">1.8x vs r09: near_dup_pairs_simhash at 1.81s catalog / "
-        "2.24x — FLAT vs r11's 1.78s and consistent with the "
-        "accepted 1.2-1.3s isolated anchor in simhash_priced_r12; "
-        "no action. Two queries are new since r11 "
-        "(multimodal_decode_flac, tablelog_checkpoint_fold) per the "
-        "zero-slack swaps in plans/catalog.py."
+        "(ee66e34) 1.125, round-over-round median vs r11 0.954. "
+        "ZERO movers >1.8x vs r09 in the shipped detail (max 1.60x, "
+        "ivf_pq_search_topk 0.84->1.34s, inside the host band): "
+        "near_dup_pairs_simhash, the committed detail's one 2.24x "
+        "mover, finished at 1.135s min / 1.40x — BELOW its accepted "
+        "1.2-1.3s isolated anchor (simhash_priced_r12), so the "
+        "anchor held and the mid-round number was contention. Two "
+        "queries new since r11 (multimodal_decode_flac, "
+        "tablelog_checkpoint_fold) per the zero-slack swaps in "
+        "plans/catalog.py."
     ),
     "tablelog_leak_fix_r12": (
         "Closes VERDICT r11 task 2's re-bench check: after moving "
         "the tablelog fixture temp trees under one atexit-cleaned "
         "parent (5fb2800), tablelog_manifest_stats's ASCENDING "
         "per-pass trend — r11's [1.63, 3.48, 4.77], the only query "
-        "whose passes climbed — is gone: r12 passes settle to "
-        "[..., 1.197, 1.187], with min 1.19s BELOW the r09-era "
-        "1.41s anchor. The elevated early passes ([4.9, 4.3, 7.0] "
-        "before settling) are first-touch worker/contention noise of "
-        "the python_worker_cluster_r08 class, not growth: a "
-        "metadata query's cost no longer rises with invocation "
-        "count."
+        "whose passes climbed — is gone. Final r12 driver artifact "
+        "(re-anchored r13): passes [4.1, 13.6, 1.70], min 1.70s — "
+        "noisy but NOT monotone, i.e. no per-pass climb; the r13 "
+        "idle 12-run probe settles at [0.98-1.3], min 0.984s, BELOW "
+        "both the committed 1.19s and the r09-era 1.41s anchor. The "
+        "elevated catalog passes are contention noise of the "
+        "python_worker_cluster_r08 class, not growth: a metadata "
+        "query's cost no longer rises with invocation count."
     ),
     "tablelog_checkpoint_fold": (
         "New r12 anchor: ~2.5s min-of-passes at sf0.1 (passes "
