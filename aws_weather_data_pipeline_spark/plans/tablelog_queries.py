@@ -540,9 +540,13 @@ def build_synced_state_logs(
     work = _work_dir("spark_graft_tablelog_cf_")
     src = os.path.join(work, "state_src")
     dst = os.path.join(work, "state_dst")
+    # persist: the base window and the three slice batches each read
+    # events (and merge_changes re-evaluates its batch lineage per
+    # attempt) — one parquet scan instead of four-plus
     events = (
         load_tables(spark, sf_dir, ("events",))["events"]
         .filter(F.col("user_id").isNotNull())
+        .persist()
     )
     c0 = F.lit(CF_CUTOFFS[0]).cast("timestamp")
     w = W.partitionBy("user_id").orderBy(
@@ -560,11 +564,10 @@ def build_synced_state_logs(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    tablelog.append(
-        base.repartitionByRange(N_RANGE_FILES, "user_id"),
-        src,
-        txn_id="cf-base",
-    )
+    # no layout repartition: this fixture has no pruning branch, and
+    # the first merge rewrites the head anyway — an extra shuffle
+    # here buys nothing
+    tablelog.append(base, src, txn_id="cf-base")
 
     bounds = [c0] + [
         F.lit(c).cast("timestamp") for c in CF_CUTOFFS[1:]
@@ -644,6 +647,7 @@ def build_synced_state_logs(
     cursor.ack(first[1])
     if cursor.poll(spark) is not None:
         raise ValueError("cursor served rows past the acked position")
+    events.unpersist()
     return src, dst, feed_counts
 
 

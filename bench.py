@@ -221,6 +221,23 @@ BENCH_NOTES = {
         "Off the watch list; future movers judge against the "
         "1.2-1.3s isolated anchor, not r09's 0.81s."
     ),
+    "changefeed_keyed_sync": (
+        "New r13 anchor: ~6.5s min isolated at sf0.1 (8-run probe "
+        "settles 6.5-9s; the host was mid-burst, so the catalog "
+        "number may read lower). Heavier than the retired "
+        "cdc_merge_apply (0.46s) BY DESIGN, the checkpoint_fold "
+        "pattern: the retiree ran ONE query-side reconcile plan; "
+        "this fixture COMMITS four snapshots (base append + three "
+        "keyed merges, each a full-outer rewrite plus a change-feed "
+        "write), runs two log-to-log syncs (bootstrap + multi-"
+        "commit keyed merge on the destination), an idle sync, and "
+        "a second consumer's poll/re-poll/ack audit — ~13 small "
+        "Spark jobs of fixed fixture overhead at any sf. The "
+        "certified reads stay O(changed rows): every batch is "
+        "served from the commits' own added/cdc_files, and "
+        "sync_position is driver-side manifest arithmetic — "
+        "unchanged on a 100 TB table."
+    ),
     "warmup_policy": (
         "Decided r13 (VERDICT r12 what's-wrong #2 asked for a "
         "one-time ruling on the recurring cold-pass outliers): the "
