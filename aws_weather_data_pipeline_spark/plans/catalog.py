@@ -83,7 +83,12 @@ OPERATOR_MODULES = (
 # changefeed_keyed_sync (first TWO-SLOT rotation: the retiree's slot
 # was in the NEXT round's aged block, so the displaced r13-window
 # query scd2_user_state inherits it — header note above; subsumption
-# note in plans/tablelog_queries.py).
+# note in plans/tablelog_queries.py) and tablelog_manifest_stats →
+# tablelog_restore_audit (strict subsumption IN PLACE, the r12
+# fold-swap pattern: the retiree was already mandatory in this
+# window — same fixture and the same eight metadata-only aggregates,
+# now answered through a RESTORE commit's manifest, plus the restore
+# undo contracts; note in plans/tablelog_queries.py).
 DRIVER_WINDOW = (
     "ann_ivf_probe_topk",  # r10
     "ann_recall_at_k",  # r10
@@ -131,7 +136,11 @@ DRIVER_WINDOW = (
     # evidence is age 3 here, legal, and it re-enters at r14)
     "changefeed_keyed_sync",
     "sequence_pack_assignment",  # r10
-    "tablelog_manifest_stats",  # r10
+    # NEW r13 (slot inherited in place: tablelog_restore_audit
+    # strictly subsumes the retired tablelog_manifest_stats, which
+    # was already mandatory in this window — subsumption note in
+    # plans/tablelog_queries.py)
+    "tablelog_restore_audit",
     "tfidf_top_terms",  # r10
     "top_revenue_orders",  # r10
     "tumbling_hourly_by_type",  # r10

@@ -215,58 +215,124 @@ def tablelog_checkpoint_fold(
 BIG_CUTOFF = 100
 
 
+# tablelog_manifest_stats retired r13 (zero-slack swap IN PLACE,
+# VERDICT r12 task 7 stretch: the retiree was already mandatory in
+# this round's window, so tablelog_restore_audit inherits its slot —
+# the r12 fold-swap pattern). Strict subsumption: the new query builds
+# the SAME fixture (events + nullable big_value, three range-clustered
+# commits) and answers the SAME eight metadata-only aggregates from
+# the manifest alone — COUNT(*), MIN/MAX of event_id/user_id/value,
+# big_value's NULL count — but through a manifest produced by RESTORE
+# (stats must carry over the restore commit exactly), plus the restore
+# contracts the retiree never touched: the head holds the restore
+# target's contents after a fat-finger overwrite, and the superseded
+# bad commit stays time-travelable. Note on tablelog_restore_audit
+# below.
+
+
 @CATALOG.add(
-    "tablelog_manifest_stats",
+    "tablelog_restore_audit",
     f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
-           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
-           CAST(MIN(user_id) AS BIGINT) AS min_user_id,
-           CAST(MAX(user_id) AS BIGINT) AS max_user_id,
-           CAST(MIN(value) AS DOUBLE) AS min_value,
-           CAST(MAX(value) AS DOUBLE) AS max_value,
+    SELECT 'restored_head' AS branch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'superseded_head' AS branch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+               AS sum_value
+    FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 'meta_n_rows', CAST(NULL AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE) FROM events
+    UNION ALL
+    SELECT 'meta_min_event_id', CAST(NULL AS VARCHAR),
+           CAST(MIN(event_id) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'meta_max_event_id', CAST(NULL AS VARCHAR),
+           CAST(MAX(event_id) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'meta_min_user_id', CAST(NULL AS VARCHAR),
+           CAST(MIN(user_id) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'meta_max_user_id', CAST(NULL AS VARCHAR),
+           CAST(MAX(user_id) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'meta_min_value', CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(MIN(value) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'meta_max_value', CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(MAX(value) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'meta_n_big_value_nulls', CAST(NULL AS VARCHAR),
            CAST(SUM(CASE WHEN value < {BIG_CUTOFF} OR value IS NULL
-                         THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_big_value_nulls
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(NULL AS DOUBLE)
     FROM events
     """,
-    doc="Metadata-only aggregates through the table log "
-    "(sinks/tablelog.py snapshot_row_count / column_minmax / "
-    "column_null_count): commit events — plus a derived nullable "
-    f"big_value column (value where >= {BIG_CUTOFF}, else NULL) — as "
-    "three range-clustered snapshots, then answer exact COUNT(*), "
-    "global MIN/MAX of event_id/user_id/value, and big_value's NULL "
-    "count from the MANIFEST ALONE: per-file footer row counts (the "
-    "reserved __rows stats key), min-of-mins/max-of-maxes over the "
-    "zone maps, and summed footer null counts (__nulls, Delta's "
-    "nullCount idea); zero file I/O, zero Spark jobs, O(live files) "
-    "driver arithmetic. The oracle is a from-scratch scan of the "
-    "source rows, so a hash match certifies the metadata path is "
-    "EXACT, not approximate — one miscounted footer or one file's "
-    "stats dropped by compaction/carry-over breaks the compare. "
-    "Refuses (raises) rather than guessing if any file lacks stats. "
-    "At 100 TB this is the dashboard fast path: the most common "
-    "queries against a petabyte table are answered by one manifest "
-    "read without scheduling a single task.",
-    tags=("tablelog", "agg", "metadata"),
+    doc="RESTORE as the operational undo, driver-graded (VERDICT r12 "
+    "task 7; subsumes the retired tablelog_manifest_stats — note "
+    "above): commit events + nullable big_value as three range-"
+    "clustered snapshots (v0-v2, the retiree's exact fixture), then a "
+    "fat-finger OVERWRITE that re-runs the bootstrap slice (v3, the "
+    "bad write a 100 TB operator reaches for restore to undo), then "
+    "restore(v2) -> v4. Three certified read branches, all pure "
+    "functions of the source rows: (1) the restored head's per-"
+    "event_type counts/sums equal the full input — restore put back "
+    "EXACTLY the target's contents; (2) time travel to the superseded "
+    "v3 still serves the bad slice — the undo deletes nothing and the "
+    "incident stays auditable; (3) the retiree's eight metadata-only "
+    "aggregates (manifest-only COUNT(*), MIN/MAX of event_id/user_id/"
+    "value, big_value NULL count; zero file I/O, zero Spark jobs) "
+    "answered through the RESTORE commit's manifest — data files are "
+    "immutable, so restore carries the target's stats over verbatim, "
+    "and one dropped or miscopied file stat breaks the hash. The "
+    "restore itself is one manifest write, O(1) in table size: "
+    "milliseconds on this fixture and on 100 TB alike.",
+    tags=("tablelog", "restore", "metadata", "agg"),
 )
-def tablelog_manifest_stats(
+def tablelog_restore_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    work = _work_dir("spark_graft_tablelog_ms_")
+    work = _work_dir("spark_graft_tablelog_ra_")
     table = os.path.join(work, "events_log")
     events = load_tables(spark, sf_dir, ("events",))["events"]
     enriched = events.withColumn(
         "big_value",
         F.when(F.col("value") >= BIG_CUTOFF, F.col("value")),
-    )
-    for rem, op in ((0, tablelog.overwrite), (1, tablelog.append),
-                    (2, tablelog.append)):
-        op(
-            enriched.filter(F.col("event_id") % 3 == rem)
+    ).persist()
+    try:
+        for rem, op in ((0, tablelog.overwrite), (1, tablelog.append),
+                        (2, tablelog.append)):
+            op(
+                enriched.filter(F.col("event_id") % 3 == rem)
+                .repartitionByRange(N_RANGE_FILES, "user_id"),
+                table,
+            )
+        # the fat-finger: someone re-runs the bootstrap overwrite on
+        # the fully-loaded table, clobbering the head (v3)
+        tablelog.overwrite(
+            enriched.filter(F.col("event_id") % 3 == 0)
             .repartitionByRange(N_RANGE_FILES, "user_id"),
             table,
         )
+    finally:
+        enriched.unpersist()
+    v = tablelog.restore(table, 2)
+    if v != 4:
+        raise ValueError(f"restore committed v{v}, expected v4")
+    last = tablelog.history(table)[-1]
+    if last["op"] != "restore" or last.get("restored_from") != 2:
+        raise ValueError(f"restore manifest is untruthful: {last}")
+
     n = tablelog.snapshot_row_count(table)
     ranges = {
         c: tablelog.column_minmax(table, c)
@@ -276,32 +342,49 @@ def tablelog_manifest_stats(
     if n is None or n_nulls is None or any(
         r is None for r in ranges.values()
     ):
-        # the fixture writes stats for every file; a None here means
-        # the metadata path regressed — fail loudly, never scan-fallback
-        # silently inside a correctness query
+        # restore must carry every file's stats over; a None here
+        # means the metadata path regressed — fail loudly, never
+        # scan-fallback silently inside a correctness query
         raise ValueError(
-            f"manifest stats missing: n={n} nulls={n_nulls} "
-            f"ranges={ranges}"
+            f"manifest stats missing through restore: n={n} "
+            f"nulls={n_nulls} ranges={ranges}"
         )
-    return spark.createDataFrame(
+    meta = spark.createDataFrame(
         [
-            (
-                n,
-                ranges["event_id"][0],
-                ranges["event_id"][1],
-                ranges["user_id"][0],
-                ranges["user_id"][1],
-                float(ranges["value"][0]),
-                float(ranges["value"][1]),
-                n_nulls,
-            )
+            ("meta_n_rows", None, n, None),
+            ("meta_min_event_id", None, ranges["event_id"][0], None),
+            ("meta_max_event_id", None, ranges["event_id"][1], None),
+            ("meta_min_user_id", None, ranges["user_id"][0], None),
+            ("meta_max_user_id", None, ranges["user_id"][1], None),
+            ("meta_min_value", None, None, float(ranges["value"][0])),
+            ("meta_max_value", None, None, float(ranges["value"][1])),
+            ("meta_n_big_value_nulls", None, n_nulls, None),
         ],
         schema=(
-            "n_rows bigint, min_event_id bigint, max_event_id bigint, "
-            "min_user_id bigint, max_user_id bigint, "
-            "min_value double, max_value double, n_big_value_nulls bigint"
+            "branch string, event_type string, n_rows bigint, "
+            "sum_value double"
         ),
     )
+
+    def _agg(df: DataFrame, branch: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select(
+            F.lit(branch).alias("branch"),
+            "event_type",
+            "n_rows",
+            "sum_value",
+        )
+
+    head = _agg(tablelog.read_snapshot(spark, table), "restored_head")
+    superseded = _agg(
+        tablelog.read_snapshot(spark, table, version=3),
+        "superseded_head",
+    )
+    return head.unionByName(superseded).unionByName(meta)
 
 
 def build_enriched_events_log(spark: SparkSession, sf_dir: str) -> str:
@@ -346,7 +429,8 @@ def build_enriched_events_log(spark: SparkSession, sf_dir: str) -> str:
     """,
     doc="NULL-count file skipping through the table log — the driver "
     "row for the __nulls pruning path (VERDICT r10 task 4; the stats "
-    "themselves are certified by tablelog_manifest_stats): commit "
+    "themselves are certified by tablelog_restore_audit's metadata "
+    "branch): commit "
     f"events + a nullable big_value (value where >= {BIG_CUTOFF}) as "
     "three snapshots range-clustered on VALUE, so files are provably "
     "all-NULL or all-present in big_value, then answer one query "

@@ -238,6 +238,16 @@ BENCH_NOTES = {
         "sync_position is driver-side manifest arithmetic — "
         "unchanged on a 100 TB table."
     ),
+    "tablelog_restore_audit": (
+        "New r13 anchor: ~2.0s min isolated at sf0.1 (6-run probe "
+        "settles 2.0-2.7s) vs the retired tablelog_manifest_stats' "
+        "~1.0-1.7s. The delta is BY DESIGN: the fixture adds the "
+        "fat-finger overwrite (v3) and two read branches (restored "
+        "head + superseded-version aggregates) on top of the "
+        "retiree's three commits; the restore itself and the eight "
+        "metadata answers are driver-side manifest arithmetic, "
+        "milliseconds at any table size."
+    ),
     "warmup_policy": (
         "Decided r13 (VERDICT r12 what's-wrong #2 asked for a "
         "one-time ruling on the recurring cold-pass outliers): the "
