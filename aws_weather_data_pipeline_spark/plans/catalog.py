@@ -47,17 +47,20 @@ OPERATOR_MODULES = (
 #
 # Round 13's window (committed at round start, per the checklist):
 # the aged block whose latest driver row is r10 (age 3 at r13), as
-# emitted by tools/rotate_window.py. One planned swap this round
-# (VERDICT r12 task 2, the change-feed consumer driver row) uses a
-# TWO-SLOT rotation: cdc_merge_apply (latest row r11, so its window
-# slot is in ROUND 14's aged block) retires in favor of the new
-# log-native keyed-sync query; the new query must enter THIS window
-# (new queries are checked at creation), so it takes scd2_user_state's
-# r13 slot and scd2_user_state inherits the retiree's freed r14 slot
-# — scd2's r10 evidence is age 3 at r13 (legal outside the window)
-# and it re-enters at r14 before reaching age 4. Net ages stay <= 3
-# for every query; tests/test_rotation_policy.py checks both rounds'
-# arithmetic against the committed window.
+# emitted by tools/rotate_window.py, with TWO swaps. Swap one
+# (VERDICT r12 task 2, the change-feed consumer driver row) is the
+# first TWO-SLOT rotation: cdc_merge_apply (latest row r11, so its
+# window slot is in ROUND 14's aged block) retires in favor of the
+# new log-native keyed-sync query; the new query must enter THIS
+# window (new queries are checked at creation), so it takes
+# scd2_user_state's r13 slot and scd2_user_state inherits the
+# retiree's freed r14 slot — scd2's r10 evidence is age 3 at r13
+# (legal outside the window) and it re-enters at r14 before reaching
+# age 4. Swap two (task 7 stretch) is in place, the r12 fold-swap
+# pattern: tablelog_manifest_stats, already mandatory here, retires
+# into tablelog_restore_audit which inherits its slot. Net ages stay
+# <= 3 for every query; tests/test_rotation_policy.py checks both
+# rounds' arithmetic against the committed window.
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
