@@ -47,20 +47,23 @@ OPERATOR_MODULES = (
 #
 # Round 13's window (committed at round start, per the checklist):
 # the aged block whose latest driver row is r10 (age 3 at r13), as
-# emitted by tools/rotate_window.py, with TWO swaps. Swap one
-# (VERDICT r12 task 2, the change-feed consumer driver row) is the
-# first TWO-SLOT rotation: cdc_merge_apply (latest row r11, so its
-# window slot is in ROUND 14's aged block) retires in favor of the
-# new log-native keyed-sync query; the new query must enter THIS
-# window (new queries are checked at creation), so it takes
-# scd2_user_state's r13 slot and scd2_user_state inherits the
-# retiree's freed r14 slot — scd2's r10 evidence is age 3 at r13
-# (legal outside the window) and it re-enters at r14 before reaching
-# age 4. Swap two (task 7 stretch) is in place, the r12 fold-swap
-# pattern: tablelog_manifest_stats, already mandatory here, retires
-# into tablelog_restore_audit which inherits its slot. Net ages stay
-# <= 3 for every query; tests/test_rotation_policy.py checks both
-# rounds' arithmetic against the committed window.
+# emitted by tools/rotate_window.py, with TWO in-place swaps of the
+# r12 fold-swap pattern (each retiree was already mandatory in this
+# window, so the subsuming query inherits its slot):
+# incremental_agg_maintenance retires into changefeed_keyed_sync
+# (VERDICT r12 task 2 — the retiree's writer-half recipe is embedded
+# verbatim as the new query's maintained_agg branch, and the new
+# query adds the keyed change-feed consumer half) and
+# tablelog_manifest_stats retires into tablelog_restore_audit
+# (task 7 stretch — same fixture and eight metadata-only aggregates,
+# answered through a RESTORE commit). A TWO-SLOT rotation (retiring
+# cdc_merge_apply, whose slot sits in r14's aged block, and
+# displacing scd2_user_state into it) was considered and REJECTED:
+# the displaced query's r10 evidence reaches age 4 the moment
+# CORRECTNESS_r13 lands, turning tests/test_rotation_policy.py red
+# in the end-of-round judge run — in-place subsumption is the ONLY
+# slot-legal way a new query enters at the 150 cap. Net ages stay
+# <= 3 for every query.
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
@@ -82,16 +85,11 @@ OPERATOR_MODULES = (
 # window, so the fold query inherits its slot: same time-travel +
 # zone-map-prune recipe exercised through a vacuumed, checkpoint-
 # folded log plus a fold-answered txn replay; note in
-# plans/tablelog_queries.py); r13 retired cdc_merge_apply →
-# changefeed_keyed_sync (first TWO-SLOT rotation: the retiree's slot
-# was in the NEXT round's aged block, so the displaced r13-window
-# query scd2_user_state inherits it — header note above; subsumption
-# note in plans/tablelog_queries.py) and tablelog_manifest_stats →
-# tablelog_restore_audit (strict subsumption IN PLACE, the r12
-# fold-swap pattern: the retiree was already mandatory in this
-# window — same fixture and the same eight metadata-only aggregates,
-# now answered through a RESTORE commit's manifest, plus the restore
-# undo contracts; note in plans/tablelog_queries.py).
+# plans/tablelog_queries.py); r13 retired incremental_agg_maintenance
+# → changefeed_keyed_sync and tablelog_manifest_stats →
+# tablelog_restore_audit (both strict subsumptions IN PLACE, the r12
+# fold-swap pattern — header note above; subsumption notes in
+# plans/tablelog_queries.py).
 DRIVER_WINDOW = (
     "ann_ivf_probe_topk",  # r10
     "ann_recall_at_k",  # r10
@@ -112,7 +110,12 @@ DRIVER_WINDOW = (
     "event_type_share",  # r10
     "global_stats",  # r10
     "hll_distinct_sketch",  # r10
-    "incremental_agg_maintenance",  # r10
+    # NEW r13 (slot inherited in place: changefeed_keyed_sync
+    # strictly subsumes the retired incremental_agg_maintenance,
+    # which was already mandatory in this window — its recipe is
+    # embedded verbatim as the maintained_agg branch; subsumption
+    # note in plans/tablelog_queries.py)
+    "changefeed_keyed_sync",
     "knn_cosine_topk",  # r10
     "latest_event_per_user",  # r10
     "multimodal_decode_gif",  # r10
@@ -132,12 +135,7 @@ DRIVER_WINDOW = (
     "recent_events_feed",  # r10
     "regional_revenue",  # r10
     "rollup_returnflag_status",  # r10
-    # NEW r13, never driver-checked (two-slot rotation per the header
-    # note: cdc_merge_apply retired — subsumption note in
-    # plans/tablelog_queries.py — freeing its r14 aged slot for
-    # scd2_user_state, whose r13 slot this query takes; scd2's r10
-    # evidence is age 3 here, legal, and it re-enters at r14)
-    "changefeed_keyed_sync",
+    "scd2_user_state",  # r10
     "sequence_pack_assignment",  # r10
     # NEW r13 (slot inherited in place: tablelog_restore_audit
     # strictly subsumes the retired tablelog_manifest_stats, which

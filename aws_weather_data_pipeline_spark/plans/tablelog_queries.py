@@ -485,80 +485,43 @@ def tablelog_nullcount_prune(
     )
 
 
-@CATALOG.add(
-    "incremental_agg_maintenance",
-    """
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="O(delta) incremental aggregate maintenance "
-    "(sinks/incremental.py): commit events into a table log in three "
-    "insert-only batches and after EACH batch fold only that batch's "
-    "change feed into a maintained per-event_type aggregate table — "
-    "bootstrap append, then two destination-head compare-and-set "
-    "overwrites, positions recovered from the destination log alone. "
-    "The returned snapshot is the maintained table after the final "
-    "fold; the oracle is a from-scratch GROUP BY over the source "
-    "rows, so a hash match certifies the convergence contract (the "
-    "folded decimals are bit-identical to the full recompute however "
-    "the commits were batched) through the driver. At 100 TB each "
-    "refresh costs O(new rows) + one group-cardinality union-"
-    "reaggregate — never a source rescan; the reference reloads its "
-    "serving aggregates with full INSERT..SELECT ON CONFLICT scans "
-    "(airflow/src/load_to_postgres.py:294-321).",
-    tags=("tablelog", "incremental", "agg"),
-)
-def incremental_agg_maintenance(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    work = _work_dir("spark_graft_inc_agg_q_")
-    src = os.path.join(work, "events_src")
-    dst = os.path.join(work, "events_agg")
-    events = load_tables(spark, sf_dir, ("events",))["events"]
-    for rem in (0, 1, 2):
-        tablelog.append(
-            events.filter(F.col("event_id") % 3 == rem).select(
-                "event_type", "value"
-            ),
-            src,
-        )
-        incremental.sync_aggregate(
-            spark, src, dst, group_cols=["event_type"], sum_cols=["value"]
-        )
-    return tablelog.read_snapshot(spark, dst).select(
-        "event_type",
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("sum_value").cast("double").alias("sum_value"),
-    )
+# incremental_agg_maintenance retired r13 (zero-slack swap IN PLACE,
+# VERDICT r12 task 2: the retiree was already mandatory in this
+# round's window, so changefeed_keyed_sync inherits its slot — the
+# r12 fold-swap pattern). Strict subsumption: the new query's
+# maintained_agg branch runs the retiree's EXACT recipe — the same
+# three insert-only event batches (event_id % 3) appended to a source
+# log with sinks/incremental.sync_aggregate folding each batch's
+# change feed into the maintained per-event_type aggregate, positions
+# recovered from the destination log, CAS overwrites — and hash-
+# compares the same final snapshot against the same from-scratch
+# GROUP BY oracle; it then adds the KEYED consumer half of the same
+# incremental story (merge-committed feeds, poll/ack cursor,
+# log-to-log keyed sync) the retiree never touched.
 
 
 # --------------------------------------------------------------------------
 # Change-feed consumer path: read_changes + ChangefeedCursor + sync_changes
 # --------------------------------------------------------------------------
 
-# cdc_merge_apply retired r13 (zero-slack swap, VERDICT r12 task 2):
-# its keyed I/U/D MERGE semantics — per-key last-writer-wins collapse
-# of the change batch, one full-outer reconcile per key, delete-drop,
-# insert-on-absent, no-op delete of an absent key — are exactly what
-# ``sinks/tablelog.merge_changes`` applies and what
-# ``sync_changes(keys=...)`` drives from a real log's change feed, so
-# changefeed_keyed_sync certifies the SAME semantics (same base/change
-# split on the same CDC_CUTOFF, same (ts, event_id) total order, same
-# final reconciled state hash-compared against the same full-outer
-# oracle) THROUGH the log: merge-committed feeds, O(delta)
-# read_changes, the poll/ack re-serve-until-acked cursor contract, and
-# destination-recovered sync positions — plus the kept/inserted/
-# updated/deleted audit, upgraded from a query-side CASE tag to the
-# log's own recorded _change_type counts per commit. The factored
-# query-side plan (``plans/temporal.cdc_merge_plan``) stays
-# unit-pinned by tests/test_plans.py (plan shape + crafted-branch
-# semantics), exactly like the r12 wav->flac swap kept the RIFF parse
-# pinned.
+# changefeed_keyed_sync (NEW r13, VERDICT r12 task 2) inherits the
+# window slot of incremental_agg_maintenance by strict IN-PLACE
+# subsumption (note above): one driver row for BOTH halves of the
+# incremental story — the retiree's insert-only writer half
+# (sync_aggregate maintenance, embedded verbatim as the
+# maintained_agg branch) and the keyed consumer half it never
+# touched: merge-committed change feeds, O(delta) read_changes, the
+# poll/ack re-serve-until-acked cursor contract, log-to-log
+# sync_changes with destination-recovered positions, and the
+# insert/update/delete audit from the log's own recorded
+# _change_type per commit. The keyed I/U/D MERGE semantics applied
+# here — per-key last-writer-wins collapse, one full-outer reconcile
+# per key, delete-drop, insert-on-absent, no-op delete of an absent
+# key — are the same ones the still-registered cdc_merge_apply
+# certifies query-side (same CDC_CUTOFF base/change split, same
+# (ts, event_id) total order), now driven through the log's commits.
 
-#: Base/changes split (same instant the retired cdc_merge_apply used)
+#: Base/changes split (same instant cdc_merge_apply uses query-side)
 #: plus two further slice boundaries: three keyed change batches whose
 #: per-slice last change per key is time-ordered across slices, so the
 #: sequential merges must converge to the single global last-change
@@ -572,12 +535,14 @@ CF_CUTOFFS = (
 
 def build_synced_state_logs(
     spark: SparkSession, sf_dir: str
-) -> tuple[str, str, dict[tuple[int, str], int]]:
+) -> tuple[str, str, dict[tuple[int, str], int], str]:
     """Build a keyed SOURCE state log from events, consume its change
-    feed into a DESTINATION log, and return ``(src, dst,
-    feed_counts)`` where ``feed_counts`` maps ``(commit_version,
-    change_type)`` to the number of effective row-level changes the
-    feed recorded.
+    feed into a DESTINATION log, run the retired
+    incremental_agg_maintenance writer-half recipe on a second
+    insert-only log, and return ``(src, dst, feed_counts, agg_dst)``
+    where ``feed_counts`` maps ``(commit_version, change_type)`` to
+    the number of effective row-level changes the feed recorded and
+    ``agg_dst`` is the maintained aggregate table.
 
     Source commits: v0 = append of each user's latest pre-cutoff state
     (the keyed snapshot a CDC pipeline bootstraps from), v1..v3 =
@@ -624,14 +589,12 @@ def build_synced_state_logs(
     work = _work_dir("spark_graft_tablelog_cf_")
     src = os.path.join(work, "state_src")
     dst = os.path.join(work, "state_dst")
-    # persist: the base window and the three slice batches each read
-    # events (and merge_changes re-evaluates its batch lineage per
-    # attempt) — one parquet scan instead of four-plus
-    events = (
-        load_tables(spark, sf_dir, ("events",))["events"]
-        .filter(F.col("user_id").isNotNull())
-        .persist()
-    )
+    # persist the UNFILTERED parent: the base window, the three slice
+    # batches, and the writer-half's three insert-only batches each
+    # read events (and merge_changes re-evaluates its batch lineage
+    # per attempt) — one parquet scan instead of seven-plus
+    events_all = load_tables(spark, sf_dir, ("events",))["events"].persist()
+    events = events_all.filter(F.col("user_id").isNotNull())
     c0 = F.lit(CF_CUTOFFS[0]).cast("timestamp")
     w = W.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -731,8 +694,28 @@ def build_synced_state_logs(
     cursor.ack(first[1])
     if cursor.poll(spark) is not None:
         raise ValueError("cursor served rows past the acked position")
-    events.unpersist()
-    return src, dst, feed_counts
+
+    # Writer half: the retired incremental_agg_maintenance recipe,
+    # verbatim (subsumption note above CF_CUTOFFS) — three insert-only
+    # batches into a second source log, each batch's change feed
+    # folded into the maintained per-event_type aggregate by
+    # sync_aggregate (bootstrap append, then destination-head CAS
+    # overwrites, positions recovered from the destination log alone).
+    src2 = os.path.join(work, "events_src")
+    agg_dst = os.path.join(work, "events_agg")
+    for rem in (0, 1, 2):
+        tablelog.append(
+            events_all.filter(F.col("event_id") % 3 == rem).select(
+                "event_type", "value"
+            ),
+            src2,
+        )
+        incremental.sync_aggregate(
+            spark, src2, agg_dst,
+            group_cols=["event_type"], sum_cols=["value"],
+        )
+    events_all.unpersist()
+    return src, dst, feed_counts, agg_dst
 
 
 @CATALOG.add(
@@ -838,38 +821,52 @@ def build_synced_state_logs(
            CAST(NULL AS TIMESTAMP) AS updated_at,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM feed GROUP BY v, ctype
+    UNION ALL
+    SELECT 'maintained_agg' AS branch,
+           CAST(NULL AS BIGINT) AS user_id,
+           event_type AS state,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value,
+           CAST(NULL AS TIMESTAMP) AS updated_at,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
     """,
-    doc="Change-feed consumer path through the table log "
-    "(sinks/tablelog.py read_changes / ChangefeedCursor.poll+ack / "
-    "sync_changes): commit each user's latest pre-cutoff state, then "
-    "three keyed I/U/D change slices as MERGE commits with a recorded "
-    "change feed, and consume them into a destination log — one "
-    "bootstrap sync covering v0+v1 (per-key collapse must drop keys "
-    "whose last in-range change is a delete), one multi-commit keyed "
-    "sync covering v2+v3 (_commit_version ordering must let v3 win), "
-    "one idle sync pinned to None, positions recovered from the "
-    "destination's own manifests. An independent ChangefeedCursor "
-    "consumer re-reads the whole feed with the re-serve-until-acked "
-    "contract enforced (two unacked polls must serve identical "
-    "batches; a poll past the ack is idle). The returned frame is the "
-    "destination's final reconciled state UNION the feed's per-commit "
-    "insert/update/delete counts; the oracle re-derives both from the "
-    "source rows alone (full-outer last-change reconcile for the "
-    "state; membership algebra over the slice boundaries for the "
-    "counts), so one resurrected delete, one mis-ordered commit, one "
-    "double-applied batch, or one misclassified change breaks the "
-    "hash. Subsumes the retired cdc_merge_apply (note above "
-    "build_synced_state_logs; its query-side plan stays unit-pinned). "
-    "At 100 TB this IS how downstream consumes a table: O(changed "
-    "rows) per poll from the commits' own recorded files — the "
-    "reference re-scans its whole serving table per load "
-    "(airflow/src/load_to_postgres.py:294-321).",
+    doc="Both halves of the table log's incremental story in one "
+    "driver row. CONSUMER half (sinks/tablelog.py read_changes / "
+    "ChangefeedCursor.poll+ack / sync_changes): commit each user's "
+    "latest pre-cutoff state, then three keyed I/U/D change slices "
+    "as MERGE commits with a recorded change feed, and consume them "
+    "into a destination log — one bootstrap sync covering v0+v1 "
+    "(per-key collapse must drop keys whose last in-range change is "
+    "a delete), one multi-commit keyed sync covering v2+v3 "
+    "(_commit_version ordering must let v3 win), one idle sync "
+    "pinned to None, positions recovered from the destination's own "
+    "manifests; an independent ChangefeedCursor consumer re-reads "
+    "the whole feed with the re-serve-until-acked contract enforced "
+    "(two unacked polls must serve identical batches; a poll past "
+    "the ack is idle). WRITER half: the retired "
+    "incremental_agg_maintenance recipe verbatim (subsumption note "
+    "above build_synced_state_logs) — three insert-only batches "
+    "folded into a maintained per-event_type aggregate by "
+    "sinks/incremental.sync_aggregate, O(delta) per refresh. The "
+    "returned frame unions the destination's final reconciled state, "
+    "the feed's per-commit insert/update/delete counts, and the "
+    "maintained aggregate; the oracle re-derives all three from the "
+    "source rows alone (full-outer last-change reconcile; membership "
+    "algebra over the slice boundaries; from-scratch GROUP BY), so "
+    "one resurrected delete, one mis-ordered commit, one double-"
+    "applied batch, one misclassified change, or one drifted decimal "
+    "fold breaks the hash. At 100 TB this IS how downstream consumes "
+    "a table: O(changed rows) per poll from the commits' own "
+    "recorded files — the reference re-scans its whole serving table "
+    "per load (airflow/src/load_to_postgres.py:294-321).",
     tags=("tablelog", "cdc", "incremental"),
 )
 def changefeed_keyed_sync(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    _src, dst, feed_counts = build_synced_state_logs(spark, sf_dir)
+    _src, dst, feed_counts, agg_dst = build_synced_state_logs(
+        spark, sf_dir
+    )
     final = tablelog.read_snapshot(spark, dst).select(
         F.lit("final_state").alias("branch"),
         F.col("user_id").cast("bigint").alias("user_id"),
@@ -888,4 +885,12 @@ def changefeed_keyed_sync(
             "value double, updated_at timestamp, n bigint"
         ),
     )
-    return final.unionByName(audit)
+    maintained = tablelog.read_snapshot(spark, agg_dst).select(
+        F.lit("maintained_agg").alias("branch"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("event_type").cast("string").alias("state"),
+        F.col("sum_value").cast("double").alias("value"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.col("n_rows").cast("bigint").alias("n"),
+    )
+    return final.unionByName(audit).unionByName(maintained)

@@ -222,31 +222,25 @@ BENCH_NOTES = {
         "1.2-1.3s isolated anchor, not r09's 0.81s."
     ),
     "changefeed_keyed_sync": (
-        "New r13 anchor: ~6.5s min isolated at sf0.1 (8-run probe "
-        "settles 6.5-9s; the host was mid-burst, so the catalog "
-        "number may read lower). Heavier than the retired "
-        "cdc_merge_apply (0.46s) BY DESIGN, the checkpoint_fold "
-        "pattern: the retiree ran ONE query-side reconcile plan; "
-        "this fixture COMMITS four snapshots (base append + three "
-        "keyed merges, each a full-outer rewrite plus a change-feed "
-        "write), runs two log-to-log syncs (bootstrap + multi-"
-        "commit keyed merge on the destination), an idle sync, and "
-        "a second consumer's poll/re-poll/ack audit — ~13 small "
-        "Spark jobs of fixed fixture overhead at any sf. The "
-        "certified reads stay O(changed rows): every batch is "
-        "served from the commits' own added/cdc_files, and "
-        "sync_position is driver-side manifest arithmetic — "
-        "unchanged on a 100 TB table."
-    ),
-    "tablelog_restore_audit": (
-        "New r13 anchor: ~2.0s min isolated at sf0.1 (6-run probe "
-        "settles 2.0-2.7s) vs the retired tablelog_manifest_stats' "
-        "~1.0-1.7s. The delta is BY DESIGN: the fixture adds the "
-        "fat-finger overwrite (v3) and two read branches (restored "
-        "head + superseded-version aggregates) on top of the "
-        "retiree's three commits; the restore itself and the eight "
-        "metadata answers are driver-side manifest arithmetic, "
-        "milliseconds at any table size."
+        "New r13 anchor: ~8.3s min isolated at sf0.1 (6-run probe "
+        "settles 8-11s). The heaviest non-streaming catalog entry, "
+        "BY DESIGN — the checkpoint_fold pattern taken furthest: one "
+        "driver row certifies BOTH halves of the incremental story. "
+        "The fixture commits four source snapshots (base append + "
+        "three keyed merges, each a full-outer rewrite plus a "
+        "change-feed write), runs two log-to-log syncs (bootstrap + "
+        "multi-commit keyed merge), an idle sync, a second "
+        "consumer's poll/re-poll/ack audit, AND the retired "
+        "incremental_agg_maintenance recipe verbatim (three "
+        "insert-only appends + three sync_aggregate folds, ~1.4s on "
+        "its own in r12) — ~20 small Spark jobs of fixed fixture "
+        "overhead at any sf. The certified reads stay O(changed "
+        "rows): every batch is served from the commits' own "
+        "added/cdc_files, and positions are driver-side manifest "
+        "arithmetic — unchanged on a 100 TB table. Net catalog "
+        "impact vs r12: +8.3s here minus the retiree's 1.4s, "
+        "partially offset by tablelog_restore_audit (+2.0s) minus "
+        "its retiree tablelog_manifest_stats (1.0-1.7s)."
     ),
     "warmup_policy": (
         "Decided r13 (VERDICT r12 what's-wrong #2 asked for a "

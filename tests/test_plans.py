@@ -493,15 +493,7 @@ def test_cdc_merge_joins_without_reshuffle(spark, sf_dir):
     # reach the parquet scans, and the per-key top-1 must push a
     # WindowGroupLimit below the shuffle (map-side prune: at 100 TB
     # only ~1 row per key per map task travels, not the whole batch).
-    # (cdc_merge_apply retired r13 — driver row moved to
-    # changefeed_keyed_sync — so the pin builds the factored plan
-    # directly; the shape contract is unchanged.)
-    from aws_weather_data_pipeline_spark.plans.temporal import (
-        _events,
-        cdc_merge_plan,
-    )
-
-    df = cdc_merge_plan(_events(spark, sf_dir))
+    df = CATALOG.queries["cdc_merge_apply"].builder(spark, sf_dir)
     plan = _formatted(df)
     n_exchanges = sum(
         1
