@@ -267,6 +267,25 @@ BENCH_NOTES = {
         "and the min-of-interleaved-passes design exists exactly to "
         "absorb them."
     ),
+    "drift_r13": (
+        "r13 mid-round idle-host run (post swaps): catalog 153.6s / "
+        "150 q / n_failed 0. Round-over-round median per-query "
+        "min-of-passes ratio vs the final r12 detail is 0.969 "
+        "(faster) over 148 common queries; vs the r09 clean detail "
+        "(ee66e34) the median is 1.071 — the ambient elevation "
+        "continuing to recover (r12: 1.125). The +2.7s total vs r12 "
+        "is the committed swap arithmetic: the two retirees "
+        "(incremental_agg_maintenance 1.43s + tablelog_manifest_"
+        "stats 1.70s) out, the two subsuming queries in "
+        "(changefeed_keyed_sync 8.26s + tablelog_restore_audit "
+        "1.90s, both at their probed anchors — see their notes), "
+        "partially offset by the catalog-wide speedup. Exactly one "
+        "mover >1.8x vs r09: near_dup_pairs_simhash at 1.64s catalog "
+        "/ 2.02x — its same-day idle 8-run probe settles [1.09-1.3], "
+        "min 1.09s, UNDER the accepted 1.2-1.3s isolated anchor "
+        "(simhash_priced_r12), so the catalog number is interleaved "
+        "contention, not plan cost; no action."
+    ),
     "drift_r12": (
         "Re-anchored r13 to the FINAL r12 driver artifact (VERDICT "
         "r12 what's-wrong #1 — the first write-up described the "
