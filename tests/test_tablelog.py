@@ -3230,3 +3230,153 @@ def test_tablelog_damage_markers_under_random_op_sequences(
                 ).collect()
             )
             assert got == expect, f"version {v}: {got} != {expect}"
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test #3: keyed changefeed consumer (r13)
+# ---------------------------------------------------------------------------
+
+#: per-commit key -> value maps: a KEYED source table has at most one
+#: row per key per commit (merges guarantee it; the bootstrap append
+#: is a keyed snapshot), which is what makes the consumer's per-key
+#: collapse by _commit_version deterministic.
+_KEYED_ROWS = st.dictionaries(
+    st.integers(0, 6), _S, min_size=0, max_size=4
+)
+_KEYED_CHANGES = st.dictionaries(
+    st.integers(0, 6),
+    st.tuples(st.sampled_from(["U", "D"]), _S),
+    min_size=1,
+    max_size=4,
+)
+_SYNC_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _KEYED_ROWS),
+        st.tuples(st.just("merge"), _KEYED_CHANGES),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("sync"), st.just(None)),
+        # vacuum fires only right after a sync (position == head), the
+        # documented cadence contract: retention deeper than the sync
+        # lag. The arg is retain_last.
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_SYNC_OPS)
+def test_keyed_changefeed_sync_matches_model(
+    spark, tmp_path_factory, ops
+):
+    """The keyed log-to-log consumer under RANDOM commit/sync
+    interleavings (the model twin of the r13 driver row
+    ``changefeed_keyed_sync``): a source log takes keyed appends,
+    keyed merges with a recorded change feed, and compactions; at
+    random points ``sync_changes(keys=['k'])`` applies the feed to a
+    destination log, and vacuum (only at the documented cadence —
+    right after a sync, when nothing unsynced depends on expiring
+    manifests) folds and expires source history. The pure-Python
+    model folds the same commits in order: insert/update sets the
+    key, delete removes it, a delete of an absent key is a no-op.
+    Invariants: after every sync the destination snapshot equals the
+    model fold EXACTLY (one resurrected delete, reordered commit, or
+    double-applied batch diverges), an immediate re-sync is idle
+    (None), and ``sync_position`` equals the source head just
+    consumed — including after vacuum expired the synced prefix."""
+    table_root = tmp_path_factory.mktemp("syncprop")
+    src = str(table_root / "src")
+    dst = str(table_root / "dst")
+
+    def df_rows(d):
+        return spark.createDataFrame(
+            [(k, s) for k, s in d.items()], "k int, s int"
+        )
+
+    def df_changes(d):
+        # seq is pure order_cols metadata (<=1 change per key makes it
+        # moot, but order_cols must not name op_col: merge's dedup
+        # window drops non-data order columns after collapsing)
+        return spark.createDataFrame(
+            [(op, k, s, j) for j, (k, (op, s)) in enumerate(d.items())],
+            "op string, k int, s int, seq int",
+        )
+
+    state: dict[int, object] = {}   # model of the keyed fold
+    synced_state: dict[int, object] = {}
+    position = -1                   # last synced source version
+    head = None
+    for i, (op, arg) in enumerate(ops):
+        if op == "append":
+            head = tl.append(df_rows(arg), src, txn_id=f"sp-a-{i}")
+            state.update(arg)
+        elif head is None:
+            # merges/compactions need an existing table; a sync of a
+            # never-written source must be the idle no-op
+            if op == "sync":
+                assert tl.sync_changes(spark, src, dst, keys=["k"]) is None
+            continue
+        elif op == "merge":
+            head = tl.merge_changes(
+                spark, src, df_changes(arg),
+                keys=["k"], order_cols=["seq"],
+                write_changefeed=True, txn_id=f"sp-m-{i}",
+            )
+            for k, (cop, s) in arg.items():
+                if cop == "D":
+                    state.pop(k, None)
+                else:
+                    state[k] = s
+        elif op == "compact":
+            head = tl.compact(spark, src, n_files=1)
+        elif op == "sync":
+            committed = tl.sync_changes(spark, src, dst, keys=["k"])
+            if committed is None:
+                # idle, or only data-less commits (compactions, empty
+                # appends) in range: no destination commit and the
+                # recorded position does NOT advance — the destination
+                # must still show exactly the last synced fold
+                if tl.latest_version(dst) is not None:
+                    got = {
+                        r.k: r.s
+                        for r in tl.read_snapshot(spark, dst).collect()
+                    }
+                    assert got == synced_state, (
+                        f"no-op sync moved data: {got} != {synced_state}"
+                    )
+            else:
+                got = {
+                    r.k: r.s
+                    for r in tl.read_snapshot(spark, dst).collect()
+                }
+                assert got == state, f"after sync: {got} != {state}"
+                assert tl.sync_position(dst) == head
+                assert tl.sync_changes(spark, src, dst, keys=["k"]) is None
+                position = head
+                synced_state = dict(state)
+        else:  # vacuum, only at the documented cadence
+            if position == head:
+                tl.vacuum(src, retain_last=arg, min_age_seconds=0.0)
+    # final drain: whatever the sequence did, one sync converges the
+    # destination to the model (a None return means nothing
+    # data-bearing is unsynced, so the destination already matches)
+    if head is not None:
+        committed = tl.sync_changes(spark, src, dst, keys=["k"])
+        if tl.latest_version(dst) is not None:
+            got = {
+                r.k: r.s
+                for r in tl.read_snapshot(spark, dst).collect()
+            }
+            assert got == state, f"final: {got} != {state}"
+            if committed is not None:
+                assert tl.sync_position(dst) == head
+        else:
+            assert not state, "model has rows but dst was never written"
