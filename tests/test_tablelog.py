@@ -3380,3 +3380,83 @@ def test_keyed_changefeed_sync_matches_model(
                 assert tl.sync_position(dst) == head
         else:
             assert not state, "model has rows but dst was never written"
+
+
+def test_threaded_concurrent_keyed_syncs_race_live_writer(
+    spark, tmp_path
+):
+    """REAL concurrency for the keyed log-to-log consumer (the
+    directed CAS tests simulate single interleaves; this races the
+    whole protocol): one writer thread lands a bootstrap append and a
+    chain of keyed merge commits with recorded feeds while TWO
+    consumer threads concurrently loop ``sync_changes(keys=['k'])``
+    into the SAME destination. Contract under contention: racing
+    syncs resolve to one winner per batch (the loser's CAS fails into
+    an internal retry; a worker that exhausts its retries surfaces
+    CommitConflict, which a polling consumer treats as 'poll again'),
+    no batch is double-applied, no stale racer regresses a key, and
+    after a final drain the destination equals the source head's
+    keyed state with exactly one row per key."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    n_rounds, keys = 6, 5
+    tl.append(
+        spark.createDataFrame(
+            [(k, -1) for k in range(keys)], "k int, s int"
+        ),
+        src,
+        txn_id="stress-base",
+    )
+    done = threading.Event()
+
+    def writer():
+        try:
+            for i in range(n_rounds):
+                tl.merge_changes(
+                    spark, src,
+                    spark.createDataFrame(
+                        [("U", k, i * 100 + k, 0) for k in range(keys)],
+                        "op string, k int, s int, seq int",
+                    ),
+                    keys=["k"], order_cols=["seq"],
+                    write_changefeed=True, txn_id=f"stress-m-{i}",
+                )
+        finally:
+            done.set()
+
+    def consumer():
+        applied = []
+        while not done.is_set():
+            try:
+                v = tl.sync_changes(spark, src, dst, keys=["k"])
+            except tl.CommitConflict:
+                continue  # lost every retry this poll: poll again
+            if v is not None:
+                applied.append(v)
+        return applied
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fw = pool.submit(writer)
+        fc1, fc2 = pool.submit(consumer), pool.submit(consumer)
+        fw.result()
+        applied = fc1.result() + fc2.result()
+    # final drain (single-threaded): converge whatever remains
+    tl.sync_changes(spark, src, dst, keys=["k"])
+    got = {
+        r.k: r.s for r in tl.read_snapshot(spark, dst).collect()
+    }
+    expect = {k: (n_rounds - 1) * 100 + k for k in range(keys)}
+    assert got == expect, f"{got} != {expect}"
+    # exactly one row per key: no double-applied batch survived
+    n = tl.read_snapshot(spark, dst).count()
+    assert n == keys, f"{n} rows for {keys} keys"
+    # both consumers may report the SAME destination version for one
+    # batch — that is the txn replay answering "already applied" (the
+    # exactly-once mechanism), not a double-apply (the data asserts
+    # above prove none happened). The committed versions themselves
+    # form a contiguous prefix of the destination's history, and the
+    # recovered position ends at the source head.
+    assert set(applied) == set(range(max(applied) + 1)), applied
+    assert tl.sync_position(dst) == tl.latest_version(src)
