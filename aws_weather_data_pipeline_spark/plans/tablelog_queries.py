@@ -584,16 +584,28 @@ def build_synced_state_logs(
     one keyed merge; no step rescans the source table. At 100 TB this
     is the entire point: downstream consumes commits, not the table.
     """
-    from pyspark.sql import Window as W
-
     work = _work_dir("spark_graft_tablelog_cf_")
-    src = os.path.join(work, "state_src")
-    dst = os.path.join(work, "state_dst")
     # persist the UNFILTERED parent: the base window, the three slice
     # batches, and the writer-half's three insert-only batches each
     # read events (and merge_changes re-evaluates its batch lineage
     # per attempt) — one parquet scan instead of seven-plus
     events_all = load_tables(spark, sf_dir, ("events",))["events"].persist()
+    try:
+        return _build_synced_state_logs(spark, events_all, work)
+    finally:
+        # unpersist on EVERY exit: a contract-check raise must not
+        # leak the cached input into the rest of the session
+        # (review r13)
+        events_all.unpersist()
+
+
+def _build_synced_state_logs(
+    spark: SparkSession, events_all: DataFrame, work: str
+) -> tuple[str, str, dict[tuple[int, str], int], str]:
+    from pyspark.sql import Window as W
+
+    src = os.path.join(work, "state_src")
+    dst = os.path.join(work, "state_dst")
     events = events_all.filter(F.col("user_id").isNotNull())
     c0 = F.lit(CF_CUTOFFS[0]).cast("timestamp")
     w = W.partitionBy("user_id").orderBy(
@@ -714,7 +726,6 @@ def build_synced_state_logs(
             spark, src2, agg_dst,
             group_cols=["event_type"], sum_cols=["value"],
         )
-    events_all.unpersist()
     return src, dst, feed_counts, agg_dst
 
 

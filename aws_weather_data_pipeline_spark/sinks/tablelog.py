@@ -198,6 +198,38 @@ def _write_damage_marker(
     os.replace(tmp, _damaged_marker_path(table, version))
 
 
+def _read_damage_marker(table: str, version: int) -> dict | None:
+    """Parse a version's damage marker. Returns None when no marker
+    exists or a racing vacuum removed it mid-read (the version was
+    resolvable a moment ago — serve it normally, the standard
+    retention race rather than damage). A torn/unreadable marker
+    (OSError, bad JSON) still reports damage — the record is broken,
+    not the fact — with ``torn=True`` and an empty ``missing`` list,
+    so every consumer (files_for, restore's target check) refuses by
+    NAME instead of crashing on the raw parse error (review r13: the
+    two hand-copies of this read had already drifted — restore's
+    handled only FileNotFoundError)."""
+    marker = _damaged_marker_path(table, version)
+    if not os.path.exists(marker):
+        return None
+    try:
+        with open(marker) as fh:
+            info = json.load(fh)
+        return {
+            "cause": info.get("cause", "a restore lost a vacuum race"),
+            "missing": info.get("missing", []),
+            "torn": False,
+        }
+    except FileNotFoundError:
+        return None
+    except (OSError, json.JSONDecodeError):
+        return {
+            "cause": "a restore lost a vacuum race",
+            "missing": [],
+            "torn": True,
+        }
+
+
 #: (path -> (mtime_ns, parsed)) cache for _read_checkpoint: the fold
 #: is consulted on every txn-bearing commit, and re-parsing a
 #: multi-MB fold per commit at the 1e5-commit scale it exists for
@@ -792,36 +824,20 @@ def files_for(
     # lost vacuum race deleted (restore's losing branches, ADVICE
     # r11): the scan would fail anyway, deep inside Spark with a bare
     # missing-file error — surface the HISTORY instead.
-    marker = _damaged_marker_path(table, version)
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                info = json.load(fh)
-            missing = info.get("missing", [])
-            detail = f" (e.g. {missing[0]})" if missing else ""
-            cause = info.get("cause", "a restore lost a vacuum race")
-            count = str(len(missing))
-        except FileNotFoundError:
-            # a racing vacuum expired this version and removed its
-            # marker between our manifest read and this open — the
-            # version WAS resolvable a moment ago; serve it from the
-            # manifest already in hand (the standard retention race,
-            # not damage)
-            marker = None
-            detail = cause = count = ""
-        except (OSError, json.JSONDecodeError):
-            # torn/unreadable marker: the damage is real but the
-            # record is not — say the count is unknown rather than
-            # claiming "0 deleted files"
-            detail = ""
-            cause = "a restore lost a vacuum race"
-            count = "an unknown number of"
-        if marker is not None:
-            raise FileNotFoundError(
-                f"version {version} of {table} is damaged: {cause}; "
-                f"its manifest names {count} deleted data "
-                f"files{detail} — read a different version"
-            )
+    dmg = _read_damage_marker(table, version)
+    if dmg is not None:
+        missing = dmg["missing"]
+        detail = f" (e.g. {missing[0]})" if missing else ""
+        # a torn marker's damage is real but its record is not — say
+        # the count is unknown rather than claiming "0 deleted files"
+        count = (
+            "an unknown number of" if dmg["torn"] else str(len(missing))
+        )
+        raise FileNotFoundError(
+            f"version {version} of {table} is damaged: "
+            f"{dmg['cause']}; its manifest names {count} deleted "
+            f"data files{detail} — read a different version"
+        )
     names = manifest["files"]
     if where is None:
         return list(names)
@@ -1082,22 +1098,16 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
         # files — raise the recorded history instead of rediscovering
         # the loss file-by-file below with a less specific message
         # (the marker is the remediation breadcrumb; see the
-        # docstring's remediation paragraph)
-        marker = _damaged_marker_path(table, version)
-        if os.path.exists(marker):
-            try:
-                with open(marker) as fh:
-                    cause = json.load(fh).get(
-                        "cause", "a restore lost a vacuum race"
-                    )
-            except FileNotFoundError:
-                cause = None  # racing vacuum swept it: fall through
-            if cause is not None:
-                raise FileNotFoundError(
-                    f"cannot restore {table} to v{version}: that "
-                    f"version is damaged ({cause}) — restore from an "
-                    "undamaged retained version instead"
-                )
+        # docstring's remediation paragraph). A marker swept by a
+        # racing vacuum reads as no marker; a torn one still refuses
+        # by name (shared parse: _read_damage_marker).
+        dmg = _read_damage_marker(table, version)
+        if dmg is not None:
+            raise FileNotFoundError(
+                f"cannot restore {table} to v{version}: that "
+                f"version is damaged ({dmg['cause']}) — restore "
+                "from an undamaged retained version instead"
+            )
         missing = []
         for n in target["files"]:
             path = os.path.join(_data_dir(table), n)
@@ -1191,85 +1201,100 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
         # writer's rows.
         prev_v = committed - 1
         rolled_back = False
+        prev_m = None
         try:
             prev_m = _read_manifest(table, prev_v)
         except FileNotFoundError:
             # The pre-restore manifest itself is gone (a vacuum with
             # retain_last=1 expired it while our commit is head):
-            # there is no snapshot to roll back TO. This is NOT a
-            # lost rollback CAS — the head still equals our commit —
-            # so falling through to the head-moved logic would
-            # misreport 'a concurrent commit landed meanwhile' and
-            # overwrite the commit's truthful damage cause (ADVICE
-            # r12). Report the failed rollback honestly; the marker
-            # written above already names the deleted files.
-            raise FileNotFoundError(
-                f"restore of {table} to v{version} lost the race "
-                f"with a concurrent vacuum: {len(gone)} restored "
-                f"files were deleted after publish (e.g. {gone[0]}), "
-                f"and rollback to v{prev_v} also failed (its "
-                "manifest is expired) — the head is marked damaged; "
-                "restore from a retained version or overwrite with "
-                "fresh data"
-            ) from None
-        try:
-            _commit(
-                table,
-                lambda _p: (
-                    list(prev_m["files"]),
-                    prev_m.get("stats", {}),
-                    {
-                        "restored_from": prev_v,
-                        "schema": prev_m.get("schema"),
-                        # names the commit this rollback compensates,
-                        # so a txn-replayed retry of the failed
-                        # restore raises instead of reading as success
-                        "rolled_back_restore": committed,
-                    },
-                ),
-                "restore",
-                None,
-                rebase=False,
-                require_head=committed,
-            )
-            rolled_back = True
-        except (CommitConflict, FileNotFoundError):
-            # CAS lost: a commit landed on top of ours between the
-            # head check and the rollback publish. Do NOT raise a
-            # guessed message here (review r12 #2: the old branch
-            # claimed 'the head still names deleted files' without
-            # checking, and left an inheriting head unmarked for
-            # every other reader) — re-read the real head and fall
-            # through to the head-moved logic below, which marks it
-            # if it inherited the deleted names and words the error
-            # by what it actually references.
+            # there is no snapshot to roll back TO. Only raise the
+            # failed-rollback diagnosis if the head STILL equals our
+            # commit (review r13): a commit interleaving right after
+            # the head check inherits the deleted names via the
+            # previous manifest's file list, and raising here without
+            # re-reading would leave that head UNMARKED — the exact
+            # bare-scan-death gap the head-moved logic below closes.
             head = latest_version(table)
             if head == committed:
-                # The head never moved, so no commit interleaved and
-                # nothing inherited the deleted names — the rollback
-                # publish itself failed for a non-CAS reason (e.g. a
-                # racing vacuum unlinked v{prev_v}'s manifest between
-                # our read and the publish). Same honest diagnosis as
-                # the missing-manifest branch above; the marker on
-                # our commit (== the head) already carries the
-                # truthful cause (ADVICE r12).
+                # No interleave: report the failed rollback honestly;
+                # the marker written above already names the deleted
+                # files with the truthful vacuum-race cause (ADVICE
+                # r12 — the old fall-through misreported 'a commit
+                # interleaved' and overwrote that cause).
                 raise FileNotFoundError(
                     f"restore of {table} to v{version} lost the race "
                     f"with a concurrent vacuum: {len(gone)} restored "
                     f"files were deleted after publish (e.g. "
                     f"{gone[0]}), and rollback to v{prev_v} also "
-                    "failed — the head is marked damaged; restore "
-                    "from a retained version or overwrite with fresh "
-                    "data"
+                    "failed (its manifest is expired) — the head is "
+                    "marked damaged; restore from a retained version "
+                    "or overwrite with fresh data"
                 ) from None
-        if rolled_back:
-            raise FileNotFoundError(
-                f"restore of {table} to v{version} lost the race "
-                f"with a concurrent vacuum: {len(gone)} restored "
-                f"files were deleted after publish (e.g. {gone[0]}); "
-                f"the head was rolled back to the pre-restore "
-                f"snapshot v{prev_v}"
-            )
+            # else: the head moved — fall through (prev_m is None) to
+            # the head-moved logic below, which marks an inheriting
+            # head and words the error by what it references
+        if prev_m is not None:
+            try:
+                _commit(
+                    table,
+                    lambda _p: (
+                        list(prev_m["files"]),
+                        prev_m.get("stats", {}),
+                        {
+                            "restored_from": prev_v,
+                            "schema": prev_m.get("schema"),
+                            # names the commit this rollback
+                            # compensates, so a txn-replayed retry of
+                            # the failed restore raises instead of
+                            # reading as success
+                            "rolled_back_restore": committed,
+                        },
+                    ),
+                    "restore",
+                    None,
+                    rebase=False,
+                    require_head=committed,
+                )
+                rolled_back = True
+            except (CommitConflict, FileNotFoundError):
+                # CAS lost: a commit landed on top of ours between
+                # the head check and the rollback publish. Do NOT
+                # raise a guessed message here (review r12 #2: the
+                # old branch claimed 'the head still names deleted
+                # files' without checking, and left an inheriting
+                # head unmarked for every other reader) — re-read the
+                # real head and fall through to the head-moved logic
+                # below, which marks it if it inherited the deleted
+                # names and words the error by what it actually
+                # references.
+                head = latest_version(table)
+                if head == committed:
+                    # The head never moved, so no commit interleaved
+                    # and nothing inherited the deleted names — the
+                    # rollback publish itself failed for a non-CAS
+                    # reason (e.g. a racing vacuum unlinked
+                    # v{prev_v}'s manifest between our read and the
+                    # publish). Same honest diagnosis as the
+                    # missing-manifest branch above; the marker on
+                    # our commit (== the head) already carries the
+                    # truthful cause (ADVICE r12).
+                    raise FileNotFoundError(
+                        f"restore of {table} to v{version} lost the "
+                        f"race with a concurrent vacuum: {len(gone)} "
+                        f"restored files were deleted after publish "
+                        f"(e.g. {gone[0]}), and rollback to "
+                        f"v{prev_v} also failed — the head is marked "
+                        "damaged; restore from a retained version or "
+                        "overwrite with fresh data"
+                    ) from None
+            if rolled_back:
+                raise FileNotFoundError(
+                    f"restore of {table} to v{version} lost the race "
+                    f"with a concurrent vacuum: {len(gone)} restored "
+                    f"files were deleted after publish (e.g. "
+                    f"{gone[0]}); the head was rolled back to the "
+                    f"pre-restore snapshot v{prev_v}"
+                )
     # The head moved past our commit. A compaction may have rewritten
     # the lost files away (current head clean — fine); an append
     # carried them forward (current head names deleted files — the

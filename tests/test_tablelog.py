@@ -3458,5 +3458,64 @@ def test_threaded_concurrent_keyed_syncs_race_live_writer(
     # above prove none happened). The committed versions themselves
     # form a contiguous prefix of the destination's history, and the
     # recovered position ends at the source head.
-    assert set(applied) == set(range(max(applied) + 1)), applied
+    if applied:  # may be empty if the writer outran both consumers
+        assert set(applied) == set(range(max(applied) + 1)), applied
     assert tl.sync_position(dst) == tl.latest_version(src)
+
+
+def test_restore_expired_prev_with_interleaved_commit_marks_head(
+    spark, tmp_path, monkeypatch
+):
+    """Review r13 (code-review finding): when the rollback attempt
+    finds the pre-restore manifest expired AND a commit has already
+    interleaved past our restore, the failed-rollback diagnosis would
+    be wrong AND the inheriting head would go unmarked — the branch
+    must re-read the head and fall through to the head-moved logic,
+    which marks the inheriting head for every reader."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 5), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
+    target_files = tl._read_manifest(table, 0)["files"]
+    real_publish = tl._publish
+    fired = []
+
+    def sabotage(tbl, version, manifest):
+        real_publish(tbl, version, manifest)
+        if manifest.get("op") == "restore" and not fired:
+            fired.append(version)
+            # the losing vacuum deletes a restored file, expires the
+            # pre-restore manifest, AND an append interleaves past
+            # our commit, inheriting the deleted name
+            os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
+            os.unlink(tl._manifest_path(tbl, version - 1))
+            tl.append(_frame(spark, 50, 52), tbl)
+
+    monkeypatch.setattr(tl, "_publish", sabotage)
+    with pytest.raises(FileNotFoundError, match="still references"):
+        tl.restore(table, 0)
+    # the interleaved head inherited the deleted name and is MARKED:
+    # every reader gets the named error, not a bare scan death
+    head = tl.latest_version(table)
+    assert head > fired[0]
+    assert target_files[0] in tl._read_manifest(table, head)["files"]
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.files_for(table)
+    # and the error wording is the interleaved-commit diagnosis, not
+    # the failed-rollback one (the head DID move)
+    with open(tl._damaged_marker_path(table, head)) as fh:
+        assert "interleaved" in json.load(fh)["cause"]
+
+
+def test_restore_refuses_torn_marker_target_by_name(spark, tmp_path):
+    """Review r13 (code-review finding): a torn/unreadable damage
+    marker on the restore target must produce the same named refusal
+    files_for gives, not a raw JSONDecodeError out of _commit."""
+    table = str(tmp_path / "t")
+    tl.append(_frame(spark, 0, 3), table)             # v0: target
+    tl.overwrite(_frame(spark, 900, 902), table)      # v1: head
+    with open(tl._damaged_marker_path(table, 0), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(FileNotFoundError, match="is damaged"):
+        tl.restore(table, 0)
+    with pytest.raises(FileNotFoundError, match="unknown number"):
+        tl.files_for(table, 0)
