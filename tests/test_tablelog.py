@@ -338,6 +338,9 @@ def test_streaming_sink_is_exactly_once_under_epoch_replay(
 
 # ---------------------------------------------------------------------------
 # Model-based property test: random op sequences vs a pure-Python model
+# (all three machines read SPARK_GRAFT_HYP_EXAMPLES to deepen the hunt
+# on demand — r13 ran them at 30 and 60 examples clean; 10 is the CI
+# budget, not the confidence ceiling)
 # ---------------------------------------------------------------------------
 
 from collections import Counter
@@ -404,7 +407,7 @@ def _model_merge(base: Counter, changes: list) -> Counter:
 
 
 @settings(
-    max_examples=10,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
@@ -3076,7 +3079,7 @@ _DMG_OPS = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
@@ -3266,7 +3269,7 @@ _SYNC_OPS = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
