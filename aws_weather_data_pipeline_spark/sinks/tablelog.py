@@ -1940,7 +1940,25 @@ def read_changes(
         return None
     frames: list[DataFrame] = []
     for v in range(since_version + 1, until + 1):
-        manifest = _read_manifest(table, v)
+        try:
+            manifest = _read_manifest(table, v)
+        except FileNotFoundError:
+            # the consumer's position has fallen behind the vacuum
+            # horizon: v's manifest is expired, so its delta is
+            # unrecoverable incrementally. Name the operational
+            # failure and its remediation instead of surfacing the
+            # bare no-manifest error (review r13) — at 100 TB "the
+            # nightly sync fell a week behind retention" is a
+            # routine incident, and the fix is a resync, not a
+            # corrupted-table investigation.
+            raise FileNotFoundError(
+                f"change feed of {table} cannot serve version {v}: "
+                "its manifest is expired (the consumer position "
+                f"{since_version} has fallen behind the vacuum "
+                "horizon) — resync the consumer from a snapshot, and "
+                "keep vacuum retain_last deeper than the consumer "
+                "cadence"
+            ) from None
         op = manifest["op"]
         if op == "compact":
             continue

@@ -3522,3 +3522,35 @@ def test_restore_refuses_torn_marker_target_by_name(spark, tmp_path):
         tl.restore(table, 0)
     with pytest.raises(FileNotFoundError, match="unknown number"):
         tl.files_for(table, 0)
+
+
+def test_changefeed_behind_retention_names_the_incident(
+    spark, tmp_path
+):
+    """Review r13: a consumer whose position fell behind the vacuum
+    horizon must get the named behind-retention error with its
+    remediation (resync from a snapshot), not the bare no-manifest
+    error — for read_changes, the cursor, and sync_changes alike."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    for i in range(5):
+        tl.append(_frame(spark, i * 10, i * 10 + 3), src)
+    tl.sync_changes(spark, src, dst)          # position = 4
+    cur = tl.ChangefeedCursor(src)            # position = -1 (behind)
+    tl.vacuum(src, retain_last=2, min_age_seconds=0.0)
+    with pytest.raises(
+        FileNotFoundError, match="fallen behind the vacuum horizon"
+    ):
+        tl.read_changes(spark, src, since_version=0)
+    with pytest.raises(
+        FileNotFoundError, match="fallen behind the vacuum horizon"
+    ):
+        cur.poll(spark)
+    # a consumer WITHIN retention still reads incrementally: the
+    # synced destination's position (4 = head) is served idle, and
+    # after one more commit the O(delta) read works from position 4
+    assert tl.sync_changes(spark, src, dst) is None
+    tl.append(_frame(spark, 90, 93), src)
+    assert tl.sync_changes(spark, src, dst) is not None
+    assert sorted(_values(tl.read_snapshot(spark, dst)))[-3:] == [
+        90, 91, 92,
+    ]
