@@ -212,9 +212,16 @@ def _read_damage_marker(table: str, version: int) -> dict | None:
     marker = _damaged_marker_path(table, version)
     if not os.path.exists(marker):
         return None
+    torn = {
+        "cause": "a restore lost a vacuum race",
+        "missing": [],
+        "torn": True,
+    }
     try:
         with open(marker) as fh:
             info = json.load(fh)
+        if not isinstance(info, dict):
+            return torn  # valid JSON, wrong shape: the record is torn
         return {
             "cause": info.get("cause", "a restore lost a vacuum race"),
             "missing": info.get("missing", []),
@@ -223,11 +230,7 @@ def _read_damage_marker(table: str, version: int) -> dict | None:
     except FileNotFoundError:
         return None
     except (OSError, json.JSONDecodeError):
-        return {
-            "cause": "a restore lost a vacuum race",
-            "missing": [],
-            "torn": True,
-        }
+        return torn
 
 
 #: (path -> (mtime_ns, parsed)) cache for _read_checkpoint: the fold
@@ -1202,6 +1205,19 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
         prev_v = committed - 1
         rolled_back = False
         prev_m = None
+
+        def _failed_rollback(reason: str = "") -> FileNotFoundError:
+            # one wording for both failed-rollback branches (review
+            # r13: the two hand-copies had already drifted once)
+            return FileNotFoundError(
+                f"restore of {table} to v{version} lost the race "
+                f"with a concurrent vacuum: {len(gone)} restored "
+                f"files were deleted after publish (e.g. {gone[0]}), "
+                f"and rollback to v{prev_v} also failed{reason} — "
+                "the head is marked damaged; restore from a retained "
+                "version or overwrite with fresh data"
+            )
+
         try:
             prev_m = _read_manifest(table, prev_v)
         except FileNotFoundError:
@@ -1221,14 +1237,8 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
                 # files with the truthful vacuum-race cause (ADVICE
                 # r12 — the old fall-through misreported 'a commit
                 # interleaved' and overwrote that cause).
-                raise FileNotFoundError(
-                    f"restore of {table} to v{version} lost the race "
-                    f"with a concurrent vacuum: {len(gone)} restored "
-                    f"files were deleted after publish (e.g. "
-                    f"{gone[0]}), and rollback to v{prev_v} also "
-                    "failed (its manifest is expired) — the head is "
-                    "marked damaged; restore from a retained version "
-                    "or overwrite with fresh data"
+                raise _failed_rollback(
+                    " (its manifest is expired)"
                 ) from None
             # else: the head moved — fall through (prev_m is None) to
             # the head-moved logic below, which marks an inheriting
@@ -1278,15 +1288,7 @@ def restore(table: str, version: int, txn_id: str | None = None) -> int:
                     # missing-manifest branch above; the marker on
                     # our commit (== the head) already carries the
                     # truthful cause (ADVICE r12).
-                    raise FileNotFoundError(
-                        f"restore of {table} to v{version} lost the "
-                        f"race with a concurrent vacuum: {len(gone)} "
-                        f"restored files were deleted after publish "
-                        f"(e.g. {gone[0]}), and rollback to "
-                        f"v{prev_v} also failed — the head is marked "
-                        "damaged; restore from a retained version or "
-                        "overwrite with fresh data"
-                    ) from None
+                    raise _failed_rollback() from None
             if rolled_back:
                 raise FileNotFoundError(
                     f"restore of {table} to v{version} lost the race "
@@ -1933,11 +1935,19 @@ def read_changes(
 
     from pyspark.sql import functions as F
 
-    until = (
-        until_version if until_version is not None else latest_version(table)
-    )
+    head = latest_version(table)
+    until = until_version if until_version is not None else head
     if until is None or until <= since_version:
         return None
+    if head is None or until > head:
+        # a bound beyond the head is a CALLER bug — without this check
+        # the walk's missing-manifest wrap below would misdiagnose it
+        # as a behind-retention consumer and send an operator to
+        # resync a healthy pipeline (review r13)
+        raise ValueError(
+            f"read_changes until_version={until} is beyond the head "
+            f"of {table} ({head}); fix the caller's bound"
+        )
     frames: list[DataFrame] = []
     for v in range(since_version + 1, until + 1):
         try:
@@ -1970,11 +1980,24 @@ def read_changes(
                 # (ADVICE r08)
                 names = manifest["added"]
             else:  # legacy manifest: diff against the previous version
-                prev = (
-                    set(_read_manifest(table, v - 1)["files"])
-                    if v > 0
-                    else set()
-                )
+                try:
+                    prev = (
+                        set(_read_manifest(table, v - 1)["files"])
+                        if v > 0
+                        else set()
+                    )
+                except FileNotFoundError:
+                    # same named remediation as the range walk above:
+                    # a legacy manifest's delta needs its predecessor,
+                    # and vacuum expired it (review r13 — this path
+                    # used to surface the bare no-manifest error)
+                    raise FileNotFoundError(
+                        f"change feed of {table} cannot serve legacy "
+                        f"version {v}: it records no added-file delta "
+                        f"and its predecessor v{v - 1}'s manifest is "
+                        "expired — resync the consumer from a "
+                        "snapshot"
+                    ) from None
                 names = [n for n in manifest["files"] if n not in prev]
             added = [
                 os.path.join(_data_dir(table), name) for name in names

@@ -338,14 +338,17 @@ def test_streaming_sink_is_exactly_once_under_epoch_replay(
 
 # ---------------------------------------------------------------------------
 # Model-based property test: random op sequences vs a pure-Python model
-# (all three machines read SPARK_GRAFT_HYP_EXAMPLES to deepen the hunt
-# on demand — r13 ran them at 30 and 60 examples clean; 10 is the CI
-# budget, not the confidence ceiling)
 # ---------------------------------------------------------------------------
 
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+
+#: Example budget for all the model machines: 10 is the CI budget, not
+#: the confidence ceiling — set SPARK_GRAFT_HYP_EXAMPLES to deepen the
+#: hunt on demand (r13 ran the machines clean at 30, 60, and 100).
+#: Parsed once here so a malformed value fails in ONE obvious place.
+_HYP_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10"))
 
 # s draws None too, so the model also pins the __nulls metadata
 # (column_null_count) through every op interaction
@@ -407,7 +410,7 @@ def _model_merge(base: Counter, changes: list) -> Counter:
 
 
 @settings(
-    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+    max_examples=_HYP_EXAMPLES,
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
@@ -3079,7 +3082,7 @@ _DMG_OPS = st.lists(
 
 
 @settings(
-    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+    max_examples=_HYP_EXAMPLES,
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
@@ -3269,7 +3272,7 @@ _SYNC_OPS = st.lists(
 
 
 @settings(
-    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+    max_examples=_HYP_EXAMPLES,
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
@@ -3469,38 +3472,56 @@ def test_threaded_concurrent_keyed_syncs_race_live_writer(
 def test_restore_expired_prev_with_interleaved_commit_marks_head(
     spark, tmp_path, monkeypatch
 ):
-    """Review r13 (code-review finding): when the rollback attempt
-    finds the pre-restore manifest expired AND a commit has already
-    interleaved past our restore, the failed-rollback diagnosis would
-    be wrong AND the inheriting head would go unmarked — the branch
-    must re-read the head and fall through to the head-moved logic,
-    which marks the inheriting head for every reader."""
+    """Review r13 (code-review finding, second pass: the first cut of
+    this test landed its interleave inside _publish — BEFORE restore's
+    post-verify head check — so head != committed skipped the whole
+    rollback block and the test passed against the pre-fix code): the
+    interleave must land BETWEEN the head check and the rollback
+    attempt's manifest read. When the pre-restore manifest reads as
+    expired AND the re-read head has moved, the failed-rollback
+    diagnosis would be wrong and the inheriting head unmarked — the
+    branch must fall through to the head-moved logic, which marks it.
+    Against the pre-fix code this test fails (the old branch raised
+    'rollback ... also failed' without re-reading the head)."""
     table = str(tmp_path / "t")
     tl.append(_frame(spark, 0, 5), table)             # v0: target
     tl.overwrite(_frame(spark, 900, 903), table)      # v1: head
     target_files = tl._read_manifest(table, 0)["files"]
     real_publish = tl._publish
-    fired = []
+    real_read_manifest = tl._read_manifest
+    fired, interleaved = [], []
 
     def sabotage(tbl, version, manifest):
         real_publish(tbl, version, manifest)
         if manifest.get("op") == "restore" and not fired:
             fired.append(version)
-            # the losing vacuum deletes a restored file, expires the
-            # pre-restore manifest, AND an append interleaves past
-            # our commit, inheriting the deleted name
+            # the losing vacuum deletes a restored file; the restore's
+            # post-commit verify will find it gone with head ==
+            # committed and enter the rollback block
             os.unlink(os.path.join(tl._data_dir(tbl), target_files[0]))
-            os.unlink(tl._manifest_path(tbl, version - 1))
+
+    def hooked_read_manifest(tbl, v):
+        if fired and v == fired[0] - 1 and not interleaved:
+            # the rollback attempt's pre-restore manifest read: land
+            # the interleaving append NOW — after the head check
+            # passed, before the except branch re-reads the head —
+            # and report the manifest expired (a vacuum with
+            # retain_last=1 racing us)
+            interleaved.append(True)
             tl.append(_frame(spark, 50, 52), tbl)
+            raise FileNotFoundError("expired by a racing vacuum")
+        return real_read_manifest(tbl, v)
 
     monkeypatch.setattr(tl, "_publish", sabotage)
+    monkeypatch.setattr(tl, "_read_manifest", hooked_read_manifest)
     with pytest.raises(FileNotFoundError, match="still references"):
         tl.restore(table, 0)
+    assert interleaved, "the hook never reached the rollback branch"
     # the interleaved head inherited the deleted name and is MARKED:
     # every reader gets the named error, not a bare scan death
     head = tl.latest_version(table)
     assert head > fired[0]
-    assert target_files[0] in tl._read_manifest(table, head)["files"]
+    assert target_files[0] in real_read_manifest(table, head)["files"]
     with pytest.raises(FileNotFoundError, match="is damaged"):
         tl.files_for(table)
     # and the error wording is the interleaved-commit diagnosis, not
