@@ -385,7 +385,11 @@ def _check_txn_id(txn_id: str | None) -> None:
         return
     for prefix in _RESERVED_TXN_PREFIXES:
         if txn_id.startswith(prefix + ":"):
-            suffix = txn_id[len(prefix) + 1 :]
+            # the LAST ':'-field is the position — the same rsplit
+            # txn_position uses to recover it (r13: the agg-sync
+            # namespace is now source-qualified, so the id may carry
+            # intermediate fields between prefix and position)
+            suffix = txn_id.rsplit(":", 1)[1]
             try:
                 int(suffix)
             except ValueError:

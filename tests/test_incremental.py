@@ -193,10 +193,13 @@ def test_aggregate_sync_is_idle_and_replay_safe(spark, tmp_path):
     assert inc.sync_aggregate(spark, src, dst, ["user"], ["value"]) is None
     assert tl.latest_version(dst) == head
     # an orchestrator retry covering the same source range replays
-    # the txn id and folds nothing twice
+    # the (source-qualified, r13) txn id and folds nothing twice
     tl.overwrite(
         tl.read_snapshot(spark, dst), dst,
-        txn_id=f"{inc.AGG_TXN_PREFIX}:{tl.latest_version(src)}",
+        txn_id=(
+            f"{inc.AGG_TXN_PREFIX}:{inc._source_key(src)}"
+            f":{tl.latest_version(src)}"
+        ),
     )
     assert tl.latest_version(dst) == head
     assert _folded(spark, dst) == _recompute(spark, src)
@@ -226,7 +229,14 @@ def test_aggregate_refuses_rewritten_source_range(spark, tmp_path):
     tl.append(_events(spark, [(1, 1.0)]), src)
     inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
     tl.overwrite(_events(spark, [(1, 99.0)]), src)
-    with pytest.raises(ValueError, match="insert-only"):
+    # r13 reordered the checks feed-first (so a behind-retention
+    # consumer gets read_changes' named remediation): an unrecorded
+    # rewrite in range now surfaces as read_changes' served-
+    # incrementally refusal; a feed-recorded rewrite still reaches
+    # verify_insert_only's insert-only refusal. Either way: loud.
+    with pytest.raises(
+        ValueError, match="insert-only|served incrementally"
+    ):
         inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
 
 
@@ -496,3 +506,128 @@ def test_concurrent_maintainer_conflicts_instead_of_silent_lost_fold(
     folded = _folded(spark, dst)
     assert folded[(1,)] == (2, Decimal("3.00"))
     assert folded[(7,)] == (1, Decimal("7.00"))
+
+
+def test_multi_source_fan_in_keeps_per_source_positions(
+    spark, tmp_path
+):
+    """Review r13: with bare-version txn ids, two sources folding
+    into one destination aliased each other's positions — one source
+    silently stalled or silently skipped its prefix. Source-qualified
+    ids give each source its own recovered position, so fan-in
+    converges to the union's GROUP BY."""
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    dst = str(tmp_path / "agg")
+    # src_a runs ahead to v2 before src_b ever syncs: under the old
+    # scheme src_b's head (0) <= recovered position (2) stalled it
+    for batch in ([(1, 1.0)], [(1, 2.0)], [(2, 4.0)]):
+        tl.append(_events(spark, batch), src_a)
+    inc.sync_aggregate(spark, src_a, dst, ["user"], ["value"])
+    tl.append(_events(spark, [(1, 10.0), (3, 30.0)]), src_b)
+    assert inc.sync_aggregate(
+        spark, src_b, dst, ["user"], ["value"]
+    ) is not None, "second source stalled on the first's position"
+    assert inc.aggregate_position(dst, src_a) == 2
+    assert inc.aggregate_position(dst, src_b) == 0
+    # both idle now; new commits on each fold independently
+    assert inc.sync_aggregate(spark, src_a, dst, ["user"], ["value"]) is None
+    assert inc.sync_aggregate(spark, src_b, dst, ["user"], ["value"]) is None
+    tl.append(_events(spark, [(3, 3.0)]), src_b)
+    inc.sync_aggregate(spark, src_b, dst, ["user"], ["value"])
+    folded = _folded(spark, dst)
+    assert folded[(1,)] == (3, Decimal("13.00"))
+    assert folded[(2,)] == (1, Decimal("4.00"))
+    assert folded[(3,)] == (2, Decimal("33.00"))
+
+
+def test_aggregate_definition_drift_refused_loudly(spark, tmp_path):
+    """Review r13: a drifted caller (dropped sum column, narrower
+    group key) would silently erase maintained history through
+    overwrite's fresh-schema escape hatch — refuse by name instead."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    tl.append(_events(spark, [(1, 2.0)]), src)
+    with pytest.raises(ValueError, match="definition drift"):
+        inc.sync_aggregate(spark, src, dst, ["user"], [])  # dropped sum
+    # the maintained table is untouched and the right call proceeds
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    assert _folded(spark, dst)[(1,)] == (2, Decimal("3.00"))
+
+
+def test_aggregate_output_name_collisions_refused_upfront(
+    spark, tmp_path
+):
+    """Review r13: a group column named n_rows (or duplicate list
+    entries) used to die deep inside the bootstrap write as Spark's
+    opaque duplicate-column error — now a named refusal before any
+    verification or feed read."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(
+        spark.createDataFrame([(1, 2.0)], "n_rows int, value double"),
+        src,
+    )
+    with pytest.raises(ValueError, match="collide"):
+        inc.sync_aggregate(spark, src, dst, ["n_rows"], ["value"])
+    with pytest.raises(ValueError, match="collide"):
+        inc.sync_aggregate(
+            spark, src, dst, ["n_rows"], ["value", "value"]
+        )
+
+
+def test_nullable_measure_avg_via_nonnull_counts(spark, tmp_path):
+    """Review r13: AVG = sum/n_rows is wrong for nullable measures
+    (SQL AVG ignores NULLs; n_rows counts every row). count_cols
+    maintains the non-null denominator, folded across batches."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 6.0), (1, None), (1, 4.0)]), src)
+    inc.sync_aggregate(
+        spark, src, dst, ["user"], ["value"], count_cols=["value"]
+    )
+    tl.append(_events(spark, [(1, None), (1, 2.0)]), src)
+    inc.sync_aggregate(
+        spark, src, dst, ["user"], ["value"], count_cols=["value"]
+    )
+    row = tl.read_snapshot(spark, dst).collect()[0]
+    assert row["n_rows"] == 5 and row["cnt_value"] == 3
+    assert row["sum_value"] == Decimal("12.00")
+    # the correct AVG: 12/3 = 4.0, NOT 12/5 = 2.4
+    assert float(row["sum_value"]) / row["cnt_value"] == 4.0
+
+
+def test_sum_scale_preserves_fine_grained_increments(spark, tmp_path):
+    """Review r13: the per-value decimal cast quantizes to sum_scale
+    BEFORE summing — at the default 2, increments of 0.004 vanish.
+    sum_scale is part of the aggregate definition and keeps them."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    rows = [(1, 0.004)] * 5
+    tl.append(_events(spark, rows), src)
+    inc.sync_aggregate(
+        spark, src, dst, ["user"], ["value"], sum_scale=4
+    )
+    tl.append(_events(spark, rows), src)
+    inc.sync_aggregate(
+        spark, src, dst, ["user"], ["value"], sum_scale=4
+    )
+    row = tl.read_snapshot(spark, dst).collect()[0]
+    assert row["sum_value"] == Decimal("0.0400")
+
+
+def test_aggregate_behind_retention_gets_named_remediation(
+    spark, tmp_path
+):
+    """Review r13: the feed read now runs BEFORE the insert-only
+    manifest walk, so a consumer behind the vacuum horizon gets
+    read_changes' named resync remediation instead of the bare
+    no-manifest error out of verify_insert_only."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    for i in range(4):
+        tl.append(_events(spark, [(1, float(i))]), src)
+    tl.vacuum(src, retain_last=2, min_age_seconds=0.0)
+    with pytest.raises(
+        FileNotFoundError, match="fallen behind the vacuum horizon"
+    ):
+        inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
