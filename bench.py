@@ -268,7 +268,14 @@ BENCH_NOTES = {
         "absorb them."
     ),
     "drift_r13": (
-        "r13 mid-round idle-host run (post swaps): catalog 153.6s / "
+        "r13 END-OF-ROUND idle-host run (post swaps, post review "
+        "hardening): catalog 152.5s / 150 q / n_failed 0, median "
+        "per-query ratio 1.00 vs the 153.6s mid-round run — the "
+        "late-round changes (restore branch rework, incremental "
+        "source-qualified positions + drift/collision checks, "
+        "behind-retention naming) cost nothing measurable; "
+        "changefeed_keyed_sync flat at 8.27s, tablelog_restore_audit "
+        "improved to 1.67s. Mid-round baseline: catalog 153.6s / "
         "150 q / n_failed 0. Round-over-round median per-query "
         "min-of-passes ratio vs the final r12 detail is 0.969 "
         "(faster) over 148 common queries; vs the r09 clean detail "
