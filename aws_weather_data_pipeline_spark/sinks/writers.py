@@ -45,7 +45,23 @@ def with_time_partitions(df: DataFrame, ts_col: str) -> DataFrame:
     were never created). Zero-padded strings so lexicographic file
     listing equals chronological order, like the reference's consumer
     writes them (scripts/kinesis_to_s3.py:205-206).
+
+    Refuses by name if the frame ALREADY carries any of the derived
+    column names (review r13): withColumn would silently replace the
+    caller's data with the fabricated partition value — the same
+    reserved-name hazard the table log refuses loudly
+    (_check_cdc_collisions). Rename or drop the colliding column;
+    partition columns here are always derived, never trusted from
+    the input (the reference's bug was the reverse).
     """
+    clash = [c for c in ("year", "month", "day", "hour") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"with_time_partitions derives {clash} but the frame "
+            "already has column(s) of those names — rename or drop "
+            "them; derived partition columns are never taken from "
+            "the input"
+        )
     ts = F.col(ts_col)
     return (
         df.withColumn("year", F.date_format(ts, "yyyy"))

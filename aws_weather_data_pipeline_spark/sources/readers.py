@@ -48,19 +48,41 @@ def parse_and_flatten(raw: DataFrame, payload_col: str = "data") -> DataFrame:
     return flatten_readings(envelopes)
 
 
+def raw_json_reader(reader, quarantine: bool = False):
+    """Apply the raw-zone JSON option set to a ``DataFrameReader`` OR
+    ``DataStreamReader`` (both expose the same schema/option
+    builders): declared schema (never infer), ``multiLine`` for the
+    pretty-printed batches (scripts/kinesis_to_s3.py:238-246),
+    recursive lookup for the zero-padded date prefixes — plus, with
+    ``quarantine=True``, PERMISSIVE parsing with the corrupt-record
+    capture column. ONE place for the contract, shared by the batch
+    readers and their streaming twins in ``streaming/pipeline.py``
+    (review r13: the hand-copied option blocks are the r06/r11
+    pasted-copy drift class — a fix applied to one reader silently
+    not applying to the other would classify the same landing file
+    differently in batch and streaming)."""
+    reader = (
+        reader.schema(
+            corrupt_capture_schema() if quarantine else WEATHER_RAW_SCHEMA
+        )
+        .option("multiLine", True)
+        .option("recursiveFileLookup", True)
+    )
+    if quarantine:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    return reader
+
+
 def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
     """S4: batch-scan raw JSON envelope files → flat readings.
 
-    ``multiLine`` because the reference's raw zone stores pretty-printed
-    batches (scripts/kinesis_to_s3.py:238-246). Schema is declared, so
-    corrupt records become nulls instead of poisoning inference.
+    Option contract in ``raw_json_reader`` (shared with the streaming
+    twin); corrupt records become nulls under the declared schema
+    instead of poisoning inference.
     """
-    envelopes = (
-        spark.read.schema(WEATHER_RAW_SCHEMA)
-        .option("multiLine", True)
-        .option("recursiveFileLookup", True)
-        .json(path)
-    )
+    envelopes = raw_json_reader(spark.read).json(path)
     return flatten_readings(envelopes)
 
 
@@ -121,14 +143,7 @@ def read_raw_json_with_quarantine(
     would throw mid-job (glue_weather_etl.py json parsing); this is
     the operational hardening a real pipeline needs.
     """
-    parsed = (
-        spark.read.schema(corrupt_capture_schema())
-        .option("multiLine", True)
-        .option("recursiveFileLookup", True)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-    )
+    parsed = raw_json_reader(spark.read, quarantine=True).json(path)
     good = flatten_readings(
         parsed.filter(F.col("_corrupt_record").isNull()).drop(
             "_corrupt_record"

@@ -37,12 +37,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.weather import apply_transformations
-from ..schemas import ALERT_COLUMNS, WEATHER_RAW_SCHEMA
+from ..schemas import ALERT_COLUMNS
 from ..sinks.writers import DYNAMIC_OVERWRITE, with_time_partitions
 from ..sources.readers import (
-    corrupt_capture_schema,
     flatten_readings,
     quarantine_frame,
+    raw_json_reader,
 )
 
 
@@ -55,16 +55,13 @@ def read_stream_raw_json(
     pretty-printed batches; existing files are processed first (the
     TRIM_HORIZON analog).
     """
+    # option contract shared with the batch twin via raw_json_reader
+    # (review r11: without recursiveFileLookup the stream listed zero
+    # top-level files under the zero-padded date prefixes while the
+    # batch path saw everything; review r13: the option block itself
+    # is now ONE definition, not a pasted copy)
     return (
-        spark.readStream.schema(WEATHER_RAW_SCHEMA)
-        .option("multiLine", True)
-        # match the batch twin (sources/readers.read_raw_json): the
-        # raw zone nests files under zero-padded date prefixes
-        # (kinesis_to_s3.py:205-206) — without this the stream lists
-        # zero top-level files and silently processes nothing while
-        # the batch path over the same dir sees everything (review
-        # r11)
-        .option("recursiveFileLookup", True)
+        raw_json_reader(spark.readStream)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(landing_dir)
     )
@@ -102,7 +99,26 @@ def write_both_sinks(
 
     The batch frame is written twice from one lineage; caching it
     avoids recomputing the transforms for the second sink.
+
+    Scale boundary, stated honestly (review r13): each micro-batch
+    adds one epoch_id partition to BOTH sinks forever — bounded and
+    cheap under the default availableNow/hourly-batch cadence this
+    sink is designed for, but UNBOUNDED under a 1-second continuous
+    trigger (~600k partitions/week: listing, partition discovery,
+    and small files degrade until unusable). Long-lived continuous
+    streams belong on ``start_tablelog_sink``, whose table has
+    compaction + vacuum + checkpoint folding; these plain directory
+    sinks have no compaction path by design.
     """
+    if "epoch_id" in batch_df.columns:
+        # withColumn would silently replace the caller's data with
+        # the fabricated replay key (review r13) — the same
+        # reserved-name hazard the table log refuses loudly
+        raise ValueError(
+            "write_both_sinks fabricates the reserved epoch_id "
+            "column but the batch already has one — rename or drop "
+            "it"
+        )
     # epoch ids restart at 0 per checkpoint, so a bare epoch_id
     # partition collides across checkpoint resets (or two streams
     # sharing a sink) and the dynamic overwrite would replace the
@@ -124,7 +140,9 @@ def write_both_sinks(
         ).option(*DYNAMIC_OVERWRITE).partitionBy(
             "year", "month", "day", "hour", "epoch_id"
         ).parquet(processed_path)
-        alerts = alerts_view(batch_df.drop("epoch_id")).withColumn(
+        # alerts_view projects the fixed ALERT_COLUMNS (no epoch_id),
+        # so the fabricated column is re-added for the sink partition
+        alerts = alerts_view(batch_df).withColumn(
             "epoch_id", F.lit(epoch_val)
         )
         # T6: cluster alert files by station like the Kinesis
@@ -202,12 +220,8 @@ def start_quarantine_stream(
     # fix applied to the batch reader (the r06 partial-results filter
     # bug class).
     corrupt = quarantine_frame(
-        spark.readStream.schema(corrupt_capture_schema())
-        .option("multiLine", True)
-        .option("recursiveFileLookup", True)
+        raw_json_reader(spark.readStream, quarantine=True)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(landing_dir)
     )
     return (
@@ -270,10 +284,18 @@ def _checkpoint_namespace(
     on ``s3a://bucket/cp`` would silently write a marker to a local
     directory literally named ``s3a:/bucket/cp`` while Spark's state
     lives in S3, and a driver failover host would then mint a FRESH
-    namespace and re-commit a replayed epoch as new data. Exclusive
-    ``fs.create(overwrite=False)`` is atomic on HDFS-compatible
-    filesystems — the same property Structured Streaming itself
-    requires of a checkpoint location."""
+    namespace and re-commit a replayed epoch as new data. SCHEMELESS
+    paths resolve the same way Spark resolves checkpointLocation —
+    against ``fs.defaultFS`` (review r13): on a cluster whose
+    defaultFS is hdfs:// or s3a://, a bare ``/ckpt/weather`` is a
+    CLUSTER path, and the old local-``os.*`` fallback put the marker
+    on the driver's local disk — the same wrong-filesystem bug the
+    r11 fix closed for scheme'd paths, shifted to schemeless ones.
+    The local branch now runs only when the path actually resolves
+    to the local filesystem (file: defaultFS, or no active session —
+    the unit-test context). Exclusive ``fs.create(overwrite=False)``
+    is atomic on HDFS-compatible filesystems — the same property
+    Structured Streaming itself requires of a checkpoint location."""
     import uuid
 
     import errno
@@ -281,9 +303,17 @@ def _checkpoint_namespace(
     import urllib.parse
 
     scheme = urllib.parse.urlparse(checkpoint_dir).scheme
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if not scheme and spark is not None:
+        default_fs = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        if urllib.parse.urlparse(default_fs).scheme not in ("", "file"):
+            # Spark will resolve this schemeless checkpoint against
+            # the cluster defaultFS — the marker must live there too
+            scheme = "via-default-fs"
     if scheme:
-        if spark is None:
-            spark = SparkSession.getActiveSession()
         if spark is None:
             raise ValueError(
                 f"checkpoint location {checkpoint_dir!r} has a "
@@ -295,6 +325,7 @@ def _checkpoint_namespace(
             checkpoint_dir.rstrip("/") + "/.tablelog-namespace"
         )
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        create_err = None
         if not fs.exists(jpath):
             try:
                 out = fs.create(jpath, False)  # exclusive: one winner
@@ -302,8 +333,13 @@ def _checkpoint_namespace(
                     out.write(uuid.uuid4().hex[:12].encode("ascii"))
                 finally:
                     out.close()
-            except Exception:
-                pass  # lost the create race: read the winner's below
+            except Exception as exc:
+                # EITHER lost the create race (the winner's content
+                # appears below) OR a real failure — permission,
+                # quota, outage. Keep the error: if no marker ever
+                # appears, IT is the root cause, not the misleading
+                # marker-stayed-empty message (review r13)
+                create_err = exc
         content = ""
         for _ in range(50):
             if fs.exists(jpath):
@@ -319,6 +355,13 @@ def _checkpoint_namespace(
             if content:
                 return content
             time.sleep(0.02)
+        if create_err is not None and not fs.exists(jpath):
+            # nobody created the marker and OUR create failed: the
+            # swallowed exception is the actionable diagnosis
+            raise RuntimeError(
+                f"could not create the namespace marker "
+                f"{checkpoint_dir}/.tablelog-namespace: {create_err}"
+            ) from create_err
         raise RuntimeError(
             f"namespace marker {checkpoint_dir}/.tablelog-namespace "
             "stayed empty; remove it (or reset the checkpoint) before "
@@ -331,6 +374,13 @@ def _checkpoint_namespace(
         tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(uuid.uuid4().hex[:12])
+            # durable BEFORE the link publishes it (review r13, the
+            # tablelog._publish rule): without the fsync a power loss
+            # after the link can leave a published-but-EMPTY marker —
+            # every later start reads "" and wedges, and the
+            # committed epochs' namespace is unrecoverable
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
             os.link(tmp, marker)  # atomic publish: EEXIST = lost race
         except FileExistsError:
@@ -349,6 +399,7 @@ def _checkpoint_namespace(
                 try:
                     with open(tmp) as src:
                         os.write(fd, src.read().encode())
+                    os.fsync(fd)  # same durability rule as the link path
                 finally:
                     os.close(fd)
             except FileExistsError:

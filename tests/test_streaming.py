@@ -468,3 +468,57 @@ def test_stateful_operator_under_rocksdb_state_store(spark, tmp_path):
     assert rocks[1] == (2, 9.0, "click")
     assert rocks[2] == (1, 3.0, "view")
     assert rocks[3] == (1, 7.0, "error")
+
+
+def test_checkpoint_namespace_create_failure_names_root_cause(spark):
+    """Review r13: a failed exclusive create used to be swallowed and
+    re-surface one second later as 'marker stayed empty; remove it' —
+    instructing the operator to remove a file that was never created.
+    When no marker ever appears AND our create failed, the create
+    error is the diagnosis."""
+    import uuid as _uuid
+
+    import pytest
+
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        _checkpoint_namespace,
+    )
+
+    # an uncreatable location (procfs rejects mkdir even for root)
+    bad = f"file:///proc/ns-test-{_uuid.uuid4().hex}/cp"
+    with pytest.raises(RuntimeError, match="could not create"):
+        _checkpoint_namespace(bad, spark)
+
+
+def test_checkpoint_namespace_schemeless_follows_default_fs(spark):
+    """Review r13: Spark resolves a schemeless checkpointLocation
+    against fs.defaultFS, so the namespace marker must live there too
+    — with a non-file defaultFS the local os.* fallback would put the
+    marker on the driver's local disk, and a failover host would mint
+    a fresh namespace and double-commit a replayed epoch. Pin the
+    routing: under a (fake, unreachable) hdfs defaultFS the schemeless
+    path takes the Hadoop branch (here: fails loudly reaching for the
+    fake cluster) instead of silently succeeding locally."""
+    import uuid as _uuid
+
+    import pytest
+
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        _checkpoint_namespace,
+    )
+
+    conf = spark._jsc.hadoopConfiguration()
+    old = conf.get("fs.defaultFS", "file:///")
+    conf.set("fs.defaultFS", "hdfs://fake-nn:1")
+    try:
+        with pytest.raises(Exception) as exc:
+            _checkpoint_namespace(
+                f"/tmp/ns-default-fs-{_uuid.uuid4().hex}/cp", spark
+            )
+        # the failure must come from reaching for the CLUSTER fs (the
+        # fake namenode), not from the local branch succeeding
+        assert "fake-nn" in str(exc.value) or "could not create" in str(
+            exc.value
+        ), exc.value
+    finally:
+        conf.set("fs.defaultFS", old)
