@@ -45,24 +45,13 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 13's window (committed at round start, per the checklist):
-# the aged block whose latest driver row is r10 (age 3 at r13), as
-# emitted by tools/rotate_window.py, with TWO in-place swaps of the
-# r12 fold-swap pattern (each retiree was already mandatory in this
-# window, so the subsuming query inherits its slot):
-# incremental_agg_maintenance retires into changefeed_keyed_sync
-# (VERDICT r12 task 2 — the retiree's writer-half recipe is embedded
-# verbatim as the new query's maintained_agg branch, and the new
-# query adds the keyed change-feed consumer half) and
-# tablelog_manifest_stats retires into tablelog_restore_audit
-# (task 7 stretch — same fixture and eight metadata-only aggregates,
-# answered through a RESTORE commit). A TWO-SLOT rotation (retiring
-# cdc_merge_apply, whose slot sits in r14's aged block, and
-# displacing scd2_user_state into it) was considered and REJECTED:
-# the displaced query's r10 evidence reaches age 4 the moment
-# CORRECTNESS_r13 lands, turning tests/test_rotation_policy.py red
-# in the end-of-round judge run — in-place subsumption is the ONLY
-# slot-legal way a new query enters at the 150 cap. Net ages stay
+# Round 14's window (committed at round start, per the checklist):
+# the aged block whose latest driver row is r11 (age 3 at r14),
+# exactly as emitted by tools/rotate_window.py — no swaps this
+# round: the surface is complete against SURVEY §2 and the VERDICT
+# r13 directive is to spend builder-time on the streaming→tablelog
+# seam, bench-harness truth, and fixture economy, not breadth, so
+# no new query enters and no retirement is needed. Net ages stay
 # <= 3 for every query.
 #
 # Capacity ledger: the sustainability test caps the catalog at
@@ -91,65 +80,56 @@ OPERATOR_MODULES = (
 # fold-swap pattern — header note above; subsumption notes in
 # plans/tablelog_queries.py).
 DRIVER_WINDOW = (
-    "ann_ivf_probe_topk",  # r10
-    "ann_recall_at_k",  # r10
-    "asof_last_click_before_purchase",  # r10
-    "bm25_topk",  # r10
-    "coercion_null_on_error",  # r10
-    "conditional_counts",  # r10
-    "corpus_build_manifest",  # r10
-    "customers_without_urgent_orders",  # r10
-    "dataset_split_assignment",  # r10
-    "decontaminate_ngram_overlap",  # r10
-    "dedup_cascade_keep_list",  # r10
-    "dedup_exact_content",  # r10
-    "dedup_user_event_type",  # r10
-    "deterministic_doc_sample",  # r10
-    "doc_language_id",  # r10
-    "dominant_event_type",  # r10
-    "event_type_share",  # r10
-    "global_stats",  # r10
-    "hll_distinct_sketch",  # r10
-    # NEW r13 (slot inherited in place: changefeed_keyed_sync
-    # strictly subsumes the retired incremental_agg_maintenance,
-    # which was already mandatory in this window — its recipe is
-    # embedded verbatim as the maintained_agg branch; subsumption
-    # note in plans/tablelog_queries.py)
-    "changefeed_keyed_sync",
-    "knn_cosine_topk",  # r10
-    "latest_event_per_user",  # r10
-    "multimodal_decode_gif",  # r10
-    "multimodal_feature_extract",  # r10
-    "nations_sorted",  # r10
-    "near_dup_clusters",  # r10
-    "near_dup_pairs_minhash",  # r10
-    "null_drop_critical",  # r10
-    "order_date_arithmetic",  # r10
-    "pack_explode_flatten",  # r10
-    "pagerank_trade_graph",  # r10
-    "parse_props_json",  # r10
-    "pivot_status_qty",  # r10
-    "pricing_summary",  # r10
-    "promo_revenue_ratio",  # r10
-    "range_validity_flags",  # r10
-    "recent_events_feed",  # r10
-    "regional_revenue",  # r10
-    "rollup_returnflag_status",  # r10
-    "scd2_user_state",  # r10
-    "sequence_pack_assignment",  # r10
-    # NEW r13 (slot inherited in place: tablelog_restore_audit
-    # strictly subsumes the retired tablelog_manifest_stats, which
-    # was already mandatory in this window — subsumption note in
-    # plans/tablelog_queries.py)
-    "tablelog_restore_audit",
-    "tfidf_top_terms",  # r10
-    "top_revenue_orders",  # r10
-    "tumbling_hourly_by_type",  # r10
-    "union_segments",  # r10
-    "user_activity_coverage",  # r10
-    "user_session_windows",  # r10
-    "validation_aggregates",  # r10
-    "weather_current_status",  # r10
+    "ann_hyperplane_lsh_topk",  # r11
+    "bloom_dedup_probe",  # r11
+    "cdc_merge_apply",  # r11
+    "cms_user_activity_sketch",  # r11
+    "corpus_mixture_sample",  # r11
+    "cube_type_user_bucket",  # r11
+    "customers_with_high_value_orders",  # r11
+    "daily_value_rollup",  # r11
+    "date_range_revenue",  # r11
+    "dedup_incremental_batch",  # r11
+    "dedup_incremental_near",  # r11
+    "doc_bigram_lm_score",  # r11
+    "doc_chunk_tokens",  # r11
+    "doc_duplicated_spans",  # r11
+    "doc_fingerprints",  # r11
+    "doc_importance_weights",  # r11
+    "doc_quality_scores",  # r11
+    "doc_repetition_metrics",  # r11
+    "doc_simhash",  # r11
+    "doc_stopword_filtered",  # r11
+    "doc_token_stats",  # r11
+    "event_gaps_lag",  # r11
+    "event_rank_functions",  # r11
+    "events_table_profile",  # r11
+    "except_users_without_big_events",  # r11
+    "gap_based_sessions",  # r11
+    "grouping_sets_pricing",  # r11
+    "intersect_error_purchase_users",  # r11
+    "interval_range_join_counts",  # r11
+    "kmeans_lloyd_assignments",  # r11
+    "label_centroids",  # r11
+    "minhash_signatures",  # r11
+    "multimodal_decode_avi",  # r11
+    "multimodal_decode_jpeg",  # r11
+    "multimodal_decode_ppm",  # r11
+    "multimodal_distinct_bytes",  # r11
+    "multimodal_payload_stats",  # r11
+    "near_dup_pairs_editdist",  # r11
+    "near_dup_pairs_embedding",  # r11
+    "near_dup_pairs_ngram",  # r11
+    "near_dup_pairs_simhash",  # r11
+    "pii_redaction",  # r11
+    "referential_integrity_audit",  # r11
+    "sliding_hourly_activity",  # r11
+    "stratified_sample_per_lang",  # r11
+    "tablelog_nullcount_prune",  # r11
+    "term_frequencies",  # r11
+    "top3_events_per_user",  # r11
+    "trailing_hour_user_stats",  # r11
+    "user_running_totals",  # r11
 )
 
 
