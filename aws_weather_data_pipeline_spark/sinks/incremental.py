@@ -31,7 +31,11 @@ Semantics and their limits, stated honestly:
   own recovered position, making multi-source fan-in well-defined
   (each source's inserts add into the shared aggregate).
   Positions recorded under the pre-r13 bare-version scheme are not
-  recognized; recompute (re-bootstrap) such aggregates.
+  recognized — and since r14 that is ENFORCED, not advisory: a
+  source with no qualified position against a destination that
+  already has agg-sync commits is refused (see ``sync_aggregate``);
+  recompute (re-bootstrap) such aggregates. The source's REALPATH is
+  part of the aggregate's identity (``tablelog.source_key``).
 - Single maintainer per (src, dst) pair — ENFORCED, not assumed
   (review r10): the fold is a read-modify-write, so each overwrite
   carries ``require_head`` (the destination head the snapshot was
@@ -65,14 +69,13 @@ COUNT_COL = "n_rows"
 
 def _source_key(src_table: str) -> str:
     """Stable short identity of a source path for txn-id
-    qualification. A hash, not the path itself: txn ids are parsed
-    by rsplit on ':' and paths may contain anything."""
-    import hashlib
-    import os as _os
-
-    return hashlib.sha256(
-        _os.path.abspath(src_table).encode()
-    ).hexdigest()[:12]
+    qualification — the shared ``tablelog.source_key`` (realpath
+    based: the resolved path IS the aggregate's source identity;
+    ADVICE r13 — a symlink/relative respelling must not mint a new
+    consumer whose -1 position silently re-folds history; the
+    new-source refusal in ``sync_aggregate`` backstops the cases a
+    realpath cannot unify, e.g. a failover-host mount)."""
+    return tablelog.source_key(src_table)
 
 
 def aggregate_position(
@@ -155,10 +158,21 @@ def sync_aggregate(
     max_cols: list[str] | None = None,
     count_cols: list[str] | None = None,
     sum_scale: int = 2,
+    allow_new_source: bool = False,
 ) -> int | None:
     """Fold the source's next change-feed batch into the per-group
     aggregate table ``dst_table``. Returns the destination version
     committed, or None when the source has nothing new.
+
+    A source with no recorded fold position against a destination
+    that already has agg-sync commits is REFUSED unless
+    ``allow_new_source=True`` (ADVICE r13): that -1 almost always
+    means the SAME source under a different identity — a legacy
+    pre-qualification destination (bare ``agg-sync:<version>`` ids)
+    or a moved/re-mounted source path — and folding would re-apply
+    the whole 0..head history, double-counting every sum/count with
+    no error. Re-bootstrap (recompute) such aggregates; reserve the
+    flag for genuine multi-source fan-in onboarding.
 
     The destination schema is ``group_cols + [n_rows] + [sum_<c>] +
     [min_<c>] + [max_<c>] + [cnt_<c>]`` with sums as
@@ -225,6 +239,12 @@ def sync_aggregate(
     head = tablelog.latest_version(src_table)
     if head is None or head <= position:
         return None
+    # never-seen source vs a destination with existing fold history:
+    # refuse before any data moves (docstring; shared check)
+    tablelog.require_known_source(
+        dst_table, AGG_TXN_PREFIX, position, dst_head,
+        src_table, allow_new_source,
+    )
     # Feed FIRST, then the insert-only declaration check — the
     # sync_changes order (review r13): read_changes owns the named
     # behind-retention error, and verify_insert_only's raw manifest
@@ -282,6 +302,29 @@ def sync_aggregate(
             f"but this call would produce {sorted(out_cols)} "
             f"(missing={missing}, extra={extra}) — recompute the "
             "aggregate to change its definition"
+        )
+    # TYPES are part of the definition too (ADVICE r13): a call with
+    # a different sum_scale passes the name check, and the union
+    # below would coerce mixed decimal scales while the accumulated
+    # history stays quantized at the old scale — silently breaking
+    # the bit-identical convergence contract. The delta frame carries
+    # exactly the schema this call's definition produces (sums at
+    # decimal(38, sum_scale), counts bigint, min/max at source
+    # types), so compare against it. dtypes, not schema: nullability
+    # is not part of the definition.
+    cur_types, exp_types = dict(current.dtypes), dict(delta.dtypes)
+    mismatched = {
+        c: (cur_types[c], exp_types[c])
+        for c in out_cols
+        if cur_types[c] != exp_types[c]
+    }
+    if mismatched:
+        raise ValueError(
+            f"aggregate definition drift on {dst_table}: column "
+            f"types differ from the maintained table "
+            f"(column: (stored, this call)) {mismatched} — a changed "
+            "sum_scale or source column type requires recomputing "
+            "the aggregate"
         )
     # Fold = union + re-aggregate, NOT a join (review r10: the old
     # full-outer join could never broadcast — Spark rejects the hint

@@ -75,10 +75,11 @@ class CommitConflict(Exception):
 _JSONABLE_STATS = (bool, int, float, str)
 
 #: Reserved per-file stats keys (not zone maps): exact footer row
-#: count, per-column null counts, and the file's column census. A
-#: real column with one of these names loses its zone map to the
-#: reserved key — metadata readers must treat them as absent.
-_RESERVED_STATS = frozenset({"__rows", "__nulls", "__cols"})
+#: count, per-column null counts, the file's column census, and the
+#: on-disk byte size (merge output sizing, r14). A real column with
+#: one of these names loses its zone map to the reserved key —
+#: metadata readers must treat them as absent.
+_RESERVED_STATS = frozenset({"__rows", "__nulls", "__cols", "__bytes"})
 
 #: Column names the change-feed layer fabricates alongside the data
 #: columns: ``read_changes`` tags every row with ``_change_type`` /
@@ -365,40 +366,63 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
     return folded["version"]
 
 
-#: txn-id prefixes reserved for consumer-offset recovery: the suffix
-#: after the colon MUST be an integer position (``txn_position``).
-#: "changefeed-sync" = tablelog.sync_changes; "agg-sync" =
-#: sinks/incremental.sync_aggregate (named here rather than imported —
-#: incremental depends on this module, not the reverse).
+#: txn-id prefixes reserved for consumer-offset recovery: a reserved
+#: id is exactly ``<prefix>:<source key>:<position>`` (``source_key``
+#: / ``txn_position``). "changefeed-sync" = tablelog.sync_changes;
+#: "agg-sync" = sinks/incremental.sync_aggregate (named here rather
+#: than imported — incremental depends on this module, not the
+#: reverse).
 _RESERVED_TXN_PREFIXES = ("changefeed-sync", "agg-sync")
 
 
+def source_key(src_table: str) -> str:
+    """Stable short identity of a source path for txn-id
+    qualification. A hash, not the path itself: txn ids are parsed
+    by rsplit on ':' and paths may contain anything. The PATH is the
+    source's identity (resolved via ``os.path.realpath`` so symlink
+    and relative spellings of one directory agree): moving or
+    re-mounting a source under a new path makes it a NEW source to
+    every consumer-offset walk, which the sync entry points refuse
+    loudly (never silently re-apply history) — see their
+    new-source/stale-position checks (ADVICE r13)."""
+    import hashlib
+
+    return hashlib.sha256(
+        os.path.realpath(src_table).encode()
+    ).hexdigest()[:12]
+
+
 def _check_txn_id(txn_id: str | None) -> None:
-    """Refuse caller txn ids that collide with a reserved offset
-    namespace without carrying a valid integer position: one such id
-    would wedge (non-integer suffix) or corrupt (arbitrary integer)
-    every later consumer-position recovery on the destination
-    (review r10). Integer-suffixed ids in the namespace are assumed
-    to BE the legitimate consumers — the namespaces are documented
-    as reserved."""
+    """Refuse caller txn ids inside a reserved offset namespace
+    unless they carry the exact consumer shape
+    ``<prefix>:<12-hex source key>:<int position>``: anything looser
+    would wedge (non-integer last field) or corrupt (arbitrary
+    integer recovered as a position) every later consumer-position
+    recovery on the destination (review r10). ADVICE r13 tightened
+    the old last-field-is-an-integer relaxation: a caller id like
+    ``changefeed-sync:nightly:7`` used to pass and then be recovered
+    as position 7 — exactly the corruption the check documents. Ids
+    matching the full shape are assumed to BE legitimate consumers —
+    the namespaces are documented as reserved."""
     if txn_id is None:
         return
     for prefix in _RESERVED_TXN_PREFIXES:
         if txn_id.startswith(prefix + ":"):
-            # the LAST ':'-field is the position — the same rsplit
-            # txn_position uses to recover it (r13: the agg-sync
-            # namespace is now source-qualified, so the id may carry
-            # intermediate fields between prefix and position)
-            suffix = txn_id.rsplit(":", 1)[1]
-            try:
-                int(suffix)
-            except ValueError:
+            fields = txn_id[len(prefix) + 1:].split(":")
+            ok = (
+                len(fields) == 2
+                and len(fields[0]) == 12
+                and all(c in "0123456789abcdef" for c in fields[0])
+                and fields[1].lstrip("-").isdigit()
+            )
+            if not ok:
                 raise ValueError(
                     f"txn_id {txn_id!r} collides with the reserved "
-                    f"{prefix!r} consumer-offset namespace but its "
-                    "suffix is not an integer position — choose a txn "
-                    "id outside the reserved prefixes"
-                ) from None
+                    f"{prefix!r} consumer-offset namespace but is not "
+                    "a '<prefix>:<12-hex source key>:<int position>' "
+                    "consumer id — choose a txn id outside the "
+                    "reserved prefixes"
+                )
 
 
 def _replayed_version(table: str, txn_id: str | None) -> int | None:
@@ -511,6 +535,10 @@ def _file_stats(path: str) -> dict[str, list]:
         name: [mins[name], maxs[name]] for name in mins
     }
     stats["__rows"] = meta.num_rows
+    # on-disk size, for metadata-only output sizing (merge rewrites
+    # pick their file count from the head's byte total, r14) — one
+    # stat call on a footer we already opened
+    stats["__bytes"] = os.path.getsize(path)
     if nulls:
         stats["__nulls"] = nulls
     # the file's own column census (leaf paths), so metadata readers
@@ -521,6 +549,45 @@ def _file_stats(path: str) -> dict[str, list]:
         meta.schema.column(i).path for i in range(meta.num_columns)
     )
     return stats
+
+
+#: Target on-disk bytes per written data file — Spark's default scan
+#: split size (spark.sql.files.maxPartitionBytes), so a file is big
+#: enough not to flood the manifest and small enough to read in one
+#: split.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _merge_output_partitions(manifest: dict) -> int | None:
+    """File count a merge REWRITE should coalesce its outputs to,
+    from the head manifest's recorded ``__bytes`` alone (metadata,
+    no job) — or None for legacy manifests predating byte stats
+    (leave Spark's partitioning untouched).
+
+    Why this exists (r14): both merge outputs derive from one
+    PERSISTED join (the review-r08 scan-once contract), and Spark
+    cannot re-coalesce a cached plan's output partitioning
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    defaults to false precisely because it can surprise downstream
+    consumers of the cache) — so without this, every merge writes
+    shuffle-partition-count files REGARDLESS of data size: a
+    1,500-row state table on 32 cores wrote 32 data + 32 cdc files
+    per merge, and every later snapshot read, sync, and changefeed
+    poll paid 64 file opens per commit. File counts must track BYTES,
+    not core count — at 100 TB the same formula yields thousands of
+    ~128 MB files; at fixture scale it yields one. Sized from the
+    HEAD's bytes (the rewrite is base ± batch): a large insert batch
+    into a small base underestimates once and the next merge
+    self-corrects, which only ever means fewer, bigger files — never
+    lost parallelism on the join itself (coalesce narrows the WRITE
+    stage only)."""
+    sizes = [
+        (fstats or {}).get("__bytes")
+        for fstats in (manifest.get("stats") or {}).values()
+    ]
+    if not sizes or any(b is None for b in sizes):
+        return None
+    return max(1, -(-sum(sizes) // TARGET_FILE_BYTES))
 
 
 def _write_data_files(
@@ -1828,6 +1895,10 @@ def merge_changes(
                 # both outputs (rewrite + CDC) read this one join: persist
                 # so the base snapshot and the change dedup run once
                 joined = joined.persist()
+            # size both rewrite outputs by the table's bytes, not the
+            # core count (see _merge_output_partitions — the persisted
+            # join pins its partitioning, so AQE cannot)
+            n_out = _merge_output_partitions(_read_manifest(table, head))
             try:
                 merged = joined.filter(
                     ~changed | (F.col(f"c.{op_col}") != "D")
@@ -1839,6 +1910,8 @@ def merge_changes(
                         for col in data_cols
                     ]
                 )
+                if n_out is not None:
+                    merged = merged.coalesce(n_out)
                 files, stats = _write_data_files(merged, table)
                 manifest = {
                     "version": head + 1,
@@ -1873,6 +1946,10 @@ def merge_changes(
                         .otherwise(F.lit("insert"))
                         .alias("_change_type"),
                     )
+                    if n_out is not None:
+                        # the effective feed is a subset of the
+                        # rewrite (plus the type tag): same sizing
+                        effective = effective.coalesce(n_out)
                     cdc_files, cdc_stats = _write_data_files(effective, table)
                     # a merge whose every change was ineffective (e.g. a
                     # batch of 'D' ops on absent keys — routine under
@@ -2053,7 +2130,11 @@ def read_changes(
 SYNC_TXN_PREFIX = "changefeed-sync"
 
 
-def sync_position(dst_table: str, upto: int | None = None) -> int:
+def sync_position(
+    dst_table: str,
+    src_table: str | None = None,
+    upto: int | None = None,
+) -> int:
     """Last source version a ``sync_changes`` commit applied to
     ``dst_table``, or -1 if never synced. Read from the destination's
     own manifests, newest-first — the consumer offset is committed
@@ -2067,6 +2148,16 @@ def sync_position(dst_table: str, upto: int | None = None) -> int:
     sync manifest — still resets; keep ``retain_last`` deeper than
     the sync cadence, as documented on ``vacuum``.
 
+    With ``src_table`` the walk matches only that source's
+    (source-key-qualified) sync commits — the multi-source fan-in
+    contract (ADVICE r13: with bare ids, two sources syncing into one
+    destination aliased each other's positions — one silently
+    stalled or silently skipped its prefix). Without it, the walk
+    matches ANY sync commit (every qualified id carries the version
+    as its last ':'-field), which is only meaningful for
+    single-source destinations — the audit/test convenience, not the
+    consumer path.
+
     ``upto`` bounds the scan to manifests <= that version:
     ``sync_changes`` reads the destination HEAD first and derives the
     position from that same snapshot, so a competing sync committing
@@ -2075,7 +2166,51 @@ def sync_position(dst_table: str, upto: int | None = None) -> int:
     moved the head past the CAS target, so the stale worker's append
     fails and retries instead of double-applying the overlapping
     range (ADVICE r08)."""
-    return txn_position(dst_table, SYNC_TXN_PREFIX, upto)
+    prefix = (
+        f"{SYNC_TXN_PREFIX}:{source_key(src_table)}"
+        if src_table is not None
+        else SYNC_TXN_PREFIX
+    )
+    return txn_position(dst_table, prefix, upto)
+
+
+def require_known_source(
+    dst_table: str,
+    prefix: str,
+    position: int,
+    dst_head: int | None,
+    src_table: str,
+    allow_new_source: bool,
+) -> None:
+    """Refuse a sync whose SOURCE-qualified position is -1 while the
+    destination already carries fold/sync commits in the namespace
+    (ADVICE r13, the silent-double-count hazard): a -1 against a
+    non-empty consumer history almost always means the SAME source
+    reached under a different identity — a pre-qualification legacy
+    destination (bare ``<prefix>:<version>`` ids), or a moved /
+    re-mounted source path (the path IS the identity, see
+    ``source_key``) — and blindly folding would re-apply the whole
+    0..head history on top of the existing state, double-counting
+    every row with no error. Genuine multi-source fan-in onboarding
+    (a NEW source joining a destination other sources already feed)
+    is the one legitimate -1-with-history case; it must say so
+    explicitly via ``allow_new_source=True``."""
+    if position >= 0 or allow_new_source or dst_head is None:
+        return
+    if txn_position(dst_table, prefix, upto=dst_head) < 0:
+        return
+    raise ValueError(
+        f"source {src_table!r} has no recorded position in "
+        f"{dst_table!r}, but the destination already has "
+        f"{prefix!r} consumer commits: syncing now would re-apply "
+        "the source's entire history on top of the existing state "
+        "(double-counting). If this destination predates "
+        "source-qualified consumer ids, or the source path moved "
+        "(the realpath is part of the consumer's identity), "
+        "re-bootstrap: recompute the destination from scratch. If "
+        "this genuinely is a NEW source joining multi-source "
+        "fan-in, pass allow_new_source=True."
+    )
 
 
 def txn_position(
@@ -2156,6 +2291,7 @@ def sync_changes(
     src_table: str,
     dst_table: str,
     keys: list[str] | None = None,
+    allow_new_source: bool = False,
 ) -> int | None:
     """Apply one micro-batch of ``src_table``'s change feed to
     ``dst_table``, exactly-once and resumable from the destination
@@ -2184,9 +2320,22 @@ def sync_changes(
     worker loses into the retry loop instead. This is the table-log
     equivalent of the streaming sink's epoch contract, for log-to-log
     pipelines.
+
+    The committed txn id is SOURCE-qualified
+    (``changefeed-sync:<source key>:<src version>``, ADVICE r13), so
+    multi-source fan-in into one destination is well-defined: each
+    source recovers its own position. A source with no recorded
+    position against a destination that already has sync commits is
+    REFUSED unless ``allow_new_source=True`` — see
+    ``require_known_source`` (a path respelling or a
+    pre-qualification legacy destination would otherwise silently
+    re-apply the whole feed). Keyed fan-in converges per key to the
+    latest ``_commit_version`` WITHIN each source's feed; ordering
+    ACROSS sources is poll-arrival order, as with any two writers.
     """
     from pyspark.sql import functions as F
 
+    src_key = source_key(src_table)
     for _ in range(MAX_COMMIT_RETRIES):
         # Head FIRST, then the position derived only from manifests
         # <= that head (one consistent snapshot): a racer committing
@@ -2194,14 +2343,18 @@ def sync_changes(
         # with a CAS target that already covers its commit — the CAS
         # fails and this worker re-reads (ADVICE r08).
         dst_head = latest_version(dst_table)
-        position = sync_position(dst_table, upto=dst_head)
+        position = sync_position(dst_table, src_table, upto=dst_head)
         head = latest_version(src_table)
         if head is None or head <= position:
             return None
+        require_known_source(
+            dst_table, SYNC_TXN_PREFIX, position, dst_head,
+            src_table, allow_new_source,
+        )
         changes = read_changes(spark, src_table, position, head)
         if changes is None:  # only compactions landed: nothing to move
             return None
-        txn = f"{SYNC_TXN_PREFIX}:{head}"
+        txn = f"{SYNC_TXN_PREFIX}:{src_key}:{head}"
         cas = dst_head if dst_head is not None else -1
         try:
             if keys is None:

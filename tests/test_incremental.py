@@ -525,8 +525,13 @@ def test_multi_source_fan_in_keeps_per_source_positions(
         tl.append(_events(spark, batch), src_a)
     inc.sync_aggregate(spark, src_a, dst, ["user"], ["value"])
     tl.append(_events(spark, [(1, 10.0), (3, 30.0)]), src_b)
+    # ADVICE r13: a never-seen source against existing fold history
+    # is refused by default (it is indistinguishable from a legacy /
+    # respelled-path double-count) — onboarding must be explicit
+    with pytest.raises(ValueError, match="allow_new_source"):
+        inc.sync_aggregate(spark, src_b, dst, ["user"], ["value"])
     assert inc.sync_aggregate(
-        spark, src_b, dst, ["user"], ["value"]
+        spark, src_b, dst, ["user"], ["value"], allow_new_source=True
     ) is not None, "second source stalled on the first's position"
     assert inc.aggregate_position(dst, src_a) == 2
     assert inc.aggregate_position(dst, src_b) == 0
@@ -631,3 +636,51 @@ def test_aggregate_behind_retention_gets_named_remediation(
         FileNotFoundError, match="fallen behind the vacuum horizon"
     ):
         inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+
+
+def test_sum_scale_drift_refused_by_type_check(spark, tmp_path):
+    """ADVICE r13: a changed sum_scale passes the column-NAME drift
+    check, and the fold union would coerce mixed decimal scales while
+    the accumulated history stays quantized at the old scale —
+    silently breaking the bit-identical convergence contract. Types
+    are part of the aggregate's definition; drift is refused."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.25)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"], sum_scale=2)
+    tl.append(_events(spark, [(1, 0.004)]), src)
+    with pytest.raises(ValueError, match="types differ"):
+        inc.sync_aggregate(
+            spark, src, dst, ["user"], ["value"], sum_scale=4
+        )
+    # the original definition still folds
+    assert inc.sync_aggregate(
+        spark, src, dst, ["user"], ["value"], sum_scale=2
+    ) is not None
+
+
+def test_source_identity_survives_path_respelling(spark, tmp_path):
+    """ADVICE r13 (medium): the SAME source reached via a symlink
+    must resolve to the same fold position — not a -1 that silently
+    re-folds the whole history on top of the aggregate (doubling
+    every sum/count). realpath unifies spellings; the new-source
+    refusal catches identities realpath cannot unify (e.g. a copied
+    or re-mounted source) instead of double-counting."""
+    import os
+    import shutil
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    tl.append(_events(spark, [(1, 1.0), (2, 2.0)]), src)
+    inc.sync_aggregate(spark, src, dst, ["user"], ["value"])
+    link = str(tmp_path / "src_link")
+    os.symlink(src, link)
+    assert inc._source_key(link) == inc._source_key(src)
+    # same source through the symlink: idle, NOT a double-fold
+    assert inc.sync_aggregate(spark, link, dst, ["user"], ["value"]) is None
+    assert _folded(spark, dst)[(1,)] == (1, Decimal("1.00"))
+    # a genuinely different path is refused, not silently re-folded
+    copy = str(tmp_path / "src_copy")
+    shutil.copytree(src, copy)
+    with pytest.raises(ValueError, match="allow_new_source"):
+        inc.sync_aggregate(spark, copy, dst, ["user"], ["value"])
+    # and the aggregate is untouched by the refusal
+    assert _folded(spark, dst)[(2,)] == (1, Decimal("2.00"))

@@ -833,7 +833,10 @@ def test_sync_changes_insert_only_is_incremental_and_replay_safe(
     head_dst = tl.latest_version(dst)
     tl.append(
         _frame(spark, 5, 7), dst,
-        txn_id=f"{tl.SYNC_TXN_PREFIX}:{tl.latest_version(src)}",
+        txn_id=(
+            f"{tl.SYNC_TXN_PREFIX}:{tl.source_key(src)}"
+            f":{tl.latest_version(src)}"
+        ),
     )
     assert tl.latest_version(dst) == head_dst
     assert _values(tl.read_snapshot(spark, dst)) == list(range(7))
@@ -1085,7 +1088,7 @@ def test_sync_position_snapshot_consistent_read_blocks_racer(
         tl.append(
             changes.drop("_change_type", "_commit_version"),
             dst,
-            txn_id=f"{tl.SYNC_TXN_PREFIX}:2",
+            txn_id=f"{tl.SYNC_TXN_PREFIX}:{tl.source_key(src)}:2",
             require_head=a_head,
         )
     # the retry path (what sync_changes' loop does) applies ONLY the
@@ -1933,6 +1936,15 @@ def test_reserved_txn_namespaces_enforced_and_recovery_hardened(
     tl.append(_frame(spark, 0, 3), table)
     with pytest.raises(ValueError, match="reserved"):
         tl.overwrite(_frame(spark, 0, 3), table, txn_id="agg-sync:batch-x")
+    # ADVICE r13: an integer LAST field is not enough — 'nightly' is
+    # not a source key, and recovery would read 7 as a consumer
+    # position; the full <prefix>:<12-hex>:<int> shape is required
+    with pytest.raises(ValueError, match="reserved"):
+        tl.append(
+            _frame(spark, 0, 3), table, txn_id="changefeed-sync:nightly:7"
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        tl.append(_frame(spark, 0, 3), table, txn_id="agg-sync:7")
     with pytest.raises(ValueError, match="reserved"):
         tl.merge_changes(
             spark, table,
@@ -2264,7 +2276,8 @@ def test_position_walks_tolerate_concurrent_vacuum_unlink(
     listing and the read must not crash txn_position /
     _replayed_version — the fold already covers it."""
     table = str(tmp_path / "t")
-    tl.append(_frame(spark, 0, 2), table, txn_id="changefeed-sync:5")
+    key = "ab" * 6  # a well-formed 12-hex source key
+    tl.append(_frame(spark, 0, 2), table, txn_id=f"changefeed-sync:{key}:5")
     tl.append(_frame(spark, 2, 4), table)
     tl.write_checkpoint(table)
     real_list = tl._list_versions
@@ -2276,7 +2289,7 @@ def test_position_walks_tolerate_concurrent_vacuum_unlink(
 
     monkeypatch.setattr(tl, "_list_versions", stale_listing)
     assert tl.txn_position(table, "changefeed-sync") == 5
-    assert tl._replayed_version(table, "changefeed-sync:5") == 0
+    assert tl._replayed_version(table, f"changefeed-sync:{key}:5") == 0
 
 
 def test_files_for_malformed_where_raises_named_error(spark, tmp_path):
@@ -3575,3 +3588,152 @@ def test_changefeed_behind_retention_names_the_incident(
     assert sorted(_values(tl.read_snapshot(spark, dst)))[-3:] == [
         90, 91, 92,
     ]
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test #4: multi-source fan-in sync (r14)
+# ---------------------------------------------------------------------------
+
+#: Interleaved ops over TWO insert-only source logs feeding one
+#: destination: appends land on either source; syncs drain either
+#: source. Insert-only is the deterministic fan-in (the destination
+#: is the exact multiset union of synced prefixes — keyed fan-in's
+#: cross-source ordering is poll-arrival order, which a model cannot
+#: pin without replaying the actual interleave).
+_FANIN_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.just("a"), st.integers(1, 3)),
+        st.tuples(st.just("append"), st.just("b"), st.integers(1, 3)),
+        st.tuples(st.just("sync"), st.just("a"), st.just(None)),
+        st.tuples(st.just("sync"), st.just("b"), st.just(None)),
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=_HYP_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_FANIN_OPS)
+def test_multi_source_fanin_sync_matches_model(
+    spark, tmp_path_factory, ops
+):
+    """ADVICE r13 / VERDICT r13 task 5: source-qualified consumer
+    positions under RANDOM fan-in interleavings — two insert-only
+    source logs sync into ONE destination. Invariants after every
+    step: each source's recovered position (``sync_position(dst,
+    src)``) never regresses and equals the last source head that
+    source synced; the destination's multiset of values equals the
+    union of both sources' synced prefixes (a position alias would
+    show up as a skipped prefix or a double-applied range); an
+    immediate re-sync of a drained source is idle; and a source's
+    FIRST sync against a destination already fed by the other source
+    is refused without ``allow_new_source=True`` (the onboarding
+    gate) and succeeds with it."""
+    root = tmp_path_factory.mktemp("fanin")
+    srcs = {"a": str(root / "src_a"), "b": str(root / "src_b")}
+    dst = str(root / "dst")
+
+    next_val = {"a": 0, "b": 1000}    # disjoint value ranges per source
+    feed: dict[str, list[list[int]]] = {"a": [], "b": []}  # per commit
+    synced_upto = {"a": -1, "b": -1}  # model: last synced src version
+    onboarded = {"a": False, "b": False}
+
+    def model_rows():
+        out = []
+        for s in ("a", "b"):
+            for commit in feed[s][: synced_upto[s] + 1]:
+                out.extend(commit)
+        return sorted(out)
+
+    for op, s, arg in ops:
+        if op == "append":
+            rows = list(range(next_val[s], next_val[s] + arg))
+            next_val[s] += arg
+            v = tl.append(
+                spark.createDataFrame([(x,) for x in rows], "v int"),
+                srcs[s],
+            )
+            feed[s].append(rows)
+            assert v == len(feed[s]) - 1
+        else:  # sync
+            head = tl.latest_version(srcs[s])
+            if head is None or head <= synced_upto[s]:
+                # idle (or the never-written source): must be a no-op
+                # regardless of onboarding state
+                assert tl.sync_changes(
+                    spark, srcs[s], dst, allow_new_source=True
+                ) is None
+                continue
+            other = "b" if s == "a" else "a"
+            if not onboarded[s] and synced_upto[other] >= 0:
+                # the onboarding gate: a never-seen source against a
+                # destination with existing sync history is refused
+                with pytest.raises(ValueError, match="allow_new_source"):
+                    tl.sync_changes(spark, srcs[s], dst)
+            committed = tl.sync_changes(
+                spark, srcs[s], dst, allow_new_source=True
+            )
+            assert committed is not None
+            onboarded[s] = True
+            synced_upto[s] = head
+            # per-source positions: synced source at its head, the
+            # other source untouched (the aliasing bug regressed or
+            # skipped exactly here)
+            for t in ("a", "b"):
+                expect = synced_upto[t]
+                assert tl.sync_position(dst, srcs[t]) == expect, (
+                    f"source {t} position after syncing {s}"
+                )
+            got = sorted(
+                r.v for r in tl.read_snapshot(spark, dst).collect()
+            )
+            assert got == model_rows(), f"after sync {s}"
+            # drained: an immediate re-sync is idle
+            assert tl.sync_changes(
+                spark, srcs[s], dst, allow_new_source=True
+            ) is None
+    # final drain of both sources converges to the full union
+    for s in ("a", "b"):
+        if feed[s]:
+            tl.sync_changes(spark, srcs[s], dst, allow_new_source=True)
+            synced_upto[s] = len(feed[s]) - 1
+    if tl.latest_version(dst) is not None:
+        got = sorted(
+            r.v for r in tl.read_snapshot(spark, dst).collect()
+        )
+        assert got == model_rows(), "final union"
+
+
+def test_sync_changes_source_identity_survives_path_respelling(
+    spark, tmp_path
+):
+    """ADVICE r13 (the medium finding's hazard, sync_changes side):
+    the SAME source reached via a symlink or a relative spelling must
+    resolve to the SAME consumer identity — not a fresh -1 position
+    that re-applies the whole feed. realpath unifies the spellings;
+    the new-source refusal backstops identities realpath cannot
+    unify."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), src)
+    tl.sync_changes(spark, src, dst)
+    link = str(tmp_path / "src_link")
+    os.symlink(src, link)
+    assert tl.source_key(link) == tl.source_key(src)
+    # same source through the symlink: idle, NOT a re-apply
+    assert tl.sync_changes(spark, link, dst) is None
+    assert _values(tl.read_snapshot(spark, dst)) == [0, 1, 2]
+    # a genuinely different path (a copy, a failover mount realpath
+    # cannot unify) is refused, not silently double-applied
+    import shutil
+
+    copy = str(tmp_path / "src_copy")
+    shutil.copytree(src, copy)
+    with pytest.raises(ValueError, match="allow_new_source"):
+        tl.sync_changes(spark, copy, dst)
