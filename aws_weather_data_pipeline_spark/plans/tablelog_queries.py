@@ -489,15 +489,20 @@ def tablelog_nullcount_prune(
 # VERDICT r12 task 2: the retiree was already mandatory in this
 # round's window, so changefeed_keyed_sync inherits its slot — the
 # r12 fold-swap pattern). Strict subsumption: the new query's
-# maintained_agg branch runs the retiree's EXACT recipe — the same
-# three insert-only event batches (event_id % 3) appended to a source
-# log with sinks/incremental.sync_aggregate folding each batch's
-# change feed into the maintained per-event_type aggregate, positions
-# recovered from the destination log, CAS overwrites — and hash-
-# compares the same final snapshot against the same from-scratch
-# GROUP BY oracle; it then adds the KEYED consumer half of the same
-# incremental story (merge-committed feeds, poll/ack cursor,
-# log-to-log keyed sync) the retiree never touched.
+# maintained_agg branch runs the retiree's recipe — insert-only
+# event batches appended to a source log with
+# sinks/incremental.sync_aggregate folding each batch's change feed
+# into the maintained per-event_type aggregate, positions recovered
+# from the destination log, CAS overwrites — and hash-compares the
+# same final snapshot against the same from-scratch GROUP BY oracle;
+# it then adds the KEYED consumer half of the same incremental story
+# (merge-committed feeds, poll/ack cursor, log-to-log keyed sync)
+# the retiree never touched. r14 (fixture economy, VERDICT r13 task
+# 3): the branch folds TWO batches (event_id % 2) instead of the
+# retiree's three — the certified contracts (bootstrap append + at
+# least one CAS-guarded O(delta) fold) and the hashed output (the
+# batches still partition all events; decimal folds are
+# batching-independent) are unchanged.
 
 
 # --------------------------------------------------------------------------
@@ -586,9 +591,9 @@ def build_synced_state_logs(
     """
     work = _work_dir("spark_graft_tablelog_cf_")
     # persist the UNFILTERED parent: the base window, the three slice
-    # batches, and the writer-half's three insert-only batches each
+    # batches, and the writer-half's two insert-only batches each
     # read events (and merge_changes re-evaluates its batch lineage
-    # per attempt) — one parquet scan instead of seven-plus
+    # per attempt) — one parquet scan instead of six-plus
     events_all = load_tables(spark, sf_dir, ("events",))["events"].persist()
     try:
         return _build_synced_state_logs(spark, events_all, work)
@@ -707,17 +712,24 @@ def _build_synced_state_logs(
     if cursor.poll(spark) is not None:
         raise ValueError("cursor served rows past the acked position")
 
-    # Writer half: the retired incremental_agg_maintenance recipe,
-    # verbatim (subsumption note above CF_CUTOFFS) — three insert-only
-    # batches into a second source log, each batch's change feed
-    # folded into the maintained per-event_type aggregate by
-    # sync_aggregate (bootstrap append, then destination-head CAS
-    # overwrites, positions recovered from the destination log alone).
+    # Writer half: the retired incremental_agg_maintenance recipe
+    # (subsumption note above CF_CUTOFFS) — insert-only batches into a
+    # second source log, each batch's change feed folded into the
+    # maintained per-event_type aggregate by sync_aggregate (bootstrap
+    # append, then destination-head CAS overwrite, positions recovered
+    # from the destination log alone). TWO batches, not the retiree's
+    # three (VERDICT r13 task 3 — fixture economy): the certified
+    # contracts are the bootstrap append plus at least one CAS-guarded
+    # O(delta) fold, both still exercised, and the batches still
+    # PARTITION all events, so the maintained aggregate — and the
+    # driver-hashed result — is bit-identical to the three-batch form
+    # (decimal folds are order/batching-independent by the convergence
+    # contract sinks/incremental.py pins).
     src2 = os.path.join(work, "events_src")
     agg_dst = os.path.join(work, "events_agg")
-    for rem in (0, 1, 2):
+    for rem in (0, 1):
         tablelog.append(
-            events_all.filter(F.col("event_id") % 3 == rem).select(
+            events_all.filter(F.col("event_id") % 2 == rem).select(
                 "event_type", "value"
             ),
             src2,
@@ -855,9 +867,10 @@ def _build_synced_state_logs(
     "the whole feed with the re-serve-until-acked contract enforced "
     "(two unacked polls must serve identical batches; a poll past "
     "the ack is idle). WRITER half: the retired "
-    "incremental_agg_maintenance recipe verbatim (subsumption note "
-    "above build_synced_state_logs) — three insert-only batches "
-    "folded into a maintained per-event_type aggregate by "
+    "incremental_agg_maintenance recipe (subsumption note above "
+    "build_synced_state_logs; two batches since r14, same contracts "
+    "and identical output) — insert-only batches folded into a "
+    "maintained per-event_type aggregate by "
     "sinks/incremental.sync_aggregate, O(delta) per refresh. The "
     "returned frame unions the destination's final reconciled state, "
     "the feed's per-commit insert/update/delete counts, and the "
