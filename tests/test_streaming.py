@@ -8,6 +8,8 @@ files in batch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from aws_weather_data_pipeline_spark.functions.weather import (
@@ -522,3 +524,112 @@ def test_checkpoint_namespace_schemeless_follows_default_fs(spark):
         ), exc.value
     finally:
         conf.set("fs.defaultFS", old)
+
+
+def test_stream_through_tablelog_under_folding_vacuum_with_consumer(
+    spark, tmp_path
+):
+    """VERDICT r13 task 4 — the composition the directory sink's
+    epoch-growth note points long-lived streams at, driven as ONE
+    seam instead of its tested halves: a Structured Streaming
+    pipeline commits micro-batches through the table-log sink
+    (``start_tablelog_sink``) across restarts on one checkpoint,
+    WHILE checkpoint-folding vacuum maintenance runs — both
+    concurrently with the drain (in-contract: data-file deletion
+    age-gated by ``min_age_seconds``; manifest expiry + txn folding
+    are not age-gated, so they really interleave with live commits)
+    and as the deep between-drain maintenance pass — and a
+    change-feed consumer (log-to-log ``sync_changes``) tails the
+    stream's commits into a downstream log. Asserts: every landed
+    row lands EXACTLY once in the table and in the consumer's
+    destination; ``_log/`` stays bounded by the vacuum cadence, not
+    stream age; the consumer's recovered position survives the
+    vacuumed prefix via the checkpoint fold; and a replay of a
+    long-expired epoch (manifest vacuumed away) is still recognized
+    as a no-op through the fold."""
+    import threading
+
+    from aws_weather_data_pipeline_spark.sinks import tablelog as tl
+    from aws_weather_data_pipeline_spark.streaming.pipeline import (
+        append_epoch_to_tablelog,
+        start_tablelog_sink,
+    )
+
+    src = str(tmp_path / "landing")
+    table = str(tmp_path / "stream_log")
+    dst = str(tmp_path / "downstream")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _rows(lo, hi):
+        return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+    lo, manifest_counts = 0, []
+    for phase in range(3):
+        hi = lo + 20
+        # two files per phase + maxFilesPerTrigger=1 -> >=2 epochs
+        _rows(lo, lo + 10).coalesce(1).write.mode("append").parquet(src)
+        _rows(lo + 10, hi).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("v bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # CONCURRENT maintenance while the drain commits: fold +
+        # expire manifests beyond retain_last=4; the 1h data-file age
+        # horizon keeps in-flight commit staging safe (the documented
+        # live-writer contract on vacuum)
+        stop = threading.Event()
+
+        def maintain():
+            while not stop.is_set():
+                try:
+                    tl.vacuum(table, retain_last=4, min_age_seconds=3600.0)
+                except FileNotFoundError:
+                    pass  # nothing committed yet this phase
+                stop.wait(0.05)
+
+        maintainer = threading.Thread(target=maintain)
+        maintainer.start()
+        try:
+            q = start_tablelog_sink(stream, table, ckpt)
+            q.awaitTermination(120)
+        finally:
+            stop.set()
+            maintainer.join()
+        lo = hi
+        # the tailing consumer: O(delta) log-to-log sync of exactly
+        # the commits this phase's drain produced
+        assert tl.sync_changes(spark, table, dst) is not None
+        assert sorted(
+            r.v for r in tl.read_snapshot(spark, dst).collect()
+        ) == list(range(hi))
+        assert tl.sync_position(dst, table) == tl.latest_version(table)
+        assert tl.sync_changes(spark, table, dst) is None  # drained
+        # deep between-drain maintenance (the documented cadence:
+        # right after the sync, nothing unsynced behind retention)
+        tl.vacuum(table, retain_last=2, min_age_seconds=0.0)
+        manifest_counts.append(len(tl._list_versions(table)))
+    # exactly-once end to end: each landed row once, in both logs
+    assert sorted(
+        r.v for r in tl.read_snapshot(spark, table).collect()
+    ) == list(range(lo))
+    assert sorted(
+        r.v for r in tl.read_snapshot(spark, dst).collect()
+    ) == list(range(lo))
+    # _log/ bounded by the vacuum cadence, not by stream age: 6+
+    # stream epochs have committed, at most retain_last manifests live
+    assert max(manifest_counts) <= 2
+    # the consumer's position outlives the vacuumed prefix (the
+    # checkpoint fold carries it; sync stays idle, no re-apply)
+    assert tl.sync_position(dst, table) == tl.latest_version(table)
+    # replay of the FIRST epoch — manifest long vacuumed — is still a
+    # no-op: its txn id lives in the fold, not the expired manifest
+    ns = (
+        open(os.path.join(ckpt, ".tablelog-namespace")).read().strip()
+    )
+    head = tl.latest_version(table)
+    append_epoch_to_tablelog(_rows(0, 10), table, 0, ns)
+    assert tl.latest_version(table) == head
+    assert sorted(
+        r.v for r in tl.read_snapshot(spark, table).collect()
+    ) == list(range(lo))
