@@ -384,7 +384,14 @@ def source_key(src_table: str) -> str:
     re-mounting a source under a new path makes it a NEW source to
     every consumer-offset walk, which the sync entry points refuse
     loudly (never silently re-apply history) — see their
-    new-source/stale-position checks (ADVICE r13)."""
+    new-source/stale-position checks (ADVICE r13). COMPATIBILITY:
+    r13 recorded agg-sync positions under an ABSPATH hash — for a
+    source whose r13 path traversed a symlink, the realpath key
+    differs and the qualified walk returns -1, so the refusal fires
+    on a destination that never moved; re-bootstrap such aggregates
+    (the refusal's message covers this case) — the alternative,
+    keeping abspath, would leave the respelling double-count live
+    forever."""
     import hashlib
 
     return hashlib.sha256(
@@ -413,7 +420,10 @@ def _check_txn_id(txn_id: str | None) -> None:
                 len(fields) == 2
                 and len(fields[0]) == 12
                 and all(c in "0123456789abcdef" for c in fields[0])
-                and fields[1].lstrip("-").isdigit()
+                # exactly what txn_position's int() parses — a loose
+                # isdigit-after-lstrip let '--5' through at write
+                # time only to be skipped at recovery (review r14)
+                and re.fullmatch(r"-?\d+", fields[1]) is not None
             )
             if not ok:
                 raise ValueError(
@@ -558,11 +568,21 @@ def _file_stats(path: str) -> dict[str, list]:
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
-def _merge_output_partitions(manifest: dict) -> int | None:
-    """File count a merge REWRITE should coalesce its outputs to,
-    from the head manifest's recorded ``__bytes`` alone (metadata,
-    no job) — or None for legacy manifests predating byte stats
-    (leave Spark's partitioning untouched).
+#: Bytes-per-row estimate when the head manifest predates ``__bytes``
+#: stats (or the head is empty): deliberately conservative (small) so
+#: a wrong guess errs toward MORE files / more write parallelism,
+#: never toward funneling a big rewrite through too few tasks.
+FALLBACK_ROW_BYTES = 64
+
+
+def _merge_output_partitions(manifest: dict, out_rows: int) -> int:
+    """File count a merge REWRITE should coalesce its outputs to:
+    ``ceil(estimated output bytes / TARGET_FILE_BYTES)``, where the
+    estimate is the JOINED row count (known exactly — the join is
+    persisted and materialized before the writes) times the head
+    snapshot's observed bytes/row from its manifest ``__bytes`` /
+    ``__rows`` stats (metadata, no extra scan; conservative
+    FALLBACK_ROW_BYTES for legacy or empty heads).
 
     Why this exists (r14): both merge outputs derive from one
     PERSISTED join (the review-r08 scan-once contract), and Spark
@@ -576,18 +596,17 @@ def _merge_output_partitions(manifest: dict) -> int | None:
     poll paid 64 file opens per commit. File counts must track BYTES,
     not core count — at 100 TB the same formula yields thousands of
     ~128 MB files; at fixture scale it yields one. Sized from the
-    HEAD's bytes (the rewrite is base ± batch): a large insert batch
-    into a small base underestimates once and the next merge
-    self-corrects, which only ever means fewer, bigger files — never
-    lost parallelism on the join itself (coalesce narrows the WRITE
-    stage only)."""
-    sizes = [
-        (fstats or {}).get("__bytes")
-        for fstats in (manifest.get("stats") or {}).values()
-    ]
-    if not sizes or any(b is None for b in sizes):
-        return None
-    return max(1, -(-sum(sizes) // TARGET_FILE_BYTES))
+    ACTUAL joined row count, not the head alone (review r14: a
+    head-bytes-only estimate let a 10 GB insert batch into a 50 MB
+    table coalesce to 1): a bootstrap-scale batch into a small table
+    sizes by its real rows. Parquet encoding usually beats the
+    in-head bytes/row for the same data, so the estimate skews
+    toward more files — the benign direction."""
+    stats = manifest.get("stats") or {}
+    tb = sum((f or {}).get("__bytes") or 0 for f in stats.values())
+    tr = sum((f or {}).get("__rows") or 0 for f in stats.values())
+    bpr = (tb / tr) if tb > 0 and tr > 0 else FALLBACK_ROW_BYTES
+    return max(1, -(-int(out_rows * bpr) // TARGET_FILE_BYTES))
 
 
 def _write_data_files(
@@ -1890,16 +1909,24 @@ def merge_changes(
                 eq = F.col(f"b.{k}") == F.col(f"c.{k}")
                 cond = eq if cond is None else cond & eq
             changed = F.col(f"c.{op_col}").isNotNull()
-            joined = b.join(c, cond, "full")
-            if write_changefeed:
-                # both outputs (rewrite + CDC) read this one join: persist
-                # so the base snapshot and the change dedup run once
-                joined = joined.persist()
-            # size both rewrite outputs by the table's bytes, not the
-            # core count (see _merge_output_partitions — the persisted
-            # join pins its partitioning, so AQE cannot)
-            n_out = _merge_output_partitions(_read_manifest(table, head))
+            # persist + count in EVERY branch (r14 review): the count
+            # MATERIALIZES the join at its full shuffle parallelism
+            # BEFORE the coalesced writes below — coalesce is a narrow
+            # dependency, so without this the whole reduce stage
+            # (join fetch+sort, CDC dedup, cache fill) would run at
+            # n_out tasks, funneling a 10 GB batch merged into a
+            # 50 MB table through ONE task. The count also gives the
+            # exact output row bound the file sizing needs, and with
+            # the changefeed it additionally keeps the scan-once
+            # contract (review r08) — both outputs read the cache.
+            joined = b.join(c, cond, "full").persist()
             try:
+                joined_rows = joined.count()
+                # size both rewrite outputs by estimated bytes, never
+                # core count (see _merge_output_partitions)
+                n_out = _merge_output_partitions(
+                    _read_manifest(table, head), joined_rows
+                )
                 merged = joined.filter(
                     ~changed | (F.col(f"c.{op_col}") != "D")
                 ).select(
@@ -1909,9 +1936,7 @@ def merge_changes(
                         .alias(col)
                         for col in data_cols
                     ]
-                )
-                if n_out is not None:
-                    merged = merged.coalesce(n_out)
+                ).coalesce(n_out)
                 files, stats = _write_data_files(merged, table)
                 manifest = {
                     "version": head + 1,
@@ -1946,10 +1971,9 @@ def merge_changes(
                         .otherwise(F.lit("insert"))
                         .alias("_change_type"),
                     )
-                    if n_out is not None:
-                        # the effective feed is a subset of the
-                        # rewrite (plus the type tag): same sizing
-                        effective = effective.coalesce(n_out)
+                    # the effective feed is a subset of the rewrite
+                    # (plus the type tag): same sizing
+                    effective = effective.coalesce(n_out)
                     cdc_files, cdc_stats = _write_data_files(effective, table)
                     # a merge whose every change was ineffective (e.g. a
                     # batch of 'D' ops on absent keys — routine under
@@ -1965,8 +1989,7 @@ def merge_changes(
                     )
                     manifest["cdc_files"] = cdc_files if n_changed else []
             finally:
-                if write_changefeed:
-                    joined.unpersist(False)
+                joined.unpersist(False)
             try:
                 _publish(table, head + 1, manifest)
                 return head + 1
