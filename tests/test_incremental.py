@@ -684,3 +684,121 @@ def test_source_identity_survives_path_respelling(spark, tmp_path):
         inc.sync_aggregate(spark, copy, dst, ["user"], ["value"])
     # and the aggregate is untouched by the refusal
     assert _folded(spark, dst)[(2,)] == (1, Decimal("2.00"))
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test: multi-source aggregate fan-in (r14)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_HYP_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10"))
+
+#: per-commit (user, value-in-cents) batches on either source; cents
+#: keep the model's arithmetic exact at the aggregate's sum_scale=2
+_AGG_FANIN_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.sampled_from(["a", "b"]),
+            st.lists(
+                st.tuples(st.integers(0, 4), st.integers(-500, 500)),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        st.tuples(
+            st.just("fold"),
+            st.sampled_from(["a", "b"]),
+            st.none(),
+        ),
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=_HYP_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_AGG_FANIN_OPS)
+def test_multi_source_aggregate_fanin_matches_model(
+    spark, tmp_path_factory, ops
+):
+    """VERDICT r13 task 5, aggregate half (the sync_changes half is
+    test_tablelog's fan-in machine): two insert-only source logs fold
+    into ONE maintained aggregate under random interleavings of
+    appends and sync_aggregate calls. The pure-Python model folds
+    exact cent-integers per user over each source's SYNCED prefix.
+    Invariants after every fold: the aggregate equals the model
+    exactly (a position alias shows up as a skipped prefix or a
+    double-counted range), each source's recovered position equals
+    its last folded head and never regresses, an immediate re-fold is
+    idle, and a source's FIRST fold against a destination already fed
+    by the other source is refused without allow_new_source=True."""
+    root = tmp_path_factory.mktemp("aggfanin")
+    srcs = {"a": str(root / "src_a"), "b": str(root / "src_b")}
+    dst = str(root / "agg")
+
+    feed: dict[str, list[list[tuple[int, int]]]] = {"a": [], "b": []}
+    folded_upto = {"a": -1, "b": -1}
+    onboarded = {"a": False, "b": False}
+
+    def model():
+        out: dict[int, list[int]] = {}
+        for s in ("a", "b"):
+            for commit in feed[s][: folded_upto[s] + 1]:
+                for user, cents in commit:
+                    out.setdefault(user, []).append(cents)
+        return {
+            (u,): (
+                len(vals),
+                (Decimal(sum(vals)) / 100).quantize(Decimal("0.01")),
+            )
+            for u, vals in out.items()
+        }
+
+    def do_fold(s, allow):
+        return inc.sync_aggregate(
+            spark, srcs[s], dst, group_cols=["user"],
+            sum_cols=["value"], allow_new_source=allow,
+        )
+
+    for op, s, arg in ops:
+        if op == "append":
+            rows = [(u, c / 100.0) for u, c in arg]
+            v = tl.append(_events(spark, rows), srcs[s])
+            feed[s].append(list(arg))
+            assert v == len(feed[s]) - 1
+            continue
+        head = tl.latest_version(srcs[s])
+        if head is None or head <= folded_upto[s]:
+            assert do_fold(s, True) is None  # idle no-op
+            continue
+        other = "b" if s == "a" else "a"
+        if not onboarded[s] and folded_upto[other] >= 0:
+            with pytest.raises(ValueError, match="allow_new_source"):
+                do_fold(s, False)
+        assert do_fold(s, True) is not None
+        onboarded[s] = True
+        folded_upto[s] = head
+        for t in ("a", "b"):
+            assert inc.aggregate_position(dst, srcs[t]) == folded_upto[t], (
+                f"source {t} position after folding {s}"
+            )
+        assert _folded(spark, dst) == model(), f"after fold {s}"
+        assert do_fold(s, True) is None  # drained: idle
+    # final drain: both sources fold to their heads, aggregate = model
+    for s in ("a", "b"):
+        if feed[s]:
+            do_fold(s, True)
+            folded_upto[s] = len(feed[s]) - 1
+    if tl.latest_version(dst) is not None:
+        assert _folded(spark, dst) == model(), "final fold"
