@@ -577,8 +577,13 @@ def test_stream_through_tablelog_under_folding_vacuum_with_consumer(
         # CONCURRENT maintenance while the drain commits: fold +
         # expire manifests beyond retain_last=4; the 1h data-file age
         # horizon keeps in-flight commit staging safe (the documented
-        # live-writer contract on vacuum)
+        # live-writer contract on vacuum). A second thread TAILS the
+        # stream live via sync_changes — consumer, maintainer, and
+        # stream writer all interleave on one log (the retention
+        # stays deeper than the consumer's poll lag, the documented
+        # vacuum-cadence contract).
         stop = threading.Event()
+        consumer_errors: list[BaseException] = []
 
         def maintain():
             while not stop.is_set():
@@ -588,18 +593,34 @@ def test_stream_through_tablelog_under_folding_vacuum_with_consumer(
                     pass  # nothing committed yet this phase
                 stop.wait(0.05)
 
+        def tail():
+            while not stop.is_set():
+                try:
+                    tl.sync_changes(spark, table, dst)
+                except FileNotFoundError:
+                    pass  # nothing committed yet this phase
+                except tl.CommitConflict:
+                    pass  # lost a race: poll again
+                except BaseException as exc:  # pragma: no cover
+                    consumer_errors.append(exc)
+                    return
+                stop.wait(0.05)
+
         maintainer = threading.Thread(target=maintain)
-        maintainer.start()
+        tailer = threading.Thread(target=tail)
+        maintainer.start(), tailer.start()
         try:
             q = start_tablelog_sink(stream, table, ckpt)
             q.awaitTermination(120)
         finally:
             stop.set()
-            maintainer.join()
+            maintainer.join(), tailer.join()
+        assert not consumer_errors, consumer_errors
         lo = hi
-        # the tailing consumer: O(delta) log-to-log sync of exactly
-        # the commits this phase's drain produced
-        assert tl.sync_changes(spark, table, dst) is not None
+        # catch-up sync (the live tailer may or may not have drained
+        # the final commits): after it, the destination holds every
+        # committed row exactly once
+        tl.sync_changes(spark, table, dst)
         assert sorted(
             r.v for r in tl.read_snapshot(spark, dst).collect()
         ) == list(range(hi))
