@@ -223,12 +223,10 @@ BENCH_NOTES = {
     ),
     "changefeed_keyed_sync": (
         "r14 anchor after the trim (see changefeed_trim_r14): "
-        "5.83s min in the committed full-catalog run (passes "
-        "[8.35, 6.52, 6.62, 5.83, 6.04]) on a host calibrated "
-        "~1.3x slow — down from the r13 anchor of 8.26s isolated / "
-        "10.2s driver; the early same-day isolated probe (before "
-        "the merge-sizing fix fully benefits repeated reads) "
-        "measured 8.33s min. Still the heaviest "
+        "end-of-round idle 8-run isolated probe min 6.44s (settles "
+        "6.4-7.0); catalog-run mins across the three same-day full "
+        "runs 5.44-6.18s — down from the r13 anchor of 8.26s "
+        "isolated / 10.2s driver. Still the heaviest "
         "non-streaming catalog entry, BY DESIGN — the "
         "checkpoint_fold pattern taken furthest: one driver row "
         "certifies BOTH halves of the incremental story. The "
@@ -349,12 +347,15 @@ BENCH_NOTES = {
         "thousands of ~128MB files). Isolated re-probe on a "
         "~1.3x-slow host (calibrated on tablelog_restore_audit "
         "2.37s vs its 1.67-1.9s anchor and near_dup_pairs_simhash "
-        "1.41s vs 1.09s): min 8.33s raw ~= 6.4s host-normalized; "
-        "the committed full-catalog run landed 5.83s min — under "
-        "the r13 8.26s anchor by 29% on a slower host, and the "
-        "catalog TOTAL came back at 152.4s vs the r13 driver "
-        "artifact's 189.3s / idle 152.5s WITH the two extra sub-2s "
-        "passes included."
+        "1.41s vs 1.09s): min 8.33s raw ~= 6.4s host-normalized. "
+        "End-of-round: isolated idle probe 6.44s min; catalog-run "
+        "mins 5.44-6.18s across three same-day full runs whose "
+        "TOTALS were 152.4/146.0/141.5s (150 q, 0 failed, "
+        "dispersion 1.11-1.20) vs the r13 driver artifact's 189.3s "
+        "/ idle 152.5s — WITH the two extra sub-2s passes included; "
+        "median per-query min vs the r09 clean detail: 1.037, sole "
+        ">1.8x mover near_dup_pairs_simhash (priced anchor, see "
+        "simhash_closed_r14)."
     ),
     "drift_r12": (
         "Re-anchored r13 to the FINAL r12 driver artifact (VERDICT "
