@@ -569,10 +569,14 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
 #: Bytes-per-row estimate when the head manifest predates ``__bytes``
-#: stats (or the head is empty): deliberately conservative (small) so
-#: a wrong guess errs toward MORE files / more write parallelism,
-#: never toward funneling a big rewrite through too few tasks.
-FALLBACK_ROW_BYTES = 64
+#: stats (or the head is empty): deliberately LARGE — n_out =
+#: ceil(rows * bpr / target), so overestimating the row width errs
+#: toward MORE output files / more write parallelism, never toward
+#: funneling a big rewrite through too few tasks (review r14: the
+#: first cut used 64 and claimed the same invariant backwards — a
+#: small bpr UNDERSIZES n_out). The cost of guessing high is only
+#: smaller files, which the next sized rewrite corrects.
+FALLBACK_ROW_BYTES = 1024
 
 
 def _merge_output_partitions(manifest: dict, out_rows: int) -> int:
@@ -602,9 +606,18 @@ def _merge_output_partitions(manifest: dict, out_rows: int) -> int:
     sizes by its real rows. Parquet encoding usually beats the
     in-head bytes/row for the same data, so the estimate skews
     toward more files — the benign direction."""
-    stats = manifest.get("stats") or {}
-    tb = sum((f or {}).get("__bytes") or 0 for f in stats.values())
-    tr = sum((f or {}).get("__rows") or 0 for f in stats.values())
+    # bytes/row only from files carrying BOTH stats (review r14): a
+    # mixed-era head — legacy files whose carried-forward stats lack
+    # __bytes next to post-upgrade files — would otherwise divide the
+    # new files' bytes by EVERY file's rows, estimating ~1 byte/row
+    # and undersizing n_out by orders of magnitude
+    tb = tr = 0
+    for fstats in (manifest.get("stats") or {}).values():
+        b = (fstats or {}).get("__bytes")
+        r = (fstats or {}).get("__rows")
+        if b and r:
+            tb += b
+            tr += r
     bpr = (tb / tr) if tb > 0 and tr > 0 else FALLBACK_ROW_BYTES
     return max(1, -(-int(out_rows * bpr) // TARGET_FILE_BYTES))
 

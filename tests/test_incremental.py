@@ -690,11 +690,9 @@ def test_source_identity_survives_path_respelling(spark, tmp_path):
 # Model-based property test: multi-source aggregate fan-in (r14)
 # ---------------------------------------------------------------------------
 
-import os as _os
-
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-_HYP_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10"))
+from tests.conftest import HYP_EXAMPLES as _HYP_EXAMPLES
 
 #: per-commit (user, value-in-cents) batches on either source; cents
 #: keep the model's arithmetic exact at the aggregate's sum_scale=2

@@ -594,11 +594,14 @@ def test_stream_through_tablelog_under_folding_vacuum_with_consumer(
                 stop.wait(0.05)
 
         def tail():
+            # NO FileNotFoundError tolerance (review r14): a
+            # never-written source is sync_changes' None return, not
+            # a raise — the only FileNotFoundError this seam can see
+            # is the named behind-retention error, i.e. the exact
+            # vacuum-cadence violation this test exists to catch
             while not stop.is_set():
                 try:
                     tl.sync_changes(spark, table, dst)
-                except FileNotFoundError:
-                    pass  # nothing committed yet this phase
                 except tl.CommitConflict:
                     pass  # lost a race: poll again
                 except BaseException as exc:  # pragma: no cover

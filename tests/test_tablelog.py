@@ -344,11 +344,9 @@ from collections import Counter
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-#: Example budget for all the model machines: 10 is the CI budget, not
-#: the confidence ceiling — set SPARK_GRAFT_HYP_EXAMPLES to deepen the
-#: hunt on demand (r13 ran the machines clean at 30, 60, and 100).
-#: Parsed once here so a malformed value fails in ONE obvious place.
-_HYP_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10"))
+#: Example budget for all the model machines (shared definition in
+#: conftest — review r14; r13 ran the machines clean at 30/60/100).
+from tests.conftest import HYP_EXAMPLES as _HYP_EXAMPLES
 
 # s draws None too, so the model also pins the __nulls metadata
 # (column_null_count) through every op interaction
