@@ -45,14 +45,15 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 14's window (committed at round start, per the checklist):
-# the aged block whose latest driver row is r11 (age 3 at r14),
-# exactly as emitted by tools/rotate_window.py — no swaps this
-# round: the surface is complete against SURVEY §2 and the VERDICT
-# r13 directive is to spend builder-time on the streaming→tablelog
-# seam, bench-harness truth, and fixture economy, not breadth, so
-# no new query enters and no retirement is needed. Net ages stay
-# <= 3 for every query.
+# Round 15's window (committed at round start, per the checklist):
+# the aged block whose latest driver row is r12 (age 3 at r15) —
+# the weather family, the streaming family, sketches, BPE, SemDeDup,
+# zorder_layout_audit, tablelog_checkpoint_fold — exactly as emitted
+# by tools/rotate_window.py, no swaps: the surface is complete
+# against SURVEY §2 and the VERDICT r14 directive spends builder
+# time on measured scale-probe evidence and the keyed fan-in model
+# machine, not breadth, so no new query enters and no retirement is
+# needed. Net ages stay <= 3 for every query.
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
@@ -80,56 +81,56 @@ OPERATOR_MODULES = (
 # fold-swap pattern — header note above; subsumption notes in
 # plans/tablelog_queries.py).
 DRIVER_WINDOW = (
-    "ann_hyperplane_lsh_topk",  # r11
-    "bloom_dedup_probe",  # r11
-    "cdc_merge_apply",  # r11
-    "cms_user_activity_sketch",  # r11
-    "corpus_mixture_sample",  # r11
-    "cube_type_user_bucket",  # r11
-    "customers_with_high_value_orders",  # r11
-    "daily_value_rollup",  # r11
-    "date_range_revenue",  # r11
-    "dedup_incremental_batch",  # r11
-    "dedup_incremental_near",  # r11
-    "doc_bigram_lm_score",  # r11
-    "doc_chunk_tokens",  # r11
-    "doc_duplicated_spans",  # r11
-    "doc_fingerprints",  # r11
-    "doc_importance_weights",  # r11
-    "doc_quality_scores",  # r11
-    "doc_repetition_metrics",  # r11
-    "doc_simhash",  # r11
-    "doc_stopword_filtered",  # r11
-    "doc_token_stats",  # r11
-    "event_gaps_lag",  # r11
-    "event_rank_functions",  # r11
-    "events_table_profile",  # r11
-    "except_users_without_big_events",  # r11
-    "gap_based_sessions",  # r11
-    "grouping_sets_pricing",  # r11
-    "intersect_error_purchase_users",  # r11
-    "interval_range_join_counts",  # r11
-    "kmeans_lloyd_assignments",  # r11
-    "label_centroids",  # r11
-    "minhash_signatures",  # r11
-    "multimodal_decode_avi",  # r11
-    "multimodal_decode_jpeg",  # r11
-    "multimodal_decode_ppm",  # r11
-    "multimodal_distinct_bytes",  # r11
-    "multimodal_payload_stats",  # r11
-    "near_dup_pairs_editdist",  # r11
-    "near_dup_pairs_embedding",  # r11
-    "near_dup_pairs_ngram",  # r11
-    "near_dup_pairs_simhash",  # r11
-    "pii_redaction",  # r11
-    "referential_integrity_audit",  # r11
-    "sliding_hourly_activity",  # r11
-    "stratified_sample_per_lang",  # r11
-    "tablelog_nullcount_prune",  # r11
-    "term_frequencies",  # r11
-    "top3_events_per_user",  # r11
-    "trailing_hour_user_stats",  # r11
-    "user_running_totals",  # r11
+    "ann_multiprobe_lsh_topk",  # r12
+    "bpe_train_merges",  # r12
+    "corpus_filter_funnel",  # r12
+    "corpus_relative_quality_filter",  # r12
+    "dedup_attrition_by_source",  # r12
+    "doc_simpson_diversity",  # r12
+    "doc_winnowing_fingerprints",  # r12
+    "exact_substr_removal",  # r12
+    "fixed_size_doc_sample",  # r12
+    "hard_negative_mining",  # r12
+    "ivf_pq_search_topk",  # r12
+    "leakage_safe_split_assignment",  # r12
+    "length_weighted_doc_sample",  # r12
+    "lineitem_unpivot_measures",  # r12
+    "mg_heavy_hitter_pairs",  # r12
+    "multimodal_audio_windows",  # r12
+    "multimodal_decode_flac",  # r12
+    "multimodal_decode_png",  # r12
+    "multimodal_image_tiles",  # r12
+    "multimodal_resize_stats",  # r12
+    "near_dup_pairs_winnow",  # r12
+    "pq_adc_topk",  # r12
+    "pq_code_assignment",  # r12
+    "price_percentiles_by_flag",  # r12
+    "quantile_sketch_estimates",  # r12
+    "salted_hot_key_join",  # r12
+    "salted_user_event_lists",  # r12
+    "semantic_dedup_keep_list",  # r12
+    "small_quantity_order_revenue",  # r12
+    "split_leakage_audit",  # r12
+    "streaming_attributed_purchases",  # r12
+    "streaming_attribution_with_timeouts",  # r12
+    "streaming_batch_equivalence",  # r12
+    "streaming_dedup_replay",  # r12
+    "streaming_running_user_stats",  # r12
+    "streaming_session_windows",  # r12
+    "streaming_static_enrichment",  # r12
+    "streaming_windowed_alert_counts",  # r12
+    "tablelog_checkpoint_fold",  # r12
+    "temperature_mixture_sample",  # r12
+    "value_histogram",  # r12
+    "value_outliers_exact",  # r12
+    "weather_alert_feed",  # r12
+    "weather_comfort_heat_index",  # r12
+    "weather_conversions",  # r12
+    "weather_daily_summary",  # r12
+    "weather_quality_flags",  # r12
+    "weather_severity_class",  # r12
+    "weather_time_features",  # r12
+    "zorder_layout_audit",  # r12
 )
 
 
