@@ -2242,15 +2242,19 @@ def require_known_source(
         "the source's entire history on top of the existing state "
         "(double-counting). If this destination predates "
         "source-qualified consumer ids, or the source path moved "
-        "(the realpath is part of the consumer's identity), "
-        "re-bootstrap: recompute the destination from scratch. If "
-        "this genuinely is a NEW source joining multi-source "
-        "fan-in, pass allow_new_source=True."
+        "(the realpath is part of the consumer's identity), run "
+        "migrate_consumer_position() to re-record the position "
+        "under the current key — a metadata-only commit, no "
+        "recompute. Only if this genuinely is a NEW source joining "
+        "multi-source fan-in, pass allow_new_source=True."
     )
 
 
 def txn_position(
-    dst_table: str, prefix: str, upto: int | None = None
+    dst_table: str,
+    prefix: str,
+    upto: int | None = None,
+    bare_only: bool = False,
 ) -> int:
     """Generic consumer-offset recovery for ``<prefix>:<position>``
     txn ids: newest live manifest first (optionally bounded to
@@ -2258,7 +2262,12 @@ def txn_position(
     then the checkpoint fold (so deep-vacuumed destinations resume
     instead of resetting to -1). Shared by ``sync_position`` and
     ``sinks/incremental.aggregate_position`` (review r09 — two
-    hand-copies of this walk would drift)."""
+    hand-copies of this walk would drift). ``bare_only=True``
+    restricts the match to PRE-QUALIFICATION ids — exactly
+    ``<prefix>:<int>``, no source-key field — which is what
+    ``migrate_consumer_position`` recovers; without it a fan-in
+    destination's qualified ids (which also start with the bare
+    prefix) would be misattributed as the legacy position."""
     def _pos(txn: str) -> int | None:
         # defense in depth vs _check_txn_id (legacy manifests predate
         # the write-time namespace check): a malformed suffix is
@@ -2267,6 +2276,11 @@ def txn_position(
             return int(txn.rsplit(":", 1)[1])
         except ValueError:
             return None
+
+    def _match(txn: str) -> bool:
+        if not txn.startswith(prefix + ":"):
+            return False
+        return not bare_only or ":" not in txn[len(prefix) + 1:]
 
     versions = _list_versions(dst_table)
     if upto is not None:
@@ -2280,7 +2294,7 @@ def txn_position(
             # folds before it deletes, so the checkpoint below
             # already covers it — skip, never crash the sync run
             continue
-        if txn.startswith(prefix + ":"):
+        if _match(txn):
             pos = _pos(txn)
             if pos is not None:
                 return pos
@@ -2289,13 +2303,104 @@ def txn_position(
         folded = [
             (v, _pos(txn))
             for txn, v in ckpt["txns"].items()
-            if txn.startswith(prefix + ":")
-            and (upto is None or v <= upto)
+            if _match(txn) and (upto is None or v <= upto)
         ]
         folded = [(v, p) for v, p in folded if p is not None]
         if folded:  # latest DESTINATION commit wins, as in the walk
             return max(folded)[1]
     return -1
+
+
+def legacy_abspath_key(src_table: str) -> str:
+    """The r13-era source key — ``sha256(abspath(path))[:12]`` —
+    for migrating destinations whose positions were recorded before
+    ``source_key`` switched to realpath. Pass it (spelled exactly as
+    the r13 syncs spelled the source path) as
+    ``migrate_consumer_position(old_key=...)``. Only differs from
+    ``source_key`` when the spelling traverses a symlink."""
+    import hashlib
+
+    return hashlib.sha256(
+        os.path.abspath(src_table).encode()
+    ).hexdigest()[:12]
+
+
+def migrate_consumer_position(
+    dst_table: str,
+    src_table: str,
+    prefix: str = SYNC_TXN_PREFIX,
+    old_key: str | None = None,
+) -> int:
+    """One-time consumer-identity migration (ADVICE r14): re-record a
+    destination's consumer position under ``src_table``'s CURRENT
+    realpath-qualified source key, so a destination built before
+    source-qualified ids (bare ``<prefix>:<version>`` ids), keyed
+    under the r13 abspath hash (``old_key=legacy_abspath_key(...)``),
+    or whose source path legitimately MOVED (``old_key=source_key``
+    of the old spelling) resumes syncing instead of requiring a full
+    recompute — the explicit alternative to the ``allow_new_source``
+    footgun, which would silently re-apply history.
+
+    The carrier is a ZERO-REWRITE ``compact`` commit: the head
+    manifest's files/stats/schema verbatim (data identical, zone maps
+    carried forward, ``read_changes`` contributes nothing for it,
+    insert-only consumers accept it) whose txn id is the qualified
+    ``<prefix>:<new key>:<position>`` — the next ``sync_position``
+    walk finds it at the head. Metadata-only: no Spark session, no
+    data movement, O(1) manifests written.
+
+    Refuses loudly when there is nothing to migrate (no legacy
+    position found under ``old_key`` — or, with ``old_key=None``,
+    no bare pre-qualification id) and when the destination ALREADY
+    has a position under the current key (re-running the migration
+    with a stale ``old_key`` would regress the position). Idempotent
+    per (key, position): a crashed-and-retried migration replays via
+    txn-id dedup. Works for both reserved namespaces — pass
+    ``prefix=sinks.incremental.AGG_TXN_PREFIX`` for aggregate
+    destinations."""
+    new_key = source_key(src_table)
+    if txn_position(dst_table, f"{prefix}:{new_key}") >= 0:
+        raise ValueError(
+            f"{dst_table!r} already records a {prefix!r} position for "
+            f"source {src_table!r} under its current key {new_key} — "
+            "nothing to migrate; re-running would regress the "
+            "position to the legacy one"
+        )
+    position = (
+        txn_position(dst_table, f"{prefix}:{old_key}")
+        if old_key is not None
+        else txn_position(dst_table, prefix, bare_only=True)
+    )
+    if position < 0:
+        raise ValueError(
+            f"{dst_table!r} has no "
+            + (
+                f"{prefix!r} position under old key {old_key!r}"
+                if old_key is not None
+                else f"bare pre-qualification {prefix!r} position"
+            )
+            + " — nothing to migrate (for a NEW source joining "
+            "fan-in, use allow_new_source=True on the sync instead)"
+        )
+
+    def build(prev):
+        if prev is None:  # unreachable: position >= 0 implies commits
+            raise FileNotFoundError(f"no commits in table {dst_table}")
+        return prev["files"], prev["stats"], {
+            # carry the declared contract exactly as compact does —
+            # never erase enforcement, never enable it on a legacy
+            # table (review r09)
+            "schema": prev.get("schema"),
+            "migrated_consumer": {"prefix": prefix, "old_key": old_key},
+        }
+
+    return _commit(
+        dst_table,
+        build,
+        op="compact",
+        txn_id=f"{prefix}:{new_key}:{position}",
+        rebase=True,
+    )
 
 
 def verify_insert_only(src_table: str, position: int, head: int) -> None:

@@ -32,6 +32,37 @@ import time
 #: convey (VERDICT r05 #2 asked for regressions to be root-caused IN
 #: the bench record).
 BENCH_NOTES = {
+    "changefeed_anchor_closed_r15": (
+        "CLOSING anchor note (VERDICT r14 what's-wrong #1 / task 4): "
+        "changefeed_keyed_sync's isolated anchor is re-priced at "
+        "6.4s sf0.1 (judge ruling: the r13 '<=5s' target is "
+        "superseded) — the r14 trim landed 6.44s isolated / 5.70s "
+        "driver-artifact vs 8.26s/10.2s before, the residual cost "
+        "is FIXTURE CONSTRUCTION (4 source commits + 2 syncs + the "
+        "embedded writer-half recipe), and the certified reads are "
+        "O(changed rows). CONTRACT FLOOR: the embedded "
+        "incremental_agg_maintenance writer half folds TWO "
+        "insert-only batches — bootstrap append + at least one "
+        "CAS-guarded O(delta) fold with positions recovered from "
+        "the destination log — and two is the minimum; fixture "
+        "economy must never reduce it to one degenerate fold. STOP "
+        "TRIMMING: future catalog movers on this row judge against "
+        "the 6.4s isolated anchor, no further fixture work."
+    ),
+    "merge_retry_materialize_r15": (
+        "ADVICE r14 (tablelog.py merge_changes, optional): reusing "
+        "the prior attempt's n_out on a CommitConflict retry was "
+        "CONSIDERED AND DECLINED. The per-attempt persist+count is "
+        "not just sizing input — it MATERIALIZES the full-outer "
+        "join at its shuffle parallelism before the coalesced "
+        "writes (coalesce is a narrow dependency; without the count "
+        "the whole reduce stage runs at n_out tasks), and a retry "
+        "joins against the NEW head's base, so the join must "
+        "recompute anyway and a cached n_out could mis-size a head "
+        "that grew between attempts. Conflicts are rare (CAS "
+        "callers re-read; blind-rebase callers are single-writer "
+        "maintenance); correctness of the common path wins."
+    ),
     "multimodal_feature_extract": (
         "Recurring transient-contention mover, re-probed and closed "
         "each time it spikes; no code change across the whole "
@@ -570,7 +601,10 @@ def main() -> int:
         if name in failed or len(ts) < 2:
             continue
         srt = sorted(ts)
-        disps.append(srt[len(srt) // 2] / srt[0])
+        # floor the denominator: a sub-millisecond pass rounds to
+        # 0.0 and would ZeroDivisionError the whole artifact write
+        # (ADVICE r14)
+        disps.append(srt[len(srt) // 2] / max(srt[0], 0.001))
     disps.sort()
     dispersion = round(disps[len(disps) // 2], 3) if disps else None
     # spread over canaries[1:]: the first sample still carries JIT

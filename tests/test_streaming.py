@@ -612,10 +612,19 @@ def test_stream_through_tablelog_under_folding_vacuum_with_consumer(
         maintainer = threading.Thread(target=maintain)
         tailer = threading.Thread(target=tail)
         maintainer.start(), tailer.start()
+        q = None
         try:
             q = start_tablelog_sink(stream, table, ckpt)
-            q.awaitTermination(120)
+            # awaitTermination(timeout) returns False on timeout with
+            # the query STILL RUNNING — unchecked, a slow host would
+            # cascade into confusing phase/catch-up assertion failures
+            # instead of this one clear message (ADVICE r14)
+            assert q.awaitTermination(120), (
+                "streaming drain did not terminate within 120s"
+            )
         finally:
+            if q is not None:
+                q.stop()
             stop.set()
             maintainer.join(), tailer.join()
         assert not consumer_errors, consumer_errors

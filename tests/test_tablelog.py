@@ -3735,3 +3735,303 @@ def test_sync_changes_source_identity_survives_path_respelling(
     shutil.copytree(src, copy)
     with pytest.raises(ValueError, match="allow_new_source"):
         tl.sync_changes(spark, copy, dst)
+
+
+def test_migrate_consumer_position_moved_source_path(spark, tmp_path):
+    """ADVICE r14: a moved source path used to mandate a full
+    recompute; migrate_consumer_position re-records the position
+    under the new realpath key with a zero-rewrite metadata commit,
+    and syncing resumes exactly-once from where it left off."""
+    old, dst = str(tmp_path / "src_old"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), old)
+    tl.append(_frame(spark, 3, 5), old)
+    tl.sync_changes(spark, old, dst)
+    old_key = tl.source_key(old)
+    new = str(tmp_path / "src_new")
+    os.rename(old, new)
+    # the moved path is a NEW identity: refused, steered at the helper
+    with pytest.raises(ValueError, match="migrate_consumer_position"):
+        tl.sync_changes(spark, new, dst)
+    dst_head = tl.latest_version(dst)
+    snapshot_before = _values(tl.read_snapshot(spark, dst))
+    v = tl.migrate_consumer_position(dst, new, old_key=old_key)
+    # the carrier is metadata-only: one new manifest, same data files,
+    # zero rows contributed to the change feed
+    assert v == dst_head + 1
+    before = tl._read_manifest(dst, dst_head)
+    carrier = tl._read_manifest(dst, v)
+    assert carrier["files"] == before["files"]
+    assert carrier["op"] == "compact"
+    assert tl.read_changes(spark, dst, since_version=dst_head) is None
+    assert _values(tl.read_snapshot(spark, dst)) == snapshot_before
+    # position carried over: idle, NOT a history re-apply
+    assert tl.sync_position(dst, new) == tl.latest_version(new)
+    assert tl.sync_changes(spark, new, dst) is None
+    # and new source commits apply incrementally, exactly-once
+    tl.append(_frame(spark, 5, 8), new)
+    tl.sync_changes(spark, new, dst)
+    assert _values(tl.read_snapshot(spark, dst)) == list(range(8))
+
+
+def test_migrate_consumer_position_legacy_bare_ids(spark, tmp_path):
+    """A pre-qualification destination (bare ``<prefix>:<version>``
+    sync ids, the shape r12 wrote) migrates via the bare-only walk —
+    and the walk must NOT misattribute another source's QUALIFIED id
+    as the legacy position."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 4), src)
+    tl.sync_changes(spark, src, dst)
+    # rewrite the sync commit's txn id to the legacy bare shape
+    # (write-time _check_txn_id refuses it now, so edit the manifest
+    # directly — exactly what a pre-qualification log looks like)
+    v_sync = tl.latest_version(dst)
+    path = tl._manifest_path(dst, v_sync)
+    manifest = json.load(open(path))
+    pos = tl.latest_version(src)
+    manifest["txn_id"] = f"{tl.SYNC_TXN_PREFIX}:{pos}"
+    json.dump(manifest, open(path, "w"))
+    # another source's QUALIFIED sync id lands on top: the bare-only
+    # walk must skip it (else fan-in migrates to the WRONG position)
+    other = str(tmp_path / "other")
+    tl.append(_frame(spark, 100, 102), other)
+    tl.sync_changes(spark, other, dst, allow_new_source=True)
+    assert tl.sync_position(dst, src) == -1  # qualified walk: nothing
+    with pytest.raises(ValueError, match="migrate_consumer_position"):
+        tl.sync_changes(spark, src, dst)
+    tl.migrate_consumer_position(dst, src)
+    assert tl.sync_position(dst, src) == pos
+    assert tl.sync_changes(spark, src, dst) is None  # drained, no re-apply
+    tl.append(_frame(spark, 4, 6), src)
+    tl.sync_changes(spark, src, dst)
+    assert _values(tl.read_snapshot(spark, dst)) == (
+        list(range(6)) + [100, 101]
+    )
+
+
+def test_migrate_consumer_position_refusals(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 2), src)
+    tl.sync_changes(spark, src, dst)
+    # already qualified under the current key: nothing to migrate,
+    # and re-running with a stale old_key must not regress
+    with pytest.raises(ValueError, match="already records"):
+        tl.migrate_consumer_position(dst, src, old_key="0" * 12)
+    # no legacy position at all
+    fresh = str(tmp_path / "fresh")
+    tl.append(_frame(spark, 0, 1), fresh)
+    with pytest.raises(ValueError, match="nothing to migrate"):
+        tl.migrate_consumer_position(dst, fresh)
+    with pytest.raises(ValueError, match="nothing to migrate"):
+        tl.migrate_consumer_position(dst, fresh, old_key="f" * 12)
+
+
+def test_migrate_consumer_position_abspath_era_agg_key(spark, tmp_path):
+    """The r13 agg-sync era keyed positions on sha256(abspath):
+    legacy_abspath_key reproduces that key for a symlink spelling so
+    the aggregate destination migrates instead of re-bootstrapping."""
+    real = str(tmp_path / "real_src")
+    tl.append(_frame(spark, 0, 3), real)
+    link = str(tmp_path / "link_src")
+    os.symlink(real, link)
+    # abspath key (what r13 recorded for the symlink spelling)
+    # differs from today's realpath key
+    assert tl.legacy_abspath_key(link) != tl.source_key(link)
+    assert tl.legacy_abspath_key(real) == tl.source_key(real)
+    from aws_weather_data_pipeline_spark.sinks import incremental as inc
+
+    dst = str(tmp_path / "agg_dst")
+    # simulate the r13-era destination: a sync committed under the
+    # abspath-hashed qualified id
+    tl.append(
+        spark.createDataFrame([(1, 2)], "k int, n int"), dst,
+        txn_id=f"{inc.AGG_TXN_PREFIX}:{tl.legacy_abspath_key(link)}:0",
+    )
+    assert inc.aggregate_position(dst, link) == -1
+    tl.migrate_consumer_position(
+        dst, link, prefix=inc.AGG_TXN_PREFIX,
+        old_key=tl.legacy_abspath_key(link),
+    )
+    assert inc.aggregate_position(dst, link) == 0
+
+
+#: Keyed fan-in alphabet (VERDICT r14 task 3): writes are keyed merge
+#: batches (key -> delete?) against a shared small key space so the
+#: two sources genuinely CONTEND per key; "race" syncs both sources
+#: from two threads so the CAS retry path actually runs.
+_KEYED_FANIN_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("write"),
+            st.sampled_from(["a", "b"]),
+            st.dictionaries(
+                st.integers(0, 3), st.booleans(), min_size=1, max_size=3
+            ),
+        ),
+        st.tuples(
+            st.just("sync"), st.sampled_from(["a", "b"]), st.none()
+        ),
+        st.tuples(st.just("race"), st.just(""), st.none()),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=_HYP_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_KEYED_FANIN_OPS)
+def test_multi_source_keyed_fanin_matches_model(
+    spark, tmp_path_factory, ops
+):
+    """VERDICT r14 task 3: the KEYED multi-source fan-in contract
+    (``sync_changes`` docstring: per key, converge to the latest
+    ``_commit_version`` WITHIN each source; ACROSS sources,
+    poll-arrival order) under random interleavings of two keyed-merge
+    sources syncing into one destination. The model replays arrival
+    order from the DESTINATION's own commit log (txn ids name the
+    source and the covered head), which makes even the raced-sync
+    steps deterministic post-hoc — exactly the contract's "arrival
+    order" — and asserts after every step: per-source positions never
+    regress and equal the model's, the destination snapshot equals
+    the model's key->value map, drained re-syncs are idle, and raced
+    syncs both land through the CAS retry (no lost or double-applied
+    range)."""
+    import itertools
+    import threading
+
+    root = tmp_path_factory.mktemp("keyed_fanin")
+    srcs = {"a": str(root / "src_a"), "b": str(root / "src_b")}
+    dst = str(root / "dst")
+    label_of = {tl.source_key(srcs[s]): s for s in ("a", "b")}
+
+    vals = itertools.count(1)
+    #: per source, per commit version: key -> ("U", val) | ("D", None)
+    #: — the EFFECTIVE change set (a delete of an absent key is not
+    #: in the source's changefeed, mirroring merge_changes)
+    feed: dict[str, list[dict[int, tuple]]] = {"a": [], "b": []}
+    src_state: dict[str, dict[int, int]] = {"a": {}, "b": {}}
+    model: dict[int, int] = {}
+    model_pos = {"a": -1, "b": -1}
+    seen_pos = {"a": -1, "b": -1}
+    applied_dst = -1
+
+    def write(s, batch):
+        if tl.latest_version(srcs[s]) is None:
+            # bootstrap append: inserts only (a delete draw on an
+            # empty table has nothing to delete)
+            rows = [(k, next(vals)) for k in sorted(batch)]
+            tl.append(
+                spark.createDataFrame(rows, "k int, val int"), srcs[s]
+            )
+            effective = {k: ("U", v) for k, v in rows}
+            src_state[s].update(dict(rows))
+        else:
+            rows = [
+                ("D" if dele else "U", k,
+                 None if dele else next(vals), i)
+                for i, (k, dele) in enumerate(sorted(batch.items()))
+            ]
+            tl.merge_changes(
+                spark, srcs[s],
+                spark.createDataFrame(
+                    rows, "op string, k int, val int, seq int"
+                ),
+                keys=["k"], order_cols=["seq"], write_changefeed=True,
+            )
+            effective = {}
+            for op, k, v, _ in rows:
+                if op == "D":
+                    if k in src_state[s]:
+                        del src_state[s][k]
+                        effective[k] = ("D", None)
+                else:
+                    src_state[s][k] = v
+                    effective[k] = ("U", v)
+        feed[s].append(effective)
+
+    def fold_new_dst_commits():
+        """Apply every not-yet-modeled destination commit in VERSION
+        order — the definition of arrival order — collapsing each
+        synced source range per key to its latest commit."""
+        nonlocal applied_dst
+        head = tl.latest_version(dst)
+        if head is None:
+            return
+        for v in range(applied_dst + 1, head + 1):
+            txn = tl._read_manifest(dst, v).get("txn_id") or ""
+            if not txn.startswith(tl.SYNC_TXN_PREFIX + ":"):
+                continue
+            _, key12, pos = txn.split(":")
+            s, pos = label_of[key12], int(pos)
+            latest: dict[int, tuple] = {}
+            for ver in range(model_pos[s] + 1, pos + 1):
+                latest.update(feed[s][ver])
+            for k, (op, val) in latest.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = val
+            model_pos[s] = pos
+        applied_dst = head
+
+    def check_invariants(where):
+        for t in ("a", "b"):
+            p = tl.sync_position(dst, srcs[t])
+            assert p >= seen_pos[t], f"{where}: position {t} regressed"
+            assert p == model_pos[t], f"{where}: position {t} vs model"
+            seen_pos[t] = p
+        got = (
+            {}
+            if tl.latest_version(dst) is None
+            else {
+                r.k: r.val
+                for r in tl.read_snapshot(spark, dst).collect()
+            }
+        )
+        assert got == model, where
+
+    def sync(s):
+        return tl.sync_changes(
+            spark, srcs[s], dst, keys=["k"], allow_new_source=True
+        )
+
+    for op, s, arg in ops:
+        if op == "write":
+            write(s, arg)
+            continue
+        if op == "sync":
+            sync(s)
+        else:  # race: both sources sync concurrently
+            errors = []
+
+            def go(t):
+                try:
+                    sync(t)
+                except BaseException as exc:  # pragma: no cover
+                    errors.append((t, exc))
+
+            threads = [
+                threading.Thread(target=go, args=(t,))
+                for t in ("a", "b")
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors, errors
+        fold_new_dst_commits()
+        check_invariants(f"after {op} {s}")
+        # drained: an immediate re-sync of every synced source is idle
+        for t in ("a", "b") if op == "race" else (s,):
+            assert sync(t) is None, f"re-sync {t} not idle"
+    # final drain from both sources converges to the full model
+    for t in ("a", "b"):
+        sync(t)
+    fold_new_dst_commits()
+    check_invariants("final drain")

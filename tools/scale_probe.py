@@ -1,0 +1,407 @@
+"""Measured scale evidence for the 100 TB claims (VERDICT r14 task 2).
+
+The plan pins in tests/test_plans.py argue every heavy pipeline's
+SHAPE (bucket equi-joins, no cartesian fallback, persisted iterative
+state); this tool measures the SLOPE: the same catalog plans over a
+~10x documents/embeddings set, recording wall time, shuffle bytes,
+and peak per-task bytes at both scales, plus a changefeed probe
+(commit + sync cost vs batch size, per-commit file counts — the r14
+merge-sizing fix's slope datum). Near-linear slopes demonstrate what
+sf0.1 alone cannot; a superlinear slope is a bug report.
+
+Usage:
+    python tools/scale_probe.py gen          # build .scaleprobe/sf1x
+    python tools/scale_probe.py run [--runs N]   # probe, print JSON
+    python tools/scale_probe.py changefeed   # tablelog commit/sync probe
+
+The 10x generator is structure-preserving, NOT naive replication —
+replicating rows 10x verbatim would multiply every doc's exact-dup
+group to 10 members (pair output jumps 45x per group, a DATA change
+masquerading as engine superlinearity). Instead it bootstrap-resamples
+the sf0.1 corpus: i.i.d. word draws from the empirical unigram
+distribution at empirical document lengths, the measured (lang,
+source) joint mix, exact-duplicate and mutated near-duplicate
+injection at the measured per-doc RATES (so true-pair counts scale
+linearly, as in real corpora), and per-label embedding resampling
+with intra-label-scaled Gaussian noise (cluster geometry preserved
+for SemDeDup/ANN). Deterministic (numpy seed 42). Non-document
+tables are symlinked from sf0.1 so any incidental load resolves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+OUT = os.path.join(REPO, ".scaleprobe", "sf1x")
+UI_PORT = 4545
+SCALE = 10
+
+#: the 4 heaviest multi-stage pipelines named by VERDICT r14 task 2
+QUERIES = (
+    "near_dup_pairs_minhash",
+    "semantic_dedup_keep_list",
+    "dedup_cascade_keep_list",
+    "corpus_build_manifest",
+)
+
+
+# ---------------------------------------------------------------- gen
+
+def gen() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    os.makedirs(OUT, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(SF01, "documents.parquet"))
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+
+    # empirical unigram distribution + doc lengths (in words)
+    from collections import Counter
+
+    words: Counter = Counter()
+    lengths = []
+    for t in texts:
+        ws = t.split()
+        lengths.append(len(ws))
+        words.update(ws)
+    vocab = sorted(words)
+    freq = np.array([words[w] for w in vocab], dtype=np.float64)
+    freq /= freq.sum()
+    lengths = np.array(lengths)
+    pairs = list(zip(langs, sources))
+
+    n = len(texts) * SCALE
+    # measured rates at sf0.1: 8 exact-dup pairs / 5000 docs; inject
+    # near-dups at the same per-doc rate so true pairs grow LINEARLY
+    dup_rate = 8 / 5000
+    n_dup = int(n * dup_rate)
+    n_near = int(n * dup_rate)
+
+    out_texts: list[str] = []
+    lens = rng.choice(lengths, size=n)
+    for i in range(n):
+        idx = rng.choice(len(vocab), size=int(lens[i]), p=freq)
+        out_texts.append(" ".join(vocab[j] for j in idx))
+    # exact dups: copy an earlier doc verbatim
+    for _ in range(n_dup):
+        a, b = rng.integers(0, n, size=2)
+        out_texts[int(a)] = out_texts[int(b)]
+    # near dups: copy + mutate ~10% of words
+    for _ in range(n_near):
+        a, b = rng.integers(0, n, size=2)
+        ws = out_texts[int(b)].split()
+        for k in rng.choice(len(ws), size=max(1, len(ws) // 10),
+                            replace=False):
+            ws[int(k)] = vocab[int(rng.integers(0, len(vocab)))]
+        out_texts[int(a)] = " ".join(ws)
+    pick = rng.integers(0, len(pairs), size=n)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array([pairs[i][0] for i in pick], pa.string()),
+            "source": pa.array([pairs[i][1] for i in pick], pa.string()),
+            "n_chars": pa.array([len(t) for t in out_texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(OUT, "documents.parquet"))
+
+    emb = pq.read_table(os.path.join(SF01, "embeddings.parquet"))
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    labels = np.array(emb.column("label").to_pylist())
+    m = len(vecs) * SCALE
+    # per-label std scales the jitter: resampled vectors stay in
+    # their cluster but are not exact copies
+    stds = {
+        lab: vecs[labels == lab].std(axis=0) for lab in set(labels)
+    }
+    src_idx = rng.integers(0, len(vecs), size=m)
+    out_vecs = np.empty((m, vecs.shape[1]), dtype=np.float32)
+    out_labels = np.empty(m, dtype=np.int32)
+    for i, s in enumerate(src_idx):
+        lab = labels[s]
+        out_vecs[i] = vecs[s] + rng.normal(
+            0, 0.25, vecs.shape[1]
+        ).astype(np.float32) * stds[lab]
+        out_labels[i] = lab
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(m), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in out_vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(out_labels, pa.int32()),
+            }
+        ),
+        os.path.join(OUT, "embeddings.parquet"),
+    )
+
+    for name in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        link = os.path.join(OUT, f"{name}.parquet")
+        if not os.path.lexists(link):
+            os.symlink(os.path.join(SF01, f"{name}.parquet"), link)
+    print(f"wrote {OUT}: documents={n} embeddings={m}")
+
+
+# ---------------------------------------------------------------- run
+
+def _api(path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1/{path}"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+def _stage_metrics(app_id: str, seen: set) -> tuple[dict, set]:
+    """Aggregate metrics over completed stages not in ``seen``."""
+    stages = _api(f"applications/{app_id}/stages?status=complete")
+    agg = {
+        "shuffle_read_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "input_bytes": 0,
+        "peak_task_shuffle_read": 0,
+        "peak_task_input": 0,
+        "stages": 0,
+        "tasks": 0,
+    }
+    new_seen = set(seen)
+    top = (None, -1)
+    for st in stages:
+        key = (st["stageId"], st["attemptId"])
+        if key in seen:
+            continue
+        new_seen.add(key)
+        agg["stages"] += 1
+        agg["tasks"] += st.get("numCompleteTasks", 0)
+        agg["shuffle_read_bytes"] += st.get("shuffleReadBytes", 0)
+        agg["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
+        agg["input_bytes"] += st.get("inputBytes", 0)
+        if st.get("shuffleReadBytes", 0) > top[1]:
+            top = (key, st.get("shuffleReadBytes", 0))
+        # peak per-task bytes from the stage-level task summary
+        try:
+            summ = _api(
+                f"applications/{app_id}/stages/{key[0]}/{key[1]}"
+                "/taskSummary?quantiles=1.0"
+            )
+            sr = (summ.get("shuffleReadMetrics") or {}).get(
+                "readBytes"
+            ) or [0]
+            inp = (summ.get("inputMetrics") or {}).get(
+                "bytesRead"
+            ) or [0]
+            agg["peak_task_shuffle_read"] = max(
+                agg["peak_task_shuffle_read"], int(max(sr))
+            )
+            agg["peak_task_input"] = max(
+                agg["peak_task_input"], int(max(inp))
+            )
+        except Exception:
+            pass  # summary endpoint is best-effort
+    return agg, new_seen
+
+
+def run(runs: int) -> int:
+    from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
+    from aws_weather_data_pipeline_spark.session import get_spark
+
+    if not os.path.exists(os.path.join(OUT, "documents.parquet")):
+        print("run `gen` first", file=sys.stderr)
+        return 2
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale-probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            # bench_probe's confs for comparability, plus the UI for
+            # the stage-metric REST reads
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            "spark.driver.memory": "48g",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = _api("applications")[0]["id"]
+    catalog = build_catalog()
+
+    def once(builder, sf_dir):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        elapsed = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return elapsed
+
+    # warmup, as in bench.py / bench_probe.py
+    once(next(iter(catalog.queries.values())).builder, SF01)
+    seen: set = set()
+    _, seen = _stage_metrics(app_id, seen)  # absorb warmup stages
+
+    report = {}
+    for name in QUERIES:
+        builder = catalog.queries[name].builder
+        entry = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1x", OUT)):
+            walls = []
+            for _ in range(runs):
+                _, seen = _stage_metrics(app_id, seen)
+                walls.append(round(once(builder, sf_dir), 3))
+                metrics, seen = _stage_metrics(app_id, seen)
+            entry[label] = {"wall_min": min(walls), "walls": walls,
+                            **metrics}
+            print(f"{name} @ {label}: {entry[label]}", flush=True)
+        s0, s1 = entry["sf0.1"], entry["sf1x"]
+        entry["slopes"] = {
+            "wall": round(s1["wall_min"] / max(s0["wall_min"], 1e-9), 2),
+            "shuffle": round(
+                s1["shuffle_read_bytes"]
+                / max(s0["shuffle_read_bytes"], 1), 2
+            ),
+            "input": round(
+                s1["input_bytes"] / max(s0["input_bytes"], 1), 2
+            ),
+        }
+        report[name] = entry
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "SCALE_PROBE.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    return 0
+
+
+# --------------------------------------------------------- changefeed
+
+def changefeed() -> int:
+    """Commit + sync cost vs batch size on the table log: 3 appends
+    of N rows synced insert-only, then a keyed merge of N/10 change
+    rows synced keyed, at N and 10N. Records wall times and
+    per-commit file counts — the slope datum for the r14
+    byte-sized-merge-output fix."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_weather_data_pipeline_spark.session import get_spark
+    from aws_weather_data_pipeline_spark.sinks import tablelog as tl
+
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale-probe-cf",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = os.path.join(REPO, ".scaleprobe", "cf")
+    shutil.rmtree(root, ignore_errors=True)
+    report = {}
+    for n in (100_000, 1_000_000):
+        src = os.path.join(root, f"src_{n}")
+        dst = os.path.join(root, f"dst_{n}")
+        def rows_for(lo, hi):
+            return (
+                spark.range(lo, hi)
+                .withColumn("k", F.col("id"))
+                .withColumn(
+                    "payload", F.sha2(F.col("id").cast("string"), 256)
+                )
+                .withColumn("v", (F.col("id") % 1000).cast("int"))
+                .drop("id")
+            )
+
+        t0 = time.perf_counter()
+        for i in range(3):  # disjoint key ranges: keys stay unique
+            tl.append(rows_for(i * n, (i + 1) * n), src)
+        t_append = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tl.sync_changes(spark, src, dst)
+        t_sync_insert = time.perf_counter() - t0
+        # keyed merge of n/10 updates with a changefeed, then a keyed
+        # sync of exactly that delta into a second destination
+        batch = (
+            spark.range(n // 10)
+            .withColumn("op", F.lit("U"))
+            .withColumn("k", F.col("id") * 7 % n)
+            .withColumn(
+                "payload", F.sha2(F.col("id").cast("string"), 256)
+            )
+            .withColumn("v", F.lit(-1))
+            .withColumn("seq", F.col("id"))
+            .drop("id")
+        )
+        t0 = time.perf_counter()
+        tl.merge_changes(
+            spark, src, batch, keys=["k"], order_cols=["seq"],
+            write_changefeed=True,
+        )
+        t_merge = time.perf_counter() - t0
+        kdst = os.path.join(root, f"kdst_{n}")
+        t0 = time.perf_counter()
+        tl.sync_changes(spark, src, kdst, keys=["k"])
+        t_bootstrap = time.perf_counter() - t0
+        head = tl.latest_version(src)
+        files_per_commit = [
+            len(tl._read_manifest(src, v)["files"])
+            for v in range(head + 1)
+        ]
+        cdc_files = len(
+            tl._read_manifest(src, head).get("cdc_files") or []
+        )
+        report[str(n)] = {
+            "append3_sec": round(t_append, 2),
+            "sync_insert_sec": round(t_sync_insert, 2),
+            "merge_changefeed_sec": round(t_merge, 2),
+            "keyed_bootstrap_sync_sec": round(t_bootstrap, 2),
+            "files_per_commit": files_per_commit,
+            "cdc_files_at_head": cdc_files,
+        }
+        print(f"n={n}: {report[str(n)]}", flush=True)
+    print(json.dumps(report))
+    with open(
+        os.path.join(REPO, "SCALE_PROBE_CHANGEFEED.json"), "w"
+    ) as fh:
+        json.dump(report, fh, indent=1)
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in (
+        "gen", "run", "changefeed"
+    ):
+        print(__doc__)
+        return 2
+    if sys.argv[1] == "gen":
+        gen()
+        return 0
+    if sys.argv[1] == "changefeed":
+        return changefeed()
+    runs = 3
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    return run(runs)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
