@@ -183,7 +183,9 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_candidates(sigs: DataFrame) -> DataFrame:
+def _minhash_candidates(
+    sigs: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) candidates from the LSH band join.
 
     ``sigs`` MUST be persisted and materialized by the caller: the
@@ -201,8 +203,41 @@ def _minhash_candidates(sigs: DataFrame) -> DataFrame:
     SQL on either engine. Shared by every verifier (Jaccard,
     edit-distance, clustering) so candidate-generation fixes apply to
     all of them at once.
+
+    ``max_bucket`` is the hot-bucket cap, the scale knob the r15
+    10× probe measured the need for: band-buckets larger than the
+    cap are EXCLUDED from the self-join. Candidate pairs are
+    Σ C(|bucket|, 2); on a corpus whose shingle distribution does
+    not diversify with size (boilerplate, templating, a bounded
+    vocabulary) bucket sizes grow ∝ n, so candidates — and the
+    verify-join shuffle carrying shingle arrays — grow ∝ n²
+    (measured: 23.7k → 2.32M distinct candidates, 1.2 MB → 1.1 GB
+    shuffle, at 10× docs). The cap bounds per-bucket work at
+    C(cap, 2) making total candidates O(n·bands·cap); a true
+    near-dup pair inside one capped-hot bucket still has
+    N_BANDS − 1 other bands to collide in (property-tested: planted
+    near-dups survive a cap that removes the boilerplate bucket).
+    Default None = exact LSH semantics — the catalog queries and
+    their DuckDB oracles use no cap, so driver parity is unchanged;
+    a 100 TB dedup run passes the cap explicitly.
     """
     bands = _minhash_bands(sigs)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        # one count over the SAME (band, k1, k2) hash-partitioning
+        # the self-join shuffles on anyway — linear, no extra pass
+        # over the corpus
+        bands = (
+            bands.withColumn(
+                "__bsz",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band", "k1", "k2")
+                ),
+            )
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
     return (
@@ -326,7 +361,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "join"),
 )
 def near_dup_pairs_minhash(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     d = _with_shingles(_docs(spark, sf_dir))
     # The signature pipeline feeds FOUR plan branches (band self-join
@@ -343,7 +381,7 @@ def near_dup_pairs_minhash(
         sigs = sigs.persist()
         sigs.count()  # fill the cache before concurrent branches race
     try:
-        cand = _minhash_candidates(sigs)
+        cand = _minhash_candidates(sigs, max_bucket)
         sa = sigs.select(
             F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
         )
@@ -412,7 +450,10 @@ EDIT_THRESHOLD = 16
     tags=("similarity", "dedup", "join"),
 )
 def near_dup_pairs_editdist(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     d = _with_shingles(_docs(spark, sf_dir))
     # Same recompute hazard as near_dup_pairs_minhash: the band
@@ -422,7 +463,7 @@ def near_dup_pairs_editdist(
         sigs = sigs.persist()
         sigs.count()
     try:
-        cand = _minhash_candidates(sigs)
+        cand = _minhash_candidates(sigs, max_bucket)
         docs = _docs(spark, sf_dir)
         ta = docs.select(
             F.col("doc_id").alias("doc_a"),

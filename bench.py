@@ -32,6 +32,48 @@ import time
 #: convey (VERDICT r05 #2 asked for regressions to be root-caused IN
 #: the bench record).
 BENCH_NOTES = {
+    "importance_weights_probe_r15": (
+        "VERDICT r14 what's-wrong #3 / task 5 (the sole >1.5x r14 "
+        "mover, 1.43s driver): isolated probes on a host calibrating "
+        "AT both anchors (tablelog_restore_audit 1.86s vs 1.67-1.9; "
+        "near_dup_pairs_simhash 1.14s vs 1.09-1.3) settle at "
+        "1.13-1.35s, min 1.131. The r13 reference (0.827) was the "
+        "OUTLIER, not the baseline: committed end-of-round minimums "
+        "read r12 1.43 -> r13 0.827 -> r14 1.286, and the module is "
+        "unchanged since it landed. CLOSED at a ~1.1-1.4s band; "
+        "future movers judge against 1.13 isolated, not r13's one "
+        "fast run."
+    ),
+    "scale_probe_r15": (
+        "VERDICT r14 task 2 — measured 10x scale slopes "
+        "(tools/scale_probe.py; SCALE_PROBE.json / "
+        "SCALE_PROBE_CHANGEFEED.json; method + numbers in SCALE.md). "
+        "Structure-preserving 10x documents/embeddings set (50k docs "
+        "/ 20k vectors; resampled unigrams, measured dup rates, "
+        "per-label embedding jitter). Findings: (1) "
+        "semantic_dedup_keep_list was SUPERLINEAR — 22x wall at 10x "
+        "vectors (5.0->110.5s), the fixed-k=8 Sigma|cell|^2 law — "
+        "FIXED by parameterizing k (paper's k~sqrt(n)): slope drops "
+        "to 3.05x (2.6->7.8s), exact dups still deduped "
+        "(property-tested); the catalog row keeps k=8 so oracle "
+        "parity is untouched. (2) The minhash candidate join's "
+        "shuffle grew ~917x (1.2MB->1.1GB; distinct candidates "
+        "23.7k->2.32M, quadratic) — a CORPUS property (fixed-vocab "
+        "synthetic text keeps a constant random-pair band-collision "
+        "floor; real corpora diversify), with wall only 3.7x; added "
+        "a max_bucket hot-bucket cap (None by default = exact "
+        "semantics) that bounds candidates at O(n*bands*cap) and is "
+        "property-tested to keep planted near-dups. cascade/corpus "
+        "capstones ride the same candidates: wall 2.2-2.5x. "
+        "(3) Table log at 10x commit size: appends/syncs/merges flat "
+        "to sublinear (merge 4.8->4.0s, keyed incremental sync "
+        "1.7->3.0s — read side O(delta), 2 cdc files; apply side is "
+        "the documented merge rewrite), and merge outputs scale by "
+        "BYTES not cores (1 file at 100k rows, 2 at 1M — the r14 "
+        "fix's slope datum); appends keep caller partitioning (32 "
+        "files/commit at local parallelism) with maybe_compact as "
+        "the documented small-file remediation."
+    ),
     "changefeed_anchor_closed_r15": (
         "CLOSING anchor note (VERDICT r14 what's-wrong #1 / task 4): "
         "changefeed_keyed_sync's isolated anchor is re-priced at "

@@ -1310,3 +1310,119 @@ def test_bpe_encode_vocab_is_broadcast_fold_without_shuffle(spark):
     assert out["aa"] == ["aa"]  # round 1 merges, round 2 needs an 'l'
     assert out["alpha"] == ["a", "l", "p", "h", "a"]  # no adjacent a,a
     assert out["beta"] == ["be", "t", "a"]  # round 3 applies
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates_keeps_true_pairs(
+    spark, tmp_path
+):
+    """The r15 scale-probe finding: on a corpus whose shingle
+    distribution does not diversify with size (boilerplate), LSH
+    band-buckets grow with n and candidates grow n² (measured 23.7k →
+    2.32M at 10× docs). The ``max_bucket`` cap must (a) remove the
+    hot-bucket pair blowup, (b) keep every planted near-dup (their
+    buckets are small, and a true pair has N_BANDS chances), and
+    (c) default to EXACT uncapped semantics so the catalog oracle
+    parity is untouched."""
+    from aws_weather_data_pipeline_spark.plans import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    words = [f"w{i}" for i in range(40)]
+    boiler = " ".join(words[:12])  # one shared template → hot buckets
+    docs = [(i, boiler) for i in range(120)]
+    # planted near-dups on disjoint vocab: one-token edits, J≈0.9
+    base_a = " ".join(words[12:26])
+    base_b = " ".join(words[26:40])
+    docs += [
+        (200, base_a), (201, base_a.replace("w13", "zz")),
+        (300, base_b), (301, base_b.replace("w27", "qq")),
+    ]
+    d = sim._with_shingles(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    sigs = d.select(
+        "doc_id", "shingles", *sim.minhash_signature_cols()
+    ).persist()
+    try:
+        sigs.count()
+        uncapped = sim._minhash_candidates(sigs).count()
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in sim._minhash_candidates(sigs, max_bucket=20)
+            .collect()
+        }
+    finally:
+        sigs.unpersist(False)
+    assert uncapped >= 120 * 119 / 2  # the boilerplate blowup
+    assert len(capped) < 20  # bounded: hot buckets excluded
+    assert (200, 201) in capped and (300, 301) in capped
+
+    # default-parity on the real smoke corpus: a cap far above every
+    # bucket is a no-op, bit-identical pairs
+    plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in sim.near_dup_pairs_minhash(spark, SF_SMOKE).collect()
+    }
+    nocap = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in sim.near_dup_pairs_minhash(
+            spark, SF_SMOKE, max_bucket=1 << 30
+        ).collect()
+    }
+    assert plain == nocap and plain
+
+
+def test_semantic_dedup_k_scales_cells_and_keeps_exact_dups(
+    spark, tmp_path
+):
+    """SemDeDup's 100 TB path is k ≈ √n (the r15 probe measured the
+    fixed-k catalog shape going superlinear at 10× vectors: Σ|cell|²
+    with 10× denser cells). The ``k`` parameter must actually refine
+    the cells — more, smaller cells at higher k — while EXACT
+    duplicate vectors (same quantized vector → same deterministic
+    assignment at any k, cosine 1 ≥ threshold) stay deduped."""
+    import numpy as np
+
+    from aws_weather_data_pipeline_spark.plans import clustering as cl
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 1, (400, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 4))
+            for i in range(400)]
+    # planted EXACT duplicates: 410..419 copy 0..9
+    rows += [(410 + i, [float(x) for x in vecs[i]], 0)
+             for i in range(10)]
+    sf = str(tmp_path)
+    # single parquet FILE (pyarrow), matching the testdata layout —
+    # load_tables reads each table's footer at the file path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+
+    out8 = cl.semantic_dedup_keep_list(spark, sf).collect()
+    out32 = cl.semantic_dedup_keep_list(spark, sf, k=32).collect()
+    for out, k in ((out8, cl.KMEANS_K), (out32, 32)):
+        by_id = {r.vec_id: r for r in out}
+        assert len(by_id) == 410
+        clusters = {r.cluster for r in out}
+        assert len(clusters) == k  # the knob actually refines cells
+        for i in range(10):  # exact dups: larger id never survives
+            assert by_id[410 + i].kept is False, (k, 410 + i)
+            assert by_id[410 + i].cluster == by_id[i].cluster
+    # finer cells ⇒ smaller max cell ⇒ the Σ|cell|² pair work shrinks
+    from collections import Counter
+
+    max8 = max(Counter(r.cluster for r in out8).values())
+    max32 = max(Counter(r.cluster for r in out32).values())
+    assert max32 < max8

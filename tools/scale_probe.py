@@ -258,9 +258,40 @@ def run(runs: int) -> int:
     seen: set = set()
     _, seen = _stage_metrics(app_id, seen)  # absorb warmup stages
 
+    # the scale-path variants of the two pipelines the raw probe
+    # measured superlinear: hot-bucket-capped LSH candidates (cap=50
+    # is a no-op at sf0.1 — max bucket there is 21 — so the sf0.1
+    # numbers double as the exact-semantics baseline) and SemDeDup
+    # at the paper's k ≈ √n
+    from aws_weather_data_pipeline_spark.plans import (
+        clustering as cl,
+        similarity as sim,
+    )
+
+    def _semdedup_sqrt_k(spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).num_rows
+        return cl.semantic_dedup_keep_list(
+            spark, sf_dir, k=max(cl.KMEANS_K, int(n ** 0.5))
+        )
+
+    scaled = {
+        "near_dup_pairs_minhash[cap=50]": (
+            lambda spark, sf_dir: sim.near_dup_pairs_minhash(
+                spark, sf_dir, max_bucket=50
+            )
+        ),
+        "semantic_dedup_keep_list[k=sqrt(n)]": _semdedup_sqrt_k,
+    }
+
     report = {}
-    for name in QUERIES:
-        builder = catalog.queries[name].builder
+    targets = [
+        (name, catalog.queries[name].builder) for name in QUERIES
+    ] + list(scaled.items())
+    for name, builder in targets:
         entry = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1x", OUT)):
             walls = []
@@ -316,6 +347,11 @@ def changefeed() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     root = os.path.join(REPO, ".scaleprobe", "cf")
     shutil.rmtree(root, ignore_errors=True)
+    # warmup: a tiny end-to-end commit+sync so the first measured
+    # scale point doesn't absorb JIT/session costs
+    wsrc, wdst = os.path.join(root, "w_src"), os.path.join(root, "w_dst")
+    tl.append(spark.range(100).withColumnRenamed("id", "k"), wsrc)
+    tl.sync_changes(spark, wsrc, wdst)
     report = {}
     for n in (100_000, 1_000_000):
         src = os.path.join(root, f"src_{n}")
@@ -361,6 +397,17 @@ def changefeed() -> int:
         t0 = time.perf_counter()
         tl.sync_changes(spark, src, kdst, keys=["k"])
         t_bootstrap = time.perf_counter() - t0
+        # the O(delta) datum: one more merge, then an INCREMENTAL
+        # keyed sync that must read only that commit's cdc files —
+        # never the 3n-row table
+        batch2 = batch.withColumn("v", F.lit(-2))
+        tl.merge_changes(
+            spark, src, batch2, keys=["k"], order_cols=["seq"],
+            write_changefeed=True,
+        )
+        t0 = time.perf_counter()
+        tl.sync_changes(spark, src, kdst, keys=["k"])
+        t_incr = time.perf_counter() - t0
         head = tl.latest_version(src)
         files_per_commit = [
             len(tl._read_manifest(src, v)["files"])
@@ -374,6 +421,7 @@ def changefeed() -> int:
             "sync_insert_sec": round(t_sync_insert, 2),
             "merge_changefeed_sec": round(t_merge, 2),
             "keyed_bootstrap_sync_sec": round(t_bootstrap, 2),
+            "keyed_incremental_sync_sec": round(t_incr, 2),
             "files_per_commit": files_per_commit,
             "cdc_files_at_head": cdc_files,
         }
