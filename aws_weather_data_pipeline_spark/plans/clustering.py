@@ -294,7 +294,7 @@ _DOT_SQL = (
     "by cluster, so pair generation is shuffle-free within cells, "
     "cell sizes are capped by raising k (paper uses k ≈ √n — the "
     "``k`` parameter; the r15 10× scale probe measured the fixed-k "
-    "catalog shape going 20× in wall at 10× vectors, exactly the "
+    "catalog shape going 19–22× in wall at 10× vectors, exactly the "
     "Σ|cell|² law, and k ≈ √n restoring a near-linear slope), and "
     "the dup set stays a small broadcast against the corpus. The "
     "cosine "

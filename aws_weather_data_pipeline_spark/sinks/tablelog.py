@@ -375,6 +375,16 @@ def write_checkpoint(table: str, upto: int | None = None) -> int:
 _RESERVED_TXN_PREFIXES = ("changefeed-sync", "agg-sync")
 
 
+def _hashed_path_key(path: str) -> str:
+    """sha256(path)[:12] — the one key-derivation recipe, shared by
+    ``source_key`` (realpath) and ``legacy_abspath_key`` (the r13
+    abspath era) so the two can never drift apart (review r15; the
+    same two-hand-copies hazard txn_position's docstring cites)."""
+    import hashlib
+
+    return hashlib.sha256(path.encode()).hexdigest()[:12]
+
+
 def source_key(src_table: str) -> str:
     """Stable short identity of a source path for txn-id
     qualification. A hash, not the path itself: txn ids are parsed
@@ -388,15 +398,11 @@ def source_key(src_table: str) -> str:
     r13 recorded agg-sync positions under an ABSPATH hash — for a
     source whose r13 path traversed a symlink, the realpath key
     differs and the qualified walk returns -1, so the refusal fires
-    on a destination that never moved; re-bootstrap such aggregates
-    (the refusal's message covers this case) — the alternative,
-    keeping abspath, would leave the respelling double-count live
-    forever."""
-    import hashlib
-
-    return hashlib.sha256(
-        os.path.realpath(src_table).encode()
-    ).hexdigest()[:12]
+    on a destination that never moved; run
+    ``migrate_consumer_position(old_key=legacy_abspath_key(...))``
+    (the alternative, keeping abspath, would leave the respelling
+    double-count live forever)."""
+    return _hashed_path_key(os.path.realpath(src_table))
 
 
 def _check_txn_id(txn_id: str | None) -> None:
@@ -2318,11 +2324,7 @@ def legacy_abspath_key(src_table: str) -> str:
     the r13 syncs spelled the source path) as
     ``migrate_consumer_position(old_key=...)``. Only differs from
     ``source_key`` when the spelling traverses a symlink."""
-    import hashlib
-
-    return hashlib.sha256(
-        os.path.abspath(src_table).encode()
-    ).hexdigest()[:12]
+    return _hashed_path_key(os.path.abspath(src_table))
 
 
 def migrate_consumer_position(
@@ -2349,16 +2351,40 @@ def migrate_consumer_position(
     walk finds it at the head. Metadata-only: no Spark session, no
     data movement, O(1) manifests written.
 
+    SINGLE-SOURCE ONLY for the bare path (``old_key=None``): bare
+    pre-qualification ids carry no source identity, so on a legacy
+    destination that was fed by MORE THAN ONE source they aliased
+    each other (the r13 finding this whole identity story fixed) and
+    the newest bare position belongs to whichever source synced
+    last — migrating it under one source's key would silently skip
+    that source's unsynced prefix. Such destinations were already
+    position-corrupt in the bare era; recompute them. The
+    ``old_key`` paths (moved path, abspath era) are per-source
+    qualified and safe under fan-in.
+
     Refuses loudly when there is nothing to migrate (no legacy
     position found under ``old_key`` — or, with ``old_key=None``,
     no bare pre-qualification id) and when the destination ALREADY
     has a position under the current key (re-running the migration
-    with a stale ``old_key`` would regress the position). Idempotent
-    per (key, position): a crashed-and-retried migration replays via
-    txn-id dedup. Works for both reserved namespaces — pass
-    ``prefix=sinks.incremental.AGG_TXN_PREFIX`` for aggregate
-    destinations."""
+    with a stale ``old_key`` would regress the position) — EXCEPT
+    the crash-retry replay: if the exact carrier txn id
+    (key, position) is already committed within the txn dedup
+    horizon, the retried call returns that version instead of
+    refusing (review r15 — the refusal used to fire first, making
+    the documented replay unreachable). Works for both reserved
+    namespaces — pass ``prefix=sinks.incremental.AGG_TXN_PREFIX``
+    for aggregate destinations."""
     new_key = source_key(src_table)
+    position = (
+        txn_position(dst_table, f"{prefix}:{old_key}")
+        if old_key is not None
+        else txn_position(dst_table, prefix, bare_only=True)
+    )
+    txn = f"{prefix}:{new_key}:{position}"
+    if position >= 0:
+        replayed = _replayed_version(dst_table, txn)
+        if replayed is not None:
+            return replayed  # crashed-and-retried migration
     if txn_position(dst_table, f"{prefix}:{new_key}") >= 0:
         raise ValueError(
             f"{dst_table!r} already records a {prefix!r} position for "
@@ -2366,11 +2392,6 @@ def migrate_consumer_position(
             "nothing to migrate; re-running would regress the "
             "position to the legacy one"
         )
-    position = (
-        txn_position(dst_table, f"{prefix}:{old_key}")
-        if old_key is not None
-        else txn_position(dst_table, prefix, bare_only=True)
-    )
     if position < 0:
         raise ValueError(
             f"{dst_table!r} has no "
@@ -2389,8 +2410,12 @@ def migrate_consumer_position(
         return prev["files"], prev["stats"], {
             # carry the declared contract exactly as compact does —
             # never erase enforcement, never enable it on a legacy
-            # table (review r09)
+            # table (review r09) — and the head's layout metadata
+            # (the carrier's files ARE the head's files, so its
+            # zorder_by stays truthful; omitting the key would break
+            # the compact-manifest shape every auditor indexes)
             "schema": prev.get("schema"),
+            "zorder_by": prev.get("zorder_by"),
             "migrated_consumer": {"prefix": prefix, "old_key": old_key},
         }
 
@@ -2398,7 +2423,7 @@ def migrate_consumer_position(
         dst_table,
         build,
         op="compact",
-        txn_id=f"{prefix}:{new_key}:{position}",
+        txn_id=txn,
         rebase=True,
     )
 

@@ -51,10 +51,11 @@ BENCH_NOTES = {
         "Structure-preserving 10x documents/embeddings set (50k docs "
         "/ 20k vectors; resampled unigrams, measured dup rates, "
         "per-label embedding jitter). Findings: (1) "
-        "semantic_dedup_keep_list was SUPERLINEAR — 22x wall at 10x "
-        "vectors (5.0->110.5s), the fixed-k=8 Sigma|cell|^2 law — "
+        "semantic_dedup_keep_list was SUPERLINEAR — 19-22x wall at 10x "
+        "vectors across probe runs (committed artifact 5.0->95.7s), "
+        "the fixed-k=8 Sigma|cell|^2 law — "
         "FIXED by parameterizing k (paper's k~sqrt(n)): slope drops "
-        "to 3.05x (2.6->7.8s), exact dups still deduped "
+        "to ~3x (2.9->8.4s committed), exact dups still deduped "
         "(property-tested); the catalog row keeps k=8 so oracle "
         "parity is untouched. (2) The minhash candidate join's "
         "shuffle grew ~917x (1.2MB->1.1GB; distinct candidates "
@@ -66,8 +67,8 @@ BENCH_NOTES = {
         "property-tested to keep planted near-dups. cascade/corpus "
         "capstones ride the same candidates: wall 2.2-2.5x. "
         "(3) Table log at 10x commit size: appends/syncs/merges flat "
-        "to sublinear (merge 4.8->4.0s, keyed incremental sync "
-        "1.7->3.0s — read side O(delta), 2 cdc files; apply side is "
+        "to sublinear (merge 6.0->4.1s, keyed incremental sync "
+        "1.5->2.6s — read side O(delta), 2 cdc files; apply side is "
         "the documented merge rewrite), and merge outputs scale by "
         "BYTES not cores (1 file at 100k rows, 2 at 1M — the r14 "
         "fix's slope datum); appends keep caller partitioning (32 "

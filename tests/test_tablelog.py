@@ -4035,3 +4035,36 @@ def test_multi_source_keyed_fanin_matches_model(
         sync(t)
     fold_new_dst_commits()
     check_invariants("final drain")
+
+
+def test_migrate_consumer_position_crash_retry_replays(spark, tmp_path):
+    """Review r15: a crashed-and-retried migration (same key, same
+    position, within the txn dedup horizon) must RETURN the committed
+    carrier version, not refuse with 'already records' — the refusal
+    firing first made the documented replay unreachable."""
+    old, dst = str(tmp_path / "src_old"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), old)
+    tl.sync_changes(spark, old, dst)
+    old_key = tl.source_key(old)
+    new = str(tmp_path / "src_new")
+    os.rename(old, new)
+    v = tl.migrate_consumer_position(dst, new, old_key=old_key)
+    # the retry is a no-op replay, not a refusal and not a new commit
+    assert tl.migrate_consumer_position(dst, new, old_key=old_key) == v
+    assert tl.latest_version(dst) == v
+    # the carrier keeps the compact-manifest shape every auditor
+    # indexes (zorder_by present, None for a non-clustered head)
+    assert "zorder_by" in tl._read_manifest(dst, v)
+    # after real syncs advance the qualified position, a stale
+    # re-run still resolves as the harmless replay (same key, same
+    # old position -> the carrier's txn id) — no new commit, and the
+    # ADVANCED position is untouched ("already records" fires only
+    # when the replay is unavailable, e.g. the stale-old_key case in
+    # test_migrate_consumer_position_refusals)
+    tl.append(_frame(spark, 3, 5), new)
+    tl.sync_changes(spark, new, dst)
+    advanced = tl.sync_position(dst, new)
+    head = tl.latest_version(dst)
+    assert tl.migrate_consumer_position(dst, new, old_key=old_key) == v
+    assert tl.latest_version(dst) == head  # replay, not a commit
+    assert tl.sync_position(dst, new) == advanced  # no regression

@@ -294,13 +294,20 @@ def run(runs: int) -> int:
     for name, builder in targets:
         entry = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1x", OUT)):
-            walls = []
+            walls, best = [], None
             for _ in range(runs):
                 _, seen = _stage_metrics(app_id, seen)
-                walls.append(round(once(builder, sf_dir), 3))
+                wall = round(once(builder, sf_dir), 3)
+                walls.append(wall)
                 metrics, seen = _stage_metrics(app_id, seen)
-            entry[label] = {"wall_min": min(walls), "walls": walls,
-                            **metrics}
+                # pair the reported metrics with the SAME run the
+                # wall minimum comes from — mixing run 1's wall with
+                # run 3's stages would make the artifact's slopes
+                # describe two different executions (review r15)
+                if best is None or wall < best[0]:
+                    best = (wall, metrics)
+            entry[label] = {"wall_min": best[0], "walls": walls,
+                            **best[1]}
             print(f"{name} @ {label}: {entry[label]}", flush=True)
         s0, s1 = entry["sf0.1"], entry["sf1x"]
         entry["slopes"] = {
@@ -409,9 +416,15 @@ def changefeed() -> int:
         tl.sync_changes(spark, src, kdst, keys=["k"])
         t_incr = time.perf_counter() - t0
         head = tl.latest_version(src)
-        files_per_commit = [
-            len(tl._read_manifest(src, v)["files"])
-            for v in range(head + 1)
+        # files WRITTEN by each commit: appends record their delta in
+        # 'added'; a merge's full 'files' list IS its rewrite output
+        # (review r15 — len(files) alone reported the cumulative
+        # snapshot count and mislabeled the per-commit claim)
+        files_written_per_commit = [
+            len(m.get("added") or m["files"])
+            for m in (
+                tl._read_manifest(src, v) for v in range(head + 1)
+            )
         ]
         cdc_files = len(
             tl._read_manifest(src, head).get("cdc_files") or []
@@ -422,7 +435,7 @@ def changefeed() -> int:
             "merge_changefeed_sec": round(t_merge, 2),
             "keyed_bootstrap_sync_sec": round(t_bootstrap, 2),
             "keyed_incremental_sync_sec": round(t_incr, 2),
-            "files_per_commit": files_per_commit,
+            "files_written_per_commit": files_written_per_commit,
             "cdc_files_at_head": cdc_files,
         }
         print(f"n={n}: {report[str(n)]}", flush=True)
