@@ -73,7 +73,15 @@ BENCH_NOTES = {
         "BYTES not cores (1 file at 100k rows, 2 at 1M — the r14 "
         "fix's slope datum); appends keep caller partitioning (32 "
         "files/commit at local parallelism) with maybe_compact as "
-        "the documented small-file remediation."
+        "the documented small-file remediation. A third scale point "
+        "(3x) completes the curve: semantic k=8 walks the quadratic "
+        "(5.4x @3x, 21.9x @10x) while k=sqrt(n) stays near-linear "
+        "(1.9x, 3.05x); the minhash shuffle jump 9.1x @3x -> 917x "
+        "@10x is the verify joins' signature side outgrowing the "
+        "broadcast threshold (stage-attributed: a 905MB exchange of "
+        "candidates+shingle payloads feeding a 120-pair result) — "
+        "the same O(candidates) rows either way, now through an "
+        "exchange, exactly what a cluster run does at that size."
     ),
     "changefeed_anchor_closed_r15": (
         "CLOSING anchor note (VERDICT r14 what's-wrong #1 / task 4): "

@@ -40,9 +40,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF01 = "/root/testdata/sf0.1"
-OUT = os.path.join(REPO, ".scaleprobe", "sf1x")
 UI_PORT = 4545
 SCALE = 10
+
+
+def out_dir(scale: int) -> str:
+    # historical name: the 10x set is "sf1x" (sf1-equivalent)
+    tag = "sf1x" if scale == SCALE else f"x{scale}"
+    return os.path.join(REPO, ".scaleprobe", tag)
 
 #: the 4 heaviest multi-stage pipelines named by VERDICT r14 task 2
 QUERIES = (
@@ -55,11 +60,12 @@ QUERIES = (
 
 # ---------------------------------------------------------------- gen
 
-def gen() -> None:
+def gen(scale: int = SCALE) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    OUT = out_dir(scale)
     rng = np.random.default_rng(42)
     os.makedirs(OUT, exist_ok=True)
 
@@ -83,7 +89,7 @@ def gen() -> None:
     lengths = np.array(lengths)
     pairs = list(zip(langs, sources))
 
-    n = len(texts) * SCALE
+    n = len(texts) * scale
     # measured rates at sf0.1: 8 exact-dup pairs / 5000 docs; inject
     # near-dups at the same per-doc rate so true pairs grow LINEARLY
     dup_rate = 8 / 5000
@@ -122,7 +128,7 @@ def gen() -> None:
     emb = pq.read_table(os.path.join(SF01, "embeddings.parquet"))
     vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
     labels = np.array(emb.column("label").to_pylist())
-    m = len(vecs) * SCALE
+    m = len(vecs) * scale
     # per-label std scales the jitter: resampled vectors stay in
     # their cluster but are not exact copies
     stds = {
@@ -181,7 +187,6 @@ def _stage_metrics(app_id: str, seen: set) -> tuple[dict, set]:
         "tasks": 0,
     }
     new_seen = set(seen)
-    top = (None, -1)
     for st in stages:
         key = (st["stageId"], st["attemptId"])
         if key in seen:
@@ -192,8 +197,6 @@ def _stage_metrics(app_id: str, seen: set) -> tuple[dict, set]:
         agg["shuffle_read_bytes"] += st.get("shuffleReadBytes", 0)
         agg["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
         agg["input_bytes"] += st.get("inputBytes", 0)
-        if st.get("shuffleReadBytes", 0) > top[1]:
-            top = (key, st.get("shuffleReadBytes", 0))
         # peak per-task bytes from the stage-level task summary
         try:
             summ = _api(
@@ -217,13 +220,16 @@ def _stage_metrics(app_id: str, seen: set) -> tuple[dict, set]:
     return agg, new_seen
 
 
-def run(runs: int) -> int:
+def run(runs: int, scales: list[int]) -> int:
     from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
     from aws_weather_data_pipeline_spark.session import get_spark
 
-    if not os.path.exists(os.path.join(OUT, "documents.parquet")):
-        print("run `gen` first", file=sys.stderr)
-        return 2
+    for s in scales:
+        if not os.path.exists(
+            os.path.join(out_dir(s), "documents.parquet")
+        ):
+            print(f"run `gen {s}` first", file=sys.stderr)
+            return 2
     os.environ["TZ"] = "UTC"
     time.tzset()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -293,7 +299,10 @@ def run(runs: int) -> int:
     ] + list(scaled.items())
     for name, builder in targets:
         entry = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1x", OUT)):
+        points = [("sf0.1", SF01)] + [
+            (f"x{s}", out_dir(s)) for s in scales
+        ]
+        for label, sf_dir in points:
             walls, best = [], None
             for _ in range(runs):
                 _, seen = _stage_metrics(app_id, seen)
@@ -309,16 +318,21 @@ def run(runs: int) -> int:
             entry[label] = {"wall_min": best[0], "walls": walls,
                             **best[1]}
             print(f"{name} @ {label}: {entry[label]}", flush=True)
-        s0, s1 = entry["sf0.1"], entry["sf1x"]
+        s0 = entry["sf0.1"]
         entry["slopes"] = {
-            "wall": round(s1["wall_min"] / max(s0["wall_min"], 1e-9), 2),
-            "shuffle": round(
-                s1["shuffle_read_bytes"]
-                / max(s0["shuffle_read_bytes"], 1), 2
-            ),
-            "input": round(
-                s1["input_bytes"] / max(s0["input_bytes"], 1), 2
-            ),
+            label: {
+                "wall": round(
+                    e["wall_min"] / max(s0["wall_min"], 1e-9), 2
+                ),
+                "shuffle": round(
+                    e["shuffle_read_bytes"]
+                    / max(s0["shuffle_read_bytes"], 1), 2
+                ),
+                "input": round(
+                    e["input_bytes"] / max(s0["input_bytes"], 1), 2
+                ),
+            }
+            for label, e in entry.items() if label != "sf0.1"
         }
         report[name] = entry
     print(json.dumps(report))
@@ -454,14 +468,20 @@ def main() -> int:
         print(__doc__)
         return 2
     if sys.argv[1] == "gen":
-        gen()
+        gen(int(sys.argv[2]) if len(sys.argv) > 2 else SCALE)
         return 0
     if sys.argv[1] == "changefeed":
         return changefeed()
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
-    return run(runs)
+    scales = [SCALE]
+    if "--scales" in sys.argv:
+        scales = [
+            int(x)
+            for x in sys.argv[sys.argv.index("--scales") + 1].split(",")
+        ]
+    return run(runs, scales)
 
 
 if __name__ == "__main__":
