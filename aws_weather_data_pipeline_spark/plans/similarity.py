@@ -225,9 +225,15 @@ def _minhash_candidates(
     if max_bucket is not None:
         from pyspark.sql import Window
 
-        # one count over the SAME (band, k1, k2) hash-partitioning
-        # the self-join shuffles on anyway — linear, no extra pass
-        # over the corpus
+        # Cost of the cap, measured (r15 .explain audit): the window
+        # count adds one exchange + partition-local sort of the
+        # O(docs×bands) bands frame PER JOIN SIDE (Spark does not
+        # dedupe the two sides' identical window subplans — the
+        # module's standing common-subplan caveat). Both exchanges
+        # hash on the join's own (band, k1, k2) keys and are linear
+        # in the corpus; at 10× the capped run still beat uncapped
+        # 4.9s vs 7.5s because the candidate blowup it prevents
+        # dwarfs them.
         bands = (
             bands.withColumn(
                 "__bsz",
