@@ -81,7 +81,12 @@ BENCH_NOTES = {
         "broadcast threshold (stage-attributed: a 905MB exchange of "
         "candidates+shingle payloads feeding a 120-pair result) — "
         "the same O(candidates) rows either way, now through an "
-        "exchange, exactly what a cluster run does at that size."
+        "exchange, exactly what a cluster run does at that size. "
+        "near_dup_pairs_embedding joined the probe as the other "
+        "member of the cell-bounded class: 13.4x wall at 10x — its "
+        "cells are the DATA-provided labels, so the knob lives "
+        "upstream in the now-k-scalable clustering that produces "
+        "them (note in SCALE.md)."
     ),
     "changefeed_anchor_closed_r15": (
         "CLOSING anchor note (VERDICT r14 what's-wrong #1 / task 4): "
