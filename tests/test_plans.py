@@ -165,6 +165,16 @@ def test_near_dup_queries_have_no_cartesian_product(spark, sf_dir):
         plan = _formatted(fn(spark, sf_dir, materialize=False))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # the r15 hot-bucket cap must keep the equi-join shape — the
+    # window count filters band-bucket rows, it must never degrade
+    # the self-join into a nested-loop
+    plan = _formatted(
+        sim.near_dup_pairs_minhash(
+            spark, sf_dir, materialize=False, max_bucket=50
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     plan = _formatted(
         CATALOG.queries["near_dup_pairs_embedding"].builder(spark, sf_dir)
     )
