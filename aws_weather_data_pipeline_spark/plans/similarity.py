@@ -232,8 +232,8 @@ def _minhash_candidates(
         # module's standing common-subplan caveat). Both exchanges
         # hash on the join's own (band, k1, k2) keys and are linear
         # in the corpus; at 10× the capped run still beat uncapped
-        # 4.9s vs 7.5s because the candidate blowup it prevents
-        # dwarfs them.
+        # 5.0s vs 17.2s (committed SCALE_PROBE.json) because the
+        # candidate blowup it prevents dwarfs them.
         bands = (
             bands.withColumn(
                 "__bsz",

@@ -52,20 +52,22 @@ BENCH_NOTES = {
         "/ 20k vectors; resampled unigrams, measured dup rates, "
         "per-label embedding jitter). Findings: (1) "
         "semantic_dedup_keep_list was SUPERLINEAR — 19-22x wall at 10x "
-        "vectors across probe runs (committed artifact 5.0->95.7s), "
+        "vectors across probe runs (committed artifact 4.8->104.8s), "
         "the fixed-k=8 Sigma|cell|^2 law — "
         "FIXED by parameterizing k (paper's k~sqrt(n)): slope drops "
-        "to ~3x (2.9->8.4s committed), exact dups still deduped "
+        "to ~3x (2.5->7.7s committed), exact dups still deduped "
         "(property-tested); the catalog row keeps k=8 so oracle "
         "parity is untouched. (2) The minhash candidate join's "
         "shuffle grew ~917x (1.2MB->1.1GB; distinct candidates "
         "23.7k->2.32M, quadratic) — a CORPUS property (fixed-vocab "
         "synthetic text keeps a constant random-pair band-collision "
-        "floor; real corpora diversify), with wall only 3.7x; added "
+        "floor; real corpora diversify), with wall 8.6x committed "
+        "(2.0->17.2s uncapped); added "
         "a max_bucket hot-bucket cap (None by default = exact "
-        "semantics) that bounds candidates at O(n*bands*cap) and is "
-        "property-tested to keep planted near-dups. cascade/corpus "
-        "capstones ride the same candidates: wall 2.2-2.5x. "
+        "semantics) that bounds candidates at O(n*bands*cap), is "
+        "property-tested to keep planted near-dups, and holds the "
+        "committed 10x wall to 2.6x (5.0s). cascade/corpus "
+        "capstones ride the same candidates: wall 2.2-2.6x. "
         "(3) Table log at 10x commit size: appends/syncs/merges flat "
         "to sublinear (merge 6.0->4.1s, keyed incremental sync "
         "1.5->2.6s — read side O(delta), 2 cdc files; apply side is "

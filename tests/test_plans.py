@@ -160,21 +160,19 @@ def test_near_dup_queries_have_no_cartesian_product(spark, sf_dir):
         "near_dup_pairs_simhash": sim.near_dup_pairs_simhash,
         "near_dup_pairs_ngram": sim.near_dup_pairs_ngram,
         "near_dup_pairs_editdist": sim.near_dup_pairs_editdist,
+        # the r15 hot-bucket cap must keep the equi-join shape — the
+        # window count filters band-bucket rows, it must never
+        # degrade the self-join into a nested-loop
+        "near_dup_pairs_minhash[cap=50]": (
+            lambda spark, sf_dir, materialize: sim.near_dup_pairs_minhash(
+                spark, sf_dir, materialize=materialize, max_bucket=50
+            )
+        ),
     }
     for name, fn in lazy_builders.items():
         plan = _formatted(fn(spark, sf_dir, materialize=False))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    # the r15 hot-bucket cap must keep the equi-join shape — the
-    # window count filters band-bucket rows, it must never degrade
-    # the self-join into a nested-loop
-    plan = _formatted(
-        sim.near_dup_pairs_minhash(
-            spark, sf_dir, materialize=False, max_bucket=50
-        )
-    )
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     plan = _formatted(
         CATALOG.queries["near_dup_pairs_embedding"].builder(spark, sf_dir)
     )

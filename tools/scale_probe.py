@@ -10,9 +10,15 @@ merge-sizing fix's slope datum). Near-linear slopes demonstrate what
 sf0.1 alone cannot; a superlinear slope is a bug report.
 
 Usage:
-    python tools/scale_probe.py gen          # build .scaleprobe/sf1x
-    python tools/scale_probe.py run [--runs N]   # probe, print JSON
-    python tools/scale_probe.py changefeed   # tablelog commit/sync probe
+    python tools/scale_probe.py gen [SCALE]   # build .scaleprobe/x<SCALE>
+                                              # (default 10 -> "sf1x")
+    python tools/scale_probe.py run [--runs N] [--scales 3,10]
+                                    [--only name,name...]
+        # probe sf0.1 + each --scales set (default: 10), print JSON
+        # and merge into SCALE_PROBE.json; --only re-measures just
+        # the named rows (previously committed scale points for
+        # other labels are preserved)
+    python tools/scale_probe.py changefeed    # tablelog commit/sync probe
 
 The 10x generator is structure-preserving, NOT naive replication —
 replicating rows 10x verbatim would multiply every doc's exact-dup
@@ -236,39 +242,7 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
         ):
             print(f"run `gen {s}` first", file=sys.stderr)
             return 2
-    os.environ["TZ"] = "UTC"
-    time.tzset()
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(
-        app_name="scale-probe",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
-        extra_conf={
-            # bench_probe's confs for comparability, plus the UI for
-            # the stage-metric REST reads
-            "spark.sql.files.maxPartitionBytes": str(1 << 20),
-            "spark.driver.memory": "48g",
-            "spark.ui.enabled": "true",
-            "spark.ui.port": str(UI_PORT),
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    app_id = _api("applications")[0]["id"]
     catalog = build_catalog()
-
-    def once(builder, sf_dir):
-        t0 = time.perf_counter()
-        builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        elapsed = time.perf_counter() - t0
-        spark.catalog.clearCache()
-        return elapsed
-
-    # warmup, as in bench.py / bench_probe.py
-    once(next(iter(catalog.queries.values())).builder, SF01)
-    seen: set = set()
-    _, seen = _stage_metrics(app_id, seen)  # absorb warmup stages
 
     # the scale-path variants of the two pipelines the raw probe
     # measured superlinear: hot-bucket-capped LSH candidates (cap=50
@@ -299,17 +273,63 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
         "semantic_dedup_keep_list[k=sqrt(n)]": _semdedup_sqrt_k,
     }
 
+    targets = [
+        (name, catalog.queries[name].builder) for name in QUERIES
+    ] + list(scaled.items())
+    if only:
+        # validate BEFORE the (expensive) session start — a typo'd
+        # or shell-globbed name would otherwise warm up Spark,
+        # measure nothing, rewrite the artifact unchanged, and
+        # exit 0 (review r15)
+        unknown = sorted(set(only) - {n for n, _ in targets})
+        if unknown:
+            print(
+                f"unknown --only names: {unknown}; known: "
+                f"{sorted(n for n, _ in targets)}",
+                file=sys.stderr,
+            )
+            return 2
+        targets = [(n, b) for n, b in targets if n in only]
+
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale-probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            # bench_probe's confs for comparability, plus the UI for
+            # the stage-metric REST reads
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            "spark.driver.memory": "48g",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = _api("applications")[0]["id"]
+
+    def once(builder, sf_dir):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        elapsed = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return elapsed
+
+    # warmup, as in bench.py / bench_probe.py
+    once(next(iter(catalog.queries.values())).builder, SF01)
+    seen: set = set()
+    _, seen = _stage_metrics(app_id, seen)  # absorb warmup stages
+
     # merge into the existing artifact so --only updates single rows
     out_path = os.path.join(REPO, "SCALE_PROBE.json")
     report = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:
             report = json.load(fh)
-    targets = [
-        (name, catalog.queries[name].builder) for name in QUERIES
-    ] + list(scaled.items())
-    if only:
-        targets = [(n, b) for n, b in targets if n in only]
     for name, builder in targets:
         entry = {}
         points = [("sf0.1", SF01)] + [
@@ -331,8 +351,19 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
             entry[label] = {"wall_min": best[0], "walls": walls,
                             **best[1]}
             print(f"{name} @ {label}: {entry[label]}", flush=True)
-        s0 = entry["sf0.1"]
-        entry["slopes"] = {
+        # a --scales subset must not drop the row's previously
+        # committed points (review r15: --only + --scales 3 used to
+        # rebuild the entry from scratch and silently lose x10);
+        # slopes are recomputed over the MERGED points so they always
+        # equal the stored-wall ratios an auditor would divide
+        merged = {
+            k: v
+            for k, v in report.get(name, {}).items()
+            if k != "slopes"
+        }
+        merged.update(entry)
+        s0 = merged["sf0.1"]
+        merged["slopes"] = {
             label: {
                 "wall": round(
                     e["wall_min"] / max(s0["wall_min"], 1e-9), 2
@@ -345,9 +376,9 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
                     e["input_bytes"] / max(s0["input_bytes"], 1), 2
                 ),
             }
-            for label, e in entry.items() if label != "sf0.1"
+            for label, e in merged.items() if label != "sf0.1"
         }
-        report[name] = entry
+        report[name] = merged
     print(json.dumps(report))
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
