@@ -88,7 +88,16 @@ BENCH_NOTES = {
         "member of the cell-bounded class: 13.4x wall at 10x — its "
         "cells are the DATA-provided labels, so the knob lives "
         "upstream in the now-k-scalable clustering that produces "
-        "them (note in SCALE.md)."
+        "them (note in SCALE.md). LATE-R15 COMPLETION: the remaining "
+        "candidate-generation strategies each got their own slope "
+        "datum (the minhash slope does not transfer — each variant "
+        "blocks differently): simhash 2.2x wall @10x, ngram 2.7x, "
+        "editdist 2.0x, winnow 3.7x, dedup_incremental_near 3.3x — "
+        "all near-linear; the two big shuffle slopes (ngram 581x, "
+        "incremental 432x) are the Finding-2 fixed-vocab candidate "
+        "floor through prefix-token / probed-LSH buckets plus the "
+        "broadcast->exchange transition, absolute <=1.2GB with peak "
+        "per-task reads <=29MB. No new superlinear plan."
     ),
     "changefeed_anchor_closed_r15": (
         "CLOSING anchor note (VERDICT r14 what's-wrong #1 / task 4): "

@@ -67,6 +67,17 @@ QUERIES = (
     "dedup_cascade_keep_list",
     "corpus_build_manifest",
     "near_dup_pairs_embedding",
+    # the remaining candidate-generation strategies (late r15): each
+    # near-dup variant blocks candidates differently (simhash bands,
+    # ngram prefix filter + PPJoin cuts, editdist length buckets,
+    # winnowing fingerprints), so the minhash slope does not transfer
+    # — and the incremental probe's O(batch + probed buckets) claim
+    # deserves its own slope datum
+    "near_dup_pairs_simhash",
+    "near_dup_pairs_ngram",
+    "near_dup_pairs_editdist",
+    "near_dup_pairs_winnow",
+    "dedup_incremental_near",
 )
 
 
