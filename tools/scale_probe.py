@@ -78,6 +78,19 @@ QUERIES = (
     "near_dup_pairs_editdist",
     "near_dup_pairs_winnow",
     "dedup_incremental_near",
+    # the ANN / retrieval class (late r15): the north-star claim is
+    # "bucket equi-joins + broadcast query side — no all-pairs at any
+    # scale"; these four measure it (LSH buckets, IVF cells, the
+    # IVF-PQ composite, exact kNN with a bounded broadcast query
+    # set), plus the two remaining corpus plans without a datum: the
+    # span-fingerprint self-join and the broadcast-benchmark
+    # decontamination scan
+    "ann_hyperplane_lsh_topk",
+    "ann_ivf_probe_topk",
+    "ivf_pq_search_topk",
+    "knn_cosine_topk",
+    "doc_duplicated_spans",
+    "decontaminate_ngram_overlap",
 )
 
 
