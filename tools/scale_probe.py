@@ -19,6 +19,9 @@ Usage:
         # the named rows (previously committed scale points for
         # other labels are preserved)
     python tools/scale_probe.py changefeed    # tablelog commit/sync probe
+    python tools/scale_probe.py graph         # iterative-graph probe
+        # (PageRank + CC over 1x/3x/10x block-diagonal copies of the
+        # trade graph -> SCALE_PROBE_GRAPH.json)
 
 The 10x generator is structure-preserving, NOT naive replication —
 replicating rows 10x verbatim would multiply every doc's exact-dup
@@ -409,6 +412,129 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
     return 0
 
 
+# -------------------------------------------------------------- graph
+
+def graph_probe(runs: int = 3, scales: tuple = (3, 10)) -> int:
+    """Slope datum for the iterative-graph class (PageRank + connected
+    components). Scaling is BLOCK-DIAGONAL: k disjoint key-shifted
+    copies of the sf0.1 trade graph — degree distribution and
+    component diameters are preserved exactly, so per-iteration cost
+    should scale with |edges| while the CC round count (diameter-
+    bound, not size-bound) should stay CONSTANT; a growing round
+    count or a superlinear per-iteration slope is a bug report.
+    Naive densification (adding edges between copies) would instead
+    change the graph being measured."""
+    from pyspark.sql import functions as F
+
+    from aws_weather_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from aws_weather_data_pipeline_spark.plans import graph as gp
+    from aws_weather_data_pipeline_spark.session import get_spark
+
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale-probe-graph",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = _api("applications")[0]["id"]
+
+    base = gp.pagerank_edges_deg(spark, SF01).persist()
+    hi = base.select(
+        F.greatest(F.max("src"), F.max("dst")).alias("m")
+    ).collect()[0]["m"]
+    shift = int(hi) + 1
+
+    def copies(k: int):
+        out = None
+        for i in range(k):
+            c = base.select(
+                (F.col("src") + i * shift).alias("src"),
+                (F.col("dst") + i * shift).alias("dst"),
+                "outdeg",
+            )
+            out = c if out is None else out.unionAll(c)
+        return out
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    report: dict = {}
+    seen: set = set()
+    _, seen = _stage_metrics(app_id, seen)  # absorb edge-build stages
+    for k in (1,) + tuple(scales):
+        edges = copies(k).persist()
+        n = edges.select("src").distinct().count()
+        entry: dict = {"nodes": n}
+        walls, best = [], None
+        for _ in range(runs):
+            _, seen = _stage_metrics(app_id, seen)
+            t0 = time.perf_counter()
+            noop(gp.pagerank_plan(edges, n))
+            wall = round(time.perf_counter() - t0, 3)
+            walls.append(wall)
+            metrics, seen = _stage_metrics(app_id, seen)
+            if best is None or wall < best[0]:
+                best = (wall, metrics)
+        entry["pagerank"] = {
+            "wall_min": best[0], "walls": walls, **best[1]
+        }
+        walls, best, rounds = [], None, None
+        for _ in range(runs):
+            _, seen = _stage_metrics(app_id, seen)
+            stats: dict = {}
+            t0 = time.perf_counter()
+            cc = connected_components(edges, stats=stats)
+            noop(cc)
+            wall = round(time.perf_counter() - t0, 3)
+            cc.unpersist(False)
+            walls.append(wall)
+            rounds = stats["rounds"]
+            metrics, seen = _stage_metrics(app_id, seen)
+            if best is None or wall < best[0]:
+                best = (wall, metrics)
+        entry["connected_components"] = {
+            "wall_min": best[0], "walls": walls, "rounds": rounds,
+            **best[1],
+        }
+        edges.unpersist(False)
+        label = "sf0.1" if k == 1 else f"x{k}"
+        report[label] = entry
+        print(f"graph @ {label}: {entry}", flush=True)
+    s0 = report["sf0.1"]
+    report["slopes"] = {
+        label: {
+            op: {
+                "wall": round(
+                    e[op]["wall_min"]
+                    / max(s0[op]["wall_min"], 1e-9), 2
+                ),
+                "shuffle": round(
+                    e[op]["shuffle_read_bytes"]
+                    / max(s0[op]["shuffle_read_bytes"], 1), 2
+                ),
+            }
+            for op in ("pagerank", "connected_components")
+        }
+        for label, e in report.items() if label != "sf0.1"
+    }
+    print(json.dumps(report))
+    with open(
+        os.path.join(REPO, "SCALE_PROBE_GRAPH.json"), "w"
+    ) as fh:
+        json.dump(report, fh, indent=1)
+    return 0
+
+
 # --------------------------------------------------------- changefeed
 
 def changefeed() -> int:
@@ -531,7 +657,7 @@ def changefeed() -> int:
 
 def main() -> int:
     if len(sys.argv) < 2 or sys.argv[1] not in (
-        "gen", "run", "changefeed"
+        "gen", "run", "changefeed", "graph"
     ):
         print(__doc__)
         return 2
@@ -540,6 +666,8 @@ def main() -> int:
         return 0
     if sys.argv[1] == "changefeed":
         return changefeed()
+    if sys.argv[1] == "graph":
+        return graph_probe()
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
