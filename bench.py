@@ -100,14 +100,15 @@ BENCH_NOTES = {
         "per-task reads <=29MB. The ANN/retrieval class measures the "
         "no-all-pairs claim directly: hyperplane LSH / IVF probe / "
         "IVF-PQ / exact kNN hold wall FLAT at 10x corpus (0.8-1.4x) "
-        "with shuffle exactly linear (9.1-9.8x); doc_duplicated_spans "
+        "with shuffle near-linear (9.1-9.8x); doc_duplicated_spans "
         "3.4x wall at 10.2x shuffle and decontaminate_ngram_overlap "
         "1.15x wall are linear for the same reason. The "
         "iterative-graph class (scale_probe.py graph; "
         "SCALE_PROBE_GRAPH.json): PageRank 4.2x wall at 10x "
         "block-diagonal edges (sub-linear; the shuffle's 12.5x jump "
-        "at 3x is the broadcast->exchange transition, then exactly "
-        "linear 3x->10x) and connected components 4.0x wall with the "
+        "at 3x is the broadcast->exchange transition, then near-linear "
+        "3x->10x: 3.07x vs 3.33x edge growth) and connected "
+        "components 4.0x wall with the "
         "round count CONSTANT at 4 across scales — convergence is "
         "diameter-bound, not size-bound, as the operator contract "
         "claims. No new superlinear plan."

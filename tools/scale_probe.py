@@ -213,6 +213,75 @@ def _api(path: str):
         return json.load(r)
 
 
+def _ui_session(app_name: str, extra_conf: dict | None = None):
+    """Shared probe session: UTC, local[$SPARK_GRAFT_CPUS], UI on for
+    the stage-metric REST reads. Returns (spark, app_id)."""
+    from aws_weather_data_pipeline_spark.session import get_spark
+
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name=app_name,
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            **(extra_conf or {}),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark, _api("applications")[0]["id"]
+
+
+def _measure(app_id: str, seen: set, runs: int, fn, post=None):
+    """Drain stage metrics, run ``fn`` ``runs`` times, and pair the
+    reported metrics — and any extra dict ``fn`` returns (e.g. CC's
+    round count) — with the SAME run the wall minimum comes from
+    (review r15: mixing run 1's wall with run 3's stages or rounds
+    would make the artifact describe two different executions).
+    ``post``, if given, runs after each timing window (cache
+    hygiene that must not be billed to the measured wall)."""
+    walls, best = [], None
+    for _ in range(runs):
+        _, seen = _stage_metrics(app_id, seen)
+        t0 = time.perf_counter()
+        extra = fn() or {}
+        wall = round(time.perf_counter() - t0, 3)
+        if post is not None:
+            post()
+        walls.append(wall)
+        metrics, seen = _stage_metrics(app_id, seen)
+        if best is None or wall < best[0]:
+            best = (wall, metrics, extra)
+    entry = {"wall_min": best[0], "walls": walls, **best[1], **best[2]}
+    return entry, seen
+
+
+#: slope fields: (name, numerator field, divide-by-zero floor)
+_SLOPE_KEYS = (
+    ("wall", "wall_min", 1e-9),
+    ("shuffle", "shuffle_read_bytes", 1),
+    ("input", "input_bytes", 1),
+)
+
+
+def _slopes(points: dict, keys=_SLOPE_KEYS) -> dict:
+    """Per-scale-point ratios vs the ``sf0.1`` row — always equal to
+    the stored-value ratios an auditor would divide."""
+    s0 = points["sf0.1"]
+    return {
+        label: {
+            name: round(e[field] / max(s0[field], floor), 2)
+            for name, field, floor in keys
+        }
+        for label, e in points.items()
+        if label not in ("sf0.1", "slopes")
+    }
+
+
 def _stage_metrics(app_id: str, seen: set) -> tuple[dict, set]:
     """Aggregate metrics over completed stages not in ``seen``."""
     stages = _api(f"applications/{app_id}/stages?status=complete")
@@ -261,7 +330,6 @@ def _stage_metrics(app_id: str, seen: set) -> tuple[dict, set]:
 
 def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
     from aws_weather_data_pipeline_spark.plans.catalog import build_catalog
-    from aws_weather_data_pipeline_spark.session import get_spark
 
     for s in scales:
         if not os.path.exists(
@@ -318,36 +386,20 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
             return 2
         targets = [(n, b) for n, b in targets if n in only]
 
-    os.environ["TZ"] = "UTC"
-    time.tzset()
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(
-        app_name="scale-probe",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
-        extra_conf={
-            # bench_probe's confs for comparability, plus the UI for
-            # the stage-metric REST reads
-            "spark.sql.files.maxPartitionBytes": str(1 << 20),
-            "spark.driver.memory": "48g",
-            "spark.ui.enabled": "true",
-            "spark.ui.port": str(UI_PORT),
-        },
+    # bench_probe's maxPartitionBytes for comparability
+    spark, app_id = _ui_session(
+        "scale-probe",
+        {"spark.sql.files.maxPartitionBytes": str(1 << 20)},
     )
-    spark.sparkContext.setLogLevel("ERROR")
-    app_id = _api("applications")[0]["id"]
 
     def once(builder, sf_dir):
-        t0 = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        elapsed = time.perf_counter() - t0
-        spark.catalog.clearCache()
-        return elapsed
 
     # warmup, as in bench.py / bench_probe.py
     once(next(iter(catalog.queries.values())).builder, SF01)
+    spark.catalog.clearCache()
     seen: set = set()
     _, seen = _stage_metrics(app_id, seen)  # absorb warmup stages
 
@@ -363,20 +415,11 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
             (f"x{s}", out_dir(s)) for s in scales
         ]
         for label, sf_dir in points:
-            walls, best = [], None
-            for _ in range(runs):
-                _, seen = _stage_metrics(app_id, seen)
-                wall = round(once(builder, sf_dir), 3)
-                walls.append(wall)
-                metrics, seen = _stage_metrics(app_id, seen)
-                # pair the reported metrics with the SAME run the
-                # wall minimum comes from — mixing run 1's wall with
-                # run 3's stages would make the artifact's slopes
-                # describe two different executions (review r15)
-                if best is None or wall < best[0]:
-                    best = (wall, metrics)
-            entry[label] = {"wall_min": best[0], "walls": walls,
-                            **best[1]}
+            entry[label], seen = _measure(
+                app_id, seen, runs,
+                lambda: once(builder, sf_dir),
+                post=spark.catalog.clearCache,
+            )
             print(f"{name} @ {label}: {entry[label]}", flush=True)
         # a --scales subset must not drop the row's previously
         # committed points (review r15: --only + --scales 3 used to
@@ -389,22 +432,7 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
             if k != "slopes"
         }
         merged.update(entry)
-        s0 = merged["sf0.1"]
-        merged["slopes"] = {
-            label: {
-                "wall": round(
-                    e["wall_min"] / max(s0["wall_min"], 1e-9), 2
-                ),
-                "shuffle": round(
-                    e["shuffle_read_bytes"]
-                    / max(s0["shuffle_read_bytes"], 1), 2
-                ),
-                "input": round(
-                    e["input_bytes"] / max(s0["input_bytes"], 1), 2
-                ),
-            }
-            for label, e in merged.items() if label != "sf0.1"
-        }
+        merged["slopes"] = _slopes(merged)
         report[name] = merged
     print(json.dumps(report))
     with open(out_path, "w") as fh:
@@ -430,23 +458,8 @@ def graph_probe(runs: int = 3, scales: tuple = (3, 10)) -> int:
         connected_components,
     )
     from aws_weather_data_pipeline_spark.plans import graph as gp
-    from aws_weather_data_pipeline_spark.session import get_spark
 
-    os.environ["TZ"] = "UTC"
-    time.tzset()
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(
-        app_name="scale-probe-graph",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
-        extra_conf={
-            "spark.driver.memory": "48g",
-            "spark.ui.enabled": "true",
-            "spark.ui.port": str(UI_PORT),
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    app_id = _api("applications")[0]["id"]
+    spark, app_id = _ui_session("scale-probe-graph")
 
     base = gp.pagerank_edges_deg(spark, SF01).persist()
     hi = base.select(
@@ -472,60 +485,45 @@ def graph_probe(runs: int = 3, scales: tuple = (3, 10)) -> int:
     seen: set = set()
     _, seen = _stage_metrics(app_id, seen)  # absorb edge-build stages
     for k in (1,) + tuple(scales):
-        edges = copies(k).persist()
+        # at k=1 the copy would be an identity projection of the
+        # already-persisted base — reuse it instead of caching the
+        # same frame twice (review r15)
+        edges = base if k == 1 else copies(k).persist()
         n = edges.select("src").distinct().count()
         entry: dict = {"nodes": n}
-        walls, best = [], None
-        for _ in range(runs):
-            _, seen = _stage_metrics(app_id, seen)
-            t0 = time.perf_counter()
-            noop(gp.pagerank_plan(edges, n))
-            wall = round(time.perf_counter() - t0, 3)
-            walls.append(wall)
-            metrics, seen = _stage_metrics(app_id, seen)
-            if best is None or wall < best[0]:
-                best = (wall, metrics)
-        entry["pagerank"] = {
-            "wall_min": best[0], "walls": walls, **best[1]
-        }
-        walls, best, rounds = [], None, None
-        for _ in range(runs):
-            _, seen = _stage_metrics(app_id, seen)
+        entry["pagerank"], seen = _measure(
+            app_id, seen, runs,
+            lambda: noop(gp.pagerank_plan(edges, n)),
+        )
+
+        cc_out: list = []
+
+        def cc_once():
             stats: dict = {}
-            t0 = time.perf_counter()
             cc = connected_components(edges, stats=stats)
             noop(cc)
-            wall = round(time.perf_counter() - t0, 3)
-            cc.unpersist(False)
-            walls.append(wall)
-            rounds = stats["rounds"]
-            metrics, seen = _stage_metrics(app_id, seen)
-            if best is None or wall < best[0]:
-                best = (wall, metrics)
-        entry["connected_components"] = {
-            "wall_min": best[0], "walls": walls, "rounds": rounds,
-            **best[1],
-        }
-        edges.unpersist(False)
+            cc_out.append(cc)
+            return {"rounds": stats["rounds"]}
+
+        entry["connected_components"], seen = _measure(
+            app_id, seen, runs, cc_once,
+            post=lambda: cc_out.pop().unpersist(False),
+        )
+        if k != 1:
+            edges.unpersist(False)
         label = "sf0.1" if k == 1 else f"x{k}"
         report[label] = entry
         print(f"graph @ {label}: {entry}", flush=True)
-    s0 = report["sf0.1"]
+    base.unpersist(False)
+    keys = _SLOPE_KEYS[:2]  # wall + shuffle; input is table-invariant
     report["slopes"] = {
         label: {
-            op: {
-                "wall": round(
-                    e[op]["wall_min"]
-                    / max(s0[op]["wall_min"], 1e-9), 2
-                ),
-                "shuffle": round(
-                    e[op]["shuffle_read_bytes"]
-                    / max(s0[op]["shuffle_read_bytes"], 1), 2
-                ),
-            }
+            op: _slopes({"sf0.1": report["sf0.1"][op], label: e[op]},
+                        keys)[label]
             for op in ("pagerank", "connected_components")
         }
-        for label, e in report.items() if label != "sf0.1"
+        for label, e in report.items()
+        if label not in ("sf0.1", "slopes")
     }
     print(json.dumps(report))
     with open(
@@ -666,21 +664,25 @@ def main() -> int:
         return 0
     if sys.argv[1] == "changefeed":
         return changefeed()
-    if sys.argv[1] == "graph":
-        return graph_probe()
+    # flags parse BEFORE dispatch — a subcommand that silently
+    # ignored --runs/--scales would overwrite its artifact with
+    # parameters the user did not ask for (review r15, the same
+    # silent-no-op class as the --only validation)
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
-    scales = [SCALE]
+    scales = None
     if "--scales" in sys.argv:
         scales = [
             int(x)
             for x in sys.argv[sys.argv.index("--scales") + 1].split(",")
         ]
+    if sys.argv[1] == "graph":
+        return graph_probe(runs, tuple(scales or (3, SCALE)))
     only = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
-    return run(runs, scales, only)
+    return run(runs, scales or [SCALE], only)
 
 
 if __name__ == "__main__":
