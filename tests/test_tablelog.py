@@ -3857,7 +3857,14 @@ def test_migrate_consumer_position_abspath_era_agg_key(spark, tmp_path):
 #: Keyed fan-in alphabet (VERDICT r14 task 3): writes are keyed merge
 #: batches (key -> delete?) against a shared small key space so the
 #: two sources genuinely CONTEND per key; "race" syncs both sources
-#: from two threads so the CAS retry path actually runs.
+#: from two threads so the CAS retry path actually runs. "fold"
+#: (late r15) interleaves checkpoint-folding vacuum on a source or
+#: the destination: a destination fold must be invisible (positions
+#: resume through the checkpoint — the seam test's property, here
+#: under random interleavings), while a source fold that expires
+#: manifests a consumer still needs turns every later sync of that
+#: source into the NAMED behind-retention error with no partial
+#: application — never a silent skip of the vacuumed delta.
 _KEYED_FANIN_OPS = st.lists(
     st.one_of(
         st.tuples(
@@ -3871,6 +3878,11 @@ _KEYED_FANIN_OPS = st.lists(
             st.just("sync"), st.sampled_from(["a", "b"]), st.none()
         ),
         st.tuples(st.just("race"), st.just(""), st.none()),
+        st.tuples(
+            st.just("fold"),
+            st.sampled_from(["a", "b", "dst"]),
+            st.integers(1, 3),
+        ),
     ),
     min_size=2,
     max_size=8,
@@ -3901,7 +3913,15 @@ def test_multi_source_keyed_fanin_matches_model(
     regress and equal the model's, the destination snapshot equals
     the model's key->value map, drained re-syncs are idle, and raced
     syncs both land through the CAS retry (no lost or double-applied
-    range)."""
+    range). Interleaved "fold" steps (late r15) add the retention
+    contract: a destination vacuum is invisible (positions and the
+    snapshot resume through the checkpoint fold), and once a source
+    vacuum expires manifests the consumer still needs, EVERY later
+    sync of that source raises the named behind-retention error
+    (``read_changes``: "vacuum horizon") with position and snapshot
+    unchanged — the model predicts exactly which syncs fail from
+    ``expired_below`` alone, so a silent skip, a partial apply, or a
+    spurious failure all falsify it."""
     import itertools
     import threading
 
@@ -3920,6 +3940,10 @@ def test_multi_source_keyed_fanin_matches_model(
     model_pos = {"a": -1, "b": -1}
     seen_pos = {"a": -1, "b": -1}
     applied_dst = -1
+    #: source versions below this are vacuum-expired; a sync needing
+    #: any of them (model_pos + 1 < expired_below while the head is
+    #: ahead) must raise the named behind-retention error
+    expired_below = {"a": 0, "b": 0}
 
     def write(s, batch):
         if tl.latest_version(srcs[s]) is None:
@@ -4001,18 +4025,67 @@ def test_multi_source_keyed_fanin_matches_model(
             spark, srcs[s], dst, keys=["k"], allow_new_source=True
         )
 
+    def expect_expired(t):
+        # the NEXT sync of t must fail iff it needs an expired
+        # manifest: the feed walk reads (model_pos, head] and the
+        # first version it needs is model_pos + 1 (a new source's
+        # bootstrap reads the whole feed from -1, so it is NOT
+        # exempt — read_changes serves bootstrap too)
+        head = tl.latest_version(srcs[t])
+        return (
+            head is not None
+            and head > model_pos[t]
+            and model_pos[t] + 1 < expired_below[t]
+        )
+
+    def sync_checked(t):
+        """Sync t, asserting the model's failure prediction exactly:
+        an expired consumer raises the NAMED error and moves nothing;
+        a healthy one returns normally."""
+        if expect_expired(t):
+            with pytest.raises(
+                FileNotFoundError, match="vacuum horizon"
+            ):
+                sync(t)
+            return "expired"
+        return sync(t)
+
     for op, s, arg in ops:
         if op == "write":
             write(s, arg)
             continue
+        if op == "fold":
+            if s == "dst":
+                if tl.latest_version(dst) is not None:
+                    tl.vacuum(dst, retain_last=arg, min_age_seconds=0)
+            else:
+                head = tl.latest_version(srcs[s])
+                if head is not None:
+                    tl.vacuum(
+                        srcs[s], retain_last=arg, min_age_seconds=0
+                    )
+                    expired_below[s] = max(
+                        expired_below[s], head - arg + 1
+                    )
+            # a fold must be state-invisible: positions and snapshot
+            # unchanged (destination folds resume through the
+            # checkpoint; source folds move no data)
+            check_invariants(f"after fold {s}")
+            continue
         if op == "sync":
-            sync(s)
+            sync_checked(s)
         else:  # race: both sources sync concurrently
-            errors = []
+            expected = {t: expect_expired(t) for t in ("a", "b")}
+            errors, failed = [], []
 
             def go(t):
                 try:
                     sync(t)
+                except FileNotFoundError as exc:
+                    if expected[t] and "vacuum horizon" in str(exc):
+                        failed.append(t)
+                    else:  # pragma: no cover
+                        errors.append((t, exc))
                 except BaseException as exc:  # pragma: no cover
                     errors.append((t, exc))
 
@@ -4025,14 +4098,21 @@ def test_multi_source_keyed_fanin_matches_model(
             for t in threads:
                 t.join()
             assert not errors, errors
+            assert sorted(failed) == sorted(
+                t for t in ("a", "b") if expected[t]
+            ), "behind-retention failures did not match the model"
         fold_new_dst_commits()
         check_invariants(f"after {op} {s}")
-        # drained: an immediate re-sync of every synced source is idle
+        # drained: an immediate re-sync of every synced source is
+        # idle; an expired source fails the same way every time
         for t in ("a", "b") if op == "race" else (s,):
-            assert sync(t) is None, f"re-sync {t} not idle"
+            r = sync_checked(t)
+            assert r in (None, "expired"), f"re-sync {t} not idle"
     # final drain from both sources converges to the full model
+    # (expired sources keep failing deterministically and contribute
+    # nothing — the model already omits their unsynced suffix)
     for t in ("a", "b"):
-        sync(t)
+        sync_checked(t)
     fold_new_dst_commits()
     check_invariants("final drain")
 
