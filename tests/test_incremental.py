@@ -712,6 +712,18 @@ _AGG_FANIN_OPS = st.lists(
             st.sampled_from(["a", "b"]),
             st.none(),
         ),
+        # late r15: checkpoint-folding vacuum interleaved on a source
+        # or the destination — the agg-sync twin of the changefeed
+        # machine's fold step (destination vacuums are
+        # state-invisible; a source vacuum that expires needed
+        # manifests turns every later fold into the NAMED
+        # behind-retention error, applied before verify_insert_only's
+        # raw manifest walk could misreport it as corruption)
+        st.tuples(
+            st.just("vacuum"),
+            st.sampled_from(["a", "b", "dst"]),
+            st.integers(1, 3),
+        ),
     ),
     min_size=2,
     max_size=10,
@@ -740,7 +752,14 @@ def test_multi_source_aggregate_fanin_matches_model(
     double-counted range), each source's recovered position equals
     its last folded head and never regresses, an immediate re-fold is
     idle, and a source's FIRST fold against a destination already fed
-    by the other source is refused without allow_new_source=True."""
+    by the other source is refused without allow_new_source=True.
+    Interleaved "vacuum" steps (late r15) add the retention contract
+    on THIS consumer namespace too: a destination vacuum is invisible
+    (fold positions resume through the checkpoint), and once a source
+    vacuum expires manifests the fold still needs, every later fold
+    of that source raises read_changes' named behind-retention error
+    with positions and the aggregate unchanged — the model predicts
+    the failures from ``expired_below`` alone."""
     root = tmp_path_factory.mktemp("aggfanin")
     srcs = {"a": str(root / "src_a"), "b": str(root / "src_b")}
     dst = str(root / "agg")
@@ -748,6 +767,15 @@ def test_multi_source_aggregate_fanin_matches_model(
     feed: dict[str, list[list[tuple[int, int]]]] = {"a": [], "b": []}
     folded_upto = {"a": -1, "b": -1}
     onboarded = {"a": False, "b": False}
+    expired_below = {"a": 0, "b": 0}
+
+    def check_unmoved(where):
+        for t in ("a", "b"):
+            assert inc.aggregate_position(dst, srcs[t]) == folded_upto[t], (
+                f"{where}: position {t} moved"
+            )
+        if tl.latest_version(dst) is not None:
+            assert _folded(spark, dst) == model(), where
 
     def model():
         out: dict[int, list[int]] = {}
@@ -776,6 +804,21 @@ def test_multi_source_aggregate_fanin_matches_model(
             feed[s].append(list(arg))
             assert v == len(feed[s]) - 1
             continue
+        if op == "vacuum":
+            if s == "dst":
+                if tl.latest_version(dst) is not None:
+                    tl.vacuum(dst, retain_last=arg, min_age_seconds=0)
+            else:
+                head = tl.latest_version(srcs[s])
+                if head is not None:
+                    tl.vacuum(
+                        srcs[s], retain_last=arg, min_age_seconds=0
+                    )
+                    expired_below[s] = max(
+                        expired_below[s], head - arg + 1
+                    )
+            check_unmoved(f"after vacuum {s}")
+            continue
         head = tl.latest_version(srcs[s])
         if head is None or head <= folded_upto[s]:
             assert do_fold(s, True) is None  # idle no-op
@@ -784,6 +827,16 @@ def test_multi_source_aggregate_fanin_matches_model(
         if not onboarded[s] and folded_upto[other] >= 0:
             with pytest.raises(ValueError, match="allow_new_source"):
                 do_fold(s, False)
+        if folded_upto[s] + 1 < expired_below[s]:
+            # the fold needs a vacuum-expired manifest: the NAMED
+            # behind-retention error, nothing applied, and the
+            # failure is deterministic on every retry
+            with pytest.raises(
+                FileNotFoundError, match="vacuum horizon"
+            ):
+                do_fold(s, True)
+            check_unmoved(f"after expired fold {s}")
+            continue
         assert do_fold(s, True) is not None
         onboarded[s] = True
         folded_upto[s] = head
@@ -793,10 +846,21 @@ def test_multi_source_aggregate_fanin_matches_model(
             )
         assert _folded(spark, dst) == model(), f"after fold {s}"
         assert do_fold(s, True) is None  # drained: idle
-    # final drain: both sources fold to their heads, aggregate = model
+    # final drain: both sources fold to their heads (expired sources
+    # keep failing deterministically and contribute nothing — the
+    # model already omits their unfolded suffix), aggregate = model
     for s in ("a", "b"):
         if feed[s]:
-            do_fold(s, True)
-            folded_upto[s] = len(feed[s]) - 1
+            head = len(feed[s]) - 1
+            if head > folded_upto[s] and (
+                folded_upto[s] + 1 < expired_below[s]
+            ):
+                with pytest.raises(
+                    FileNotFoundError, match="vacuum horizon"
+                ):
+                    do_fold(s, True)
+            else:
+                do_fold(s, True)
+                folded_upto[s] = head
     if tl.latest_version(dst) is not None:
         assert _folded(spark, dst) == model(), "final fold"
