@@ -45,15 +45,19 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 15's window (committed at round start, per the checklist):
-# the aged block whose latest driver row is r12 (age 3 at r15) —
-# the weather family, the streaming family, sketches, BPE, SemDeDup,
-# zorder_layout_audit, tablelog_checkpoint_fold — exactly as emitted
-# by tools/rotate_window.py, no swaps: the surface is complete
-# against SURVEY §2 and the VERDICT r14 directive spends builder
-# time on measured scale-probe evidence and the keyed fan-in model
-# machine, not breadth, so no new query enters and no retirement is
-# needed. Net ages stay <= 3 for every query.
+# Round 16's window (committed at round start, per the checklist):
+# the aged block whose latest driver row is r13 (age 3 at r16) —
+# the relational/weatherlike core (pricing_summary,
+# weather_current_status, pack_explode_flatten, joins/set-ops),
+# changefeed_keyed_sync, tablelog_restore_audit,
+# corpus_build_manifest, pagerank_trade_graph, multimodal_decode_gif,
+# dedup_cascade_keep_list, … — exactly as emitted by
+# tools/rotate_window.py, no swaps: the surface is complete against
+# SURVEY §2 and the VERDICT r15 directive spends builder time on
+# making the measured scale-safe shapes the library defaults
+# (SemDeDup k≈√n, MinHash max_bucket guidance) plus the ADVICE r15
+# tablelog migration fixes, not breadth, so no new query enters and
+# no retirement is needed. Net ages stay <= 3 for every query.
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
@@ -81,56 +85,56 @@ OPERATOR_MODULES = (
 # fold-swap pattern — header note above; subsumption notes in
 # plans/tablelog_queries.py).
 DRIVER_WINDOW = (
-    "ann_multiprobe_lsh_topk",  # r12
-    "bpe_train_merges",  # r12
-    "corpus_filter_funnel",  # r12
-    "corpus_relative_quality_filter",  # r12
-    "dedup_attrition_by_source",  # r12
-    "doc_simpson_diversity",  # r12
-    "doc_winnowing_fingerprints",  # r12
-    "exact_substr_removal",  # r12
-    "fixed_size_doc_sample",  # r12
-    "hard_negative_mining",  # r12
-    "ivf_pq_search_topk",  # r12
-    "leakage_safe_split_assignment",  # r12
-    "length_weighted_doc_sample",  # r12
-    "lineitem_unpivot_measures",  # r12
-    "mg_heavy_hitter_pairs",  # r12
-    "multimodal_audio_windows",  # r12
-    "multimodal_decode_flac",  # r12
-    "multimodal_decode_png",  # r12
-    "multimodal_image_tiles",  # r12
-    "multimodal_resize_stats",  # r12
-    "near_dup_pairs_winnow",  # r12
-    "pq_adc_topk",  # r12
-    "pq_code_assignment",  # r12
-    "price_percentiles_by_flag",  # r12
-    "quantile_sketch_estimates",  # r12
-    "salted_hot_key_join",  # r12
-    "salted_user_event_lists",  # r12
-    "semantic_dedup_keep_list",  # r12
-    "small_quantity_order_revenue",  # r12
-    "split_leakage_audit",  # r12
-    "streaming_attributed_purchases",  # r12
-    "streaming_attribution_with_timeouts",  # r12
-    "streaming_batch_equivalence",  # r12
-    "streaming_dedup_replay",  # r12
-    "streaming_running_user_stats",  # r12
-    "streaming_session_windows",  # r12
-    "streaming_static_enrichment",  # r12
-    "streaming_windowed_alert_counts",  # r12
-    "tablelog_checkpoint_fold",  # r12
-    "temperature_mixture_sample",  # r12
-    "value_histogram",  # r12
-    "value_outliers_exact",  # r12
-    "weather_alert_feed",  # r12
-    "weather_comfort_heat_index",  # r12
-    "weather_conversions",  # r12
-    "weather_daily_summary",  # r12
-    "weather_quality_flags",  # r12
-    "weather_severity_class",  # r12
-    "weather_time_features",  # r12
-    "zorder_layout_audit",  # r12
+    "ann_ivf_probe_topk",  # r13
+    "ann_recall_at_k",  # r13
+    "asof_last_click_before_purchase",  # r13
+    "bm25_topk",  # r13
+    "changefeed_keyed_sync",  # r13
+    "coercion_null_on_error",  # r13
+    "conditional_counts",  # r13
+    "corpus_build_manifest",  # r13
+    "customers_without_urgent_orders",  # r13
+    "dataset_split_assignment",  # r13
+    "decontaminate_ngram_overlap",  # r13
+    "dedup_cascade_keep_list",  # r13
+    "dedup_exact_content",  # r13
+    "dedup_user_event_type",  # r13
+    "deterministic_doc_sample",  # r13
+    "doc_language_id",  # r13
+    "dominant_event_type",  # r13
+    "event_type_share",  # r13
+    "global_stats",  # r13
+    "hll_distinct_sketch",  # r13
+    "knn_cosine_topk",  # r13
+    "latest_event_per_user",  # r13
+    "multimodal_decode_gif",  # r13
+    "multimodal_feature_extract",  # r13
+    "nations_sorted",  # r13
+    "near_dup_clusters",  # r13
+    "near_dup_pairs_minhash",  # r13
+    "null_drop_critical",  # r13
+    "order_date_arithmetic",  # r13
+    "pack_explode_flatten",  # r13
+    "pagerank_trade_graph",  # r13
+    "parse_props_json",  # r13
+    "pivot_status_qty",  # r13
+    "pricing_summary",  # r13
+    "promo_revenue_ratio",  # r13
+    "range_validity_flags",  # r13
+    "recent_events_feed",  # r13
+    "regional_revenue",  # r13
+    "rollup_returnflag_status",  # r13
+    "scd2_user_state",  # r13
+    "sequence_pack_assignment",  # r13
+    "tablelog_restore_audit",  # r13
+    "tfidf_top_terms",  # r13
+    "top_revenue_orders",  # r13
+    "tumbling_hourly_by_type",  # r13
+    "union_segments",  # r13
+    "user_activity_coverage",  # r13
+    "user_session_windows",  # r13
+    "validation_aggregates",  # r13
+    "weather_current_status",  # r13
 )
 
 
