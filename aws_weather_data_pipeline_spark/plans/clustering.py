@@ -29,6 +29,8 @@ plans, which is exactly how MLlib's KMeans structures a round.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_spread
@@ -300,13 +302,43 @@ _DOT_SQL = (
     "cosine "
     "arithmetic is the exact integer quantization shared by the whole "
     "embedding family, so the flag column hashes identically across "
-    "engines.",
+    "engines. This catalog fixture PINS k=KMEANS_K so the oracle's "
+    "unrolled CTE (which hard-codes the same k) stays engine-exact; "
+    "the library function's own default is the scale-safe k=None "
+    "→ k≈√n resolution below.",
     tags=("similarity", "embedding", "dedup", "join", "iterative"),
 )
-def semantic_dedup_keep_list(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K
+def _semantic_dedup_keep_list_fixture(
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Catalog/driver entry: k pinned to the oracle's KMEANS_K.
+
+    The DuckDB oracle unrolls the Lloyd CTE at a fixed k, so the
+    driver-compared shape must not follow the library default when it
+    became data-dependent (VERDICT r15 task 2 — scale-safe defaults
+    without touching driver hashes)."""
+    return semantic_dedup_keep_list(spark, sf_dir, k=KMEANS_K)
+
+
+def semantic_dedup_keep_list(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """SemDeDup keep-list; ``k=None`` (the default) resolves
+    k = max(KMEANS_K, ⌈√n⌉) from ONE count of the embedding table at
+    call time — the paper's cell sizing (Abbas et al. 2023 §3) and
+    the scale-safe shape: the r15 10× probe measured fixed k=8 at
+    19–22× wall at 10× vectors (the Σ|cell|² law) vs ~3× for k≈√n
+    (committed SCALE_PROBE.json rows ``semantic_dedup_keep_list`` /
+    ``[k=sqrt(n)]``). The count is a metadata-only parquet row-count
+    scan — negligible next to the two Lloyd corpus×centroids passes
+    the plan already pays. Pass an explicit ``k`` to pin cells (the
+    catalog fixture above pins KMEANS_K for oracle parity); the
+    KMEANS_K floor keeps tiny corpora from degenerating to k≈1
+    all-pairs cells."""
     e = load_spread(spark, sf_dir, "embeddings")
+    if k is None:
+        n_vecs = e.count()
+        k = max(KMEANS_K, math.isqrt(max(n_vecs - 1, 0)) + 1)
     q = e.select("vec_id", F.expr(_QUANT).alias("v"))
     assigned = kmeans_lloyd_assignments(spark, sf_dir, k).select(
         "vec_id", "cluster"

@@ -25,6 +25,7 @@ module is pure north-star extension (SURVEY §7.2 step 9).
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -32,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..sources.tables import load_spread, load_tables
 from .registry import QueryCatalog
 from .text import SIMHASH_CTE_SQL
+
+_LOG = logging.getLogger(__name__)
 
 CATALOG = QueryCatalog()
 
@@ -184,7 +187,7 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
 
 
 def _minhash_candidates(
-    sigs: DataFrame, max_bucket: int | None = None
+    sigs: DataFrame, max_bucket: int | None = None, audit: bool = True
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) candidates from the LSH band join.
 
@@ -220,9 +223,66 @@ def _minhash_candidates(
     Default None = exact LSH semantics — the catalog queries and
     their DuckDB oracles use no cap, so driver parity is unchanged;
     a 100 TB dedup run passes the cap explicitly.
+
+    CAPPED MODE IS APPROXIMATE IN RECALL, NOT JUST COST (ADVICE
+    r15): over-cap buckets are excluded outright, not sampled, so a
+    pair whose collisions ALL land in over-cap buckets is dropped.
+    The N_BANDS−1 escape hatch is probabilistic — for a pair with
+    Jaccard j, P(missed | every colliding band over cap) can be
+    driven arbitrarily high by an adversarial corpus where the hot
+    shingles ARE the shared content, so the worst-case recall loss
+    is unbounded. To keep the loss auditable the capped path runs
+    one extra single-row aggregate (over the caller-persisted
+    ``sigs`` cache — no signature recompute) and logs, at WARNING,
+    how many band-rows and buckets the cap excluded; a 100 TB run
+    reads that number before trusting the output.
+
+    Sizing guidance: the cap bounds candidate pairs per bucket, so
+    set it from the verify budget, not the corpus: expected
+    candidates ≤ n_docs · N_BANDS · (cap−1) / 2, i.e.
+    cap ≈ 1 + 2·budget / (n_docs · N_BANDS). cap=50 held recall on
+    every planted near-dup while cutting the 10× synthetic corpus's
+    shuffle from 1.1 GB to ~5 MB (SCALE_PROBE.json); buckets at the
+    natural (un-templated) near-dup scale are ≤ a few dozen rows,
+    so caps in the 50–500 range only shave pathological buckets.
     """
     bands = _minhash_bands(sigs)
     if max_bucket is not None:
+        if audit:
+            # Audit the cap's recall effect before applying it
+            # (ADVICE r15): a single-row aggregate — groupBy
+            # partial-aggregates map-side, so this is one linear
+            # pass over the persisted sigs cache plus a 1-row
+            # collect (bounded by construction, same defense as the
+            # runner's validation probes). ``audit=False`` is for
+            # callers handing back a PURE LAZY plan
+            # (materialize=False, the plan-shape-test path): an
+            # action here would both execute the unpersisted
+            # signature pipeline and truncate the inspectable
+            # laziness. It skips ONLY the audit — the cap filter
+            # below applies regardless.
+            excl = (
+                bands.groupBy("band", "k1", "k2")
+                .agg(F.count(F.lit(1)).alias("bsz"))
+                .filter(F.col("bsz") > max_bucket)
+                .agg(
+                    F.coalesce(F.sum("bsz"), F.lit(0)).alias("rows"),
+                    F.count(F.lit(1)).alias("buckets"),
+                )
+                .collect()[0]
+            )
+            if excl["rows"]:
+                _LOG.warning(
+                    "minhash max_bucket=%d excluded %d band-rows "
+                    "across %d hot buckets from candidate "
+                    "generation; recall for pairs colliding ONLY in "
+                    "those buckets is lost (capped LSH is "
+                    "approximate — see _minhash_candidates "
+                    "docstring)",
+                    max_bucket,
+                    excl["rows"],
+                    excl["buckets"],
+                )
         from pyspark.sql import Window
 
         # Cost of the cap, measured (r15 .explain audit): the window
@@ -387,7 +447,7 @@ def near_dup_pairs_minhash(
         sigs = sigs.persist()
         sigs.count()  # fill the cache before concurrent branches race
     try:
-        cand = _minhash_candidates(sigs, max_bucket)
+        cand = _minhash_candidates(sigs, max_bucket, audit=materialize)
         sa = sigs.select(
             F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
         )
@@ -469,7 +529,7 @@ def near_dup_pairs_editdist(
         sigs = sigs.persist()
         sigs.count()
     try:
-        cand = _minhash_candidates(sigs, max_bucket)
+        cand = _minhash_candidates(sigs, max_bucket, audit=materialize)
         docs = _docs(spark, sf_dir)
         ta = docs.select(
             F.col("doc_id").alias("doc_a"),

@@ -1321,7 +1321,7 @@ def test_bpe_encode_vocab_is_broadcast_fold_without_shuffle(spark):
 
 
 def test_minhash_hot_bucket_cap_bounds_candidates_keeps_true_pairs(
-    spark, tmp_path
+    spark, tmp_path, caplog
 ):
     """The r15 scale-probe finding: on a corpus whose shingle
     distribution does not diversify with size (boilerplate), LSH
@@ -1350,19 +1350,42 @@ def test_minhash_hot_bucket_cap_bounds_candidates_keeps_true_pairs(
     sigs = d.select(
         "doc_id", "shingles", *sim.minhash_signature_cols()
     ).persist()
+    import logging
+
     try:
         sigs.count()
         uncapped = sim._minhash_candidates(sigs).count()
-        capped = {
+        with caplog.at_level(
+            logging.WARNING, logger=sim._LOG.name
+        ):
+            capped = {
+                (r.doc_a, r.doc_b)
+                for r in sim._minhash_candidates(sigs, max_bucket=20)
+                .collect()
+            }
+        # audit=False (the lazy-plan path) skips ONLY the logging
+        # action — the cap filter itself must still apply
+        capped_noaudit = {
             (r.doc_a, r.doc_b)
-            for r in sim._minhash_candidates(sigs, max_bucket=20)
-            .collect()
+            for r in sim._minhash_candidates(
+                sigs, max_bucket=20, audit=False
+            ).collect()
         }
     finally:
         sigs.unpersist(False)
+    assert capped_noaudit == capped
     assert uncapped >= 120 * 119 / 2  # the boilerplate blowup
     assert len(capped) < 20  # bounded: hot buckets excluded
     assert (200, 201) in capped and (300, 301) in capped
+    # the cap's recall effect is AUDITED (ADVICE r15): a warning
+    # records how many band-rows the over-cap buckets dropped —
+    # the 120 boilerplate docs collide in every one of their bands
+    dropped = [
+        r.getMessage()
+        for r in caplog.records
+        if "max_bucket=20 excluded" in r.getMessage()
+    ]
+    assert dropped and "band-rows" in dropped[0]
 
     # default-parity on the real smoke corpus: a cap far above every
     # bucket is a no-op, bit-identical pairs
@@ -1418,9 +1441,22 @@ def test_semantic_dedup_k_scales_cells_and_keeps_exact_dups(
         f"{sf}/embeddings.parquet",
     )
 
-    out8 = cl.semantic_dedup_keep_list(spark, sf).collect()
+    out8 = cl.semantic_dedup_keep_list(spark, sf, k=cl.KMEANS_K).collect()
     out32 = cl.semantic_dedup_keep_list(spark, sf, k=32).collect()
-    for out, k in ((out8, cl.KMEANS_K), (out32, 32)):
+    # k=None (the library DEFAULT, r16) resolves k = max(KMEANS_K,
+    # ceil(sqrt(n))) from one count — the scale-safe shape is what a
+    # caller gets without knowing the knob exists
+    out_default = cl.semantic_dedup_keep_list(spark, sf).collect()
+    k_default = max(cl.KMEANS_K, 21)  # ceil(sqrt(410)) = 21
+    # the catalog/driver fixture stays PINNED at KMEANS_K so the
+    # DuckDB oracle's unrolled fixed-k CTE keeps hashing identically
+    out_fixture = cl._semantic_dedup_keep_list_fixture(spark, sf).collect()
+    for out, k in (
+        (out8, cl.KMEANS_K),
+        (out32, 32),
+        (out_default, k_default),
+        (out_fixture, cl.KMEANS_K),
+    ):
         by_id = {r.vec_id: r for r in out}
         assert len(by_id) == 410
         clusters = {r.cluster for r in out}

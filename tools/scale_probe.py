@@ -350,14 +350,11 @@ def run(runs: int, scales: list[int], only: list[str] | None = None) -> int:
     )
 
     def _semdedup_sqrt_k(spark, sf_dir):
-        import pyarrow.parquet as pq
-
-        n = pq.read_metadata(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).num_rows
-        return cl.semantic_dedup_keep_list(
-            spark, sf_dir, k=max(cl.KMEANS_K, int(n ** 0.5))
-        )
+        # r16: k=None IS the library default now (resolves
+        # max(KMEANS_K, ceil(sqrt(n))) via one in-engine count), so
+        # this row measures exactly what an un-knobbed caller gets;
+        # the catalog row above stays the fixed-k oracle fixture.
+        return cl.semantic_dedup_keep_list(spark, sf_dir)
 
     scaled = {
         "near_dup_pairs_minhash[cap=50]": (
