@@ -1938,6 +1938,11 @@ def merge_changes(
             # exact output row bound the file sizing needs, and with
             # the changefeed it additionally keeps the scan-once
             # contract (review r08) — both outputs read the cache.
+            # Reusing a prior attempt's n_out across a CommitConflict
+            # retry was considered and DECLINED — full rationale in
+            # bench.py BENCH_NOTES["merge_retry_materialize_r15"]
+            # (the count is the materialization barrier, and a retry
+            # joins the NEW head's base, so nothing is reusable).
             joined = b.join(c, cond, "full").persist()
             try:
                 joined_rows = joined.count()
@@ -2373,19 +2378,51 @@ def migrate_consumer_position(
     refusing (review r15 — the refusal used to fire first, making
     the documented replay unreachable). Works for both reserved
     namespaces — pass ``prefix=sinks.incremental.AGG_TXN_PREFIX``
-    for aggregate destinations."""
+    for aggregate destinations.
+
+    CONCURRENCY (ADVICE r15): the whole read phase — legacy
+    position, replay probe, already-current guard — runs against ONE
+    head snapshot, and the carrier commits with ``require_head``
+    pinned to that snapshot (CAS, no rebase). A sync under the
+    current key landing concurrently therefore surfaces as
+    ``CommitConflict`` for the operator to re-run (metadata-only,
+    cheap) instead of the stale carrier rebasing on top of it and
+    regressing the newest-first ``txn_position`` walk — which would
+    make the next sync re-apply the already-synced range, a
+    double-count for insert-only destinations.
+
+    ``old_key`` EQUAL to the current key (e.g. ``legacy_abspath_key``
+    of a non-symlink path, where abspath == realpath) is refused up
+    front (ADVICE r15): the carrier txn id would coincide with the
+    ordinary sync commit's, so the call used to return that sync's
+    version as a "successful migration" while it sat inside the txn
+    dedup horizon but raise "already records" once it aged out — the
+    same no-op input must get ONE deterministic outcome regardless
+    of log depth."""
     new_key = source_key(src_table)
+    if old_key == new_key:
+        raise ValueError(
+            f"old_key {old_key!r} IS {src_table!r}'s current source "
+            f"key — nothing to migrate: any position under it is "
+            "already current (for the abspath-era migration this "
+            "means the path traverses no symlink, so the r13 key "
+            "and today's key coincide)"
+        )
+    # ONE head snapshot anchors every read below AND the commit CAS —
+    # reading positions at a newer head than the CAS pins would let a
+    # concurrent sync slip in between guard and publish unnoticed.
+    head = latest_version(dst_table)
     position = (
-        txn_position(dst_table, f"{prefix}:{old_key}")
+        txn_position(dst_table, f"{prefix}:{old_key}", upto=head)
         if old_key is not None
-        else txn_position(dst_table, prefix, bare_only=True)
+        else txn_position(dst_table, prefix, upto=head, bare_only=True)
     )
     txn = f"{prefix}:{new_key}:{position}"
     if position >= 0:
         replayed = _replayed_version(dst_table, txn)
         if replayed is not None:
             return replayed  # crashed-and-retried migration
-    if txn_position(dst_table, f"{prefix}:{new_key}") >= 0:
+    if txn_position(dst_table, f"{prefix}:{new_key}", upto=head) >= 0:
         raise ValueError(
             f"{dst_table!r} already records a {prefix!r} position for "
             f"source {src_table!r} under its current key {new_key} — "
@@ -2424,7 +2461,11 @@ def migrate_consumer_position(
         build,
         op="compact",
         txn_id=txn,
-        rebase=True,
+        # CAS on the snapshot every guard above read (ADVICE r15): a
+        # commit landing after it — including a sync under the NEW
+        # key — must surface as CommitConflict, never be rebased over.
+        rebase=False,
+        require_head=head,
     )
 
 

@@ -3854,6 +3854,81 @@ def test_migrate_consumer_position_abspath_era_agg_key(spark, tmp_path):
     assert inc.aggregate_position(dst, link) == 0
 
 
+def test_migrate_consumer_position_cas_on_concurrent_sync(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15: a sync under the CURRENT key landing between the
+    migration's guard check and its publish must surface as
+    CommitConflict — the old rebase=True path committed the stale
+    carrier ON TOP of it, regressing the newest-first position walk
+    (the next sync would re-apply the already-synced range: a
+    double-count for insert-only destinations)."""
+    old, dst = str(tmp_path / "src_old"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 3), old)
+    tl.sync_changes(spark, old, dst)
+    old_key = tl.source_key(old)
+    new = str(tmp_path / "src_new")
+    os.rename(old, new)
+    tl.append(_frame(spark, 3, 6), new)  # unsynced range, new identity
+    new_key = tl.source_key(new)
+    src_head = tl.latest_version(new)
+    real_publish = tl._publish
+    raced = {"done": False}
+
+    def racing_publish(tbl, version, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent operator (who already migrated, or synced
+            # with allow_new_source) lands the moved source's range
+            # under the CURRENT key before the carrier publishes
+            tl.append(
+                _frame(spark, 3, 6), dst,
+                txn_id=f"{tl.SYNC_TXN_PREFIX}:{new_key}:{src_head}",
+            )
+        return real_publish(tbl, version, manifest)
+
+    monkeypatch.setattr(tl, "_publish", racing_publish)
+    with pytest.raises(tl.CommitConflict):
+        tl.migrate_consumer_position(dst, new, old_key=old_key)
+    monkeypatch.undo()
+    # the rival's position survives as the newest record — NOT
+    # regressed to the legacy one
+    assert tl.sync_position(dst, new) == src_head
+    # the cheap operator re-run now refuses (a current-key position
+    # exists) instead of silently regressing
+    with pytest.raises(ValueError, match="already records"):
+        tl.migrate_consumer_position(dst, new, old_key=old_key)
+    # and the feed is drained: no range re-applied, no double rows
+    assert tl.sync_changes(spark, new, dst) is None
+    assert _values(tl.read_snapshot(spark, dst)) == list(range(6))
+
+
+def test_migrate_consumer_position_refuses_current_key_as_old_key(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15: ``old_key`` equal to the CURRENT key (abspath ==
+    realpath: the path traverses no symlink) used to get two
+    different outcomes by log depth — the carrier txn id coincides
+    with the ordinary sync commit's, so inside the txn dedup horizon
+    the call returned that sync's version as a 'successful
+    migration', and past it raised 'already records'. It must be ONE
+    deterministic refusal at any depth."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tl.append(_frame(spark, 0, 2), src)
+    tl.sync_changes(spark, src, dst)
+    key = tl.legacy_abspath_key(src)
+    assert key == tl.source_key(src)  # the degenerate no-symlink case
+    with pytest.raises(ValueError, match="current source key"):
+        tl.migrate_consumer_position(dst, src, old_key=key)
+    # age the sync commit out of a shrunken dedup horizon: the
+    # refusal (and its message) must not change with depth
+    monkeypatch.setattr(tl, "TXN_DEDUP_HORIZON", 2)
+    for lo in range(2, 8, 2):
+        tl.append(_frame(spark, lo, lo + 2), dst)
+    with pytest.raises(ValueError, match="current source key"):
+        tl.migrate_consumer_position(dst, src, old_key=key)
+
+
 #: Keyed fan-in alphabet (VERDICT r14 task 3): writes are keyed merge
 #: batches (key -> delete?) against a shared small key space so the
 #: two sources genuinely CONTEND per key; "race" syncs both sources
