@@ -32,6 +32,25 @@ import time
 #: convey (VERDICT r05 #2 asked for regressions to be root-caused IN
 #: the bench record).
 BENCH_NOTES = {
+    "drift_r15": (
+        "Open-of-r16 reconciliation (VERDICT r15 task 3): the "
+        "graded r15 driver artifact (BENCH_r15.json, 169.0s / 150 q "
+        "/ 0 failed) is CONTENDED and self-labels it — canary_min "
+        "0.359 vs its 0.282 round-over-round floor (1.27x), "
+        "canary_spread 1.318, load_avg 7.6->12.3 across the run, "
+        "median per-query ratio vs r14 1.175: the uniform "
+        "multiplicative host_drift signature (established r05). "
+        "The builder's committed SAME-ROUND idle run measured "
+        "139.4s — faster than the r14 driver artifact (143.8s) — "
+        "with idle canary at floor (0.31) and dispersion 1.097, and "
+        "the judge's per-query audit of every >1.3x driver mover "
+        "(gif/ppm decode, pagerank, restore_audit, "
+        "changefeed_keyed_sync, daily_summary, mg_pairs, bpe) found "
+        "all flat-or-better at idle against their standing anchors. "
+        "The 169s is HOST, not plan cost: no isolated anchor moved, "
+        "so no re-probe; movers in r16 judge against the idle "
+        "139.4s detail and the anchors, never the contended total."
+    ),
     "importance_weights_probe_r15": (
         "VERDICT r14 what's-wrong #3 / task 5 (the sole >1.5x r14 "
         "mover, 1.43s driver): isolated probes on a host calibrating "
