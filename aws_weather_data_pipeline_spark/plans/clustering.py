@@ -163,6 +163,24 @@ _FINAL_ASSIGN = f"a{KMEANS_ITERATIONS}"
 def kmeans_lloyd_assignments(
     spark: SparkSession, sf_dir: str, k: int = KMEANS_K
 ) -> DataFrame:
+    return _kmeans_assign(spark, sf_dir, k, keep_v=False)
+
+
+def _kmeans_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    keep_v: bool = False,
+) -> DataFrame:
+    """Final Lloyd assignment, eagerly materialized.
+
+    (vec_id, cluster, dist_q[, v]). The in-row argmin already carries
+    ``v`` through the last assign pass, so a caller that needs vectors
+    per assignment (SemDeDup's intra-cell cosine) passes ``keep_v=True``
+    and reads them here instead of re-joining the corpus on vec_id —
+    one SortMergeJoin of O(corpus) rows removed (guide §3; r16
+    optimization). The catalog query above drops ``v`` before the
+    checkpoint so its materialized footprint is unchanged."""
     e = load_spread(spark, sf_dir, "embeddings")
     # q feeds the seed sort plus every iteration's crossJoin and
     # update join (~5 branches at 2 iterations); Spark does not
@@ -187,31 +205,52 @@ def kmeans_lloyd_assignments(
         )
     )
 
-    dist = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
     def assign(cents: DataFrame) -> DataFrame:
-        j = q.crossJoin(
-            F.broadcast(
-                cents.select("cluster", F.col("v").alias("cv"))
+        # One-row sorted centroid ARRAY instead of a k-row broadcast
+        # relation: the argmin runs IN-ROW (transform + array_min over
+        # the k candidates) rather than materializing corpus×k rows
+        # through a crossJoin and re-collapsing them with a hash
+        # aggregate keyed by vec_id (guide §2.4; r16 optimization —
+        # one Exchange of O(corpus) rows removed per Lloyd iteration,
+        # at any scale). Same integer distance arithmetic and the same
+        # (dist, cluster) lexicographic tie-break as the former
+        # min(struct(dist, cluster)) hash aggregate — array_min uses
+        # identical struct ordering — so assignments are bit-identical
+        # (oracle-pinned).
+        carr = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "v"))
+            ).alias("cents")
+        )
+        m = F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "v", c["v"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cluster"].alias("cluster"),
+                ),
             )
-        ).select("vec_id", "cluster", dist.alias("dist"))
-        return (
-            j.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-            .select(
-                "vec_id",
-                F.col("m.cluster").alias("cluster"),
-                F.col("m.dist").alias("dist"),
-            )
+        )
+        # ``v`` rides along so update() explodes it directly instead
+        # of joining back to q on vec_id — the iteration's second
+        # removed shuffle (the old plan exchanged q AND the argmin
+        # output by vec_id to feed the centroid update).
+        return q.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            m["cluster"].alias("cluster"),
+            m["dist"].alias("dist"),
+            "v",
         )
 
     def update(assigned: DataFrame) -> DataFrame:
         ex = (
-            assigned.join(q, "vec_id")
+            assigned
             .select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
             .agg(
@@ -239,11 +278,14 @@ def kmeans_lloyd_assignments(
             if i < KMEANS_ITERATIONS - 1:
                 cents = update(assigned)
         # detach (eager) so the cache releases now, not at session end
-        return assigned.select(
-            "vec_id",
+        cols = [
+            F.col("vec_id"),
             F.col("cluster").cast("int").alias("cluster"),
             F.col("dist").cast("long").alias("dist_q"),
-        ).localCheckpoint(eager=True)
+        ]
+        if keep_v:
+            cols.append(F.col("v"))
+        return assigned.select(*cols).localCheckpoint(eager=True)
     finally:
         q.unpersist(False)
 
@@ -339,19 +381,24 @@ def semantic_dedup_keep_list(
     if k is None:
         n_vecs = e.count()
         k = max(KMEANS_K, math.isqrt(max(n_vecs - 1, 0)) + 1)
-    q = e.select("vec_id", F.expr(_QUANT).alias("v"))
-    assigned = kmeans_lloyd_assignments(spark, sf_dir, k).select(
-        "vec_id", "cluster"
+    # keep_v=True: the Lloyd assign already carries each vector through
+    # its last pass, so read (vec_id, cluster, v) straight off the
+    # materialized assignment instead of re-quantizing the embedding
+    # table and joining it back on vec_id — one corpus-wide
+    # SortMergeJoin and one duplicate quantization pass removed (guide
+    # §3; r16 optimization, oracle-pinned).
+    assigned = _kmeans_assign(spark, sf_dir, k, keep_v=True).select(
+        "vec_id", "cluster", "v"
     )
     sq_norm = F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)")
-    # The Lloyd-assignment pipeline (two corpus×centroids passes) is
-    # referenced by THREE branches below (pair sides a/b + the final
-    # keep-list join); Spark does not dedupe common subplans across
-    # join inputs, so persist + materialize it once (the frame is
-    # O(corpus) rows of quantized vectors — the same footprint the
-    # signature cache carries in plans/similarity.py, and the same
-    # recompute trap documented there).
-    n = assigned.join(q, "vec_id").withColumn("nrm", sq_norm).persist()
+    # The assignment frame is referenced by THREE branches below (pair
+    # sides a/b + the final keep-list join); Spark does not dedupe
+    # common subplans across join inputs, so persist + materialize it
+    # once (the frame is O(corpus) rows of quantized vectors — the
+    # same footprint the signature cache carries in
+    # plans/similarity.py, and the same recompute trap documented
+    # there).
+    n = assigned.withColumn("nrm", sq_norm).persist()
     n.count()
     a = n.select(
         F.col("vec_id").alias("vec_a"),

@@ -155,9 +155,18 @@ def pagerank_edges_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # No .distinct() on the symmetrized union (guide §2.4, removed in
+    # the r16 optimization pass): e0 is already distinct, its swapped
+    # copy is therefore distinct too, and the two sides cannot overlap
+    # because node ids are parity-tagged (e0 rows are (even, odd),
+    # swapped rows (odd, even)) — so the union is duplicate-free by
+    # construction and the old outer distinct was a full extra
+    # shuffle+aggregate of the edge list (the query's largest frame)
+    # at every scale. Result is bit-identical: same edge set → same
+    # degrees → same rank walk (pinned by the unchanged oracle).
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     return edges.join(deg, "src")
 

@@ -980,6 +980,30 @@ def near_dup_clusters(
     )
 
 
+def _cluster_map(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, cluster_id) near-dup cluster map — no sizes join.
+
+    Compositions that only need the membership map (the manifest, the
+    leakage-safe split) previously called ``near_dup_clusters`` and
+    dropped ``n_component``/``is_keeper`` — but Spark cannot prune the
+    sizes aggregate + inner join behind a dropped column (it can't
+    prove the join preserves rows), so every reference paid an extra
+    shuffle+aggregate+join over the label frame (guide §2.4; r16
+    optimization). This helper returns the CC labels directly —
+    bit-identical membership, none of the sizes machinery."""
+    from ..operators.graph import connected_components
+
+    if pairs is None:
+        pairs = near_dup_pairs_minhash(spark, sf_dir)
+    return connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    ).withColumnRenamed("node", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (cell-bucketed)
 # --------------------------------------------------------------------------
@@ -2084,14 +2108,34 @@ SELECT doc_id, reason, reason = 'kept' AS keep FROM r
     tags=("similarity", "dedup", "iterative"),
 )
 def dedup_cascade_keep_list(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..operators.graph import connected_components
 
     d = _docs(spark, sf_dir)
-    hashed = d.select("doc_id", F.md5("text").alias("ch"))
-    ek = hashed.groupBy("ch").agg(F.min("doc_id").alias("exact_keeper"))
-    exact = hashed.join(ek, "ch").select("doc_id", "exact_keeper")
+    # exact_keeper = min(doc_id) per content hash as a WINDOW over one
+    # scan, not groupBy+self-join: the former hashed⋈ek plan scanned
+    # documents (and ran md5 over the full text) TWICE — Spark does
+    # not dedupe common subplans across join inputs — and paid an
+    # aggregate shuffle plus a join shuffle on ch. The window pays ONE
+    # corpus scan and ONE ch shuffle, and min-over-partition is
+    # order-insensitive so the keeper election is unchanged (guide
+    # §2.4/§3.4; r16 optimization — oracle-pinned).
+    # ``carry`` threads extra document columns (e.g. ``source`` for
+    # the attrition rollup) through the same scan so compositions
+    # don't re-scan + re-join the corpus for columns this scan already
+    # touched; the catalog entry passes none, keeping its schema.
+    exact = d.select(
+        "doc_id", *carry, F.md5("text").alias("ch")
+    ).withColumn(
+        "exact_keeper",
+        F.min("doc_id").over(Window.partitionBy("ch")),
+    )
     # Share the pairs pipeline (VERDICT r03 #4): the near-dup stage is
     # the expensive half of the cascade, and any pipeline that already
     # ran near_dup_pairs_minhash (or near_dup_clusters) holds exactly
@@ -2117,6 +2161,7 @@ def dedup_cascade_keep_list(
     )
     return out.select(
         "doc_id",
+        *carry,
         reason.alias("reason"),
         (reason == F.lit("kept")).alias("keep"),
     )
@@ -2526,9 +2571,12 @@ def leakage_safe_split_assignment(
     # ``clusters=`` threads a precomputed (doc_id, cluster_id) map —
     # the connected-components loop is the expensive stage, and any
     # pipeline that already clustered (the cascade, the manifest)
-    # holds exactly this frame.
+    # holds exactly this frame. The default path builds the map via
+    # _cluster_map (labels only): the former near_dup_clusters call
+    # dragged the sizes aggregate+join into the plan behind columns
+    # this query drops (r16 optimization — see _cluster_map).
     if clusters is None:
-        clusters = near_dup_clusters(spark, sf_dir, pairs=pairs)
+        clusters = _cluster_map(spark, sf_dir, pairs=pairs)
     clusters = clusters.select("doc_id", "cluster_id")
     d = _docs(spark, sf_dir).select("doc_id").join(
         clusters, "doc_id", "left"
@@ -2655,21 +2703,29 @@ def corpus_build_manifest(
     # ONE connected-components run feeds both the keep decision and
     # the split (the loop is the manifest's expensive stage; without
     # threading, the cascade and the split would each run their own).
-    clusters = near_dup_clusters(spark, sf_dir, pairs=pairs).select(
+    # _cluster_map, not near_dup_clusters: the manifest drops
+    # n_component, and the sizes aggregate+join it rode in on was
+    # re-run for BOTH references of this frame (r16 scan audit — the
+    # keep branch and the split branch each rebuilt labels⋈sizes).
+    clusters = _cluster_map(spark, sf_dir, pairs=pairs).select(
         "doc_id", "cluster_id"
     )
     d = _docs(spark, sf_dir)
-    hashed = d.select("doc_id", F.md5("text").alias("ch"))
-    ek = hashed.groupBy("ch").agg(F.min("doc_id").alias("exact_keeper"))
+    # Exact keepers via ONE aggregate: a doc survives stage 1 iff it
+    # is min(doc_id) of its md5 group, so groupBy(ch).min(doc_id) IS
+    # the keeper set — the former hashed⋈ek self-join scanned (and
+    # md5'd) documents twice to re-derive per-doc rows it then
+    # filtered back down to exactly this set (guide §2.4/§3.4; r16
+    # optimization — one full-text scan and one join removed,
+    # oracle-pinned).
     keep = (
-        hashed.join(ek, "ch")
+        d.select("doc_id", F.md5("text").alias("ch"))
+        .groupBy("ch")
+        .agg(F.min("doc_id").alias("doc_id"))
         .join(clusters, "doc_id", "left")
         .filter(
-            (F.col("exact_keeper") == F.col("doc_id"))
-            & (
-                F.col("cluster_id").isNull()
-                | (F.col("cluster_id") == F.col("doc_id"))
-            )
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
         )
         .select("doc_id")
     )
@@ -2759,12 +2815,16 @@ def dedup_attrition_by_source(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    verdicts = dedup_cascade_keep_list(spark, sf_dir, pairs=pairs)
-    src = _docs(spark, sf_dir).select("doc_id", "source")
-    agg = (
-        verdicts.join(src, "doc_id")
-        .groupBy("source", "reason")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # ``source`` rides the cascade's own document scan (carry=) — the
+    # former plan re-scanned documents for (doc_id, source) and paid a
+    # corpus-wide doc_id shuffle join to attach one column the
+    # cascade's scan already touched (guide §2.4; r16 optimization —
+    # one Scan parquet + one SortMergeJoin removed, oracle-pinned).
+    verdicts = dedup_cascade_keep_list(
+        spark, sf_dir, pairs=pairs, carry=("source",)
+    )
+    agg = verdicts.groupBy("source", "reason").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     w = Window.partitionBy("source")
     return agg.select(

@@ -589,21 +589,39 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode-pushdown trap).
     tok = d.select("doc_id", F.explode_outer("tokens").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
-    # No broadcast hint on df: vocabulary grows with corpus size
-    # (Heaps' law — unbounded with web-scale text), so AQE decides.
-    # The one-row count IS provably bounded and safe to hint.
-    joined = tf.join(df, "term").crossJoin(F.broadcast(n))
-    tf_idf = F.col("tf") * (
-        F.col("n_docs").cast("double") / F.col("df")
-    )
-    w = W.partitionBy("doc_id").orderBy(tf_idf.desc(), F.col("term"))
-    return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TFIDF_TOP_N)
-        .select("doc_id", "term", "tf", "df", tf_idf.alias("tf_idf"), "rnk")
-    )
+    # ``tf`` feeds two branches (the df aggregate and the join's left
+    # side) and Spark does not dedupe common subplans across join
+    # inputs, so the unpersisted plan ran the whole scan+tokenize+
+    # explode+aggregate chain TWICE per execution (r16 scan audit:
+    # 3 documents scans; same defect class as the r08
+    # corpus_filter_funnel fix). Persist+materialize collapses it to
+    # ONE corpus pass — the term that dominates at 100 TB, where the
+    # second pass re-reads and re-explodes the whole corpus; the
+    # result detaches (localCheckpoint) so the cache can be released
+    # before returning, per the module's standing hygiene.
+    tf = tf.persist()
+    tf.count()
+    try:
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+        # No broadcast hint on df: vocabulary grows with corpus size
+        # (Heaps' law — unbounded with web-scale text), so AQE decides.
+        # The one-row count IS provably bounded and safe to hint.
+        joined = tf.join(df, "term").crossJoin(F.broadcast(n))
+        tf_idf = F.col("tf") * (
+            F.col("n_docs").cast("double") / F.col("df")
+        )
+        w = W.partitionBy("doc_id").orderBy(tf_idf.desc(), F.col("term"))
+        out = (
+            joined.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TFIDF_TOP_N)
+            .select(
+                "doc_id", "term", "tf", "df", tf_idf.alias("tf_idf"), "rnk"
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist(False)
 
 
 # --------------------------------------------------------------------------

@@ -421,9 +421,14 @@ def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
 
 def test_bm25_topk_avoids_global_sort(spark, sf_dir):
     # Top-k must be per-partition heaps (TakeOrderedAndProject), and
-    # the global-stats side a broadcast, not a shuffled join.
-    df = CATALOG.queries["bm25_topk"].builder(spark, sf_dir)
-    plan = _formatted(df)
+    # the global-stats side a broadcast, not a shuffled join. The
+    # registered builder eagerly localCheckpoints (cache hygiene) which
+    # hides the plan behind Scan ExistingRDD — pin the shape on the
+    # factored-out LAZY plan the builder wraps (VERDICT r07 #2), same
+    # convention as the range-join test below.
+    from aws_weather_data_pipeline_spark.plans import corpus as cp
+
+    plan = _formatted(cp._bm25_score_topk(cp._bm25_tf(spark, sf_dir)))
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
