@@ -234,7 +234,15 @@ def temperature_mixture_sample(
             "sq"
         ),
     )
-    tot = s.agg(F.sum("sq").alias("tot"))
+    # ``tot`` as an unpartitioned window over the POST-aggregate frame
+    # (≤ #sources rows — the event_type_share discipline), not a
+    # second aggregate crossJoined back: ``s`` fed both the total and
+    # the threshold branch, and Spark does not dedupe common subplans,
+    # so the former plan ran the per-source count aggregate — and its
+    # full documents scan — TWICE per execution (r16 scan audit: 3
+    # documents scans; the r08 corpus_filter_funnel defect class).
+    # Same exact integer sum, one corpus scan removed (guide §2.4).
+    tot_w = F.sum("sq").over(Window.partitionBy())
     # Threshold algebra in decimal(38,0)/HUGEINT from the FIRST
     # multiplication (the value_outliers_exact ADVICE class, found by
     # the r06 self-audit): tot*c >= c^1.5 * 1000 crosses BIGINT at
@@ -242,7 +250,7 @@ def temperature_mixture_sample(
     # advertised regime. Spark decimal `div` and DuckDB HUGEINT `//`
     # both truncate toward zero identically (== floor here: every
     # operand is non-negative), and both return integer types.
-    r = s.crossJoin(F.broadcast(tot)).select(
+    r = s.withColumn("tot", tot_w).select(
         "source",
         F.expr(
             f"(cast({TEMP_MODULUS} as decimal(38,0))"

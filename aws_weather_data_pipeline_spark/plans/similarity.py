@@ -965,18 +965,21 @@ def near_dup_clusters(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components(pairs)
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_component")
-    )
-    return (
-        labels.withColumnRenamed("node", "doc_id")
-        .join(sizes, "cluster_id")
-        .select(
-            "doc_id",
-            "cluster_id",
-            "n_component",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
-        )
+    # n_component as a window count over the label frame, not a
+    # groupBy+join-back: the former sizes aggregate paid one exchange
+    # for the aggregate and a second for the join; the window pays
+    # exactly one exchange on the same key with identical counts
+    # (count-over-partition is order-insensitive; guide §2.4 — r16
+    # optimization, oracle-pinned). The label frame is O(near-dup
+    # participants) — minuscule vs the corpus at any scale — so the
+    # win is the removed exchange+join, not bytes.
+    return labels.withColumnRenamed("node", "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("n_component"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
 
 
@@ -2696,8 +2699,14 @@ def corpus_build_manifest(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    from .sampling import N_PACK_SHARDS, PACK_BUDGET
-    from .text import doc_quality_scores
+    from .sampling import TRAIN_HI, VAL_HI, N_PACK_SHARDS, PACK_BUDGET
+    from .text import (
+        QUALITY_MAX_AVG_LEN,
+        QUALITY_MAX_TOKENS,
+        QUALITY_MIN_AVG_LEN,
+        QUALITY_MIN_TOKENS,
+        STOPWORDS,
+    )
 
     pairs = near_dup_pairs_minhash(spark, sf_dir)
     # ONE connected-components run feeds both the keep decision and
@@ -2710,43 +2719,70 @@ def corpus_build_manifest(
     clusters = _cluster_map(spark, sf_dir, pairs=pairs).select(
         "doc_id", "cluster_id"
     )
-    d = _docs(spark, sf_dir)
-    # Exact keepers via ONE aggregate: a doc survives stage 1 iff it
-    # is min(doc_id) of its md5 group, so groupBy(ch).min(doc_id) IS
-    # the keeper set — the former hashed⋈ek self-join scanned (and
-    # md5'd) documents twice to re-derive per-doc rows it then
-    # filtered back down to exactly this set (guide §2.4/§3.4; r16
-    # optimization — one full-text scan and one join removed,
-    # oracle-pinned).
-    keep = (
-        d.select("doc_id", F.md5("text").alias("ch"))
-        .groupBy("ch")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .join(clusters, "doc_id", "left")
-        .filter(
+    # ONE corpus scan computes every per-document input the manifest
+    # needs — content hash, token count, the quality gate — and the
+    # exact-keeper election rides the same rows as a window over ch
+    # (the dedup_cascade_keep_list shape). The former plan scanned
+    # documents THREE times (keep aggregate, doc_quality_scores,
+    # split assignment — r16 scan audit) and re-assembled the
+    # branches with two corpus-wide doc_id SortMergeJoins plus a
+    # second clusters join; the fused row needs one narrow ch
+    # exchange (text is dropped before it — project-before-exchange,
+    # guide §2.3) and ONE clusters join (guide §2.4; oracle-pinned:
+    # keeper election, gate arithmetic, and split hashing are the
+    # exact expressions the three branches used).
+    t = _docs(spark, sf_dir).withColumn(
+        "tokens", F.split(F.col("text"), " ")
+    )
+    n = F.size("tokens")
+    stop_hits = F.size(
+        F.filter("tokens", lambda x: x.isin(*STOPWORDS))
+    )
+    avg_len = (F.length("text") - (n - 1)).cast("double") / n
+    gate = (
+        n.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS)
+        & avg_len.between(QUALITY_MIN_AVG_LEN, QUALITY_MAX_AVG_LEN)
+        & (stop_hits > 0)
+    )
+    base = t.select(
+        "doc_id",
+        F.md5("text").alias("ch"),
+        n.cast("bigint").alias("n_tokens"),
+        gate.alias("passes_quality"),
+    ).withColumn(
+        "exact_keeper",
+        F.min("doc_id").over(Window.partitionBy("ch")),
+    )
+    j = base.join(clusters, "doc_id", "left")
+    group_key = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast(
+        "bigint"
+    )
+    surv = j.filter(
+        (F.col("doc_id") == F.col("exact_keeper"))
+        & (
             F.col("cluster_id").isNull()
             | (F.col("cluster_id") == F.col("doc_id"))
         )
-        .select("doc_id")
+        & F.col("passes_quality")
+    ).select("doc_id", "n_tokens", group_key.alias("group_key"))
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(group_key as string)), 1, 15), 16, 10)"
+        " as bigint) % 100"
     )
-    quality = (
-        doc_quality_scores(spark, sf_dir)
-        .filter(F.col("passes_quality"))
-        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    split = (
+        F.when(bucket < TRAIN_HI, "train")
+        .when(bucket < VAL_HI, "val")
+        .otherwise("test")
     )
-    split = leakage_safe_split_assignment(
-        spark, sf_dir, clusters=clusters
-    ).select("doc_id", "split")
-    surv = keep.join(quality, "doc_id").join(split, "doc_id")
     shard = (F.col("doc_id") % N_PACK_SHARDS).alias("shard")
     w = (
         Window.partitionBy("split", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = surv.select("doc_id", "split", "n_tokens", shard).withColumn(
-        "cum", F.sum("n_tokens").over(w)
-    )
+    c = surv.select(
+        "doc_id", split.alias("split"), "n_tokens", shard
+    ).withColumn("cum", F.sum("n_tokens").over(w))
     return c.select(
         "doc_id",
         "split",
