@@ -1036,9 +1036,12 @@ def corpus_relative_quality_filter(
     "ranks occurrences (rn >= 2 alone marks duplicates — a second row "
     "implies a multi-row partition); removed ranges re-explode to "
     "covered positions and "
-    "anti-join the token stream on (doc_id, position); reassembly is a "
-    "groupBy doc_id over sort_array(collect_list) — state bounded by "
-    "document length, never corpus size. Linear at 100 TB: suffix "
+    "LEFT-join the token stream on (doc_id, position) as a covered "
+    "flag; reassembly is ONE groupBy doc_id over the flagged stream "
+    "(sort_array(collect_list) of the kept tokens, count(*) for the "
+    "total) — state bounded by "
+    "document length, never corpus size, and the per-doc token count "
+    "rides the same aggregate instead of a third corpus scan. Linear at 100 TB: suffix "
     "arrays (the paper's exact tool) do not distribute, but "
     "fixed-length windows lose only matches shorter than the window "
     "and shuffle uniformly by construction; a hot boilerplate span is "
@@ -1100,29 +1103,41 @@ def exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode_outer("tokens").alias("tpos", "token"),
     )
-    kept = tok.join(cov, ["doc_id", "tpos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("tpos", "token"))
-                    ),
-                    lambda s: s["token"],
-                ),
-                " ",
-            )
-        ).alias("cleaned_hash"),
+    # LEFT join (covered rows flagged) instead of the old anti-join:
+    # the SAME aggregate that rebuilds the cleaned text then also
+    # counts each document's TOTAL tokens, so the third documents
+    # scan (per-doc token counts) and the corpus-wide doc_id
+    # SortMergeJoin that re-attached it are both gone (guide §2.4;
+    # VERDICT r16 task 6 — this beats the suggested extra aggregate:
+    # the count folds into the aggregate the rebuild already runs).
+    # ``cov`` is distinct (doc_id, tpos), so the left join cannot
+    # duplicate token rows; collect_list skips the NULL structs the
+    # otherwise-less WHEN emits for covered positions, and an
+    # all-covered document yields an empty list -> md5('') — exactly
+    # the oracle's COALESCE for its absent ``rebuilt`` row. tokens is
+    # never empty (split >= 1 element), so every doc_id aggregates.
+    kept_tok = F.when(
+        F.col("__cov").isNull(), F.struct("tpos", "token")
     )
-    base = t.select("doc_id", F.size("tokens").cast("bigint").alias("n_tokens"))
-    return base.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
-            "cleaned_hash"
-        ),
+    marked = tok.join(
+        cov.withColumn("__cov", F.lit(True)), ["doc_id", "tpos"], "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sort_array(F.collect_list(kept_tok)).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_total").cast("bigint").alias("n_tokens"),
+            (F.col("n_total") - F.size("kept"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform("kept", lambda s: s["token"]), " "
+                )
+            ).alias("cleaned_hash"),
+        )
     )

@@ -61,6 +61,29 @@ _KEYHASH_SPARK = (
 )
 
 
+def split_expr(key: str = "doc_id") -> F.Column:
+    """The ONE Spark-side train/val/test assignment expression: md5
+    bucket of ``key`` (cast to string) against the TRAIN_HI/VAL_HI
+    boundaries. ``key`` is a column NAME inlined into the md5/conv
+    SQL (key='doc_id' reproduces _KEYHASH_SPARK exactly).
+
+    Shared by dataset_split_assignment, leakage_safe_split_assignment,
+    leakage_audit, and corpus_build_manifest (ADVICE r16 / VERDICT r16
+    task 5: the bucket hash + boundary CASE was duplicated verbatim at
+    those sites, so a hash or boundary retune had to be made in four
+    places). Expression-level — sharing it adds no plan node.
+    """
+    bucket = F.expr(
+        f"cast(conv(substr(md5(cast({key} as string)), 1, 15), 16, 10)"
+        f" as bigint) % 100"
+    )
+    return (
+        F.when(bucket < TRAIN_HI, "train")
+        .when(bucket < VAL_HI, "val")
+        .otherwise("test")
+    )
+
+
 @CATALOG.add(
     "deterministic_doc_sample",
     f"""
@@ -114,12 +137,7 @@ def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    bucket = F.expr(f"{_KEYHASH_SPARK} % 100")
-    split = (
-        F.when(bucket < TRAIN_HI, "train")
-        .when(bucket < VAL_HI, "val")
-        .otherwise("test")
-    )
+    split = split_expr("doc_id")
     return (
         d.select(split.alias("split"), "doc_id")
         .groupBy("split")

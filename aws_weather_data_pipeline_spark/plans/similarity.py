@@ -187,7 +187,10 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
 
 
 def _minhash_candidates(
-    sigs: DataFrame, max_bucket: int | None = None, audit: bool = True
+    sigs: DataFrame,
+    max_bucket: int | None = None,
+    audit: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) candidates from the LSH band join.
 
@@ -245,6 +248,16 @@ def _minhash_candidates(
     shuffle from 1.1 GB to ~5 MB (SCALE_PROBE.json); buckets at the
     natural (un-templated) near-dup scale are ≤ a few dozen rows,
     so caps in the 50–500 range only shave pathological buckets.
+
+    ``caches``: when the caller passes a list (the materialized
+    path), the CAPPED bands frame is persisted + eagerly filled and
+    appended to it — the caller unpersists after detaching its
+    result. Without it, the window count that applies the cap is
+    re-computed once PER JOIN SIDE (Spark does not dedupe the two
+    sides' identical window subplans — r16 not-yet-optimized #2);
+    with it, the window runs once and both sides read the cache.
+    Left None on the pure-lazy path (materialize=False), where a
+    persist would truncate the inspectable plan.
     """
     bands = _minhash_bands(sigs)
     if max_bucket is not None:
@@ -304,6 +317,13 @@ def _minhash_candidates(
             .filter(F.col("__bsz") <= max_bucket)
             .drop("__bsz")
         )
+        if caches is not None:
+            # One window evaluation instead of one per join side
+            # (see docstring); count() fills the cache before the
+            # self-join's branches race to compute it.
+            bands = bands.persist()
+            bands.count()
+            caches.append(bands)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
     return (
@@ -443,11 +463,17 @@ def near_dup_pairs_minhash(
     # pure lazy plan instead (plan-shape tests inspect the join tree,
     # which _detach would truncate to a checkpoint scan).
     sigs = d.select("doc_id", "shingles", *minhash_signature_cols())
+    caches: list = []
     if materialize:
         sigs = sigs.persist()
         sigs.count()  # fill the cache before concurrent branches race
     try:
-        cand = _minhash_candidates(sigs, max_bucket, audit=materialize)
+        cand = _minhash_candidates(
+            sigs,
+            max_bucket,
+            audit=materialize,
+            caches=caches if materialize else None,
+        )
         sa = sigs.select(
             F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
         )
@@ -469,6 +495,8 @@ def near_dup_pairs_minhash(
     finally:
         if materialize:
             sigs.unpersist(False)
+            for c in caches:
+                c.unpersist(False)
 
 
 # --------------------------------------------------------------------------
@@ -525,11 +553,17 @@ def near_dup_pairs_editdist(
     # Same recompute hazard as near_dup_pairs_minhash: the band
     # self-join is two branches over the signature pipeline.
     sigs = d.select("doc_id", *minhash_signature_cols())
+    caches: list = []
     if materialize:
         sigs = sigs.persist()
         sigs.count()
     try:
-        cand = _minhash_candidates(sigs, max_bucket, audit=materialize)
+        cand = _minhash_candidates(
+            sigs,
+            max_bucket,
+            audit=materialize,
+            caches=caches if materialize else None,
+        )
         docs = _docs(spark, sf_dir)
         ta = docs.select(
             F.col("doc_id").alias("doc_a"),
@@ -564,6 +598,8 @@ def near_dup_pairs_editdist(
     finally:
         if materialize:
             sigs.unpersist(False)
+            for c in caches:
+                c.unpersist(False)
 
 
 # --------------------------------------------------------------------------
@@ -2431,15 +2467,11 @@ def leakage_audit(
     edit-distance, or n-gram pair pipelines all audit for free — pass
     whichever pairs frame the corpus already computes.
     """
-    from .sampling import TRAIN_HI, VAL_HI, _KEYHASH_SPARK
+    from .sampling import split_expr
 
-    bucket = F.expr(f"{_KEYHASH_SPARK} % 100")
-    split = (
-        F.when(bucket < TRAIN_HI, "train")
-        .when(bucket < VAL_HI, "val")
-        .otherwise("test")
+    s = _docs(spark, sf_dir).select(
+        "doc_id", split_expr("doc_id").alias("split")
     )
-    s = _docs(spark, sf_dir).select("doc_id", split.alias("split"))
     sa = s.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -2569,7 +2601,7 @@ def leakage_safe_split_assignment(
     pairs: DataFrame | None = None,
     clusters: DataFrame | None = None,
 ) -> DataFrame:
-    from .sampling import TRAIN_HI, VAL_HI
+    from .sampling import split_expr
 
     # ``clusters=`` threads a precomputed (doc_id, cluster_id) map —
     # the connected-components loop is the expensive stage, and any
@@ -2585,20 +2617,14 @@ def leakage_safe_split_assignment(
         clusters, "doc_id", "left"
     )
     group_key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    bucket = F.expr(
-        "cast(conv(substr(md5(cast(group_key as string)), 1, 15), 16, 10)"
-        " as bigint) % 100"
-    )
-    split = (
-        F.when(bucket < TRAIN_HI, "train")
-        .when(bucket < VAL_HI, "val")
-        .otherwise("test")
-    )
     return (
         d.select(
             "doc_id", group_key.cast("bigint").alias("group_key")
         )
-        .select("doc_id", "group_key", split.alias("split"))
+        .select(
+            "doc_id", "group_key",
+            split_expr("group_key").alias("split"),
+        )
     )
 
 
@@ -2699,14 +2725,8 @@ def corpus_build_manifest(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    from .sampling import TRAIN_HI, VAL_HI, N_PACK_SHARDS, PACK_BUDGET
-    from .text import (
-        QUALITY_MAX_AVG_LEN,
-        QUALITY_MAX_TOKENS,
-        QUALITY_MIN_AVG_LEN,
-        QUALITY_MIN_TOKENS,
-        STOPWORDS,
-    )
+    from .sampling import N_PACK_SHARDS, PACK_BUDGET, split_expr
+    from .text import quality_signal_cols
 
     pairs = near_dup_pairs_minhash(spark, sf_dir)
     # ONE connected-components run feeds both the keep decision and
@@ -2734,16 +2754,10 @@ def corpus_build_manifest(
     t = _docs(spark, sf_dir).withColumn(
         "tokens", F.split(F.col("text"), " ")
     )
-    n = F.size("tokens")
-    stop_hits = F.size(
-        F.filter("tokens", lambda x: x.isin(*STOPWORDS))
-    )
-    avg_len = (F.length("text") - (n - 1)).cast("double") / n
-    gate = (
-        n.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS)
-        & avg_len.between(QUALITY_MIN_AVG_LEN, QUALITY_MAX_AVG_LEN)
-        & (stop_hits > 0)
-    )
+    # gate/split expressions come from their single definitions
+    # (text.quality_signal_cols / sampling.split_expr — ADVICE r16):
+    # Column-level sharing, so the fused one-scan plan is unchanged.
+    n, _stop_hits, _avg_len, gate = quality_signal_cols()
     base = t.select(
         "doc_id",
         F.md5("text").alias("ch"),
@@ -2765,15 +2779,7 @@ def corpus_build_manifest(
         )
         & F.col("passes_quality")
     ).select("doc_id", "n_tokens", group_key.alias("group_key"))
-    bucket = F.expr(
-        "cast(conv(substr(md5(cast(group_key as string)), 1, 15), 16, 10)"
-        " as bigint) % 100"
-    )
-    split = (
-        F.when(bucket < TRAIN_HI, "train")
-        .when(bucket < VAL_HI, "val")
-        .otherwise("test")
-    )
+    split = split_expr("group_key")
     shard = (F.col("doc_id") % N_PACK_SHARDS).alias("shard")
     w = (
         Window.partitionBy("split", "shard")
@@ -2805,9 +2811,12 @@ def _attach_manifest_oracle() -> None:
         val_hi=VAL_HI,
         shards=N_PACK_SHARDS,
         budget=PACK_BUDGET,
-        # the gate is text.py's single definition — the Spark side
-        # reaches it through doc_quality_scores, so both engines
-        # retune together (review r06)
+        # the gate is text.py's single definition on BOTH sides:
+        # the oracle through quality_gate_sql here, the Spark plan
+        # through quality_signal_cols (the r16 fusion inlined the
+        # expressions; r17 re-factored them into that shared helper
+        # per ADVICE r16) — so a structural retune lands in one place
+        # and both engines move together (review r06)
         quality_gate=quality_gate_sql(),
     )
 

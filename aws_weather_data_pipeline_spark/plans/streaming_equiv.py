@@ -61,16 +61,36 @@ _TS_CUTOFF = "2024-01-03"
 #: setting (32 locally, 200 on a vanilla driver session) then pays
 #: 32-200 state-store setups per stateful operator per micro-batch
 #: for a ≤150-key fixture. Measured on the stream-stream join at
-#: sf0.1: 6.8 s at 32 partitions → 2.9 s at 8. At 100 TB this maps to
-#: the standard deployment rule: size state partitions to key
-#: cardinality × executor count, independently of the batch conf.
-_STREAM_SHUFFLE = 8
+#: sf0.1: 6.8 s at 32 partitions → 2.9 s at 8 (r14) → 2.3 s at 4
+#: (r17 interleaved 8-vs-4 A/B: joins −0.7 s, windowed −0.4 s,
+#: sessions −0.3 s, dedup/batch-equiv −0.1..−0.3 s; 2 reverses the
+#: trend, measured). At 100 TB this maps to the standard deployment
+#: rule: size state partitions to key cardinality × executor count,
+#: independently of the batch conf.
+_STREAM_SHUFFLE = 4
+
+#: The applyInPandasWithState drain keeps MORE partitions: its
+#: per-batch cost is Python-side per-key-group compute, which
+#: serializes within a partition — the r17 A/B read 3.4 s at 8 vs
+#: 4.4 s at 4 while every JVM-state query preferred 4. The general
+#: rule: state stores want partitions ∝ keys, Python stateful
+#: operators want partitions ∝ available Python workers.
+_STREAM_SHUFFLE_PANDAS = 8
+
+#: r17 state-store provider A/B (VERDICT r16 task 1), measured on all
+#: 7 drains at sf0.1, 3 reps each: RocksDB is NEVER better outside
+#: noise and is 0.9-1.2 s WORSE on the stream-stream joins at 8
+#: partitions (4.20 vs 3.01 s; its per-commit SST/snapshot churn
+#: dwarfs these ≤few-thousand-row states). The HDFS-backed default
+#: stays; RocksDB remains the documented choice only when state
+#: outgrows executor heap (100 TB/day sessionization), via session
+#: conf — no code path depends on the provider.
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession):
+def _stream_shuffle(spark: SparkSession, n: int = _STREAM_SHUFFLE):
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
@@ -566,7 +586,7 @@ def streaming_running_user_stats(
             "batch_id", F.lit(epoch_id).cast("long")
         ).write.mode("append").parquet(outdir)
 
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, _STREAM_SHUFFLE_PANDAS):
         q = (
             running_user_stats(events)
             .writeStream.outputMode("update")

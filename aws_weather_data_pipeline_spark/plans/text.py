@@ -59,6 +59,31 @@ def quality_gate_sql(tokens: str = "tokens", text: str = "text") -> str:
     )
 
 
+def quality_signal_cols(
+    tokens: str = "tokens", text: str = "text"
+) -> tuple[F.Column, F.Column, F.Column, F.Column]:
+    """The ONE Spark-side definition of the quality-gate inputs —
+    ``(n_tokens, stop_hits, avg_token_len, passes_quality)`` Column
+    expressions over a tokens-array column and the raw text column,
+    mirroring ``quality_gate_sql`` (the oracle side).
+
+    Shared by doc_quality_scores and corpus_build_manifest (ADVICE
+    r16 / VERDICT r16 task 5: the r16 manifest fusion inlined these
+    expressions, so a structural gate retune — not just a constant —
+    would have silently desynchronized the two Spark sites).
+    Expression-level — sharing it adds no plan node.
+    """
+    n = F.size(tokens)
+    stop_hits = F.size(F.filter(tokens, lambda x: x.isin(*STOPWORDS)))
+    avg_len = (F.length(text) - (n - 1)).cast("double") / n
+    gate = (
+        n.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS)
+        & avg_len.between(QUALITY_MIN_AVG_LEN, QUALITY_MAX_AVG_LEN)
+        & (stop_hits > 0)
+    )
+    return n, stop_hits, avg_len, gate
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound per-row work: spread under-split scans across cores
     # (no-op at scale — see sources.tables.load_spread).
@@ -189,11 +214,7 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tokens(_docs(spark, sf_dir))
-    n = F.size("tokens")
-    stop_hits = F.size(
-        F.filter("tokens", lambda x: x.isin(*STOPWORDS))
-    )
-    avg_len = (F.length("text") - (n - 1)).cast("double") / n
+    n, stop_hits, avg_len, gate = quality_signal_cols()
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -202,11 +223,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (stop_hits.cast("double") / n).alias("stopword_ratio"),
         avg_len.alias("avg_token_len"),
-        (
-            n.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS)
-            & avg_len.between(QUALITY_MIN_AVG_LEN, QUALITY_MAX_AVG_LEN)
-            & (stop_hits > 0)
-        ).alias("passes_quality"),
+        gate.alias("passes_quality"),
     )
 
 

@@ -32,6 +32,48 @@ import time
 #: convey (VERDICT r05 #2 asked for regressions to be root-caused IN
 #: the bench record).
 BENCH_NOTES = {
+    "oracle_full_r17": (
+        "VERDICT r16 task 2 (closes what's-wrong #1): full-catalog "
+        "oracle evidence recorded SAME-ROUND for every r17 change, "
+        "independent of the driver's 50-query rotation window. "
+        "tools/driver_sim.py (vanilla session, sf0.01 vs DuckDB, "
+        "rows+schema+order-insensitive hash): at round open, HEAD "
+        "4e327c2 — RESULT: ALL MATCH, 150/150, exit 0; re-run after "
+        "the last r17 code change (exact_substr_removal fusion, "
+        "capped-bands persist, shared split/gate Column helpers, "
+        "streaming state-partition sizing) — RESULT: ALL MATCH, "
+        "150/150, exit 0, twice (once by the interrupted first r17 "
+        "session, once re-executed from scratch by the resuming "
+        "session). Every query path this round touched therefore "
+        "has post-change full-oracle rows, not just the rotated "
+        "driver sample."
+    ),
+    "cascade_reanchor_r17": (
+        "VERDICT r16 task 3: the cascade family re-priced ISOLATED "
+        "on a sane host (load<1, canary-floor conditions; "
+        "tools/bench_probe.py --runs 8, fresh bench-conf session, "
+        "min-of-8), since the r16 round's committed anchors were "
+        "contended-only. Isolated mins: dedup_cascade_keep_list "
+        "4.392, dedup_attrition_by_source 4.371, "
+        "leakage_safe_split_assignment 3.233, near_dup_clusters "
+        "2.822, kmeans_lloyd_assignments 1.102, tfidf_top_terms "
+        "1.388, bm25_topk 0.617, corpus_build_manifest 3.742, "
+        "semantic_dedup_keep_list 2.158. Methodology note: the "
+        "isolated probe pays one fresh-JVM warmup per query, so for "
+        "anchor comparison the SAME-DAY idle full-catalog mins "
+        "(plans/r17/bench_before.json, warm JVM, min of >=5 passes "
+        "— the r15 anchors' own methodology) are the comparable "
+        "series: cascade 3.531 (r15 anchor 4.078), attrition 3.663 "
+        "(3.669), split 2.939 (3.024), clusters 3.056 (3.339), "
+        "kmeans 1.426 (1.476), tfidf 1.513 (1.411 — within the "
+        "pass spread; plan strictly smaller since r16), bm25 0.830 "
+        "(0.864), manifest 3.930 (7.932), semantic 2.097 (4.645) — "
+        "every r16-changed query at or below its r15 anchor except "
+        "tfidf's 0.1s noise band. Future movers judge against "
+        "these; the driver's r16 8-core sidecar numbers (e.g. "
+        "cascade 2.481) are NOT comparable anchors — fewer shuffle "
+        "partitions and a 150-query-warm JVM."
+    ),
     "drift_r15": (
         "Open-of-r16 reconciliation (VERDICT r15 task 3): the "
         "graded r15 driver artifact (BENCH_r15.json, 169.0s / 150 q "

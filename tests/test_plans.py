@@ -1407,6 +1407,62 @@ def test_minhash_hot_bucket_cap_bounds_candidates_keeps_true_pairs(
     assert plain == nocap and plain
 
 
+def test_minhash_capped_bands_persist_single_window(spark, tmp_path):
+    """r16 not-yet-optimized #2 (VERDICT r16 task 7): in capped
+    materialized mode the window count that applies the hot-bucket
+    cap must run ONCE, not once per self-join side — the caller
+    passes ``caches`` and the capped bands frame persists. Pins
+    (a) result parity with the no-caches path, (b) exactly one
+    Window node in the candidates plan (the second side reads the
+    cache), (c) the persisted frame is handed back for cleanup."""
+    from pyspark.sql import functions as F
+
+    from aws_weather_data_pipeline_spark.plans import similarity as sim
+
+    words = [f"w{i}" for i in range(40)]
+    boiler = " ".join(words[:12])
+    docs = [(i, boiler) for i in range(60)]
+    base_a = " ".join(words[12:26])
+    docs += [(200, base_a), (201, base_a.replace("w13", "zz"))]
+    d = sim._with_shingles(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    sigs = d.select(
+        "doc_id", "shingles", *sim.minhash_signature_cols()
+    ).persist()
+    caches: list = []
+    try:
+        sigs.count()
+        plain = {
+            (r.doc_a, r.doc_b)
+            for r in sim._minhash_candidates(
+                sigs, max_bucket=20, audit=False
+            ).collect()
+        }
+        cand = sim._minhash_candidates(
+            sigs, max_bucket=20, audit=False, caches=caches
+        )
+        cached = {(r.doc_a, r.doc_b) for r in cand.collect()}
+        assert cached == plain
+        assert (200, 201) in cached
+        # one persisted capped-bands frame handed back for cleanup
+        assert len(caches) == 1 and caches[0].is_cached
+        plan = cand._sc._jvm.PythonSQLUtils.explainString(
+            cand._jdf.queryExecution(), "formatted"
+        )
+        # BOTH self-join sides read the cache — the windowed cap
+        # subplan executes once, at the eager cache fill. (formatted
+        # explain re-prints the cached relation's definition inline
+        # per reference, so counting Window nodes in the TEXT cannot
+        # distinguish the shapes; the InMemoryTableScan pair can.)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        for c in caches:
+            c.unpersist(False)
+        sigs.unpersist(False)
+    assert not caches or not caches[0].is_cached
+
+
 def test_semantic_dedup_k_scales_cells_and_keeps_exact_dups(
     spark, tmp_path
 ):
