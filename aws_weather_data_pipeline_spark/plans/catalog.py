@@ -45,19 +45,37 @@ OPERATOR_MODULES = (
 # re-run `pytest tests/test_rotation_policy.py` — r07 skipped this
 # step and burned the round's 50 driver slots re-checking green rows.
 #
-# Round 16's window (committed at round start, per the checklist):
-# the aged block whose latest driver row is r13 (age 3 at r16) —
-# the relational/weatherlike core (pricing_summary,
-# weather_current_status, pack_explode_flatten, joins/set-ops),
-# changefeed_keyed_sync, tablelog_restore_audit,
-# corpus_build_manifest, pagerank_trade_graph, multimodal_decode_gif,
-# dedup_cascade_keep_list, … — exactly as emitted by
-# tools/rotate_window.py, no swaps: the surface is complete against
-# SURVEY §2 and the VERDICT r15 directive spends builder time on
-# making the measured scale-safe shapes the library defaults
-# (SemDeDup k≈√n, MinHash max_bucket guidance) plus the ADVICE r15
-# tablelog migration fixes, not breadth, so no new query enters and
-# no retirement is needed. Net ages stay <= 3 for every query.
+# Round 17's window (rotated per the checklist — the interrupted
+# first r17 session skipped this step, which would have burned the
+# round's 50 driver slots re-checking the r16 sample, the exact r07
+# mistake this comment warns about): base = the aged block whose
+# latest driver row is r14 (age 3 at r17), as emitted by
+# tools/rotate_window.py, with 13 free-slot swaps toward policy (b)'s
+# intent — every query whose EXECUTION PLAN changed in the r17
+# optimization work gets same-round post-change driver evidence
+# (VERDICT r16 "What's wrong #1" asked exactly this; semantics are
+# unchanged and driver_sim-verified 150/150, but self-reported runs
+# are weaker than driver rows). Swapped IN: the 8 streaming drains
+# (state-partition resize, r15-checked pre-change),
+# exact_substr_removal (scan fusion, r15), leakage_safe_split_
+# assignment + split_leakage_audit (split_expr helper, r15), and
+# corpus_build_manifest + dataset_split_assignment (helper refactor
+# landed AFTER their r16 driver rows). Swapped OUT (unchanged since
+# r14, single-pass relational/temporal, age 3 = still inside the
+# cadence; they form r18's mandatory block): cube_type_user_bucket,
+# customers_with_high_value_orders, daily_value_rollup,
+# date_range_revenue, event_gaps_lag, event_rank_functions,
+# events_table_profile, except_users_without_big_events,
+# gap_based_sessions, grouping_sets_pricing,
+# intersect_error_purchase_users, interval_range_join_counts,
+# user_running_totals. Net ages stay <= 3 for every query
+# (tests/test_rotation_policy.py green), and the cadence stays
+# feasible at zero slack: r18 = those 13 + 37 of the 39 remaining
+# r15-checked rows; r19 = the last 2 + the 48 remaining r16-checked
+# rows. Both are exactly 50.
+#
+# Round 16's window (history): the r13-aged block, no swaps
+# (rotated in 31466ba; sampled by the driver in CORRECTNESS_r16).
 #
 # Capacity ledger: the sustainability test caps the catalog at
 # 50 * MAX_AGE_ROUNDS = 150 queries. Every round since r09 ends AT
@@ -85,56 +103,56 @@ OPERATOR_MODULES = (
 # fold-swap pattern — header note above; subsumption notes in
 # plans/tablelog_queries.py).
 DRIVER_WINDOW = (
-    "ann_ivf_probe_topk",  # r13
-    "ann_recall_at_k",  # r13
-    "asof_last_click_before_purchase",  # r13
-    "bm25_topk",  # r13
-    "changefeed_keyed_sync",  # r13
-    "coercion_null_on_error",  # r13
-    "conditional_counts",  # r13
-    "corpus_build_manifest",  # r13
-    "customers_without_urgent_orders",  # r13
-    "dataset_split_assignment",  # r13
-    "decontaminate_ngram_overlap",  # r13
-    "dedup_cascade_keep_list",  # r13
-    "dedup_exact_content",  # r13
-    "dedup_user_event_type",  # r13
-    "deterministic_doc_sample",  # r13
-    "doc_language_id",  # r13
-    "dominant_event_type",  # r13
-    "event_type_share",  # r13
-    "global_stats",  # r13
-    "hll_distinct_sketch",  # r13
-    "knn_cosine_topk",  # r13
-    "latest_event_per_user",  # r13
-    "multimodal_decode_gif",  # r13
-    "multimodal_feature_extract",  # r13
-    "nations_sorted",  # r13
-    "near_dup_clusters",  # r13
-    "near_dup_pairs_minhash",  # r13
-    "null_drop_critical",  # r13
-    "order_date_arithmetic",  # r13
-    "pack_explode_flatten",  # r13
-    "pagerank_trade_graph",  # r13
-    "parse_props_json",  # r13
-    "pivot_status_qty",  # r13
-    "pricing_summary",  # r13
-    "promo_revenue_ratio",  # r13
-    "range_validity_flags",  # r13
-    "recent_events_feed",  # r13
-    "regional_revenue",  # r13
-    "rollup_returnflag_status",  # r13
-    "scd2_user_state",  # r13
-    "sequence_pack_assignment",  # r13
-    "tablelog_restore_audit",  # r13
-    "tfidf_top_terms",  # r13
-    "top_revenue_orders",  # r13
-    "tumbling_hourly_by_type",  # r13
-    "union_segments",  # r13
-    "user_activity_coverage",  # r13
-    "user_session_windows",  # r13
-    "validation_aggregates",  # r13
-    "weather_current_status",  # r13
+    "ann_hyperplane_lsh_topk",  # r14
+    "bloom_dedup_probe",  # r14
+    "cdc_merge_apply",  # r14
+    "cms_user_activity_sketch",  # r14
+    "corpus_build_manifest",  # r16, helper refactor landed post-check
+    "corpus_mixture_sample",  # r14
+    "dataset_split_assignment",  # r16, helper refactor post-check
+    "dedup_incremental_batch",  # r14
+    "dedup_incremental_near",  # r14
+    "doc_bigram_lm_score",  # r14
+    "doc_chunk_tokens",  # r14
+    "doc_duplicated_spans",  # r14
+    "doc_fingerprints",  # r14
+    "doc_importance_weights",  # r14
+    "doc_quality_scores",  # r14, also r17-changed (shared gate cols)
+    "doc_repetition_metrics",  # r14
+    "doc_simhash",  # r14
+    "doc_stopword_filtered",  # r14
+    "doc_token_stats",  # r14
+    "exact_substr_removal",  # r15, r17 scan fusion
+    "kmeans_lloyd_assignments",  # r14
+    "label_centroids",  # r14
+    "leakage_safe_split_assignment",  # r15, r17 split_expr helper
+    "minhash_signatures",  # r14
+    "multimodal_decode_avi",  # r14
+    "multimodal_decode_jpeg",  # r14
+    "multimodal_decode_ppm",  # r14
+    "multimodal_distinct_bytes",  # r14
+    "multimodal_payload_stats",  # r14
+    "near_dup_pairs_editdist",  # r14
+    "near_dup_pairs_embedding",  # r14
+    "near_dup_pairs_ngram",  # r14
+    "near_dup_pairs_simhash",  # r14
+    "pii_redaction",  # r14
+    "referential_integrity_audit",  # r14
+    "sliding_hourly_activity",  # r14
+    "split_leakage_audit",  # r15, r17 split_expr helper
+    "stratified_sample_per_lang",  # r14
+    "streaming_attributed_purchases",  # r15, r17 state partitions
+    "streaming_attribution_with_timeouts",  # r15, r17 state parts
+    "streaming_batch_equivalence",  # r15, r17 state partitions
+    "streaming_dedup_replay",  # r15, r17 state partitions
+    "streaming_running_user_stats",  # r15, r17 pandas-state parts
+    "streaming_session_windows",  # r15, r17 state partitions
+    "streaming_static_enrichment",  # r15, r17 drain-conf path
+    "streaming_windowed_alert_counts",  # r15, r17 state partitions
+    "tablelog_nullcount_prune",  # r14
+    "term_frequencies",  # r14
+    "top3_events_per_user",  # r14
+    "trailing_hour_user_stats",  # r14
 )
 
 

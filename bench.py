@@ -46,7 +46,23 @@ BENCH_NOTES = {
         "session, once re-executed from scratch by the resuming "
         "session). Every query path this round touched therefore "
         "has post-change full-oracle rows, not just the rotated "
-        "driver sample."
+        "driver sample. Late-r17 addendum (second resuming "
+        "session): the tree was re-verified from scratch at HEAD "
+        "9e2ad39 (pytest 731/1 skip; driver_sim ALL MATCH 150/150), "
+        "the round-start DRIVER_WINDOW rotation the interrupted "
+        "session skipped was committed (r14-aged block + 13 swaps "
+        "toward this round's changed queries — plans/catalog.py "
+        "comment has the schedule math), and driver_sim re-ran "
+        "green on the rotated tree. Four further optimization "
+        "candidates were measured and DECLINED on interleaved A/B "
+        "evidence (pagerank e0 persist: ReuseExchange already "
+        "dedupes the four-branch distinct, prototype 0.4s slower; "
+        "DSIR and bigram-LM single-pass pre-aggregates: the "
+        "pre-agg shuffle+persist costs more than the second "
+        "map-side-combined pass at any measured margin; one-pass "
+        "minhash signature fold: wins on the raw array, loses once "
+        "the 16 oracle-pinned columns are extracted) — numbers in "
+        "OPTIMIZATION_r17.md."
     ),
     "cascade_reanchor_r17": (
         "VERDICT r16 task 3: the cascade family re-priced ISOLATED "
